@@ -1,0 +1,295 @@
+package graft
+
+import graft.model.{AttrSchema, Triples}
+import graft.query._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The Spark-native EAV triple store — the engine core.
+  *
+  * Replaces the reference's in-memory `TripleStore` + three nested-dict
+  * indexes (tripl/tripl.py:304-358, 322-324) with ONE triples DataFrame;
+  * access-path selection (EAV vs AEV vs VAE probes, tripl.py:589-595) is
+  * delegated to Catalyst filter pushdown. All query operators compile to
+  * declarative DataFrame plans — set-at-a-time, no per-entity driver
+  * loops — so the same code runs on local[32] and a 1000-executor
+  * cluster.
+  *
+  * Semantics implemented (SURVEY.md §2):
+  *  - set semantics: duplicate facts collapse (tripl.py:78, 322-324)
+  *  - cardinality-one latest-tx-wins upsert (tripl.py:419-427) — Spark
+  *    storage is append-only, so upsert = window-dedup at read time
+  *  - retraction as anti-join (W6; the reference's own retract path is
+  *    broken, SURVEY.md §1.4 — we define the clean semantics)
+  *  - conjunctive `match` with IN-lists and nested sub-patterns
+  *    (tripl.py:589-609) as left-semi join chains
+  *  - `pull` projection/re-nesting (tripl.py:627-727) compiled to ONE
+  *    conditional aggregation pass for flat attrs + one join per nesting
+  *    level — NOT one join per attribute
+  *  - reverse lookups 'ns:_attr' (tripl.py:274-278, 694-706)
+  *  - Datalog-lite find/where (the reference's PLANNED grammar,
+  *    tripl.py:571-584) as self-joins of the triples relation
+  *  - '...' style recursion / reachability as an iterative fixpoint with
+  *    localCheckpoint (tripl.py:652-669)
+  */
+class TripleStore(
+    val spark: SparkSession,
+    val triples: DataFrame,
+    val schemas: Map[String, AttrSchema]) {
+  import spark.implicits._
+
+  private def schemaOf(attr: String): AttrSchema =
+    schemas.getOrElse(attr, AttrSchema(attr, cardOne = false, isRef = false, Triples.VStr))
+
+  private def valueCol(attr: String): String =
+    Triples.valueColFor(schemaOf(attr).vtype)
+
+  // ---------------------------------------------------------------------
+  // Materialization: set semantics + cardinality-one upsert resolution
+  // ---------------------------------------------------------------------
+
+  /** Facts after upsert resolution: for cardinality-one attrs only the
+    * latest transaction's assertions survive (tripl.py:419-427); then
+    * exact-duplicate facts collapse (set semantics). One window + one
+    * dedup, both on the same (e, a) shuffle key — AQE merges them.
+    */
+  lazy val resolved: DataFrame = {
+    val cardOneAttrs = schemas.collect { case (a, s) if s.cardOne => a }.toSeq
+    val base =
+      if (cardOneAttrs.isEmpty) triples
+      else {
+        val w = Window.partitionBy("e", "a")
+        triples
+          .withColumn("_maxTx", max("txId").over(w))
+          .where(!$"a".isInCollection(cardOneAttrs) || $"txId" === $"_maxTx")
+          .drop("_maxTx")
+      }
+    base.dropDuplicates(Triples.factCols)
+  }
+
+  /** Ref-edge projection (the VAE index's job, tripl.py:324): (e, a, vref).
+    * Declared refs + lazy refs (any vref-typed fact). */
+  lazy val edges: DataFrame =
+    resolved.where($"vtype" === Triples.VRef && $"vref".isNotNull)
+      .select($"e", $"a", $"vref")
+
+  // ---------------------------------------------------------------------
+  // Write path (W1/W5/W6): assertion, merge, retraction
+  // ---------------------------------------------------------------------
+
+  /** Assert a batch of triples (append; resolution happens at read). */
+  def assertTriples(batch: DataFrame): TripleStore =
+    new TripleStore(spark, triples.unionByName(batch), schemas)
+
+  /** Graph merge (W5, tripl.py:526-529): set union of two stores. Correct
+    * because entity ids are globally unique strings (vision.md:62). */
+  def merge(other: TripleStore): TripleStore =
+    new TripleStore(spark, triples.unionByName(other.triples),
+      schemas ++ other.schemas)
+
+  /** Retraction (W6) with clean semantics: anti-join on the fact identity
+    * columns. `pattern` columns must be a subset of factCols. */
+  def retract(pattern: DataFrame): TripleStore = {
+    val keys = pattern.columns.toSeq
+    new TripleStore(spark,
+      triples.join(pattern, keys, "left_anti"), schemas)
+  }
+
+  /** Retract everything matching an attribute predicate. */
+  def retractWhere(cond: Column): TripleStore =
+    new TripleStore(spark, triples.where(!coalesce(cond, lit(false))), schemas)
+
+  // ---------------------------------------------------------------------
+  // match (Q1/Q2): conjunctive pattern → entity ids
+  // ---------------------------------------------------------------------
+
+  /** Q1 — single-attribute lookup `(a, v)` → DataFrame["e"]. Scalar =
+    * equality, list = IN (tripl.py:596-602), sub-pattern = semi-join
+    * through the ref edge (tripl.py:591-592). */
+  def entityIds(attr: String, mval: MVal): DataFrame = mval match {
+    case MEq(v) => entityIds(attr, MIn(Seq(v)))
+    case MIn(vs) =>
+      val vc = valueCol(attr)
+      resolved.where($"a" === attr && col(vc).isInCollection(vs)).select($"e")
+    case MSub(sub) =>
+      // entities whose ref through `attr` lands in the sub-pattern's match
+      edges.where($"a" === attr)
+        .join(matchEntities(sub).withColumnRenamed("e", "vref"),
+          Seq("vref"), "left_semi")
+        .select($"e")
+  }
+
+  /** Q2 — conjunctive match: intersection of per-pair lookups
+    * (tripl.py:604-609) as a left-semi join chain; Catalyst/AQE pick
+    * broadcast vs shuffle per conjunct (a genuine upgrade over the
+    * reference's fixed-order full intersections, SURVEY.md §4). */
+  def matchEntities(pattern: Seq[(String, MVal)]): DataFrame = {
+    require(pattern.nonEmpty, "empty match pattern")
+    pattern.map { case (a, v) => entityIds(a, v) }
+      .reduce((l, r) => l.join(r, Seq("e"), "left_semi"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // pull (Q7/Q8): graph-shaped projection, compiled set-at-a-time
+  // ---------------------------------------------------------------------
+
+  /** Q7 — pull `specs` for every entity in `entities` (a DataFrame with
+    * one column "e"). Output: one row per entity, one column per spec.
+    *
+    * Plan shape (SURVEY.md §2.4): ALL flat attrs resolve in ONE
+    * conditional-aggregation pass over the semi-joined triples (one
+    * shuffle, map-side partial aggregation), not one join per attr.
+    * Each nested descent adds exactly one edge join + one child pull +
+    * one re-nesting aggregation. Multi-valued outputs are sort_array'd
+    * for deterministic results (the reference's set semantics are
+    * unordered; we fix an order so distributed runs are reproducible).
+    */
+  def pull(entities: DataFrame, specs: Seq[PullSpec]): DataFrame = {
+    val ents = entities.select($"e").distinct()
+    val flat = specs.collect { case p: PAttr => p }
+    val others = specs.filterNot(_.isInstanceOf[PAttr])
+
+    val flatDf: Option[DataFrame] = if (flat.isEmpty) None else Some {
+      val relevant = resolved
+        .where($"a".isInCollection(flat.map(_.attr)))
+        .join(ents, Seq("e"), "left_semi")
+      val aggs = flat.map { p =>
+        val vc = col(valueCol(p.attr))
+        if (schemaOf(p.attr).cardOne)
+          max(when($"a" === p.attr, vc)).as(p.name)
+        else
+          sort_array(collect_set(when($"a" === p.attr, vc))).as(p.name)
+      }
+      relevant.groupBy($"e").agg(aggs.head, aggs.tail: _*)
+    }
+
+    val otherDfs: Seq[DataFrame] = others.map {
+      case PWild =>
+        // attr → sorted [values as string] map (dynamic schema, Q7b)
+        resolved.join(ents, Seq("e"), "left_semi")
+          .groupBy($"e", $"a")
+          .agg(sort_array(collect_set(Triples.valueAsString())).as("vs"))
+          .groupBy($"e")
+          .agg(map_from_entries(sort_array(collect_list(struct($"a", $"vs"))))
+            .as(PWild.name))
+      case p: PRevIds =>
+        // who points at me through attr (Q7c): sorted eid array
+        edges.where($"a" === p.attr)
+          .select($"vref".as("e"), $"e".as("_src"))
+          .join(ents, Seq("e"), "left_semi")
+          .groupBy($"e").agg(sort_array(collect_set($"_src")).as(p.name))
+      case p: PNest =>
+        // nested descent (Q7d): one edge join + recursive child pull +
+        // one collect_list re-nesting. Forward: e -[attr]-> vref;
+        // reverse: vref -[attr]-> e (tripl.py:694-706).
+        val edge0 = edges.where($"a" === p.attr)
+        val edge =
+          if (p.reverse) edge0.select($"vref".as("e"), $"e".as("_child"))
+          else edge0.select($"e", $"vref".as("_child"))
+        val scoped = edge.join(ents, Seq("e"), "left_semi")
+        val childDf = pull(scoped.select($"_child".as("e")), p.sub)
+        val childCols = childDf.columns.filter(_ != "e")
+        scoped.join(childDf.withColumnRenamed("e", "_child"), Seq("_child"))
+          .groupBy($"e")
+          .agg(sort_array(collect_list(struct(childCols.map(col): _*)))
+            .as(p.name))
+      case p: PAttr => sys.error(s"unreachable $p")
+    }
+
+    val joined = otherDfs.foldLeft(
+      flatDf.map(ents.join(_, Seq("e"), "left")).getOrElse(ents))(
+      (acc, df) => acc.join(df, Seq("e"), "left"))
+    // preserve spec order in output columns
+    joined.select($"e" +: specs.map(s => col(s.name)): _*)
+  }
+
+  /** Q8 — pull_many: match (or take explicit eids) then batch pull, with
+    * the reference's sort semantics as SPEC'D in SURVEY.md §1.4 (sort_by
+    * → ascending by default). Sort+limit lowers to TakeOrderedAndProject.
+    */
+  def pullMany(
+      pattern: Seq[(String, MVal)],
+      specs: Seq[PullSpec],
+      sortBy: Option[String] = None,
+      desc: Boolean = false,
+      limit: Option[Int] = None): DataFrame = {
+    val base = pull(matchEntities(pattern), specs)
+    val sorted = sortBy match {
+      case Some(k) => base.orderBy(if (desc) col(k).desc else col(k).asc)
+      case None => base
+    }
+    limit.map(sorted.limit).getOrElse(sorted)
+  }
+
+  // ---------------------------------------------------------------------
+  // Datalog-lite (Q10, the reference's PLANNED grammar tripl.py:571-584)
+  // ---------------------------------------------------------------------
+
+  /** One where-clause `[?s attr ?o]` (or constants). Variables start with
+    * '?'. Compiles to a filtered scan of `resolved`; shared variables
+    * across clauses become equi-join keys — the classic triple-pattern
+    * self-join (SURVEY.md §2.5). Entity/ref positions join as strings;
+    * the object position uses the attr's typed value column.
+    */
+  def datalog(find: Seq[String], where: Seq[(String, String, Any)]): DataFrame = {
+    require(where.nonEmpty, "empty where")
+    def isVar(t: Any): Boolean = t match {
+      case s: String => s.startsWith("?"); case _ => false }
+
+    val clauseDfs = where.map { case (s, attr, o) =>
+      var df = resolved.where($"a" === attr)
+      val vc = valueCol(attr)
+      var cols = Seq.empty[Column]
+      if (isVar(s)) cols :+= $"e".as(s.toString)
+      else df = df.where($"e" === s.toString)
+      o match {
+        case v: String if isVar(v) => cols :+= col(vc).as(v)
+        case v => df = df.where(col(vc) === lit(v))
+      }
+      df.select(cols: _*)
+    }
+    val joined = clauseDfs.reduce { (l, r) =>
+      val shared = l.columns.intersect(r.columns).toSeq
+      if (shared.nonEmpty) l.join(r, shared) else l.crossJoin(r)
+    }
+    joined.select(find.map(col): _*).distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // Recursion (Q7e '...'): reachability fixpoint
+  // ---------------------------------------------------------------------
+
+  /** Entities transitively reachable from `roots` through ref edges
+    * (optionally restricted to `attrs`). Iterative BFS fixpoint with
+    * localCheckpoint per iteration to truncate lineage — the set-at-a-time
+    * analogue of pull's '...' recursion with its `_seen_entities` cycle
+    * guard (tripl.py:652-669). `maxIters` bounds runaway graphs.
+    * Output: (e, root, depth) — e reachable from root in `depth` hops.
+    */
+  def reachable(
+      roots: DataFrame,
+      attrs: Option[Seq[String]] = None,
+      maxIters: Int = 20): DataFrame = {
+    val es = attrs.map(as => edges.where($"a".isInCollection(as))).getOrElse(edges)
+      .select($"e".as("_src"), $"vref".as("_dst"))
+    var visited = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val next = frontier.join(es, frontier("e") === es("_src"))
+        .select($"_dst".as("e"), $"root", ($"depth" + 1).as("depth"))
+        .join(visited.select($"e", $"root"), Seq("e", "root"), "left_anti")
+        .groupBy($"e", $"root").agg(min($"depth").as("depth"))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) done = true
+      else { visited = visited.unionByName(next).localCheckpoint(eager = true); frontier = next }
+      i += 1
+    }
+    visited
+  }
+}

@@ -1,0 +1,51 @@
+package graft.query
+
+/** Query ASTs for the match / pull surfaces of the reference engine.
+  *
+  * `match` patterns (tripl/tripl.py:604-609) are CONJUNCTIVE-only: a map of
+  * attribute → value, where a value may be a scalar (equality), a
+  * collection (IN semantics, tripl.py:596-602), or a nested sub-pattern
+  * (graph semi-join through a ref attribute, tripl.py:591-592).
+  *
+  * `pull` expressions (tripl.py:627-727) are lists of: attribute names,
+  * the wildcard '*', reverse-lookup attributes 'ns:_attr'
+  * (tripl.py:274-278), and {ref_attr: sub_expr} maps for nested descent.
+  */
+sealed trait MVal
+/** Scalar equality (string / long / double / boolean / timestamp / eid). */
+final case class MEq(v: Any) extends MVal
+/** IN-list: entity matches if any of its values for the attr is in vs. */
+final case class MIn(vs: Seq[Any]) extends MVal
+/** Nested sub-pattern through a ref attribute (semi-join). */
+final case class MSub(pattern: Seq[(String, MVal)]) extends MVal
+
+sealed trait PullSpec {
+  def name: String
+}
+/** Plain attribute projection; output column named `as` or the attr suffix
+  * after ':' (cardinality-one unwraps to scalar, tripl.py:724-726). */
+final case class PAttr(attr: String, as: Option[String] = None) extends PullSpec {
+  def name: String = as.getOrElse(PullSpec.suffix(attr))
+}
+/** Wildcard '*': all attrs of the entity as a map attr → [values]
+  * (tripl.py:684-687); dynamic schema → string-rendered values. */
+case object PWild extends PullSpec { def name: String = "attrs" }
+/** Bare reverse lookup 'ns:_attr' → array of eids pointing at this entity
+  * through attr (tripl.py:680-682). */
+final case class PRevIds(attr: String, as: Option[String] = None) extends PullSpec {
+  def name: String = as.getOrElse(PullSpec.suffix(attr) + "_rev")
+}
+/** Nested descent {attr: sub_expr}; `reverse=true` descends the edge
+  * backwards (who-points-at-me, tripl.py:694-706). Output column is an
+  * array of structs of the sub-pull's columns. */
+final case class PNest(attr: String, sub: Seq[PullSpec],
+    reverse: Boolean = false, as: Option[String] = None) extends PullSpec {
+  def name: String = as.getOrElse(PullSpec.suffix(attr) + (if (reverse) "_rev" else ""))
+}
+
+object PullSpec {
+  def suffix(attr: String): String = {
+    val i = attr.indexOf(':')
+    if (i >= 0) attr.substring(i + 1) else attr
+  }
+}

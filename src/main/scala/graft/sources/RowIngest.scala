@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.model.Triples
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational DataFrame → triples: the engine's analogue of the
+  * reference's dict flattener + entity resolution
+  * (`_assert_dict`/`_resolve_eid`, tripl/tripl.py:483-494, 457-481).
+  *
+  * Entity ids are minted DETERMINISTICALLY — `sha2('<table>:<key>')` —
+  * instead of the reference's time-based `uuid.uuid1()` (tripl.py:475),
+  * following the reference's own precedent of deterministic uuid3 idents
+  * for reproducible ingest (nestly.py:243-249). Determinism is what makes
+  * distributed ingest idempotent and re-runnable at 100 TB: the same row
+  * always produces the same entity, so re-ingest is a no-op under set
+  * semantics and foreign keys can be resolved WITHOUT a join — each
+  * executor computes the target eid locally from the fk value. Ingest is
+  * therefore one scan + one narrow Generate: no shuffle at any scale.
+  */
+object RowIngest {
+
+  /** One scalar source column → one triple. */
+  case class ColSpec(col: String, attr: String, vtype: String)
+
+  /** One foreign-key column → one ref triple (value = target entity id).
+    * Mirrors declared `db:valueType db.type:ref` attrs (tripl.py:394-405). */
+  case class RefSpec(col: String, attr: String, targetTable: String)
+
+  case class TableSpec(
+      table: String,
+      keyCols: Seq[String],
+      cols: Seq[ColSpec],
+      refs: Seq[RefSpec]) {
+    /** In-band attribute schemas: every ingested attr is cardinality-one
+      * (relational rows are single-valued). */
+    def attrSchemas: Map[String, graft.model.AttrSchema] = {
+      val scalars = cols.map(c => c.attr -> graft.model.AttrSchema(c.attr, cardOne = true, isRef = false, c.vtype))
+      val rs = refs.map(r => r.attr -> graft.model.AttrSchema(r.attr, cardOne = true, isRef = true, Triples.VRef))
+      (scalars ++ rs ++ Seq(
+        Triples.IdentAttr -> graft.model.AttrSchema(Triples.IdentAttr, cardOne = true, isRef = false, Triples.VStr),
+        Triples.TypeAttr -> graft.model.AttrSchema(Triples.TypeAttr, cardOne = true, isRef = false, Triples.VStr))).toMap
+    }
+  }
+
+  /** Deterministic entity id for a row of `table` keyed by `key`
+    * (convention fixed in FIXTURES.md §4: sha2('<table>:<pkey>')). */
+  def eid(table: String, key: Column): Column =
+    sha2(concat(lit(table + ":"), key.cast(StringType)), 256)
+
+  def eidFor(table: String, keyCols: Seq[Column]): Column =
+    eid(table, concat_ws("|", keyCols: _*))
+
+  /** Infer a TableSpec from a DataFrame schema. Attribute naming follows
+    * FIXTURES.md: `<table>:<col>` with the TPC-H single-letter prefix
+    * stripped (c_custkey → customer:custkey). */
+  def specFor(df: DataFrame, table: String, keyCols: Seq[String],
+      refs: Seq[RefSpec] = Nil, stripPrefix: Option[String] = None): TableSpec = {
+    val cols = df.schema.fields.toSeq.map { f =>
+      val base = stripPrefix match {
+        case Some(p) if f.name.startsWith(p) => f.name.drop(p.length)
+        case _ => f.name
+      }
+      ColSpec(f.name, s"$table:$base", Triples.vtypeForDataType(f.dataType))
+    }
+    TableSpec(table, keyCols, cols, refs)
+  }
+
+  /** Flatten a relational DataFrame into triples. Single pass: all
+    * (attr, value) pairs of a row become one array-of-structs, exploded.
+    * Narrow transformation — partitioning of the source is preserved, no
+    * shuffle; scales linearly with input splits. */
+  def tableToTriples(df: DataFrame, spec: TableSpec, txId: Long = 0L): DataFrame = {
+    val e = eidFor(spec.table, spec.keyCols.map(col))
+    val scalarStructs = spec.cols.map { c =>
+      Triples.valueStruct(lit(c.attr), c.vtype, col(c.col))
+    }
+    val refStructs = spec.refs.map { r =>
+      // fk value → target eid computed LOCALLY (no resolution join needed
+      // because minting is deterministic — see object scaladoc).
+      Triples.valueStruct(lit(r.attr), Triples.VRef,
+        when(col(r.col).isNotNull, eid(r.targetTable, col(r.col))))
+    }
+    val metaStructs = Seq(
+      // self-asserted ident, as the reference does (tripl.py:491-492)
+      Triples.valueStruct(lit(Triples.IdentAttr), Triples.VStr, e),
+      Triples.valueStruct(lit(Triples.TypeAttr), Triples.VStr, lit(spec.table)))
+    val all = scalarStructs ++ refStructs ++ metaStructs
+    df.select(e.as("e"), explode(array(all: _*)).as("t"))
+      .where(Triples.structHasValue(col("t")))
+      .select(col("e") +: Triples.valueCols.foldLeft(Seq(col("t.a"), col("t.vtype")))(
+        (acc, vc) => acc :+ col(s"t.$vc")) :+ lit(txId).as("txId"): _*)
+  }
+}
