@@ -29,7 +29,13 @@ object SparkEntry {
           PAttr("customer:acctbal")))
       .drop("e")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] = coreSql ++ pipelineSql
+
+  /** Reference-surface operators (SURVEY.md §2.2-2.5). */
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1/Q2/Q7a: single-attr equality match + flat pull
     "q01_match_pull" -> ((s, dir) => q01(s, dir)),
 
@@ -146,9 +152,143 @@ object SparkEntry {
         .groupBy(col("depth")).agg(count(lit(1)).as("n"))
         .orderBy(col("depth"))
     }),
+
+    // Q7d nested descent pull: ref → sub-doc, flattened back via explode
+    "q14_pull_nested" -> ((s, dir) =>
+      Tpch.store(s, dir, "orders", "customer")
+        .pullMany(
+          Seq("orders:customer" -> MSub(Seq(
+            "customer:mktsegment" -> MEq("BUILDING")))),
+          Seq(PAttr("orders:orderkey"),
+            PNest("orders:customer", Seq(PAttr("customer:name")))))
+        .select(col("orderkey"), explode(col("customer")).as("c"))
+        .select(col("orderkey"), col("c.name").as("name"))),
+
+    // Q7d reverse nested descent: who-points-at-me as sub-docs
+    "q15_pull_rev_nested" -> ((s, dir) =>
+      Tpch.store(s, dir, "customer", "nation")
+        .pullMany(
+          Seq(Triples.TypeAttr -> MEq("nation")),
+          Seq(PAttr("nation:name"),
+            PNest("customer:nation", Seq(PAttr("customer:custkey")),
+              reverse = true, as = Some("custs"))))
+        .select(col("name"), explode(col("custs")).as("c"))
+        .select(col("name"), col("c.custkey").as("custkey"))),
+
+    // GraphX connected components over the ref graph (component sizes)
+    "q16_graph_cc" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer", "nation", "region")
+      graft.graph.RefGraph.connectedComponents(ts)
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .select(col("csize")).orderBy(col("csize"))
+    }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Training-data pipeline operators (dedup / similarity / text /
+    * multimodal — the north-star extensions, SURVEY.md §7 step 5). */
+  private def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup of a doubled corpus (simulated re-ingest) → originals
+    "q20_dedup_exact" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      graft.ops.Dedup.exact(docs.unionAll(docs), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified (3-gram shingles)
+    "q21_neardup_minhash" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairs(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+
+    // 64-bit SimHash fingerprints (no SQL oracle: xxhash64-based)
+    "q22_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhash(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text")),
+
+    // exact n-gram Jaccard pairs within a blocking key (source)
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("source"),
+        graft.ops.Dedup.shingles(col("text")).as("sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 4)
+            .as("jaccard"))
+        .where(col("jaccard") >= 0.3)
+    }),
+
+    // brute-force cosine top-3 (exact ANN baseline)
+    "q24_ann_brute" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+      graft.ops.Similarity.bruteTopK(
+          emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // LSH-bucketed cosine top-3 (approximate scale path; no oracle)
+    "q25_ann_lsh" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+      graft.ops.Similarity.lshTopK(
+          emb, emb.where(col("vec_id") < 20), "vec_id", "embedding", 3,
+          planes = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // language-ID by stopword ballot (deterministic heuristic)
+    "q26_langid" -> ((s, dir) =>
+      Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextOps.langId(col("text")).as("pred"))),
+
+    // quality metrics: tokens, punctuation, stopwords, composite score
+    "q27_quality" -> ((s, dir) => {
+      import graft.ops.TextOps._
+      Tpch.raw(s, dir, "documents").select(col("doc_id"),
+        nTokens(col("text")).cast("long").as("n_tokens"),
+        nDistinctTokens(col("text")).cast("long").as("n_distinct"),
+        round(stopwordRatio(col("text")), 4).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    }),
+
+    // token counting rolled up per source
+    "q28_tokens" -> ((s, dir) =>
+      Tpch.raw(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(graft.ops.TextOps.nTokens(col("text"))).as("total_tokens"),
+          count(lit(1)).as("n_docs"))),
+
+    // whole-doc fingerprinting (normalized md5)
+    "q29_fingerprint" -> ((s, dir) =>
+      Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.fingerprint(col("text")).as("fp"))),
+
+    // multimodal: binary payload + metadata + mapPartitions featurizer
+    "q30_multimodal" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val meta = graft.ops.Multimodal.withMetadata(docs, "payload")
+      val feats = graft.ops.Multimodal.featurize(docs, "doc_id", "payload")
+      feats.join(meta.select(col("doc_id").as("id"), col("content_sha")),
+          Seq("id"))
+        .select(col("id"), col("byte_len"),
+          col("first_byte").cast("long").as("first_byte"), col("content_sha"))
+    }),
+
+    // events: JSON props extraction through the triple store round-trip
+    "q31_events_json" -> ((s, dir) =>
+      Tpch.store(s, dir, "events")
+        .pullMany(Seq("events:event_type" -> MEq("click")),
+          Seq(PAttr("events:event_id"), PAttr("events:ts"),
+            PAttr("events:value"), PAttr("events:props")))
+        .select(col("event_id"), col("ts"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+  )
+
+  private def coreSql: Map[String, String] = Map(
     "q01_match_pull" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
@@ -198,5 +338,115 @@ object SparkEntry {
       """SELECT 0 AS depth, count(*) AS n FROM customer
         |UNION ALL SELECT 1 AS depth, count(*) AS n FROM customer
         |UNION ALL SELECT 2 AS depth, count(*) AS n FROM customer""".stripMargin,
+    "q14_pull_nested" ->
+      """SELECT o_orderkey AS orderkey, c_name AS name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "q15_pull_rev_nested" ->
+      """SELECT n_name AS name, c_custkey AS custkey
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+    "q16_graph_cc" ->
+      """SELECT CAST(1 + nn + nc AS BIGINT) AS csize FROM (
+        |  SELECT r_regionkey, count(DISTINCT n_nationkey) AS nn,
+        |         count(c_custkey) AS nc
+        |  FROM region
+        |  LEFT JOIN nation ON n_regionkey = r_regionkey
+        |  LEFT JOIN customer ON c_nationkey = n_nationkey
+        |  GROUP BY r_regionkey)
+        |ORDER BY csize""".stripMargin,
+  )
+
+  private def pipelineSql: Map[String, String] = Map(
+    // q22_simhash / q25_ann_lsh intentionally omitted: xxhash64-derived
+    // values are not reproducible in ANSI SQL (driver records the weaker
+    // rows-only check for those).
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+        |FROM documents
+        |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
+    "q21_neardup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_cat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5""".stripMargin,
+    "q23_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, source, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_cat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(a.sh, b.sh))), 4) >= 0.3""".stripMargin,
+    "q24_ann_brute" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |       row_number() OVER (PARTITION BY a.vec_id
+        |         ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |                  b.vec_id) AS rank
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < 20 AND b.vec_id <> a.vec_id
+        |QUALIFY rank <= 3""".stripMargin,
+    "q26_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'unk'
+        |       WHEN en = best THEN 'en' WHEN de = best THEN 'de'
+        |       WHEN fr = best THEN 'fr' ELSE 'es' END AS pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(ws, t -> t IN ('the','and','of','to','in','is'))) AS en,
+        |    len(list_filter(ws, t -> t IN ('der','die','das','und','ist','zu'))) AS de,
+        |    len(list_filter(ws, t -> t IN ('le','la','les','et','est','que'))) AS fr,
+        |    len(list_filter(ws, t -> t IN ('el','los','las','es','y','que'))) AS es,
+        |    greatest(
+        |      len(list_filter(ws, t -> t IN ('the','and','of','to','in','is'))),
+        |      len(list_filter(ws, t -> t IN ('der','die','das','und','ist','zu'))),
+        |      len(list_filter(ws, t -> t IN ('le','la','les','et','est','que'))),
+        |      len(list_filter(ws, t -> t IN ('el','los','las','es','y','que')))) AS best
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin,
+    "q27_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |  round(CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) AS DOUBLE)
+        |    / len(string_split(text,' ')), 4) AS stop_ratio,
+        |  round((
+        |    (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN CAST(len(list_filter(string_split(text,' '),
+        |         t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) AS DOUBLE)
+        |         / len(string_split(text,' ')) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |    + least(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |            / len(string_split(text,' ')) * 2, 1.0)
+        |  ) / 3.0, 4) AS quality
+        |FROM documents""".stripMargin,
+    "q28_tokens" ->
+      """SELECT source,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY source""".stripMargin,
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q30_multimodal" ->
+      """SELECT doc_id AS id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |       sha256(text) AS content_sha
+        |FROM documents""".stripMargin,
+    "q31_events_json" ->
+      """SELECT event_id, ts, value,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_type = 'click'""".stripMargin,
   )
 }

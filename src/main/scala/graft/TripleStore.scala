@@ -37,7 +37,13 @@ import org.apache.spark.sql.types._
 class TripleStore(
     val spark: SparkSession,
     val triples: DataFrame,
-    val schemas: Map[String, AttrSchema]) {
+    val schemas: Map[String, AttrSchema],
+    /** True when `triples` already satisfies set semantics + card-one
+      * invariants BY CONSTRUCTION (single-tx ingest of distinct relational
+      * rows emits exactly one fact per (e, a)). Skips the resolution
+      * window+dedup — two full-relation shuffles — in the common case;
+      * any write op flips it back to false. */
+    val preResolved: Boolean = false) {
   import spark.implicits._
 
   private def schemaOf(attr: String): AttrSchema =
@@ -55,7 +61,7 @@ class TripleStore(
     * exact-duplicate facts collapse (set semantics). One window + one
     * dedup, both on the same (e, a) shuffle key — AQE merges them.
     */
-  lazy val resolved: DataFrame = {
+  lazy val resolved: DataFrame = if (preResolved) triples else {
     val cardOneAttrs = schemas.collect { case (a, s) if s.cardOne => a }.toSeq
     val base =
       if (cardOneAttrs.isEmpty) triples
@@ -93,13 +99,15 @@ class TripleStore(
     * columns. `pattern` columns must be a subset of factCols. */
   def retract(pattern: DataFrame): TripleStore = {
     val keys = pattern.columns.toSeq
+    // removing facts preserves the resolution invariants
     new TripleStore(spark,
-      triples.join(pattern, keys, "left_anti"), schemas)
+      triples.join(pattern, keys, "left_anti"), schemas, preResolved)
   }
 
   /** Retract everything matching an attribute predicate. */
   def retractWhere(cond: Column): TripleStore =
-    new TripleStore(spark, triples.where(!coalesce(cond, lit(false))), schemas)
+    new TripleStore(spark, triples.where(!coalesce(cond, lit(false))),
+      schemas, preResolved)
 
   // ---------------------------------------------------------------------
   // match (Q1/Q2): conjunctive pattern → entity ids

@@ -47,10 +47,20 @@ object Tpch {
   private def key(spark: SparkSession, sfDir: String, what: String) =
     (System.identityHashCode(spark), sfDir, what)
 
-  /** Raw parquet table. */
+  /** Raw parquet table. `events.ts` is written as TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects — read it as a nanos long (legacy
+    * conf) and convert exactly via integer division to micros. */
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    cache.getOrElseUpdate(key(spark, sfDir, "raw:" + table),
-      spark.read.parquet(s"$sfDir/$table.parquet"))
+    cache.getOrElseUpdate(key(spark, sfDir, "raw:" + table), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$table.parquet")
+      if (table == "events")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+      else df
+    })
 
   /** Triple encoding of a table, cached + persisted across the session's
     * queries (Verify/Bench run every query in one session). */
@@ -65,6 +75,7 @@ object Tpch {
     val ts = tables.map(triples(spark, sfDir, _)).reduce(_ unionByName _)
     val schemas = tables.map(t => spec(raw(spark, sfDir, t), t).attrSchemas)
       .reduce(_ ++ _)
-    new graft.TripleStore(spark, ts, schemas)
+    // single-tx ingest of distinct rows ⇒ invariants hold by construction
+    new graft.TripleStore(spark, ts, schemas, preResolved = true)
   }
 }
