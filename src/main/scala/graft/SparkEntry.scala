@@ -278,6 +278,45 @@ object SparkEntry {
           col("first_byte").cast("long").as("first_byte"), col("content_sha"))
     }),
 
+    // S1/W2/W3: nested-doc ingest (struct child entity) → nested pull back
+    "q32_doc_ingest" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          struct(col("source"), col("n_chars")).as("src_info"))
+      val ts = new TripleStore(s,
+        graft.sources.DocIngest.flatten(docs, "doc", Seq("doc:doc_id")),
+        graft.sources.DocIngest.schemasFor(docs, "doc"), preResolved = true)
+      ts.pullMany(Seq("doc:doc_id" -> MAny),
+          Seq(PAttr("doc:doc_id"), PAttr("doc:lang"),
+            PNest("doc:src_info", Seq(PAttr("doc:source"), PAttr("doc:n_chars")))))
+        .select(col("doc_id"), col("lang"), explode(col("src_info")).as("si"))
+        .select(col("doc_id"), col("lang"), col("si.source").as("source"),
+          col("si.n_chars").as("n_chars"))
+    }),
+
+    // S4: CSV-style attr_map ingest (renames, nested sub-entity, missing
+    // column → null) → flatten → match by id presence → nested pull
+    "q33_attrmap" -> ((s, dir) => {
+      import graft.sources.AttrMap._
+      val docs = withAttrMap(Tpch.raw(s, dir, "customer"), Seq(
+        "cust:id" -> Src("c_custkey"),
+        "cust:balance" -> Src("c_acctbal"),
+        "cust:missing" -> Src("no_such_column"),
+        "cust:nation" -> Nested("nat", Seq("nat:key" -> "c_nationkey"))),
+        "toy")
+      val ts = new TripleStore(s,
+        graft.sources.DocIngest.flatten(docs, "toy", Seq("toy.cust:id")),
+        graft.sources.DocIngest.schemasFor(docs, "toy"), preResolved = true)
+      ts.pullMany(Seq("toy.cust:id" -> MAny),
+          Seq(PAttr("toy.cust:id"), PAttr("toy.cust:balance"),
+            PAttr("toy.cust:missing"),
+            PNest("toy.cust:nation", Seq(PAttr("toy.nat:key")))))
+        .select(col("id"), col("balance"), col("missing"),
+          explode(col("nation")).as("n"))
+        .select(col("id"), col("balance"), col("missing"),
+          col("n.key").as("natkey"))
+    }),
+
     // events: JSON props extraction through the triple store round-trip
     "q31_events_json" -> ((s, dir) =>
       Tpch.store(s, dir, "events")
@@ -448,5 +487,12 @@ object SparkEntry {
       """SELECT event_id, ts, value,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "q32_doc_ingest" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents""".stripMargin,
+    "q33_attrmap" ->
+      """SELECT c_custkey AS id, c_acctbal AS balance,
+        |       CAST(NULL AS VARCHAR) AS missing,
+        |       CAST(c_nationkey AS BIGINT) AS natkey
+        |FROM customer""".stripMargin,
   )
 }

@@ -117,6 +117,7 @@ class TripleStore(
     * equality, list = IN (tripl.py:596-602), sub-pattern = semi-join
     * through the ref edge (tripl.py:591-592). */
   def entityIds(attr: String, mval: MVal): DataFrame = mval match {
+    case MAny => resolved.where($"a" === attr).select($"e")
     case MEq(v) => entityIds(attr, MIn(Seq(v)))
     case MIn(vs) =>
       val vc = valueCol(attr)

@@ -18,6 +18,8 @@ final case class MEq(v: Any) extends MVal
 final case class MIn(vs: Seq[Any]) extends MVal
 /** Nested sub-pattern through a ref attribute (semi-join). */
 final case class MSub(pattern: Seq[(String, MVal)]) extends MVal
+/** Attribute presence: entity has ANY value for the attr. */
+case object MAny extends MVal
 
 sealed trait PullSpec {
   def name: String

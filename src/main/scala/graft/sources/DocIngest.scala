@@ -1,0 +1,185 @@
+package graft.sources
+
+import graft.model.{AttrSchema, Triples}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Nested-document → triples flattener: the engine's W2/W3
+  * (`_assert_dict` / `_resolve_eid`, tripl/tripl.py:483-494, 457-481).
+  *
+  * Input is any DataFrame of (possibly) nested rows — e.g. straight from
+  * `spark.read.json`. The STRUCTURE is walked at plan-compile time on the
+  * driver (it's schema, small); the DATA is never touched row-at-a-time:
+  * each field becomes a declarative projection, arrays explode, nested
+  * structs recurse with a deterministic child eid. Everything stays
+  * set-at-a-time and shuffle-free (unions of narrow projections).
+  *
+  * Entity resolution (the reference's id_attrs semantics): an entity with
+  * an id-attribute value gets eid = sha2('<attr>=<value>'). This is
+  * STRONGER than the reference's sequential memo (tripl.py:457-481):
+  * same id-value ⇒ same eid holds globally and deterministically — across
+  * batches, executors and reruns — with no lookup join and no
+  * coordination, which is what makes ingest idempotent at 100 TB
+  * (precedent: nestly's deterministic uuid3 idents, nestly.py:243-249).
+  * Docs without id attrs get a content-hash eid (identical docs merge —
+  * consistent with set semantics).
+  *
+  * Nested dicts become child entities: the parent gets a ref triple and
+  * the child's eid is parent-scoped (sha2(parentEid:field:content)) unless
+  * the child itself carries an id attr (tripl.py:446-455 dispatch).
+  * Lists are cardinality-many: one triple per element (tripl.py:487-489).
+  */
+object DocIngest {
+
+  /** Namespace-qualify a bare field name (tripl.py:168-169 completion). */
+  private def qualify(ns: String, field: String): String =
+    if (field.contains(":")) field else s"$ns:$field"
+
+  /** Deterministic eid from the first present id attribute, else a
+    * content hash of the whole doc. */
+  private def eidCol(df: DataFrame, ns: String, idAttrs: Seq[String]): Column = {
+    val byId = idAttrs.flatMap { a =>
+      val field = df.columns.find(c => qualify(ns, c) == a)
+      field.map(f =>
+        when(col(s"`$f`").isNotNull,
+          sha2(concat(lit(a + "="), col(s"`$f`").cast(StringType)), 256)))
+    }
+    val content =
+      sha2(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)), 256)
+    (byId :+ content).reduce((a, b) => coalesce(a, b))
+  }
+
+  /** Flatten `docs` into a triples DataFrame. */
+  def flatten(docs: DataFrame, ns: String, idAttrs: Seq[String] = Nil,
+      txId: Long = 0L): DataFrame =
+    flattenWith(docs.withColumn("_e", eidCol(docs, ns, idAttrs)),
+      ns, idAttrs, txId)
+
+  private def flattenWith(df: DataFrame, ns: String, idAttrs: Seq[String],
+      txId: Long): DataFrame = {
+    val fields = df.schema.fields.filter(_.name != "_e")
+
+    /** Child entity id: resolve by the child's own id attribute when it
+      * has one (cross-doc entity resolution — two parents nesting a child
+      * with the same id value share ONE child entity, tripl.py:457-481);
+      * otherwise the parent-scoped content hash. */
+    def childEidFor(structCol: Column, elem: StructType,
+        parentScoped: Column): Column = {
+      val byId = idAttrs.flatMap { a =>
+        elem.fieldNames.find(n => qualify(ns, n) == a).map(n =>
+          when(structCol.getField(n).isNotNull,
+            sha2(concat(lit(a + "="),
+              structCol.getField(n).cast(StringType)), 256)))
+      }
+      (byId :+ parentScoped).reduce((x, y) => coalesce(x, y))
+    }
+
+    def triplesOf(e: Column, pairs: Seq[(String, String, Column)]): DataFrame = {
+      val structs = pairs.map { case (attr, vtype, v) =>
+        Triples.valueStruct(lit(attr), vtype, v)
+      }
+      df.select(e.as("e"), explode(array(structs: _*)).as("t"))
+        .where(Triples.structHasValue(col("t")))
+        .select(col("e") +: Seq(col("t.a"), col("t.vtype")) ++:
+          Triples.valueCols.map(vc => col(s"t.$vc")) :+ lit(txId).as("txId"): _*)
+    }
+
+    // 1. scalar fields (+ self-asserted ident, tripl.py:491-492) — ONE pass
+    val scalarPairs = fields.collect {
+      case StructField(f, dt, _, _)
+          if !dt.isInstanceOf[StructType] && !dt.isInstanceOf[ArrayType] =>
+        (qualify(ns, f), Triples.vtypeForDataType(dt), col(s"`$f`"))
+    }.toSeq :+ ((Triples.IdentAttr, Triples.VStr, col("_e")))
+    val scalarTriples = triplesOf(col("_e"), scalarPairs)
+
+    // 2. array fields: cardinality-many, one triple (or child) per element
+    val arrayTriples = fields.collect {
+      case StructField(f, ArrayType(elem: StructType, _), _, _) =>
+        // array of child docs: mint per-element child eids, emit parent
+        // ref triples + recurse into children
+        val exploded = df.select(col("_e").as("_parent"),
+          explode(col(s"`$f`")).as("_c"))
+        val childEid = childEidFor(col("_c"), elem,
+          sha2(concat(col("_parent"), lit(":" + f + ":"),
+            to_json(col("_c"))), 256))
+        val withEid = exploded.withColumn("_ce", childEid)
+        val refs = withEid.select(col("_parent").as("e"),
+          Triples.valueStruct(lit(qualify(ns, f)), Triples.VRef,
+            col("_ce")).as("t"))
+          .select(col("e") +: Seq(col("t.a"), col("t.vtype")) ++:
+            Triples.valueCols.map(vc => col(s"t.$vc")) :+
+            lit(txId).as("txId"): _*)
+        val children = flattenWith(
+          withEid.select(col("_ce").as("_e") +:
+            elem.fieldNames.map(n => col("_c").getField(n).as(n)): _*),
+          ns, idAttrs, txId)
+        refs.unionByName(children)
+      case StructField(f, ArrayType(elem, _), _, _) =>
+        val vt = Triples.vtypeForDataType(elem)
+        df.select(col("_e"), explode(col(s"`$f`")).as("_v"))
+          .select(col("_e").as("e"),
+            Triples.valueStruct(lit(qualify(ns, f)), vt, col("_v")).as("t"))
+          .where(Triples.structHasValue(col("t")))
+          .select(col("e") +: Seq(col("t.a"), col("t.vtype")) ++:
+            Triples.valueCols.map(vc => col(s"t.$vc")) :+
+            lit(txId).as("txId"): _*)
+    }.toSeq
+
+    // 3. struct fields: single child doc (ref + recurse)
+    val structTriples = fields.collect {
+      case StructField(f, elem: StructType, _, _) =>
+        val childEid = childEidFor(col(s"`$f`"), elem,
+          sha2(concat(col("_e"), lit(":" + f + ":"),
+            to_json(col(s"`$f`"))), 256))
+        val base = df.where(col(s"`$f`").isNotNull).withColumn("_ce", childEid)
+        val refTriples = base.select(col("_e").as("e"),
+          Triples.valueStruct(lit(qualify(ns, f)), Triples.VRef,
+            col("_ce")).as("t"))
+          .select(col("e") +: Seq(col("t.a"), col("t.vtype")) ++:
+            Triples.valueCols.map(vc => col(s"t.$vc")) :+
+            lit(txId).as("txId"): _*)
+        val children = flattenWith(
+          base.select(col("_ce").as("_e") +:
+            elem.fieldNames.map(n => col(s"`$f`").getField(n).as(n)): _*),
+          ns, idAttrs, txId)
+        refTriples.unionByName(children)
+    }.toSeq
+
+    (scalarTriples +: (arrayTriples ++ structTriples)).reduce(_ unionByName _)
+  }
+
+  /** Attribute schemas for a flattened doc batch: everything is
+    * cardinality-one except array-typed fields; refs are the nested-doc
+    * attrs. Used to build a TripleStore around `flatten` output. */
+  def schemasFor(docs: DataFrame, ns: String): Map[String, AttrSchema] = {
+    def walk(st: StructType): Seq[AttrSchema] = st.fields.toSeq.flatMap {
+      case StructField(f, elem: StructType, _, _) =>
+        AttrSchema(qualify(ns, f), cardOne = true, isRef = true, Triples.VRef) +:
+          walk(elem)
+      case StructField(f, ArrayType(elem: StructType, _), _, _) =>
+        AttrSchema(qualify(ns, f), cardOne = false, isRef = true, Triples.VRef) +:
+          walk(elem)
+      case StructField(f, ArrayType(elem, _), _, _) =>
+        Seq(AttrSchema(qualify(ns, f), cardOne = false, isRef = false,
+          Triples.vtypeForDataType(elem)))
+      case StructField(f, dt, _, _) =>
+        Seq(AttrSchema(qualify(ns, f), cardOne = true, isRef = false,
+          Triples.vtypeForDataType(dt)))
+    }
+    (walk(docs.schema) :+
+      AttrSchema(Triples.IdentAttr, cardOne = true, isRef = false, Triples.VStr))
+      .map(s => s.attr -> s).toMap
+  }
+
+  /** S3: dump a store as EAV-index JSON lines `{"e":…,"a":{attr:[vals]}}` —
+    * the distributed-friendly rendering of the reference's single-object
+    * dump (tripl.py:555-558). */
+  def dumpEavJsonl(resolved: DataFrame, path: String): Unit =
+    resolved.groupBy(col("e"), col("a"))
+      .agg(sort_array(collect_set(Triples.valueAsString())).as("vs"))
+      .groupBy(col("e"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("a"), col("vs")))))
+        .as("attrs"))
+      .write.mode("overwrite").json(path)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("shingles: 3-gram word windows, short docs → whole text") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val out = df.select($"id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).sorted === Seq("a b c", "b c d"))
+    assert(out(2L) === Seq("x y"))
+  }
+
+  test("minhash+LSH finds a planted near-dup and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok40", "tokX") // 37/39 shared shingles
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs identical, disjoint docs differ") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("exact dedup keeps min id per normalized text") {
+    val df = Seq((5L, "Hello  world"), (2L, "hello world"), (9L, "bye"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L))
+  }
+
+  test("brute-force cosine top-k is exact and deterministically ordered") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(df, df.where($"vec_id" === 0), "vec_id",
+      "embedding", 2)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toList
+    assert(out === List(3L, 1L)) // 3 is closer to (1,0) than 1
+  }
+
+  test("langid ballot: first max wins, zero hits → unk") {
+    val df = Seq(
+      (1L, "the cat and the dog"),   // en
+      (2L, "der hund und die katze"), // de
+      (3L, "qqq www eee"))            // unk
+      .toDF("id", "text")
+    val out = df.select($"id", TextOps.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "unk"))
+  }
+
+  test("token stats and fingerprint normalization") {
+    val df = Seq((1L, "a  b c")).toDF("id", "text") // double space → empty tok
+    val r = df.select(
+      TextOps.nTokens($"text").as("n"),
+      TextOps.fingerprint($"text").as("fp"),
+      TextOps.fingerprint(lit("A B c")).as("fp2")).head()
+    assert(r.getAs[Int]("n") === 4)
+    assert(r.getAs[String]("fp") === r.getAs[String]("fp2")) // ws+case normalized
+  }
+
+  test("multimodal featurizer: deterministic, schema-stable, batch-run") {
+    val df = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val out = Multimodal.featurize(df, "doc_id", "payload")
+    assert(out.schema === Multimodal.featSchema)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(2))).toMap
+    assert(rows(1L) === ((3L, 'a'.toInt)))
+    assert(rows(2L) === ((0L, -1)))
+    // deterministic across runs
+    val again = Multimodal.featurize(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(again === first)
+  }
+
+  test("LSH bucket join candidates are a subset of all pairs with dups found") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = ((1 to 20).map(i => (i.toLong, s"junk$i " * 30)) :+
+      (98L, base) :+ (99L, base)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text")
+    val cands = Dedup.lshCandidates(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((98L, 99L)))
+    assert(cands.size < 22 * 21 / 2) // pruning really happened
+  }
+}

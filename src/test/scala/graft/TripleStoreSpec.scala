@@ -1,0 +1,166 @@
+package graft
+
+import graft.model.{AttrSchema, Triples}
+import graft.query._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-core semantics, including golden behavior from the reference's
+  * README walkthrough (the cft dataset, /root/reference/README.md:65-249
+  * — spec-by-example, never executed there; executed here). */
+class TripleStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  /** cft fixture (FIXTURES.md §1): 1 subject, 2 timepoints, 2 seqs; the
+    * seqs share subject QA255 and seq1 carries both timepoints. Ingested
+    * as nested docs with id_attrs — timepoint dedup across seqs exercises
+    * cross-doc entity resolution. */
+  def cftStore(): TripleStore = {
+    val docs = Seq(
+      ("QA255-seq1", "AATTCGGA", "QA255",
+        Seq("dpi-234", "dpi-1204"): Seq[String]),
+      ("QA255-seq2", "AATTCGCA", "QA255", Seq("dpi-1204"))
+    ).toDF("id", "string", "subject_id", "timepoint_ids")
+      .select(col("id").as("cft.seq:id"), col("string").as("cft.seq:string"),
+        struct(col("subject_id").as("cft.subject:id")).as("cft.seq:subject"),
+        transform(col("timepoint_ids"),
+          t => struct(t.as("cft.timepoint:id"))).as("cft.seq:timepoint"),
+        lit("cft.type:seq").as("cft:type"))
+    val triples = graft.sources.DocIngest.flatten(docs, "cft",
+      Seq("cft.seq:id", "cft.subject:id", "cft.timepoint:id"))
+    val schemas = graft.sources.DocIngest.schemasFor(docs, "cft")
+    new TripleStore(spark, triples, schemas, preResolved = true)
+  }
+
+  test("cft golden: nested pull of seqs with timepoint ids") {
+    val ts = cftStore()
+    val out = ts.pullMany(
+      Seq("cft:type" -> MEq("cft.type:seq")),
+      Seq(PAttr("cft.seq:id"), PNest("cft.seq:timepoint",
+        Seq(PAttr("cft.timepoint:id", Some("tp"))))))
+      .select($"id", transform($"timepoint", c => c.getField("tp")).as("tps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted.toList)
+      .toMap
+    assert(out === Map(
+      "QA255-seq1" -> List("dpi-1204", "dpi-234"),
+      "QA255-seq2" -> List("dpi-1204")))
+  }
+
+  test("cft golden: reverse lookup — seqs per timepoint (README.md:236-239)") {
+    val ts = cftStore()
+    val out = ts.pullMany(
+      Seq("cft.timepoint:id" -> MAny),
+      Seq(PAttr("cft.timepoint:id", Some("tp")),
+        PNest("cft.seq:timepoint", Seq(PAttr("cft.seq:id", Some("sid"))),
+          reverse = true, as = Some("seqs"))))
+      .select($"tp", transform($"seqs", c => c.getField("sid")).as("sids"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[String](1)).map(_.sorted.toList).getOrElse(Nil)).toMap
+    assert(out === Map(
+      "dpi-234" -> List("QA255-seq1"),
+      "dpi-1204" -> List("QA255-seq1", "QA255-seq2")))
+  }
+
+  test("cross-doc entity resolution: shared subject id → one entity") {
+    val ts = cftStore()
+    val subjects = ts.matchEntities(Seq("cft.subject:id" -> MEq("QA255")))
+    assert(subjects.count() === 1)
+    // both seqs ref the same subject entity
+    val refs = ts.edges.where($"a" === "cft.seq:subject")
+      .select($"vref").distinct()
+    assert(refs.count() === 1)
+  }
+
+  def tinyStore(rows: Seq[(String, String, String, Long)],
+      cardOne: Set[String] = Set.empty): TripleStore = {
+    val triples = rows.toDF("e", "a", "vstr", "txId")
+      .withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .select(Triples.columns.map(col): _*)
+    val schemas = rows.map(_._2).distinct.map(a =>
+      a -> AttrSchema(a, cardOne = cardOne(a), isRef = false, Triples.VStr)).toMap
+    new TripleStore(spark, triples, schemas)
+  }
+
+  test("set semantics: re-asserting a fact is idempotent (tripl.py:78)") {
+    val ts = tinyStore(Seq(
+      ("e1", "k:x", "v1", 0L), ("e1", "k:x", "v1", 0L),
+      ("e1", "k:x", "v1", 5L)))
+    assert(ts.resolved.count() === 1)
+  }
+
+  test("cardinality-one upsert: latest tx wins (tripl.py:419-427)") {
+    val ts = tinyStore(Seq(
+      ("e1", "k:one", "old", 0L), ("e1", "k:one", "new", 1L),
+      ("e1", "k:many", "a", 0L), ("e1", "k:many", "b", 1L)),
+      cardOne = Set("k:one"))
+    val vals = ts.resolved.where($"a" === "k:one").select($"vstr")
+      .as[String].collect().toList
+    assert(vals === List("new"))
+    val many = ts.resolved.where($"a" === "k:many").count()
+    assert(many === 2)
+  }
+
+  test("retraction removes facts and survives resolution (W6)") {
+    val ts = tinyStore(Seq(("e1", "k:x", "v1", 0L), ("e1", "k:y", "v2", 0L)))
+    val after = ts.retractWhere($"a" === "k:x")
+    assert(after.resolved.count() === 1)
+    assert(after.resolved.select($"a").as[String].collect().toList === List("k:y"))
+  }
+
+  test("match: MEq / MIn / MAny / conjunction") {
+    val ts = tinyStore(Seq(
+      ("e1", "t:c", "red", 0L), ("e1", "t:s", "big", 0L),
+      ("e2", "t:c", "red", 0L), ("e2", "t:s", "small", 0L),
+      ("e3", "t:c", "blue", 0L)))
+    assert(ts.matchEntities(Seq("t:c" -> MEq("red"))).count() === 2)
+    assert(ts.matchEntities(Seq("t:c" -> MIn(Seq("red", "blue")))).count() === 3)
+    assert(ts.matchEntities(Seq("t:s" -> MAny)).count() === 2)
+    assert(ts.matchEntities(
+      Seq("t:c" -> MEq("red"), "t:s" -> MEq("big"))).count() === 1)
+  }
+
+  test("reachability fixpoint terminates on cycles (Q7e cycle guard)") {
+    val edges = Seq(
+      ("a", "r:next", "b"), ("b", "r:next", "c"), ("c", "r:next", "a"))
+    val triples = edges.toDF("e", "a", "vref")
+      .withColumn("vtype", lit(Triples.VRef))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val ts = new TripleStore(spark, triples,
+      Map("r:next" -> AttrSchema("r:next", cardOne = false, isRef = true,
+        Triples.VRef)))
+    val reach = ts.reachable(Seq("a").toDF("e"))
+    val out = reach.select($"e", $"depth").as[(String, Int)].collect().toMap
+    assert(out === Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("datalog: shared-variable join + constant filter (Q10)") {
+    val ts = tinyStore(Seq(
+      ("p1", "p:name", "ada", 0L), ("p1", "p:city", "london", 0L),
+      ("p2", "p:name", "bob", 0L), ("p2", "p:city", "paris", 0L)))
+    val out = ts.datalog(Seq("?n"),
+      Seq(("?p", "p:city", "london"), ("?p", "p:name", "?n")))
+      .as[String].collect().toList
+    assert(out === List("ada"))
+  }
+
+  test("store merge is set union over globally-unique eids (W5)") {
+    val a = tinyStore(Seq(("e1", "k:x", "v", 0L)))
+    val b = tinyStore(Seq(("e1", "k:x", "v", 0L), ("e2", "k:x", "w", 0L)))
+    assert(a.merge(b).resolved.count() === 2)
+  }
+}
