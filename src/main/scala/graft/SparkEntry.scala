@@ -204,18 +204,24 @@ object SparkEntry {
       graft.ops.Dedup.simhash(
         Tpch.raw(s, dir, "documents"), "doc_id", "text")),
 
-    // exact n-gram Jaccard pairs within a blocking key (source)
+    // exact n-gram Jaccard pairs within a blocking key (source).
+    // |∪| = |A|+|B|-|∩| for shingle SETS, so only ONE array op per pair.
+    // (An inverted-index set-similarity join was tried and is SLOWER on
+    // this data: the tiny vocabulary makes popular shingles appear in
+    // most docs, so the shingle equi-join explodes to tens of millions
+    // of pre-aggregation rows. Blocked all-pairs wins when shingles are
+    // non-selective; the LSH path (q21) is the scale answer.)
     "q23_ngram_jaccard" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents")
       val sh = docs.select(col("doc_id"), col("source"),
         graft.ops.Dedup.shingles(col("text")).as("sh"))
+      val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+      val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
       sh.as("a").join(sh.as("b"),
           col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            size(array_union(col("a.sh"), col("b.sh"))).cast("double"), 4)
-            .as("jaccard"))
+          round(inter / uni, 4).as("jaccard"))
         .where(col("jaccard") >= 0.3)
     }),
 
@@ -348,7 +354,7 @@ object SparkEntry {
         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q06_pull_wildcard" ->
-      """SELECT sha256('region:' || CAST(r_regionkey AS VARCHAR)) AS e,
+      """SELECT md5('region:' || CAST(r_regionkey AS VARCHAR)) AS e,
         |       CAST(4 AS BIGINT) AS n_attrs
         |FROM region""".stripMargin,
     "q07_upsert" ->

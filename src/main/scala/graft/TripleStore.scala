@@ -42,9 +42,32 @@ class TripleStore(
       * invariants BY CONSTRUCTION (single-tx ingest of distinct relational
       * rows emits exactly one fact per (e, a)). Skips the resolution
       * window+dedup — two full-relation shuffles — in the common case;
-      * any write op flips it back to false. */
-    val preResolved: Boolean = false) {
+      * any write op flips it back to false. NOT safe for id-attr doc
+      * ingest (merged entities re-assert identical facts). */
+    val preResolved: Boolean = false,
+    /** Attribute-pruning scan (TripleSource): when present AND the store
+      * is preResolved, per-attribute operators scan only the requested
+      * attributes' triples — the EAV analogue of columnar pruning (see
+      * model.TripleSource). Write ops drop it (derived stores fall back
+      * to filtering the materialized relation). */
+    val source: Option[graft.model.TripleSource] = None) {
   import spark.implicits._
+
+  /** Pruned scan for the given attributes: generate-only-what's-asked
+    * when a source is available, else filter the resolved relation. */
+  private def scanFor(attrs: Seq[String]): DataFrame = source match {
+    case Some(src) if preResolved =>
+      src.scan(Some(attrs)).where($"a".isInCollection(attrs))
+    case _ => resolved.where($"a".isInCollection(attrs))
+  }
+
+  /** Ref-edge projection restricted to `attrs` (None = all edges). */
+  private def edgesFor(attrs: Option[Seq[String]]): DataFrame = attrs match {
+    case Some(as) => scanFor(as)
+      .where($"vtype" === Triples.VRef && $"vref".isNotNull)
+      .select($"e", $"a", $"vref")
+    case None => edges
+  }
 
   private def schemaOf(attr: String): AttrSchema =
     schemas.getOrElse(attr, AttrSchema(attr, cardOne = false, isRef = false, Triples.VStr))
@@ -117,14 +140,14 @@ class TripleStore(
     * equality, list = IN (tripl.py:596-602), sub-pattern = semi-join
     * through the ref edge (tripl.py:591-592). */
   def entityIds(attr: String, mval: MVal): DataFrame = mval match {
-    case MAny => resolved.where($"a" === attr).select($"e")
+    case MAny => scanFor(Seq(attr)).select($"e")
     case MEq(v) => entityIds(attr, MIn(Seq(v)))
     case MIn(vs) =>
       val vc = valueCol(attr)
-      resolved.where($"a" === attr && col(vc).isInCollection(vs)).select($"e")
+      scanFor(Seq(attr)).where(col(vc).isInCollection(vs)).select($"e")
     case MSub(sub) =>
       // entities whose ref through `attr` lands in the sub-pattern's match
-      edges.where($"a" === attr)
+      edgesFor(Some(Seq(attr)))
         .join(matchEntities(sub).withColumnRenamed("e", "vref"),
           Seq("vref"), "left_semi")
         .select($"e")
@@ -162,8 +185,7 @@ class TripleStore(
     val others = specs.filterNot(_.isInstanceOf[PAttr])
 
     val flatDf: Option[DataFrame] = if (flat.isEmpty) None else Some {
-      val relevant = resolved
-        .where($"a".isInCollection(flat.map(_.attr)))
+      val relevant = scanFor(flat.map(_.attr))
         .join(ents, Seq("e"), "left_semi")
       val aggs = flat.map { p =>
         val vc = col(valueCol(p.attr))
@@ -186,7 +208,7 @@ class TripleStore(
             .as(PWild.name))
       case p: PRevIds =>
         // who points at me through attr (Q7c): sorted eid array
-        edges.where($"a" === p.attr)
+        edgesFor(Some(Seq(p.attr)))
           .select($"vref".as("e"), $"e".as("_src"))
           .join(ents, Seq("e"), "left_semi")
           .groupBy($"e").agg(sort_array(collect_set($"_src")).as(p.name))
@@ -194,7 +216,7 @@ class TripleStore(
         // nested descent (Q7d): one edge join + recursive child pull +
         // one collect_list re-nesting. Forward: e -[attr]-> vref;
         // reverse: vref -[attr]-> e (tripl.py:694-706).
-        val edge0 = edges.where($"a" === p.attr)
+        val edge0 = edgesFor(Some(Seq(p.attr)))
         val edge =
           if (p.reverse) edge0.select($"vref".as("e"), $"e".as("_child"))
           else edge0.select($"e", $"vref".as("_child"))
@@ -249,7 +271,7 @@ class TripleStore(
       case s: String => s.startsWith("?"); case _ => false }
 
     val clauseDfs = where.map { case (s, attr, o) =>
-      var df = resolved.where($"a" === attr)
+      var df = scanFor(Seq(attr))
       val vc = valueCol(attr)
       var cols = Seq.empty[Column]
       if (isVar(s)) cols :+= $"e".as(s.toString)
@@ -282,7 +304,7 @@ class TripleStore(
       roots: DataFrame,
       attrs: Option[Seq[String]] = None,
       maxIters: Int = 20): DataFrame = {
-    val es = attrs.map(as => edges.where($"a".isInCollection(as))).getOrElse(edges)
+    val es = edgesFor(attrs)
       .select($"e".as("_src"), $"vref".as("_dst"))
     var visited = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
       .localCheckpoint(eager = true)

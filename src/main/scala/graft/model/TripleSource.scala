@@ -1,0 +1,29 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+
+/** Pluggable triples relation with ATTRIBUTE PRUNING — the EAV analogue
+  * of columnar scan pruning.
+  *
+  * The triples view of a relational table is a 10-20× row blow-up of the
+  * base data; materializing all of it to answer a query that touches 3
+  * attributes wastes most of the work (and at 100 TB is simply not an
+  * option). Query compilers know exactly which attributes they touch, so
+  * they pass them down here and a pruned source only *generates* the
+  * matching triples — the filter reaches not just the parquet scan
+  * (column pruning of the base table falls out automatically, since
+  * un-requested attrs' source columns are never referenced) but the
+  * flatten itself (no struct built, no entity-id hash computed, no
+  * explode row emitted for attrs the query never reads).
+  */
+trait TripleSource {
+  /** Triples for the given attributes (None = all). May return a
+    * superset; callers re-filter on `a`. */
+  def scan(attrs: Option[Seq[String]]): DataFrame
+}
+
+/** Union of sources (a store over several ingested tables). */
+final case class UnionTripleSource(sources: Seq[TripleSource]) extends TripleSource {
+  def scan(attrs: Option[Seq[String]]): DataFrame =
+    sources.map(_.scan(attrs)).reduce(_ unionByName _)
+}

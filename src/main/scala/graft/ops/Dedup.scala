@@ -83,9 +83,11 @@ object Dedup {
     candidates
       .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), Seq("id2"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("_sh1"), col("_sh2"))).cast(DoubleType) /
-          size(array_union(col("_sh1"), col("_sh2"))).cast(DoubleType), 4))
+      // |∪| = |A|+|B|-|∩| for shingle sets: one array op per pair, not two
+      .withColumn("_inter",
+        size(array_intersect(col("_sh1"), col("_sh2"))).cast(DoubleType))
+      .withColumn("jaccard", round(col("_inter") /
+        ((size(col("_sh1")) + size(col("_sh2"))).cast(DoubleType) - col("_inter")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * set-at-a-time and shuffle-free (unions of narrow projections).
   *
   * Entity resolution (the reference's id_attrs semantics): an entity with
-  * an id-attribute value gets eid = sha2('<attr>=<value>'). This is
+  * an id-attribute value gets eid = md5('<attr>=<value>'). This is
   * STRONGER than the reference's sequential memo (tripl.py:457-481):
   * same id-value ⇒ same eid holds globally and deterministically — across
   * batches, executors and reruns — with no lookup join and no
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   * consistent with set semantics).
   *
   * Nested dicts become child entities: the parent gets a ref triple and
-  * the child's eid is parent-scoped (sha2(parentEid:field:content)) unless
+  * the child's eid is parent-scoped (md5(parentEid:field:content)) unless
   * the child itself carries an id attr (tripl.py:446-455 dispatch).
   * Lists are cardinality-many: one triple per element (tripl.py:487-489).
   */
@@ -43,10 +43,10 @@ object DocIngest {
       val field = df.columns.find(c => qualify(ns, c) == a)
       field.map(f =>
         when(col(s"`$f`").isNotNull,
-          sha2(concat(lit(a + "="), col(s"`$f`").cast(StringType)), 256)))
+          md5(concat(lit(a + "="), col(s"`$f`").cast(StringType)))))
     }
     val content =
-      sha2(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)), 256)
+      md5(to_json(struct(df.columns.map(c => col(s"`$c`")): _*)))
     (byId :+ content).reduce((a, b) => coalesce(a, b))
   }
 
@@ -69,8 +69,8 @@ object DocIngest {
       val byId = idAttrs.flatMap { a =>
         elem.fieldNames.find(n => qualify(ns, n) == a).map(n =>
           when(structCol.getField(n).isNotNull,
-            sha2(concat(lit(a + "="),
-              structCol.getField(n).cast(StringType)), 256)))
+            md5(concat(lit(a + "="),
+              structCol.getField(n).cast(StringType)))))
       }
       (byId :+ parentScoped).reduce((x, y) => coalesce(x, y))
     }
@@ -101,8 +101,8 @@ object DocIngest {
         val exploded = df.select(col("_e").as("_parent"),
           explode(col(s"`$f`")).as("_c"))
         val childEid = childEidFor(col("_c"), elem,
-          sha2(concat(col("_parent"), lit(":" + f + ":"),
-            to_json(col("_c"))), 256))
+          md5(concat(col("_parent"), lit(":" + f + ":"),
+            to_json(col("_c")))))
         val withEid = exploded.withColumn("_ce", childEid)
         val refs = withEid.select(col("_parent").as("e"),
           Triples.valueStruct(lit(qualify(ns, f)), Triples.VRef,
@@ -130,8 +130,8 @@ object DocIngest {
     val structTriples = fields.collect {
       case StructField(f, elem: StructType, _, _) =>
         val childEid = childEidFor(col(s"`$f`"), elem,
-          sha2(concat(col("_e"), lit(":" + f + ":"),
-            to_json(col(s"`$f`"))), 256))
+          md5(concat(col("_e"), lit(":" + f + ":"),
+            to_json(col(s"`$f`")))))
         val base = df.where(col(s"`$f`").isNotNull).withColumn("_ce", childEid)
         val refTriples = base.select(col("_e").as("e"),
           Triples.valueStruct(lit(qualify(ns, f)), Triples.VRef,

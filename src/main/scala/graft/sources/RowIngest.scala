@@ -45,9 +45,12 @@ object RowIngest {
   }
 
   /** Deterministic entity id for a row of `table` keyed by `key`
-    * (convention fixed in FIXTURES.md §4: sha2('<table>:<pkey>')). */
+    * (convention fixed in FIXTURES.md §4: md5('<table>:<pkey>') — 128-bit,
+    * ~2× cheaper than sha2 and half the string width, which matters when
+    * the eid is the join/shuffle key of every operator; still
+    * reproducible in ANSI SQL for the oracle). */
   def eid(table: String, key: Column): Column =
-    sha2(concat(lit(table + ":"), key.cast(StringType)), 256)
+    md5(concat(lit(table + ":"), key.cast(StringType)))
 
   def eidFor(table: String, keyCols: Seq[Column]): Column =
     eid(table, concat_ws("|", keyCols: _*))
@@ -70,26 +73,51 @@ object RowIngest {
   /** Flatten a relational DataFrame into triples. Single pass: all
     * (attr, value) pairs of a row become one array-of-structs, exploded.
     * Narrow transformation — partitioning of the source is preserved, no
-    * shuffle; scales linearly with input splits. */
-  def tableToTriples(df: DataFrame, spec: TableSpec, txId: Long = 0L): DataFrame = {
+    * shuffle; scales linearly with input splits.
+    *
+    * `attrs` prunes the generation itself (TripleSource contract): only
+    * requested attributes get a struct, a hash, an explode row — and
+    * because unreferenced source columns disappear from the plan, column
+    * pruning reaches the parquet scan too. */
+  def tableToTriples(df: DataFrame, spec: TableSpec, txId: Long = 0L,
+      attrs: Option[Seq[String]] = None): DataFrame = {
+    val want: String => Boolean =
+      attrs.map(as => as.toSet: String => Boolean).getOrElse(_ => true)
     val e = eidFor(spec.table, spec.keyCols.map(col))
-    val scalarStructs = spec.cols.map { c =>
+    val scalarStructs = spec.cols.filter(c => want(c.attr)).map { c =>
       Triples.valueStruct(lit(c.attr), c.vtype, col(c.col))
     }
-    val refStructs = spec.refs.map { r =>
+    val refStructs = spec.refs.filter(r => want(r.attr)).map { r =>
       // fk value → target eid computed LOCALLY (no resolution join needed
       // because minting is deterministic — see object scaladoc).
       Triples.valueStruct(lit(r.attr), Triples.VRef,
         when(col(r.col).isNotNull, eid(r.targetTable, col(r.col))))
     }
-    val metaStructs = Seq(
+    val metaStructs =
       // self-asserted ident, as the reference does (tripl.py:491-492)
-      Triples.valueStruct(lit(Triples.IdentAttr), Triples.VStr, e),
-      Triples.valueStruct(lit(Triples.TypeAttr), Triples.VStr, lit(spec.table)))
+      (if (want(Triples.IdentAttr))
+        Seq(Triples.valueStruct(lit(Triples.IdentAttr), Triples.VStr, e))
+      else Nil) ++
+      (if (want(Triples.TypeAttr))
+        Seq(Triples.valueStruct(lit(Triples.TypeAttr), Triples.VStr,
+          lit(spec.table)))
+      else Nil)
     val all = scalarStructs ++ refStructs ++ metaStructs
-    df.select(e.as("e"), explode(array(all: _*)).as("t"))
-      .where(Triples.structHasValue(col("t")))
-      .select(col("e") +: Triples.valueCols.foldLeft(Seq(col("t.a"), col("t.vtype")))(
-        (acc, vc) => acc :+ col(s"t.$vc")) :+ lit(txId).as("txId"): _*)
+    if (all.isEmpty)
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Triples.schema)
+    else
+      df.select(e.as("e"), explode(array(all: _*)).as("t"))
+        .where(Triples.structHasValue(col("t")))
+        .select(col("e") +: Triples.valueCols.foldLeft(Seq(col("t.a"), col("t.vtype")))(
+          (acc, vc) => acc :+ col(s"t.$vc")) :+ lit(txId).as("txId"): _*)
+  }
+
+  /** Attribute-pruning TripleSource over one relational table. */
+  final case class TableSource(df: DataFrame, spec: TableSpec)
+      extends graft.model.TripleSource {
+    def scan(attrs: Option[Seq[String]]): DataFrame =
+      tableToTriples(df, spec, 0L, attrs)
   }
 }
