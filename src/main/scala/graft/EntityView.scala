@@ -1,0 +1,89 @@
+package graft
+
+import graft.model.Triples
+import graft.query._
+import org.apache.spark.sql.functions._
+
+/** Driver-side lazy entity view — the engine's analogue of the
+  * reference's `Entity` dict-like wrapper (tripl/tripl.py:141-271).
+  *
+  * This is a CONVENIENCE for interactive exploration of small result
+  * sets, exactly as in the reference — it issues point-lookup jobs and
+  * collects to the driver. It is NOT an engine primitive: bulk access
+  * goes through `pull` (set-at-a-time). Namespace completion
+  * (`e("id")` → `ns:id`, tripl.py:164-201), reverse lookups
+  * (`ns:_attr`, tripl.py:274-278), multi-hop `getIn` with list
+  * flattening (tripl.py:203-241) and take-first `some` (tripl.py:44-56)
+  * all match the reference's observable behavior.
+  */
+class Entity(val store: TripleStore, val eid: String,
+    val namespace: Option[String] = None) {
+  import store.spark.implicits._
+
+  /** Namespace completion: bare key → 'ns:key' (tripl.py:168-169). */
+  def attrOf(key: String): String = namespace match {
+    case Some(ns) if !key.contains(":") => s"$ns:$key"
+    case _ => key
+  }
+
+  private def isReverse(key: String): Boolean = {
+    val i = key.indexOf(':')
+    i >= 0 && key.length > i + 1 && key.charAt(i + 1) == '_'
+  }
+  private def forwardAttr(key: String): String = {
+    val i = key.indexOf(':')
+    key.substring(0, i + 1) + key.substring(i + 2)
+  }
+
+  /** All values for an attribute (strings for refs = child eids);
+    * reverse attrs 'ns:_attr' give the eids pointing at me. */
+  def apply(key: String): Seq[Any] = {
+    val a = attrOf(key)
+    if (isReverse(a))
+      store.edges.where($"a" === forwardAttr(a) && $"vref" === eid)
+        .select($"e").as[String].collect().toSeq.sorted
+    else {
+      val rows = store.resolved.where($"e" === eid && $"a" === a)
+        .select(col(Triples.valueColFor(
+          store.schemas.get(a).map(_.vtype).getOrElse(Triples.VStr))))
+        .collect().toSeq.map(_.get(0)).filter(_ != null)
+      rows
+    }
+  }
+
+  /** Cardinality-aware single value (`some`, tripl.py:44-56): card-one
+    * attrs unwrap; card-many takes the first (sorted for determinism). */
+  def one(key: String): Option[Any] = apply(key).headOption
+
+  /** Referenced child entities through a (declared or lazy) ref attr. */
+  def refs(key: String): Seq[Entity] = {
+    val a = attrOf(key)
+    store.edges.where($"e" === eid && $"a" === a)
+      .select($"vref").as[String].collect().toSeq.sorted
+      .map(new Entity(store, _, namespace))
+  }
+
+  /** Multi-hop walk (`get_in`, tripl.py:203-241): follow ref attrs for
+    * all but the last key, flattening intermediate multi-values
+    * (monadic bind), then read the last key's values. */
+  def getIn(path: Seq[String]): Seq[Any] = path match {
+    case Seq() => Seq(this)
+    case Seq(last) => apply(last)
+    case head +: rest => refs(head).flatMap(_.getIn(rest))
+  }
+
+  /** Take-first variant of getIn (`some_in`, tripl.py:233-241). */
+  def someIn(path: Seq[String]): Option[Any] = getIn(path).headOption
+
+  override def toString: String = s"Entity($eid)"
+}
+
+object Entity {
+  /** Entity for the first match of a pattern (tripl.py:616-621). */
+  def find(store: TripleStore, pattern: Seq[(String, MVal)],
+      namespace: Option[String] = None): Option[Entity] = {
+    import store.spark.implicits._
+    store.matchEntities(pattern).orderBy("e").limit(1)
+      .as[String].collect().headOption.map(new Entity(store, _, namespace))
+  }
+}

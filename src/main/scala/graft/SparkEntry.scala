@@ -182,6 +182,33 @@ object SparkEntry {
         .groupBy(col("component")).agg(count(lit(1)).as("csize"))
         .select(col("csize")).orderBy(col("csize"))
     }),
+
+    // GraphX PageRank over the ref graph (no SQL oracle: iterative float)
+    "q17_graph_pagerank" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer", "nation", "region")
+      graft.graph.RefGraph.pageRank(ts)
+        .select(col("e"), round(col("rank"), 2).as("rank"))
+        .orderBy(col("rank").desc, col("e")).limit(50)
+    }),
+
+    // §2.6 set ops over match results: union / intersect / except
+    "q34_setops" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer")
+      val a = ts.entityIds("customer:mktsegment",
+        MIn(Seq("BUILDING", "MACHINERY")))
+      val b = ts.entityIds("customer:mktsegment", MEq("BUILDING"))
+      a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+    }),
+
+    // W7/Q9: schema asserted IN-BAND as triples, introspected via datalog
+    "q35_schema" -> ((s, dir) =>
+      Tpch.store(s, dir, "customer").withSchemaAsserted
+        .datalog(Seq("?attr", "?card"), Seq(
+          ("?a", "db:ident", "?attr"),
+          ("?a", "db:cardinality", "?card")))
+        .toDF("attr", "card")),
   )
 
   /** Training-data pipeline operators (dedup / similarity / text /
@@ -399,6 +426,25 @@ object SparkEntry {
         |  LEFT JOIN customer ON c_nationkey = n_nationkey
         |  GROUP BY r_regionkey)
         |ORDER BY csize""".stripMargin,
+    // q17_graph_pagerank: no oracle (iterative float algorithm)
+    "q34_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_mktsegment IN ('BUILDING','MACHINERY')) AS n_union,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_mktsegment = 'BUILDING') AS n_intersect,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_mktsegment = 'MACHINERY') AS n_except""".stripMargin,
+    "q35_schema" ->
+      """SELECT attr, card FROM (VALUES
+        |  ('customer:acctbal', 'db.cardinality:one'),
+        |  ('customer:custkey', 'db.cardinality:one'),
+        |  ('customer:mktsegment', 'db.cardinality:one'),
+        |  ('customer:name', 'db.cardinality:one'),
+        |  ('customer:nation', 'db.cardinality:one'),
+        |  ('customer:nationkey', 'db.cardinality:one'),
+        |  ('db:ident', 'db.cardinality:one'),
+        |  ('tripl:type', 'db.cardinality:one')) AS t(attr, card)""".stripMargin,
   )
 
   private def pipelineSql: Map[String, String] = Map(

@@ -132,6 +132,31 @@ class TripleStore(
     new TripleStore(spark, triples.where(!coalesce(cond, lit(false))),
       schemas, preResolved)
 
+  /** W7/Q9 — the attribute schema rendered IN-BAND as triples, exactly as
+    * the reference stores it: attribute entities carrying db:cardinality
+    * and db:valueType, hanging off the well-known 'db:schema' entity
+    * (base_schema / assert_schema, tripl.py:281-297, 363-373). */
+  def schemaTriples: DataFrame = {
+    val attrRows = schemas.values.toSeq.sortBy(_.attr).flatMap { s =>
+      Seq(
+        (s.attr, Triples.IdentAttr, Triples.VStr, Some(s.attr), None),
+        (s.attr, "db:cardinality", Triples.VStr,
+          Some(if (s.cardOne) "db.cardinality:one" else "db.cardinality:many"), None),
+        (s.attr, "db:valueType", Triples.VStr,
+          Some(if (s.isRef) "db.type:ref" else "db.type:" + s.vtype), None))
+    } ++ schemas.keys.toSeq.sorted.map(a =>
+      ("db:schema", "db.schema:attributes", Triples.VRef, None, Some(a)))
+    val rows = attrRows.map { case (e, a, vt, vstr, vref) =>
+      org.apache.spark.sql.Row(e, a, vt, vstr.orNull, null, null, null, null,
+        vref.orNull, null, 0L)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), Triples.schema)
+  }
+
+  /** Store with its schema asserted in-band (W8 bootstrap step). */
+  def withSchemaAsserted: TripleStore = assertTriples(schemaTriples)
+
   // ---------------------------------------------------------------------
   // match (Q1/Q2): conjunctive pattern → entity ids
   // ---------------------------------------------------------------------

@@ -80,7 +80,10 @@ object RowIngest {
     * because unreferenced source columns disappear from the plan, column
     * pruning reaches the parquet scan too. */
   def tableToTriples(df: DataFrame, spec: TableSpec, txId: Long = 0L,
-      attrs: Option[Seq[String]] = None): DataFrame = {
+      attrs: Option[Seq[String]] = None,
+      /** extra source columns carried through unchanged on every emitted
+        * triple (e.g. an event-time column for streaming watermarks) */
+      passthrough: Seq[String] = Nil): DataFrame = {
     val want: String => Boolean =
       attrs.map(as => as.toSet: String => Boolean).getOrElse(_ => true)
     val e = eidFor(spec.table, spec.keyCols.map(col))
@@ -108,10 +111,12 @@ object RowIngest {
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Triples.schema)
     else
-      df.select(e.as("e"), explode(array(all: _*)).as("t"))
+      df.select(e.as("e") +: passthrough.map(col) :+
+          explode(array(all: _*)).as("t"): _*)
         .where(Triples.structHasValue(col("t")))
         .select(col("e") +: Triples.valueCols.foldLeft(Seq(col("t.a"), col("t.vtype")))(
-          (acc, vc) => acc :+ col(s"t.$vc")) :+ lit(txId).as("txId"): _*)
+          (acc, vc) => acc :+ col(s"t.$vc")) ++:
+          (lit(txId).as("txId") +: passthrough.map(col)): _*)
   }
 
   /** Attribute-pruning TripleSource over one relational table. */

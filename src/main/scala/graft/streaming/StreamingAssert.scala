@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.model.{AttrSchema, Triples}
+import graft.sources.RowIngest
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension of the write path (SURVEY.md §2.8 — the
+  * reference has no streaming; this is the engine's incremental
+  * `assert_facts`).
+  *
+  * Triples are an append-only stream: each micro-batch of source rows
+  * flattens with the SAME deterministic ingest used in batch
+  * (RowIngest.tableToTriples works unchanged on a streaming DataFrame —
+  * narrow ops only), stamped with an event-time `txTime` for watermarking.
+  *
+  * Cardinality-one upsert, which batch resolves with a window
+  * (TripleStore.resolved), becomes keyed state here: latest-txTime-wins
+  * per (e, a) via flatMapGroupsWithState — emitting a new resolved value
+  * only when it displaces the current one, exactly the reference's
+  * "retract differing old values" semantics (tripl.py:419-427) in
+  * incremental form.
+  */
+object StreamingAssert {
+
+  /** Flatten a streaming source into an append-only triple stream, with
+    * the source's event-time column riding along as `txTime` (outside the
+    * triple schema) for watermarking. Same deterministic flatten as
+    * batch — narrow ops only, so it runs unchanged under streaming. */
+  def streamTriplesWithTime(rows: DataFrame, spec: RowIngest.TableSpec,
+      eventTime: String): DataFrame =
+    RowIngest.tableToTriples(rows, spec, passthrough = Seq(eventTime))
+      .withColumnRenamed(eventTime, "txTime")
+
+  /** Resolved state of one (e, a): the surviving fact's value rendering +
+    * its event time. */
+  case class CardOneState(value: String, atMicros: Long)
+  case class ResolvedFact(e: String, a: String, value: String, atMicros: Long)
+
+  /** Incremental cardinality-one resolution: keyed by (e, a), keep the
+    * latest-event-time value; emit on change. GroupStateTimeout-free
+    * (state is one small record per live (e, a) pair; pair count is
+    * bounded by the entity universe, and a production deployment would
+    * add a TTL via event-time timeout on the same hook). */
+  def resolveCardOne(
+      triples: Dataset[Row],
+      watermarkCol: String = "txTime",
+      watermarkDelay: String = "10 seconds"): Dataset[ResolvedFact] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples
+      .withWatermark(watermarkCol, watermarkDelay)
+      .select($"e", $"a", Triples.valueAsString().as("value"),
+        unix_micros(col(watermarkCol).cast("timestamp")).as("at"))
+      .as[(String, String, String, Long)]
+      .groupByKey { case (e, a, _, _) => (e, a) }
+      .flatMapGroupsWithState[CardOneState, ResolvedFact](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String),
+         rows: Iterator[(String, String, String, Long)],
+         state: GroupState[CardOneState]) =>
+          val latest = rows.maxBy(_._4)
+          val cur = state.getOption
+          if (cur.forall(c => latest._4 >= c.atMicros && latest._3 != c.value)) {
+            state.update(CardOneState(latest._3, latest._4))
+            Iterator(ResolvedFact(key._1, key._2, latest._3, latest._4))
+          } else Iterator.empty
+      }
+  }
+
+  /** Windowed aggregation over an event stream (watermark + tumbling
+    * window) — the standard streaming-analytics surface over ingested
+    * facts. Returns (window, event_type, n, sum_value). */
+  def windowedEventCounts(events: DataFrame, window: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}

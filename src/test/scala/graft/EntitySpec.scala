@@ -1,0 +1,77 @@
+package graft
+
+import graft.model.{AttrSchema, Triples}
+import graft.query._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Entity lazy view (Q4-Q6) + in-band schema (W7/Q9). */
+class EntitySpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  def store(): TripleStore = {
+    // two people in a city; p1 knows p2
+    val rows = Seq(
+      ("p1", "p:name", Triples.VStr, Some("ada"), None),
+      ("p1", "p:city", Triples.VRef, None, Some("c1")),
+      ("p1", "p:knows", Triples.VRef, None, Some("p2")),
+      ("p2", "p:name", Triples.VStr, Some("bob"), None),
+      ("p2", "p:city", Triples.VRef, None, Some("c1")),
+      ("c1", "c:name", Triples.VStr, Some("london"), None))
+    val df = rows.toDF("e", "a", "vtype", "vs", "vr")
+      .select($"e", $"a", $"vtype",
+        $"vs".as("vstr"), lit(null).cast("long").as("vlong"),
+        lit(null).cast("double").as("vdbl"),
+        lit(null).cast("boolean").as("vbool"),
+        lit(null).cast("timestamp_ntz").as("vts"),
+        $"vr".as("vref"), lit(null).cast("binary").as("vbin"),
+        lit(0L).as("txId"))
+    val schemas = Map(
+      "p:name" -> AttrSchema("p:name", cardOne = true, isRef = false, Triples.VStr),
+      "p:city" -> AttrSchema("p:city", cardOne = true, isRef = true, Triples.VRef),
+      "p:knows" -> AttrSchema("p:knows", cardOne = false, isRef = true, Triples.VRef),
+      "c:name" -> AttrSchema("c:name", cardOne = true, isRef = false, Triples.VStr))
+    new TripleStore(spark, df, schemas, preResolved = true)
+  }
+
+  test("entity attribute access with namespace completion (Q5)") {
+    val ts = store()
+    val e = new Entity(ts, "p1", namespace = Some("p"))
+    assert(e.one("name") === Some("ada"))
+    assert(e("name") === Seq("ada"))
+  }
+
+  test("reverse lookup 'ns:_attr' (Q5, tripl.py:274-278)") {
+    val ts = store()
+    val city = new Entity(ts, "c1")
+    assert(city("p:_city") === Seq("p1", "p2"))
+  }
+
+  test("multi-hop getIn flattens intermediate refs (Q6)") {
+    val ts = store()
+    val e = new Entity(ts, "p1", namespace = Some("p"))
+    assert(e.getIn(Seq("city", "c:name")) === Seq("london"))
+    assert(e.getIn(Seq("knows", "p:name")) === Seq("bob"))
+    // knows → city → name: two hops through refs
+    assert(e.getIn(Seq("knows", "p:city", "c:name")) === Seq("london"))
+    assert(e.someIn(Seq("city", "c:name")) === Some("london"))
+  }
+
+  test("Entity.find takes first match of a pattern (Q4)") {
+    val ts = store()
+    val e = Entity.find(ts, Seq("p:city" -> MEq("c1")))
+    assert(e.map(_.eid) === Some("p1")) // deterministic: sorted first
+  }
+
+  test("in-band schema triples round-trip through datalog (W7/Q9)") {
+    val ts = store().withSchemaAsserted
+    val out = ts.datalog(Seq("?attr", "?vt"), Seq(
+      ("?a", "db:ident", "?attr"),
+      ("?a", "db:valueType", "?vt")))
+      .as[(String, String)].collect().toMap
+    assert(out("p:city") === "db.type:ref")
+    assert(out("p:name") === "db.type:str")
+    assert(out.size === 4)
+  }
+}
