@@ -189,6 +189,12 @@ class TripleStore(
       .distinct()
   }
 
+  /** Q3 — deprecated alias kept for API parity (match_pattern,
+    * tripl.py:612-614). */
+  @deprecated("use matchEntities", "0.1.0")
+  def matchPattern(pattern: Seq[(String, MVal)]): DataFrame =
+    matchEntities(pattern)
+
   // ---------------------------------------------------------------------
   // pull (Q7/Q8): graph-shaped projection, compiled set-at-a-time
   // ---------------------------------------------------------------------

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** JSON fact ingest (S1/S2/S8) and the external-transform hook (S5).
+  */
+object JsonSource {
+
+  /** S1/S2 — load one or many JSON files of fact docs into triples.
+    * Multi-file union is free (one scan over all paths); per-file
+    * provenance is kept as a `tripl.file:source` attribute via
+    * input_file_name(), preserving the reference's per-file scoping
+    * signal (TripleStore.loads, tripl.py:543-553). */
+  def loadFacts(spark: SparkSession, ns: String, idAttrs: Seq[String],
+      paths: String*): DataFrame = {
+    val docs = spark.read.json(paths: _*)
+      .withColumn("tripl.file:source", input_file_name())
+    DocIngest.flatten(docs, ns, idAttrs)
+  }
+
+  /** S8 — failure-capturing JSON parse: malformed records become error
+    * entities `{tripl.nestly:error, tripl.nestly:file}` instead of
+    * failing the load (failable_json_file, nestly.py:31-46), via
+    * PERMISSIVE mode's corrupt-record column. */
+  def loadFactsFailable(spark: SparkSession, ns: String,
+      idAttrs: Seq[String], paths: String*): DataFrame = {
+    // cache: Spark refuses plans that read ONLY the corrupt-record column
+    // from raw JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN); these are small
+    // metadata loads in the reference's usage (nestly build products)
+    val docs = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(paths: _*)
+      .withColumn("tripl.file:source", input_file_name())
+      .cache()
+    val good = docs.where(col("_corrupt").isNull).drop("_corrupt")
+    val bad = docs.where(col("_corrupt").isNotNull)
+      .select(col("_corrupt").as("tripl.nestly:error"),
+        col("`tripl.file:source`").as("tripl.nestly:file"))
+    val goodT = DocIngest.flatten(good, ns, idAttrs)
+    val badT = DocIngest.flatten(bad, ns, Nil)
+    goodT.unionByName(badT)
+  }
+
+  /** S5 — the `--map-command` analogue (cli.py:20-23): stream every
+    * partition's rows through an external command (stdin→stdout line
+    * protocol), distributed via RDD.pipe — each executor runs its own
+    * process, replacing the reference's driver-side multiprocessing
+    * pool. The command's stdout lines come back as a Dataset[String]
+    * (typically JSON to feed DocIngest). */
+  def mapCommand(lines: Dataset[String], command: String): Dataset[String] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    spark.createDataset(lines.rdd.pipe(command))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.{BioFormats, DocIngest, JsonSource}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** FASTA / Newick / JSON / map-command sources (S1-S8) + constructors. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String): String = {
+    val d = Files.createTempDirectory("src")
+    val f = d.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("FASTA ingest: header/desc split, multi-line sequences joined (S6)") {
+    val path = tmpFile("x.fasta",
+      """>seq1 first sequence
+        |AATT
+        |CGGA
+        |>seq2
+        |GGCC
+        |""".stripMargin)
+    val out = BioFormats.readFasta(spark, path)
+      .orderBy(col("`bio.seq:id`"))
+      .as[(String, String, String)].collect().toList
+    assert(out === List(
+      ("seq1", "first sequence", "AATTCGGA"),
+      ("seq2", "", "GGCC")))
+  }
+
+  test("Newick parse: nesting, branch lengths, anonymous clades (S7)") {
+    val clades = BioFormats.parseNewick("((A:0.1,B:0.2)AB:0.3,C:0.4)root;")
+    val byName = clades.map(c => c._1 -> c).toMap
+    assert(byName("A")._2 === Some("AB"))
+    assert(byName("B")._3 === Some(0.2))
+    assert(byName("AB")._2 === Some("root"))
+    assert(byName("C")._2 === Some("root"))
+    assert(byName("root")._2 === None)
+  }
+
+  test("Newick triples: parent chain walkable via datalog") {
+    val t = BioFormats.newickTriples(spark, "((A,B)AB,C)root;")
+    val ts = new TripleStore(spark, t,
+      Map("bio.clade:name" -> graft.model.AttrSchema("bio.clade:name",
+        cardOne = true, isRef = false, graft.model.Triples.VStr)))
+    // child name → parent name through the parent eid
+    val out = ts.datalog(Seq("?c", "?pn"), Seq(
+      ("?x", "bio.clade:name", "?c"),
+      ("?x", "bio.clade:parent", "?p"),
+      ("?y", "db:ident", "?p"),
+      ("?y", "bio.clade:name", "?pn")))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("A" -> "AB", "B" -> "AB", "AB" -> "root", "C" -> "root"))
+  }
+
+  test("multi-file JSON load keeps per-file provenance (S1/S2)") {
+    val f1 = tmpFile("a.json", """{"u:id": "u1", "u:name": "ada"}""")
+    val f2 = tmpFile("b.json", """{"u:id": "u2", "u:name": "bob"}""")
+    val t = JsonSource.loadFacts(spark, "u", Seq("u:id"), f1, f2)
+    val srcs = t.where($"a" === "tripl.file:source")
+      .select($"vstr").as[String].collect().toSet
+    assert(srcs.size === 2)
+    assert(t.where($"a" === "u:name").count() === 2)
+  }
+
+  test("failable JSON load captures corrupt records as error entities (S8)") {
+    val f = tmpFile("mixed.json",
+      """{"u:id": "u1", "u:name": "ada"}
+        |{not json at all
+        |""".stripMargin)
+    val t = JsonSource.loadFactsFailable(spark, "u", Seq("u:id"), f)
+    assert(t.where($"a" === "u:name").count() === 1)
+    assert(t.where($"a" === "tripl.nestly:error").count() === 1)
+  }
+
+  test("map-command pipes partitions through an external process (S5)") {
+    val lines = Seq("""{"v": 1}""", """{"v": 2}""").toDS()
+    val out = JsonSource.mapCommand(lines, "cat").collect().toSet
+    assert(out === Set("""{"v": 1}""", """{"v": 2}"""))
+    val upper = JsonSource.mapCommand(lines, "tr a-z A-Z").collect().toSet
+    assert(upper.exists(_.contains("\"V\"")))
+  }
+
+  test("entity constructors build namespaced docs (W9)") {
+    val doc = Constructors.entityCons("cft.type:seq", "cft.seq")(
+      "id" -> "s1", "cft:description" -> "x")
+    assert(doc === Map(
+      "cft.seq:id" -> "s1", "cft:description" -> "x",
+      "cft:type" -> "cft.type:seq"))
+  }
+}
