@@ -271,6 +271,19 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // embedding-cosine near-duplicate pairs (exact; the LSH-bucketed
+    // variant is Similarity.cosineNearDups / q25's scale path)
+    "q36_cos_neardup" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+      import graft.ops.Similarity.{cosine, toDoubleVec}
+      val v = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          cosine(col("a.v"), col("b.v")).as("_c"))
+        .where(col("_c") >= 0.4) // filter on the RAW value, as the oracle does
+        .select(col("id1"), col("id2"), round(col("_c"), 4).as("cos"))
+    }),
+
     // language-ID by stopword ballot (deterministic heuristic)
     "q26_langid" -> ((s, dir) =>
       Tpch.raw(s, dir, "documents")
@@ -487,6 +500,15 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < 20 AND b.vec_id <> a.vec_id
         |QUALIFY rank <= 3""".stripMargin,
+    // DOUBLE[] casts force double-precision math (FLOAT[] inputs would
+    // compute in float32 and round differently)
+    "q36_cos_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     "q26_langid" ->
       """SELECT doc_id,
         |  CASE WHEN best = 0 THEN 'unk'

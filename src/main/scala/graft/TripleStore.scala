@@ -184,9 +184,15 @@ class TripleStore(
     * reference's fixed-order full intersections, SURVEY.md §4). */
   def matchEntities(pattern: Seq[(String, MVal)]): DataFrame = {
     require(pattern.nonEmpty, "empty match pattern")
-    pattern.map { case (a, v) => entityIds(a, v) }
+    val joined = pattern.map { case (a, v) => entityIds(a, v) }
       .reduce((l, r) => l.join(r, Seq("e"), "left_semi"))
-      .distinct()
+    // a single non-nested lookup on a cardinality-one attr yields at most
+    // one fact per entity — the distinct (a full shuffle) is a no-op then
+    val alreadyDistinct = pattern match {
+      case Seq((a, MEq(_) | MIn(_) | MAny)) => schemaOf(a).cardOne
+      case _ => false
+    }
+    if (alreadyDistinct) joined else joined.distinct()
   }
 
   /** Q3 — deprecated alias kept for API parity (match_pattern,
@@ -210,8 +216,11 @@ class TripleStore(
     * for deterministic results (the reference's set semantics are
     * unordered; we fix an order so distributed runs are reproducible).
     */
-  def pull(entities: DataFrame, specs: Seq[PullSpec]): DataFrame = {
-    val ents = entities.select($"e").distinct()
+  def pull(entities: DataFrame, specs: Seq[PullSpec],
+      entitiesDistinct: Boolean = false): DataFrame = {
+    val ents =
+      if (entitiesDistinct) entities.select($"e")
+      else entities.select($"e").distinct()
     val flat = specs.collect { case p: PAttr => p }
     val others = specs.filterNot(_.isInstanceOf[PAttr])
 
@@ -278,7 +287,8 @@ class TripleStore(
       sortBy: Option[String] = None,
       desc: Boolean = false,
       limit: Option[Int] = None): DataFrame = {
-    val base = pull(matchEntities(pattern), specs)
+    // matchEntities output is distinct by construction
+    val base = pull(matchEntities(pattern), specs, entitiesDistinct = true)
     val sorted = sortBy match {
       case Some(k) => base.orderBy(if (desc) col(k).desc else col(k).asc)
       case None => base

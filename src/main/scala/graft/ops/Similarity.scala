@@ -24,17 +24,22 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Double-precision copy of a float vector column. */
-  private def toDouble(v: Column): Column =
-    transform(v, x => x.cast(DoubleType))
+  /** Double-precision copy of a float vector column — a native Cast
+    * (codegen'd), NOT a per-element transform lambda. */
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
+  private def toDouble(v: Column): Column = toDoubleVec(v)
 
+  /** Codegen'd native expressions (graft.functions.VectorExpressions):
+    * the zip_with/aggregate higher-order formulation is interpreted per
+    * element and dominates all-pairs similarity cost. Same accumulation
+    * order, bit-identical results. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotNative(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineNative(a, b)
 
   /** Exact top-k neighbors by cosine for each query vector.
     * Output: (queryIdCol, neighborIdCol, rank). Ties break on neighbor id

@@ -31,7 +31,9 @@ class TripleStoreSpec extends AnyFunSuite {
     val triples = graft.sources.DocIngest.flatten(docs, "cft",
       Seq("cft.seq:id", "cft.subject:id", "cft.timepoint:id"))
     val schemas = graft.sources.DocIngest.schemasFor(docs, "cft")
-    new TripleStore(spark, triples, schemas, preResolved = true)
+    // id-attr doc ingest re-asserts identical facts for shared entities —
+    // NOT preResolved (set-semantics dedup must run)
+    new TripleStore(spark, triples, schemas)
   }
 
   test("cft golden: nested pull of seqs with timepoint ids") {
