@@ -242,11 +242,17 @@ object SparkEntry {
       val docs = Tpch.raw(s, dir, "documents")
       val sh = docs.select(col("doc_id"), col("source"),
         graft.ops.Dedup.shingles(col("text")).as("sh"))
+        .withColumn("n", size(col("sh")))
       val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
-      val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
+      val uni = (col("a.n") + col("b.n")).cast("double") - inter
       sh.as("a").join(sh.as("b"),
           col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
+            col("a.doc_id") < col("b.doc_id") &&
+            // exact-preserving length prefilter: j ≥ t ⇒ min/max ≥ t, so
+            // pairs failing it can never reach the threshold — the
+            // expensive array_intersect never runs for them
+            least(col("a.n"), col("b.n")).cast("double") >=
+              greatest(col("a.n"), col("b.n")) * 0.3)
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
           round(inter / uni, 4).as("jaccard"))
         .where(col("jaccard") >= 0.3)
