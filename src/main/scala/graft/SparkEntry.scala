@@ -202,6 +202,30 @@ object SparkEntry {
         .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
     }),
 
+    // §2.6 window functions over pull output: rank orders per customer
+    "q37_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("custref")).orderBy(col("totalprice").desc, col("orderkey"))
+      Tpch.store(s, dir, "orders")
+        .pullMany(Seq(Triples.TypeAttr -> MEq("orders")),
+          Seq(PAttr("orders:orderkey"), PAttr("orders:custkey", Some("custref")),
+            PAttr("orders:totalprice")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("custref").as("custkey"), col("orderkey"),
+          col("totalprice"), col("rk").cast("long").as("rk"))
+    }),
+
+    // §2.6 rollup (grouping sets) over pull output
+    "q38_rollup" -> ((s, dir) =>
+      Tpch.store(s, dir, "orders")
+        .pullMany(Seq(Triples.TypeAttr -> MEq("orders")),
+          Seq(PAttr("orders:orderstatus"), PAttr("orders:orderpriority"),
+            PAttr("orders:totalprice")))
+        .rollup(col("orderstatus"), col("orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("totalprice")), 2).as("total"))),
+
     // W7/Q9: schema asserted IN-BAND as triples, introspected via datalog
     "q35_schema" -> ((s, dir) =>
       Tpch.store(s, dir, "customer").withSchemaAsserted
@@ -240,10 +264,13 @@ object SparkEntry {
     // non-selective; the LSH path (q21) is the scale answer.)
     "q23_ngram_jaccard" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents")
+      // pre-sorted shingle arrays → each pair's |∩| is ONE codegen'd merge
+      // pass (SortedIntersectSize), no per-pair hash-set builds
       val sh = docs.select(col("doc_id"), col("source"),
-        graft.ops.Dedup.shingles(col("text")).as("sh"))
+        sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
         .withColumn("n", size(col("sh")))
-      val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+      val inter = graft.functions.VectorFunctions
+        .sortedIntersectSize(col("a.sh"), col("b.sh")).cast("double")
       val uni = (col("a.n") + col("b.n")).cast("double") - inter
       sh.as("a").join(sh.as("b"),
           col("a.source") === col("b.source") &&
@@ -454,6 +481,16 @@ object SparkEntry {
         |   WHERE c_mktsegment = 'BUILDING') AS n_intersect,
         |  (SELECT count(*) FROM customer
         |   WHERE c_mktsegment = 'MACHINERY') AS n_except""".stripMargin,
+    "q37_window" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       o_totalprice AS totalprice,
+        |       row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders QUALIFY rk <= 2""".stripMargin,
+    "q38_rollup" ->
+      """SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q35_schema" ->
       """SELECT attr, card FROM (VALUES
         |  ('customer:acctbal', 'db.cardinality:one'),

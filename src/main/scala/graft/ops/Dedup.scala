@@ -79,13 +79,14 @@ object Dedup {
     * shingle arrays back and computes |∩|/|∪|. */
   def jaccardVerify(df: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol), shingles(col(textCol)).as("_sh"))
+    // sort once per doc → each pair's |∩| is one codegen'd merge pass
+    val sh = df.select(col(idCol), sort_array(shingles(col(textCol))).as("_sh"))
     candidates
       .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       // |∪| = |A|+|B|-|∩| for shingle sets: one array op per pair, not two
-      .withColumn("_inter",
-        size(array_intersect(col("_sh1"), col("_sh2"))).cast(DoubleType))
+      .withColumn("_inter", graft.functions.VectorFunctions
+        .sortedIntersectSize(col("_sh1"), col("_sh2")).cast(DoubleType))
       .withColumn("jaccard", round(col("_inter") /
         ((size(col("_sh1")) + size(col("_sh2"))).cast(DoubleType) - col("_inter")), 4))
       .where(col("jaccard") >= threshold)
