@@ -245,10 +245,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard verified (3-gram shingles)
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified (3-gram shingles).
+    // 32 bands × 2 rows: recall 1-(1-j²)^32 ≈ 0.9999 at j = 0.5, so the
+    // exact all-pairs oracle and the LSH path agree on this corpus.
     "q21_neardup_minhash" -> ((s, dir) =>
       graft.ops.Dedup.nearDupPairs(
-        Tpch.raw(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        k = 64, bands = 32, rowsPerBand = 2)),
 
     // 64-bit SimHash fingerprints (no SQL oracle: xxhash64-based)
     "q22_simhash" -> ((s, dir) =>
@@ -507,8 +510,10 @@ object SparkEntry {
     // q22_simhash / q25_ann_lsh intentionally omitted: xxhash64-derived
     // values are not reproducible in ANSI SQL (driver records the weaker
     // rows-only check for those).
+    // arg_min: the engine keeps the WHOLE min-id row, so companion columns
+    // must come from that row (not independent per-column mins)
     "q20_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, min(n_chars) AS n_chars
+      """SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars
         |FROM documents
         |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
     "q21_neardup_minhash" ->

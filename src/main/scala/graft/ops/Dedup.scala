@@ -87,10 +87,11 @@ object Dedup {
       // |∪| = |A|+|B|-|∩| for shingle sets: one array op per pair, not two
       .withColumn("_inter", graft.functions.VectorFunctions
         .sortedIntersectSize(col("_sh1"), col("_sh2")).cast(DoubleType))
-      .withColumn("jaccard", round(col("_inter") /
-        ((size(col("_sh1")) + size(col("_sh2"))).cast(DoubleType) - col("_inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .withColumn("_j", col("_inter") /
+        ((size(col("_sh1")) + size(col("_sh2"))).cast(DoubleType) - col("_inter")))
+      // filter on the RAW ratio (as the oracle does); round only in output
+      .where(col("_j") >= threshold)
+      .select(col("id1"), col("id2"), round(col("_j"), 4).as("jaccard"))
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.

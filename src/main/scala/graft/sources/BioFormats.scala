@@ -46,8 +46,11 @@ object BioFormats {
       .empty[(String, Option[String], Option[Double])]
     val s = newick.trim.stripSuffix(";")
 
-    def parseClade(parent: Option[String]): String = {
-      var children = List.empty[String]
+    // returns the clade's index in `out` — children are patched BY INDEX
+    // (duplicate clade names are legal in Newick; patching by name would
+    // reparent the first same-named entry anywhere in the tree)
+    def parseClade(parent: Option[String]): Int = {
+      var children = List.empty[Int]
       if (pos < s.length && s.charAt(pos) == '(') {
         pos += 1 // '('
         children ::= parseClade(None)
@@ -67,12 +70,10 @@ object BioFormats {
       }
       val name = if (name0.nonEmpty) name0 else { anon += 1; s"clade_$anon" }
       out += ((name, parent, len))
+      val idx = out.length - 1
       // fix up children's parent (they were parsed before we knew our name)
-      children.foreach { c =>
-        val i = out.indexWhere(_._1 == c)
-        out(i) = (out(i)._1, Some(name), out(i)._3)
-      }
-      name
+      children.foreach { i => out(i) = (out(i)._1, Some(name), out(i)._3) }
+      idx
     }
     parseClade(None)
     out.toSeq

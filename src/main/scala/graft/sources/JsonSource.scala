@@ -34,13 +34,19 @@ object JsonSource {
       .json(paths: _*)
       .withColumn("tripl.file:source", input_file_name())
       .cache()
-    val good = docs.where(col("_corrupt").isNull).drop("_corrupt")
-    val bad = docs.where(col("_corrupt").isNotNull)
-      .select(col("_corrupt").as("tripl.nestly:error"),
-        col("`tripl.file:source`").as("tripl.nestly:file"))
-    val goodT = DocIngest.flatten(good, ns, idAttrs)
-    val badT = DocIngest.flatten(bad, ns, Nil)
-    goodT.unionByName(badT)
+    // schema inference only materializes the corrupt-record column when at
+    // least one malformed record exists — on fully-valid input the column
+    // is absent and referencing it would throw UNRESOLVED_COLUMN
+    if (!docs.columns.contains("_corrupt")) DocIngest.flatten(docs, ns, idAttrs)
+    else {
+      val good = docs.where(col("_corrupt").isNull).drop("_corrupt")
+      val bad = docs.where(col("_corrupt").isNotNull)
+        .select(col("_corrupt").as("tripl.nestly:error"),
+          col("`tripl.file:source`").as("tripl.nestly:file"))
+      val goodT = DocIngest.flatten(good, ns, idAttrs)
+      val badT = DocIngest.flatten(bad, ns, Nil)
+      goodT.unionByName(badT)
+    }
   }
 
   /** S5 — the `--map-command` analogue (cli.py:20-23): stream every

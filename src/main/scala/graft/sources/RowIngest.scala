@@ -33,6 +33,20 @@ object RowIngest {
       keyCols: Seq[String],
       cols: Seq[ColSpec],
       refs: Seq[RefSpec]) {
+    /** The base-table expression producing exactly the value the triple
+      * encoding would carry for `attr` — including the cast to the triple
+      * value column's type (int → long, decimal → double, …), so a fused
+      * plan is bit-identical to the EAV round-trip. None when this table
+      * does not assert the attribute. Powers pull-to-scan fusion
+      * (TripleStore.fusedPullMany). */
+    def valueExpr(attr: String): Option[Column] =
+      if (attr == Triples.IdentAttr) Some(eidFor(table, keyCols.map(col)))
+      else if (attr == Triples.TypeAttr) Some(lit(table))
+      else cols.find(_.attr == attr).map(c =>
+        col(c.col).cast(Triples.schema(Triples.valueColFor(c.vtype)).dataType))
+        .orElse(refs.find(_.attr == attr).map(r =>
+          when(col(r.col).isNotNull, eid(r.targetTable, col(r.col)))))
+
     /** In-band attribute schemas: every ingested attr is cardinality-one
       * (relational rows are single-valued). */
     def attrSchemas: Map[String, graft.model.AttrSchema] = {

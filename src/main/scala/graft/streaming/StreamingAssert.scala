@@ -62,9 +62,15 @@ object StreamingAssert {
          state: GroupState[CardOneState]) =>
           val latest = rows.maxBy(_._4)
           val cur = state.getOption
-          if (cur.forall(c => latest._4 >= c.atMicros && latest._3 != c.value)) {
+          // ALWAYS advance state when latest wins — a re-assert of an
+          // equal value must still bump atMicros, or an older out-of-order
+          // value arriving later would incorrectly displace it. Only the
+          // EMISSION is gated on the value actually changing.
+          if (cur.forall(c => latest._4 >= c.atMicros)) {
             state.update(CardOneState(latest._3, latest._4))
-            Iterator(ResolvedFact(key._1, key._2, latest._3, latest._4))
+            if (cur.forall(_.value != latest._3))
+              Iterator(ResolvedFact(key._1, key._2, latest._3, latest._4))
+            else Iterator.empty
           } else Iterator.empty
       }
   }
