@@ -32,6 +32,33 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ pipelineQueries
 
+  /** customer/nation/region re-ingested under ONE self-referential ref
+    * attr (geo:parent) + shared scalars (geo:key, geo:name) — the shape
+    * '...' recursion needs: each level re-applies the same pull expr.
+    * Mirrors the reference's self-referential clade docs
+    * (nestly.py:67-83). */
+  private def geoStore(s: SparkSession, dir: String): TripleStore = {
+    import graft.sources.RowIngest._
+    val tables = Seq(
+      (Tpch.raw(s, dir, "customer"), TableSpec("geocustomer", Seq("c_custkey"),
+        Seq(ColSpec("c_custkey", "geo:key", Triples.VLong),
+          ColSpec("c_name", "geo:name", Triples.VStr)),
+        Seq(RefSpec("c_nationkey", "geo:parent", "geonation")))),
+      (Tpch.raw(s, dir, "nation"), TableSpec("geonation", Seq("n_nationkey"),
+        Seq(ColSpec("n_nationkey", "geo:key", Triples.VLong),
+          ColSpec("n_name", "geo:name", Triples.VStr)),
+        Seq(RefSpec("n_regionkey", "geo:parent", "georegion")))),
+      (Tpch.raw(s, dir, "region"), TableSpec("georegion", Seq("r_regionkey"),
+        Seq(ColSpec("r_regionkey", "geo:key", Triples.VLong),
+          ColSpec("r_name", "geo:name", Triples.VStr)), Nil)))
+    val triples = tables.map { case (df, sp) => tableToTriples(df, sp) }
+      .reduce(_ unionByName _)
+    val schemas = tables.map(_._2.attrSchemas).reduce(_ ++ _)
+    val src = graft.model.UnionTripleSource(
+      tables.map { case (df, sp) => TableSource(df, sp) })
+    new TripleStore(s, triples, schemas, preResolved = true, source = Some(src))
+  }
+
   def oracleSql: Map[String, String] = coreSql ++ pipelineSql
 
   /** Reference-surface operators (SURVEY.md §2.2-2.5). */
@@ -174,6 +201,18 @@ object SparkEntry {
               reverse = true, as = Some("custs"))))
         .select(col("name"), explode(col("custs")).as("c"))
         .select(col("name"), col("c.custkey").as("custkey"))),
+
+    // Q7e '...' recursive pull: re-apply the pull expr through a
+    // self-referential ref attr, data-driven depth (customer→nation→
+    // region chain ends after 2 hops → innermost parent is null)
+    "q18_pull_recursive" -> ((s, dir) =>
+      geoStore(s, dir)
+        .pullMany(Seq(Triples.TypeAttr -> MEq("geocustomer")),
+          Seq(PAttr("geo:key"), PRec("geo:parent", as = Some("parent"))))
+        .select(col("key"),
+          col("parent")(0)("key").as("parent_key"),
+          col("parent")(0)("parent")(0)("key").as("grandparent_key"),
+          col("parent")(0)("parent")(0)("parent").isNull.as("chain_ends"))),
 
     // GraphX connected components over the ref graph (component sizes)
     "q16_graph_cc" -> ((s, dir) => {
@@ -466,6 +505,14 @@ object SparkEntry {
     "q15_pull_rev_nested" ->
       """SELECT n_name AS name, c_custkey AS custkey
         |FROM nation JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+    "q18_pull_recursive" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS key,
+        |       CAST(n_nationkey AS BIGINT) AS parent_key,
+        |       CAST(r_regionkey AS BIGINT) AS grandparent_key,
+        |       TRUE AS chain_ends
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q16_graph_cc" ->
       """SELECT CAST(1 + nn + nc AS BIGINT) AS csize FROM (
         |  SELECT r_regionkey, count(DISTINCT n_nationkey) AS nn,

@@ -221,6 +221,15 @@ class TripleStore(
     val ents =
       if (entitiesDistinct) entities.select($"e")
       else entities.select($"e").distinct()
+    // Q7e '...' — resolve each recursive spec's ACTUAL depth over this
+    // entity set, then unroll to plain PNest levels (see PRec scaladoc).
+    if (specs.exists(_.isInstanceOf[PRec])) {
+      val expanded = specs.map {
+        case p: PRec => expandRec(specs, p, recDepth(ents, p))
+        case s => s
+      }
+      return pull(ents, expanded, entitiesDistinct = true)
+    }
     val flat = specs.collect { case p: PAttr => p }
     val others = specs.filterNot(_.isInstanceOf[PAttr])
 
@@ -401,6 +410,45 @@ class TripleStore(
       if (shared.nonEmpty) l.join(r, shared) else l.crossJoin(r)
     }
     joined.select(find.map(col): _*).distinct()
+  }
+
+  /** Unroll a recursive spec to `d` nested-descent levels: each level
+    * re-applies the WHOLE enclosing expression (the reference recurses
+    * with the base pull expr, tripl.py:708-721); at depth 0 the repeated
+    * / deepest entity renders as {'db:ident': eid} only. */
+  private def expandRec(fullSpecs: Seq[PullSpec], p: PRec, d: Int): PNest =
+    PNest(p.attr,
+      if (d <= 0) Seq(PAttr(Triples.IdentAttr))
+      else fullSpecs.map {
+        case q: PRec if q == p => expandRec(fullSpecs, p, d - 1)
+        case q => q // a DIFFERENT PRec re-expands in the child pull
+      },
+      p.reverse, Some(p.name))
+
+  /** Probe the actual recursion depth of `roots` through `p.attr`: BFS on
+    * the frontier SET only (no per-root bookkeeping — the probe needs one
+    * number, not provenance), visited-guarded so cycles terminate, capped
+    * at p.maxDepth. A handful of tiny scalar jobs at plan time — the same
+    * pattern as any iterative fixpoint on Spark. */
+  private def recDepth(roots: DataFrame, p: PRec): Int = {
+    val es0 = edgesFor(Some(Seq(p.attr)))
+    val es =
+      if (p.reverse) es0.select($"vref".as("_src"), $"e".as("_dst"))
+      else es0.select($"e".as("_src"), $"vref".as("_dst"))
+    var visited = roots.select($"e").localCheckpoint(eager = true)
+    var frontier = visited
+    var d = 0
+    while (d < p.maxDepth) {
+      val next = frontier.join(es, frontier("e") === es("_src"))
+        .select($"_dst".as("e")).distinct()
+        .join(visited, Seq("e"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) return d
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next
+      d += 1
+    }
+    d
   }
 
   // ---------------------------------------------------------------------

@@ -44,6 +44,20 @@ final case class PNest(attr: String, sub: Seq[PullSpec],
     reverse: Boolean = false, as: Option[String] = None) extends PullSpec {
   def name: String = as.getOrElse(PullSpec.suffix(attr) + (if (reverse) "_rev" else ""))
 }
+/** Q7e — recursive descent {attr: '...'}: re-apply the WHOLE enclosing
+  * pull expression through `attr`, transitively (tripl.py:637-650, impl
+  * 652-669, 708-721). Compiled by probing the ACTUAL recursion depth of
+  * the entity set with a BFS fixpoint, then unrolling to that many PNest
+  * levels — DataFrames need a static schema, so depth is resolved from
+  * the data at plan time rather than row-by-row. When the probe is cut
+  * short by a cycle (or by `maxDepth`), the innermost level renders the
+  * repeated entity as an ident-only doc {'db:ident': eid} — the
+  * reference's cycle short-circuit (tripl.py:663-665), detected globally
+  * rather than per-path. */
+final case class PRec(attr: String, maxDepth: Int = 20,
+    reverse: Boolean = false, as: Option[String] = None) extends PullSpec {
+  def name: String = as.getOrElse(PullSpec.suffix(attr) + (if (reverse) "_rev" else ""))
+}
 
 object PullSpec {
   def suffix(attr: String): String = {
