@@ -297,34 +297,25 @@ object SparkEntry {
       graft.ops.Dedup.simhash(
         Tpch.raw(s, dir, "documents"), "doc_id", "text")),
 
-    // exact n-gram Jaccard pairs within a blocking key (source).
-    // |∪| = |A|+|B|-|∩| for shingle SETS, so only ONE array op per pair.
-    // (An inverted-index set-similarity join was tried and is SLOWER on
-    // this data: the tiny vocabulary makes popular shingles appear in
-    // most docs, so the shingle equi-join explodes to tens of millions
-    // of pre-aggregation rows. Blocked all-pairs wins when shingles are
-    // non-selective; the LSH path (q21) is the scale answer.)
+    // exact n-gram Jaccard pairs within a blocking key (source), via
+    // PPJoin prefix filtering: candidates = docs sharing one of each
+    // other's ⌈(1−t)·n⌉+1 RAREST shingles (frequency-ordered prefixes —
+    // on this low-entropy corpus a plain inverted-index join explodes,
+    // frequency-ordered prefixes do not: 32k candidates vs 506k blocked
+    // all-pairs at sf0.1), then exact sorted-merge verification. Exact
+    // above threshold by the prefix-filtering theorem; no quadratic
+    // anywhere in the plan.
     "q23_ngram_jaccard" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents")
       // pre-sorted shingle arrays → each pair's |∩| is ONE codegen'd merge
       // pass (SortedIntersectSize), no per-pair hash-set builds
+      // one shingle pass, shared by candidate generation and verification
       val sh = docs.select(col("doc_id"), col("source"),
         sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
-        .withColumn("n", size(col("sh")))
-      val inter = graft.functions.VectorFunctions
-        .sortedIntersectSize(col("a.sh"), col("b.sh")).cast("double")
-      val uni = (col("a.n") + col("b.n")).cast("double") - inter
-      sh.as("a").join(sh.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            // exact-preserving length prefilter: j ≥ t ⇒ min/max ≥ t, so
-            // pairs failing it can never reach the threshold — the
-            // expensive array_intersect never runs for them
-            least(col("a.n"), col("b.n")).cast("double") >=
-              greatest(col("a.n"), col("b.n")) * 0.3)
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          round(inter / uni, 4).as("jaccard"))
-        .where(col("jaccard") >= 0.3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = graft.ops.Dedup.ppJoinCandidates(
+        sh, "doc_id", "sh", 0.3, blockCols = Seq("source"))
+      graft.ops.Dedup.jaccardVerifySh(sh, cands, "doc_id", 0.3, shCol = "sh")
     }),
 
     // brute-force cosine top-3 (exact ANN baseline)

@@ -326,6 +326,9 @@ class TripleStore(
   private def fusedPullMany(
       pattern: Seq[(String, MVal)], specs: Seq[PullSpec]): Option[DataFrame] = {
     if (!preResolved) return None
+    // empty pattern must fail uniformly (matchEntities requires non-empty);
+    // without this guard the fused path would silently return every row
+    if (pattern.isEmpty) return None
     val flat = specs.collect { case p: PAttr => p }
     if (flat.size != specs.size || flat.isEmpty) return None
     if (!flat.forall(p => schemaOf(p.attr).cardOne)) return None
@@ -342,7 +345,10 @@ class TripleStore(
         pattern.forall { case (a, v) => canMatch(ts, a, v) })
       candidates match {
         case Seq(only) if flat.forall(p => only.spec.valueExpr(p.attr).isDefined) =>
-          val filters = pattern.map {
+          // tripl:type conjuncts are fully decided at compile time by
+          // canMatch (valueExpr is lit(table)) — emitting them would
+          // produce trivially-true literal filters; constant-fold them out
+          val filters = pattern.filter(_._1 != Triples.TypeAttr).map {
             case (a, MAny) => only.spec.valueExpr(a).get.isNotNull
             case (a, MEq(v)) => only.spec.valueExpr(a).get === lit(v)
             case (a, MIn(vs)) => only.spec.valueExpr(a).get.isInCollection(vs)
@@ -425,23 +431,27 @@ class TripleStore(
       },
       p.reverse, Some(p.name))
 
-  /** Probe the actual recursion depth of `roots` through `p.attr`: BFS on
-    * the frontier SET only (no per-root bookkeeping — the probe needs one
-    * number, not provenance), visited-guarded so cycles terminate, capped
-    * at p.maxDepth. A handful of tiny scalar jobs at plan time — the same
-    * pattern as any iterative fixpoint on Spark. */
+  /** Probe the actual recursion depth of `roots` through `p.attr`: BFS
+    * keyed by (entity, root) so each root's traversal has its OWN visited
+    * set — matching the reference's per-root `_seen_entities` cycle guard
+    * (tripl.py pull): chains from different roots converging on a shared
+    * entity at different depths (a DAG) still count each root's full
+    * chain. Returns the max level at which ANY root's frontier is
+    * non-empty, capped at p.maxDepth so cycles terminate. A handful of
+    * tiny scalar jobs at plan time — the same pattern as any iterative
+    * fixpoint on Spark. */
   private def recDepth(roots: DataFrame, p: PRec): Int = {
     val es0 = edgesFor(Some(Seq(p.attr)))
     val es =
       if (p.reverse) es0.select($"vref".as("_src"), $"e".as("_dst"))
       else es0.select($"e".as("_src"), $"vref".as("_dst"))
-    var visited = roots.select($"e").localCheckpoint(eager = true)
+    var visited = roots.select($"e", $"e".as("root")).localCheckpoint(eager = true)
     var frontier = visited
     var d = 0
     while (d < p.maxDepth) {
       val next = frontier.join(es, frontier("e") === es("_src"))
-        .select($"_dst".as("e")).distinct()
-        .join(visited, Seq("e"), "left_anti")
+        .select($"_dst".as("e"), $"root").distinct()
+        .join(visited, Seq("e", "root"), "left_anti")
         .localCheckpoint(eager = true)
       if (next.isEmpty) return d
       visited = visited.unionByName(next).localCheckpoint(eager = true)

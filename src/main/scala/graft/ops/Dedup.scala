@@ -47,11 +47,17 @@ object Dedup {
   /** MinHash signature columns h0..h{k-1}: min over the doc's shingles of
     * xxhash64(seed_j, shingle). One explode + one groupBy for all k. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 32): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(shingles(col(textCol))).as("_sh"))
+      k: Int = 32): DataFrame =
+    minhashSignaturesSh(
+      df.select(col(idCol), shingles(col(textCol)).as("_sh")), idCol, k)
+
+  /** As [[minhashSignatures]] but over precomputed shingle arrays —
+    * lets one pipeline share the shingle pass with verification. */
+  def minhashSignaturesSh(sh: DataFrame, idCol: String, k: Int = 32,
+      shCol: String = "_sh"): DataFrame = {
+    val exploded = sh.select(col(idCol), explode(col(shCol)).as("_el"))
     val aggs = (0 until k).map(j =>
-      min(xxhash64(lit(j), col("_sh"))).as(s"h$j"))
+      min(xxhash64(lit(j), col("_el"))).as(s"h$j"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -78,31 +84,99 @@ object Dedup {
     * step that makes MinHash+LSH exact-above-threshold): joins the
     * shingle arrays back and computes |∩|/|∪|. */
   def jaccardVerify(df: DataFrame, candidates: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
-    // sort once per doc → each pair's |∩| is one codegen'd merge pass
-    val sh = df.select(col(idCol), sort_array(shingles(col(textCol))).as("_sh"))
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    jaccardVerifySh(
+      df.select(col(idCol), sort_array(shingles(col(textCol))).as("_sh")),
+      candidates, idCol, threshold)
+
+  /** As [[jaccardVerify]] but over precomputed SORTED shingle arrays
+    * (`shCol`) — lets one pipeline share the shingle pass between
+    * candidate generation and verification. */
+  def jaccardVerifySh(sh0: DataFrame, candidates: DataFrame,
+      idCol: String, threshold: Double, shCol: String = "_sh"): DataFrame = {
+    // sorted once per doc → each pair's |∩| is one codegen'd merge pass
+    val sh = sh0.select(col(idCol), col(shCol).as("_sh"),
+      size(col(shCol)).as("_n"))
     candidates
-      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), Seq("id1"))
-      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), Seq("id2"))
+      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1"),
+        col("_n").as("_n1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2"),
+        col("_n").as("_n2")), Seq("id2"))
+      // exactness-preserving size prefilter: j ≥ t ⇒ min/max set sizes ≥ t,
+      // so a pair failing the ratio can never reach the threshold — the
+      // per-pair merge intersect below never runs for hopeless pairs
+      .where(least(col("_n1"), col("_n2")).cast(DoubleType) >=
+        greatest(col("_n1"), col("_n2")) * threshold)
       // |∪| = |A|+|B|-|∩| for shingle sets: one array op per pair, not two
       .withColumn("_inter", graft.functions.VectorFunctions
         .sortedIntersectSize(col("_sh1"), col("_sh2")).cast(DoubleType))
       .withColumn("_j", col("_inter") /
-        ((size(col("_sh1")) + size(col("_sh2"))).cast(DoubleType) - col("_inter")))
+        ((col("_n1") + col("_n2")).cast(DoubleType) - col("_inter")))
       // filter on the RAW ratio (as the oracle does); round only in output
       .where(col("_j") >= threshold)
       .select(col("id1"), col("id2"), round(col("_j"), 4).as("jaccard"))
   }
 
+  /** PPJoin-style prefix-filtered candidate pairs for exact Jaccard ≥ t
+    * (Bayardo/Xiao prefix filtering): two sets with J ≥ t MUST share at
+    * least one element among each one's first |x| − ⌈t·|x|⌉ + 1 shingles
+    * under a fixed global order, so only docs sharing a PREFIX shingle
+    * ever pair. The global order is ascending document frequency — the
+    * prefix holds each doc's RAREST shingles, so the inverted-index
+    * self-join stays near-linear even on low-entropy corpora where a
+    * plain shingle join explodes (popular shingles land outside every
+    * prefix). This is the scale-safe EXACT alternative to both blocked
+    * all-pairs (quadratic) and MinHash banding (probabilistic recall).
+    *
+    * Input: `sh` with `idCol`, a shingle-array column `shCol`, and
+    * optional blocking columns that candidate pairs must share. Shuffles:
+    * one groupBy (frequency table), one window (per-doc rank), one
+    * equi-join on (shingle, blocks), one distinct — all key-partitioned,
+    * no cartesian anywhere. Output: distinct (id1, id2), id1 < id2,
+    * already size-ratio-filtered. */
+  def ppJoinCandidates(sh: DataFrame, idCol: String, shCol: String,
+      threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val ex = sh.select(col(idCol) +: blockCols.map(col) :+
+      size(col(shCol)).as("_n") :+ explode(col(shCol)).as("_s"): _*)
+    val freq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_s"))
+    // persisted: both sides of the self-join below read it, and the
+    // column renames defeat Spark's identical-subtree exchange reuse
+    val pref = ex.join(freq, Seq("_s"))
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= col("_n") - ceil(col("_n") * threshold) + 1)
+      .select(col(idCol) +: col("_n") +: col("_s") +: blockCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = pref.toDF(("id1" +: "_n1" +: "_s" +: blockCols): _*)
+    val r = pref.toDF(("id2" +: "_n2" +: "_s" +: blockCols): _*)
+    l.join(r, "_s" +: blockCols)
+      .where(col("id1") < col("id2") &&
+        least(col("_n1"), col("_n2")).cast(DoubleType) >=
+          greatest(col("_n1"), col("_n2")) * threshold)
+      .select(col("id1"), col("id2")).distinct()
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Default banding (16 bands × 2 rows) gives recall ≈ 1 - (1-j²)^16:
-    * >0.99999 for j ≥ 0.8, ~0.99 at j = 0.5. */
+    * >0.99999 for j ≥ 0.8, ~0.99 at j = 0.5.
+    *
+    * The sorted shingle arrays are computed ONCE and persisted
+    * (MEMORY_AND_DISK, same idiom as Spark ML's MinHashLSH) — the pass is
+    * shared by signature generation, the banding self-join, and exact
+    * verification, which would otherwise each recompute the shingle
+    * transform from the raw text. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, k: Int = 32,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k)
+    val sh = df.select(col(idCol),
+      sort_array(shingles(col(textCol))).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sigs feed BOTH sides of the banding self-join; the bucket-column
+    // rename defeats identical-subtree exchange reuse, so persist
+    val sigs = minhashSignaturesSh(sh, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
-    jaccardVerify(df, cands, idCol, textCol, threshold)
+    jaccardVerifySh(sh, cands, idCol, threshold)
   }
 
   /** 64-bit SimHash fingerprint over the doc's distinct tokens: bit b of

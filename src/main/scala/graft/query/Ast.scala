@@ -52,8 +52,10 @@ final case class PNest(attr: String, sub: Seq[PullSpec],
   * the data at plan time rather than row-by-row. When the probe is cut
   * short by a cycle (or by `maxDepth`), the innermost level renders the
   * repeated entity as an ident-only doc {'db:ident': eid} — the
-  * reference's cycle short-circuit (tripl.py:663-665), detected globally
-  * rather than per-path. */
+  * reference's cycle short-circuit (tripl.py:663-665). The probe is
+  * keyed per root (entity, root), mirroring the reference's per-root
+  * `_seen_entities`, so DAGs that share entities across roots at
+  * different depths still unroll each root's full chain. */
 final case class PRec(attr: String, maxDepth: Int = 20,
     reverse: Boolean = false, as: Option[String] = None) extends PullSpec {
   def name: String = as.getOrElse(PullSpec.suffix(attr) + (if (reverse) "_rev" else ""))

@@ -91,6 +91,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("ppJoin prefix candidates + verify match brute-force exact Jaccard") {
+    // mixed corpus: two planted near-dup clusters + noise docs sharing a
+    // popular token (stresses the frequency-ordered prefix: the popular
+    // shingle must not pair everything)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok30", "tokX")
+    val docs = Seq((1L, base), (2L, near), (3L, base + " extra trailing junk")) ++
+      (10 to 29).map(i => (i.toLong, s"common noise$i filler$i " * 5))
+    val df = docs.toDF("doc_id", "text")
+    val sh = df.select($"doc_id", sort_array(Dedup.shingles($"text")).as("sh"))
+    val t = 0.5
+    val cands = Dedup.ppJoinCandidates(sh, "doc_id", "sh", t)
+    val got = Dedup.jaccardVerifySh(sh, cands, "doc_id", t, shCol = "sh")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    // brute-force truth
+    val truth = Dedup.jaccardVerifySh(sh,
+        sh.select($"doc_id".as("id1")).crossJoin(sh.select($"doc_id".as("id2")))
+          .where($"id1" < $"id2"),
+        "doc_id", t, shCol = "sh")
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(got === truth)
+    assert(got.contains((1L, 2L)))
+  }
+
   test("LSH bucket join candidates are a subset of all pairs with dups found") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val df = ((1 to 20).map(i => (i.toLong, s"junk$i " * 30)) :+

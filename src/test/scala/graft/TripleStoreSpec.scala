@@ -150,6 +150,50 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(out === Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
 
+  test("PRec depth probe is per-root: DAG chains don't truncate (ADVICE r2)") {
+    // roots a,b; edges a→x, b→c→x. x is reached at depth 1 from a and
+    // depth 2 from b — NO cycle. A global visited set would stop the
+    // probe at depth 1 (x already seen) and render c's child x as the
+    // ident-only short-circuit doc; the per-root probe must find depth 2
+    // so b's full chain renders (mirrors tripl.py per-root _seen_entities).
+    val refs = Seq(("a", "r:next", "x"), ("b", "r:next", "c"), ("c", "r:next", "x"))
+    val refTriples = refs.toDF("e", "a", "vref")
+      .withColumn("vtype", lit(Triples.VRef))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val idents = Seq("a", "b", "c", "x").map(e => (e, Triples.IdentAttr, e, 0L))
+    val identTriples = idents.toDF("e", "a", "vstr", "txId")
+      .withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .select(Triples.columns.map(col): _*)
+    val ts = new TripleStore(spark, refTriples.unionByName(identTriples), Map(
+      "r:next" -> AttrSchema("r:next", cardOne = false, isRef = true, Triples.VRef),
+      Triples.IdentAttr -> AttrSchema(Triples.IdentAttr, cardOne = true,
+        isRef = false, Triples.VStr)))
+    val out = ts.pull(Seq("a", "b").toDF("e"),
+      Seq(PAttr(Triples.IdentAttr), PRec("r:next")))
+    // resolves only if the unroll reaches depth 2: x's doc under c still
+    // carries a 'next' field (full level), not the ident-only tail
+    val bRow = out.where($"e" === "b")
+      .select($"next"(0)("ident").as("c1"),
+        $"next"(0)("next")(0)("ident").as("x1"),
+        $"next"(0)("next")(0)("next").as("tail"))
+      .head()
+    assert(bRow.getString(0) === "c")
+    assert(bRow.getString(1) === "x")
+  }
+
   test("datalog: shared-variable join + constant filter (Q10)") {
     val ts = tinyStore(Seq(
       ("p1", "p:name", "ada", 0L), ("p1", "p:city", "london", 0L),
