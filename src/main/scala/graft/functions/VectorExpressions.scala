@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -142,6 +142,82 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign bits of `planes` (≤ 64) pseudo-random hyperplane projections of
+  * an array<double> vector, computed in ONE array traversal — the
+  * building block of hyperplane LSH (random-projection sign hashing).
+  * Plane weights are derived inline from a splitmix64-style finalizer of
+  * (firstPlane + p, dim): deterministic on every executor with zero
+  * broadcast/random state, so bucket assignments are reproducible across
+  * runs and cluster sizes. Replaces one interpreted `zip_with` +
+  * `aggregate` pass PER PLANE (128 passes for 16×8 banding) with at most
+  * ⌈planes/64⌉ codegen'd passes. */
+case class HyperplaneSignBits(child: Expression, planes: Int, firstPlane: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 64, "1..64 planes per word")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_hyperplane_sign_bits"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val proj = new Array[Double](planes)
+    var j = 0; val n = x.numElements()
+    while (j < n) {
+      val xv = x.getDouble(j)
+      var p = 0
+      while (p < planes) {
+        proj(p) += xv * HyperplaneSignBits.weight(firstPlane + p, j); p += 1
+      }
+      j += 1
+    }
+    var bits = 0L; var p = 0
+    while (p < planes) { if (proj(p) > 0) bits |= (1L << p); p += 1 }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val j = ctx.freshName("j"); val p = ctx.freshName("p")
+      val n = ctx.freshName("n"); val proj = ctx.freshName("proj")
+      val h = ctx.freshName("h"); val xv = ctx.freshName("xv")
+      val bits = ctx.freshName("bits")
+      s"""
+         |int $n = $x.numElements();
+         |double[] $proj = new double[$planes];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $xv = $x.getDouble($j);
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    long $h = (long)($firstPlane + $p) * 0x9E3779B97F4A7C15L
+         |            + (long)$j * 0xBF58476D1CE4E5B9L;
+         |    $h ^= ($h >>> 30); $h *= 0xBF58476D1CE4E5B9L;
+         |    $h ^= ($h >>> 27); $h *= 0x94D049BB133111EBL;
+         |    $h ^= ($h >>> 31);
+         |    $proj[$p] += $xv * ((double)($h % 1001L) / 1000.0);
+         |  }
+         |}
+         |long $bits = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  if ($proj[$p] > 0) $bits |= (1L << $p);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBits =
+    copy(child = newChild)
+}
+
+object HyperplaneSignBits {
+  /** splitmix64-style finalizer of (plane, dim) → weight in [-1, 1].
+    * MUST stay bit-identical to the generated-code version above. */
+  def weight(p: Int, j: Int): Double = {
+    var h = p.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L
+    h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+    h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+    h ^= (h >>> 31)
+    (h % 1001L).toDouble / 1000.0
+  }
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> (or float, auto-cast). */
   def dotNative(a: Column, b: Column): Column =
@@ -157,4 +233,10 @@ object VectorFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd hyperplane-LSH sign bits (≤ 64 planes per call) of an
+    * array<double> vector. */
+  def hyperplaneSignBits(vec: Column, planes: Int, firstPlane: Int = 0): Column =
+    ColumnBridge.column(HyperplaneSignBits(
+      ColumnBridge.expression(vec), planes, firstPlane))
 }

@@ -198,4 +198,8 @@ object Dedup {
       .reduce((a, b) => a.bitwiseOR(b))
     summed.select(col(idCol), fp.as("simhash"))
   }
+
+  /** Hamming distance between two 64-bit fingerprints (popcount of XOR) —
+    * the SimHash near-dup metric. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

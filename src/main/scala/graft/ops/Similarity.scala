@@ -59,32 +59,70 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Sign-bucket id from `planes` pseudo-random hyperplanes. Plane i's
-    * j-th coordinate is a deterministic hash-derived value in [-1, 1]. */
-  def lshBucket(vec: Column, planes: Int = 8): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) =>
-          x * (pmod(xxhash64(lit(p), j), lit(2001L)) - 1000L).cast(DoubleType)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  /** Sign-bucket id from `planes` (≤ 64) pseudo-random hyperplanes
+    * starting at plane index `firstPlane` — one codegen'd traversal
+    * (graft.functions.HyperplaneSignBits), deterministic across
+    * executors. Input must be array<double>. */
+  def lshBucket(vec: Column, planes: Int = 8, firstPlane: Int = 0): Column =
+    graft.functions.VectorFunctions.hyperplaneSignBits(vec, planes, firstPlane)
+
+  /** Banded multi-probe (band, bucket) rows for each input row: band b
+    * hashes planes [b·r, (b+1)·r), giving the standard OR-of-ANDs LSH
+    * recall curve 1-(1-p^r)^bands — same banding trick as MinHash LSH
+    * (Dedup.lshCandidates), applied to hyperplane signs.
+    *
+    * All bands' signs come from ⌈bands·r/64⌉ single-traversal codegen'd
+    * sign-bit words (HyperplaneSignBits), materialized as columns in
+    * their OWN projection before the per-band bit-slices reference them:
+    * building the slices over the raw expression would duplicate the
+    * full-vector traversal once per band (Generate has no common-
+    * subexpression elimination). `planesPerBand` must divide 64 so bands
+    * never straddle words. Output: input columns + `_bk` struct(band, bh),
+    * one row per (input row, band). */
+  private def explodeBandedBuckets(df: DataFrame, vecCol: String,
+      bands: Int, planesPerBand: Int, keep: Seq[String]): DataFrame = {
+    val r = planesPerBand
+    require(r >= 1 && r <= 64 && 64 % r == 0, "planesPerBand must divide 64")
+    val total = bands * r
+    val nWords = (total + 63) / 64
+    val withWords = df.select(keep.map(col) ++ (0 until nWords).map(wi =>
+      graft.functions.VectorFunctions.hyperplaneSignBits(
+        col(vecCol), math.min(64, total - wi * 64), wi * 64).as(s"_w$wi")): _*)
+    val mask = if (r == 64) -1L else (1L << r) - 1L
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(s"_w${b * r / 64}"), (b * r) % 64)
+          .bitwiseAND(lit(mask)).as("bh"))
+    }: _*)
+    withWords.select(keep.map(col) :+ explode(bandArr).as("_bk"): _*)
   }
 
-  /** Approximate top-k: score only corpus vectors in the query's LSH
-    * bucket. Scale path for when the cross product is infeasible;
-    * recall < 1 by construction (tune `planes` / multi-probe for more). */
+  /** Approximate top-k via banded multi-probe LSH: score only corpus
+    * vectors sharing at least one band bucket with the query. Scale path
+    * for when the cross product is infeasible. Recall per true neighbor
+    * is 1-(1-p^r)^b with p = 1 - θ/π; the defaults (32 bands × 2 planes)
+    * hold recall ≈ 1 even for weak neighbors (cos ≈ 0.3 → miss < 1e-6),
+    * trading pruning for fidelity — lower `bands` / raise `planesPerBand`
+    * on corpora whose neighbors are well above the noise floor. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+      vecCol: String, k: Int, bands: Int = 32, planesPerBand: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("_cv"))
-      .withColumn("_bkt", lshBucket(col("_cv"), planes))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("_qv"))
-      .withColumn("_bkt", lshBucket(col("_qv"), planes))
-    val scored = c.join(broadcast(q), Seq("_bkt"))
+    val cb = explodeBandedBuckets(c, "_cv", bands, planesPerBand,
+      keep = Seq("neighbor_id"))
+    val qb = explodeBandedBuckets(q, "_qv", bands, planesPerBand,
+      keep = Seq("query_id"))
+    // candidate IDs only through the dedup shuffle — vectors re-attach
+    // after, so the wide embedding arrays never ride the candidate rows
+    val candIds = cb.join(broadcast(qb), Seq("_bk"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candIds
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
       .withColumn("_sim", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id").asc)
@@ -93,19 +131,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ thresh)
-    * restricted to LSH-bucket collisions — the embedding analogue of
-    * MinHash near-dup. */
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ thresh):
+    * banded multi-probe LSH candidates, then EXACT cosine verification —
+    * the embedding analogue of MinHash+LSH+exact-Jaccard near-dup
+    * (Dedup.nearDupPairs). No cartesian anywhere: candidates come from
+    * the (band, bucket) equi-join. The defaults (16 bands × 8 planes)
+    * target HIGH thresholds (near-dup detection, cos ≥ ~0.9, recall
+    * ≥ 0.9998); hyperplane LSH fundamentally cannot prune at mid
+    * thresholds on isotropic data — for exact mid-threshold joins use
+    * the brute path and accept Ω(n²). */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 6): DataFrame = {
+      threshold: Double, bands: Int = 16, planesPerBand: Int = 8): DataFrame = {
     val v = df.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
-      .withColumn("_bkt", lshBucket(col("_v"), planes))
-    val l = v.select(col("_id").as("id1"), col("_v").as("_v1"), col("_bkt"))
-    val r = v.select(col("_id").as("id2"), col("_v").as("_v2"), col("_bkt"))
-    l.join(r, Seq("_bkt")).where(col("id1") < col("id2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = explodeBandedBuckets(v, "_v", bands, planesPerBand,
+      keep = Seq("_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate IDs only through the bucket join + dedup; vectors
+    // re-attach for the exact verify
+    val candIds = b.select(col("_id").as("id1"), col("_bk"))
+      .join(b.select(col("_id").as("id2"), col("_bk")), Seq("_bk"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    candIds
+      .join(v.select(col("_id").as("id1"), col("_v").as("_v1")), Seq("id1"))
+      .join(v.select(col("_id").as("id2"), col("_v").as("_v2")), Seq("id2"))
       .withColumn("cos", cosine(col("_v1"), col("_v2")))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
-      .distinct()
   }
 }

@@ -115,6 +115,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  test("banded cosine LSH near-dups match brute force on planted dups") {
+    // 2 planted near-dup pairs (scaled copies, cos = 1) + noise vectors
+    val rnd = new scala.util.Random(7)
+    val noise = (0 until 30).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = Seq(
+      (100L, noise(0)._2.map(_ * 2f)), (101L, noise(1)._2.map(_ * 3f)))
+    val df = (noise ++ planted).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDups(df, "vec_id", "embedding", 0.95)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    import graft.ops.Similarity.{cosine, toDoubleVec}
+    val v = df.select($"vec_id", toDoubleVec($"embedding").as("v"))
+    val truth = v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
+      .where(cosine($"a.v", $"b.v") >= 0.95)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    assert(got === truth)
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)))
+  }
+
+  test("banded lshTopK reproduces exact bruteTopK at high-recall banding") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 5)
+    val exact = Similarity.bruteTopK(df, q, "vec_id", "embedding", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val approx = Similarity.lshTopK(df, q, "vec_id", "embedding", 3,
+      bands = 32, planesPerBand = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(approx === exact)
+  }
+
   test("LSH bucket join candidates are a subset of all pairs with dups found") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val df = ((1 to 20).map(i => (i.toLong, s"junk$i " * 30)) :+
