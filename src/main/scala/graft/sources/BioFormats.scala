@@ -80,14 +80,19 @@ object BioFormats {
   }
 
   /** Newick → triples: clade entities with bio.clade:name,
-    * bio.clade:parent (ref), bio.clade:length. */
+    * bio.clade:parent (ref), bio.clade:length. The parent is emitted as a
+    * nested SELF-REFERENTIAL doc {bio.clade:name: parent} — entity
+    * resolution unifies the child-doc stub with the parent clade's own
+    * entity (same id attribute ⇒ same eid), so the parent edge is a real
+    * typed ref traversable by pull/match/Entity, exactly the reference's
+    * self-referential clade shape (nestly.py:67-83). */
   def newickTriples(spark: SparkSession, newick: String): DataFrame = {
     import spark.implicits._
     val docs = parseNewick(newick)
       .toDF("bio.clade:name", "_parent", "bio.clade:length")
       .withColumn("bio.clade:parent",
         when(col("_parent").isNotNull,
-          md5(concat(lit("bio.clade:name="), col("_parent")))))
+          struct(col("_parent").as("bio.clade:name"))))
       .drop("_parent")
     DocIngest.flatten(docs, "bio", Seq("bio.clade:name"))
   }

@@ -47,7 +47,9 @@ class SourcesSpec extends AnyFunSuite {
     val t = BioFormats.newickTriples(spark, "((A,B)AB,C)root;")
     val ts = new TripleStore(spark, t,
       Map("bio.clade:name" -> graft.model.AttrSchema("bio.clade:name",
-        cardOne = true, isRef = false, graft.model.Triples.VStr)))
+        cardOne = true, isRef = false, graft.model.Triples.VStr),
+        "bio.clade:parent" -> graft.model.AttrSchema("bio.clade:parent",
+          cardOne = true, isRef = true, graft.model.Triples.VRef)))
     // child name → parent name through the parent eid
     val out = ts.datalog(Seq("?c", "?pn"), Seq(
       ("?x", "bio.clade:name", "?c"),
