@@ -40,7 +40,9 @@ class Entity(val store: TripleStore, val eid: String,
   def apply(key: String): Seq[Any] = {
     val a = attrOf(key)
     if (isReverse(a))
-      store.edges.where($"a" === forwardAttr(a) && $"vref" === eid)
+      // refEdges: declared-ref VAE probe, or the lazy AEV scan for
+      // undeclared attrs (tripl.py:175-181)
+      store.refEdges(forwardAttr(a)).where($"vref" === eid)
         .select($"e").as[String].collect().toSeq.sorted
     else {
       val rows = store.resolved.where($"e" === eid && $"a" === a)
@@ -55,10 +57,11 @@ class Entity(val store: TripleStore, val eid: String,
     * attrs unwrap; card-many takes the first (sorted for determinism). */
   def one(key: String): Option[Any] = apply(key).headOption
 
-  /** Referenced child entities through a (declared or lazy) ref attr. */
+  /** Referenced child entities through a (declared or lazy) ref attr
+    * (tripl.py:184-188). */
   def refs(key: String): Seq[Entity] = {
     val a = attrOf(key)
-    store.edges.where($"e" === eid && $"a" === a)
+    store.refEdges(a).where($"e" === eid)
       .select($"vref").as[String].collect().toSeq.sorted
       .map(new Entity(store, _, namespace))
   }

@@ -114,6 +114,16 @@ object SparkEntry {
         .select(col("e"),
           size(map_keys(col("attrs"))).cast("long").as("n_attrs"))),
 
+    // Q7b wildcard EXCLUSION: '*' fills only attrs the pull expression
+    // does not already project (tripl.py:684-687) — region:name is pulled
+    // explicitly, so the wildcard map has one fewer key than q06's
+    "q47_pull_wildcard_excl" -> ((s, dir) =>
+      Tpch.store(s, dir, "region")
+        .pullMany(Seq(Triples.TypeAttr -> MEq("region")),
+          Seq(PAttr("region:name"), PWild))
+        .select(col("name"),
+          size(map_keys(col("attrs"))).cast("long").as("n_attrs"))),
+
     // W1 cardinality-one upsert: re-assert at txId=1 → latest wins
     "q07_upsert" -> ((s, dir) => {
       val ts = Tpch.store(s, dir, "customer")
@@ -557,6 +567,30 @@ object SparkEntry {
       s.read.json(piped).select(col("event_id"), col("event_type"))
     }),
 
+    // lazy refs (db.refs:lazy, reference default-on): cust:nation is a
+    // plain STRING attr — never declared as a ref — whose values happen
+    // to be nation entity ids; match's nested sub-pattern AND pull's
+    // nested descent must traverse it anyway (tripl.py:184-188, 320)
+    "q46_lazy_ref" -> ((s, dir) => {
+      val natDocs = Tpch.raw(s, dir, "nation")
+        .select(col("n_nationkey").as("nat:key"), col("n_name").as("nat:name"))
+      val custDocs = Tpch.raw(s, dir, "customer")
+        .select(col("c_custkey").as("cust:key"),
+          md5(concat(lit("nat:key="), col("c_nationkey").cast("string")))
+            .as("cust:nation"))
+      val triples = graft.sources.DocIngest.flatten(natDocs, "nat", Seq("nat:key"))
+        .unionByName(graft.sources.DocIngest.flatten(custDocs, "cust", Seq("cust:key")))
+      val schemas = graft.sources.DocIngest.schemasFor(natDocs, "nat") ++
+        graft.sources.DocIngest.schemasFor(custDocs, "cust")
+      val ts = new TripleStore(s, triples, schemas)
+      ts.pullMany(
+          Seq("cust:nation" -> MSub(Seq("nat:name" -> MEq("GERMANY")))),
+          Seq(PAttr("cust:key"),
+            PNest("cust:nation", Seq(PAttr("nat:name", Some("nname"))))))
+        .select(col("key"), explode(col("nation")).as("n"))
+        .select(col("key"), col("n.nname").as("nation_name"))
+    }),
+
     // S7 Newick tree parse → self-referential clade entities → nested pull
     "q45_newick" -> ((s, dir) => {
       val ts = {
@@ -594,6 +628,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q44_map_command" ->
       "SELECT event_id, event_type FROM events",
+    "q46_lazy_ref" ->
+      """SELECT c_custkey AS key, n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'GERMANY'""".stripMargin,
     "q45_newick" ->
       """SELECT name, length, parent FROM (VALUES
         |  ('A',    CAST(0.1 AS DOUBLE), 'AB'),
@@ -631,6 +669,9 @@ object SparkEntry {
     "q07_upsert" ->
       """SELECT c_custkey AS custkey, c_acctbal + 100.0 AS acctbal
         |FROM customer""".stripMargin,
+    "q47_pull_wildcard_excl" ->
+      """SELECT r_name AS name, CAST(3 AS BIGINT) AS n_attrs
+        |FROM region""".stripMargin,
     "q08_retract" ->
       """SELECT c_custkey AS custkey, CAST(NULL AS DOUBLE) AS acctbal
         |FROM customer""".stripMargin,

@@ -50,7 +50,14 @@ class TripleStore(
       * attributes' triples — the EAV analogue of columnar pruning (see
       * model.TripleSource). Write ops drop it (derived stores fall back
       * to filtering the materialized relation). */
-    val source: Option[graft.model.TripleSource] = None) {
+    val source: Option[graft.model.TripleSource] = None,
+    /** db.refs:lazy — the reference's DEFAULT-ON behavior ("refs need not
+      * be declared", tripl.py:320, 184-188): an attr NOT declared as a
+      * ref still traverses in match/pull/Entity access wherever its
+      * string value is a known entity id. Declared-ref attrs always use
+      * the typed edges; the lazy derivation only runs for undeclared
+      * attrs a query actually traverses. */
+    val lazyRefs: Boolean = true) {
   import spark.implicits._
 
   /** Pruned scan for the given attributes: generate-only-what's-asked
@@ -61,13 +68,49 @@ class TripleStore(
     case _ => resolved.where($"a".isInCollection(attrs))
   }
 
-  /** Ref-edge projection restricted to `attrs` (None = all edges). */
+  /** Ref-edge projection restricted to `attrs` (None = all DECLARED
+    * edges). Attrs declared ref-typed read the typed edges; the rest get
+    * the lazy-ref derivation (when enabled) — per-attr, so queries that
+    * only touch declared refs never pay for it. */
   private def edgesFor(attrs: Option[Seq[String]]): DataFrame = attrs match {
-    case Some(as) => scanFor(as)
-      .where($"vtype" === Triples.VRef && $"vref".isNotNull)
-      .select($"e", $"a", $"vref")
+    case Some(as) =>
+      // ref-TYPED facts are edges regardless of declaration (doc ingest
+      // emits vref facts for struct children even when no schema names
+      // the attr); the lazy derivation additionally promotes STRING facts
+      // of non-declared attrs whose values are known eids
+      val typed = scanFor(as)
+        .where($"vtype" === Triples.VRef && $"vref".isNotNull)
+        .select($"e", $"a", $"vref")
+      val lzyAttrs = as.filter(a => !schemaOf(a).isRef &&
+        a != Triples.IdentAttr && a != Triples.TypeAttr)
+      if (!lazyRefs || lzyAttrs.isEmpty) typed
+      else typed.unionByName(lazyEdgesFor(lzyAttrs))
     case None => edges
   }
+
+  /** Lazy ref edges (tripl.py:184-188): the attrs' STRING facts
+    * semi-joined against the store's entity-id set — only values that ARE
+    * known eids become edges. db:ident is excluded (every entity
+    * self-asserts its eid as a string fact; treating it as an edge would
+    * put a self-loop on every entity). Per-fact semantics: a fact whose
+    * value is an eid traverses even if a sibling value of the same
+    * (e, attr) is not (the reference's Entity accessor checks all-values
+    * per entity; the set-at-a-time relaxation only differs on mixed
+    * eid/non-eid value sets, where non-eid values cannot resolve to
+    * entities anyway). */
+  private def lazyEdgesFor(attrs: Seq[String]): DataFrame = {
+    val strFacts = scanFor(attrs)
+      .where($"vtype" === Triples.VStr && $"vstr".isNotNull)
+      .select($"e", $"a", $"vstr")
+    val ids = resolved.select($"e".as("vstr")).distinct()
+    strFacts.join(ids, Seq("vstr"), "left_semi")
+      .select($"e", $"a", $"vstr".as("vref"))
+  }
+
+  /** Public per-attr ref edges (declared OR lazy) — Entity access and
+    * graph extraction route through this so undeclared refs traverse
+    * uniformly. */
+  def refEdges(attr: String): DataFrame = edgesFor(Some(Seq(attr)))
 
   private def schemaOf(attr: String): AttrSchema =
     schemas.getOrElse(attr, AttrSchema(attr, cardOne = false, isRef = false, Triples.VStr))
@@ -110,13 +153,14 @@ class TripleStore(
 
   /** Assert a batch of triples (append; resolution happens at read). */
   def assertTriples(batch: DataFrame): TripleStore =
-    new TripleStore(spark, triples.unionByName(batch), schemas)
+    new TripleStore(spark, triples.unionByName(batch), schemas,
+      lazyRefs = lazyRefs)
 
   /** Graph merge (W5, tripl.py:526-529): set union of two stores. Correct
     * because entity ids are globally unique strings (vision.md:62). */
   def merge(other: TripleStore): TripleStore =
     new TripleStore(spark, triples.unionByName(other.triples),
-      schemas ++ other.schemas)
+      schemas ++ other.schemas, lazyRefs = lazyRefs && other.lazyRefs)
 
   /** Retraction (W6) with clean semantics: anti-join on the fact identity
     * columns. `pattern` columns must be a subset of factCols. */
@@ -124,13 +168,14 @@ class TripleStore(
     val keys = pattern.columns.toSeq
     // removing facts preserves the resolution invariants
     new TripleStore(spark,
-      triples.join(pattern, keys, "left_anti"), schemas, preResolved)
+      triples.join(pattern, keys, "left_anti"), schemas, preResolved,
+      lazyRefs = lazyRefs)
   }
 
   /** Retract everything matching an attribute predicate. */
   def retractWhere(cond: Column): TripleStore =
     new TripleStore(spark, triples.where(!coalesce(cond, lit(false))),
-      schemas, preResolved)
+      schemas, preResolved, lazyRefs = lazyRefs)
 
   /** W7/Q9 — the attribute schema rendered IN-BAND as triples, exactly as
     * the reference stores it: attribute entities carrying db:cardinality
@@ -246,10 +291,21 @@ class TripleStore(
       relevant.groupBy($"e").agg(aggs.head, aggs.tail: _*)
     }
 
+    // '*' excludes attrs the pull expression already projects explicitly
+    // (tripl.py:684-687: wildcard fills only keys not already pulled)
+    val explicitAttrs = specs.collect {
+      case p: PAttr => p.attr
+      case p: PNest if !p.reverse => p.attr
+      case p: PRec if !p.reverse => p.attr
+    }
     val otherDfs: Seq[DataFrame] = others.map {
       case PWild =>
         // attr → sorted [values as string] map (dynamic schema, Q7b)
-        resolved.join(ents, Seq("e"), "left_semi")
+        val base = resolved.join(ents, Seq("e"), "left_semi")
+        val scoped =
+          if (explicitAttrs.isEmpty) base
+          else base.where(!$"a".isInCollection(explicitAttrs))
+        scoped
           .groupBy($"e", $"a")
           .agg(sort_array(collect_set(Triples.valueAsString())).as("vs"))
           .groupBy($"e")
@@ -377,6 +433,23 @@ class TripleStore(
     // matchEntities output is distinct by construction
     val base = fusedPullMany(pattern, specs).getOrElse(
       pull(matchEntities(pattern), specs, entitiesDistinct = true))
+    sortLimit(base, sortBy, desc, limit)
+  }
+
+  /** Q8 — pull_many over an EXPLICIT eid list (tripl.py:729: pull_many
+    * accepts eids directly, not just a match pattern). */
+  def pullManyIds(
+      eids: Seq[String],
+      specs: Seq[PullSpec],
+      sortBy: Option[String] = None,
+      desc: Boolean = false,
+      limit: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    sortLimit(pull(eids.toDF("e"), specs), sortBy, desc, limit)
+  }
+
+  private def sortLimit(base: DataFrame, sortBy: Option[String],
+      desc: Boolean, limit: Option[Int]): DataFrame = {
     val sorted = sortBy match {
       case Some(k) => base.orderBy(if (desc) col(k).desc else col(k).asc)
       case None => base
@@ -494,5 +567,44 @@ class TripleStore(
       i += 1
     }
     visited
+  }
+}
+
+object TripleStore {
+  /** W8 — store bootstrap with the reference's config precedence
+    * (tripl.py:337-346): explicit kwargs > in-band schema facts >
+    * defaults (cardinality-many, lazy refs ON).
+    *
+    * In-band schema = attribute entities carrying `db:cardinality` /
+    * `db:valueType` string facts (the shape `schemaTriples` writes and
+    * the reference's assert_schema produces, tripl.py:281-297), plus an
+    * optional `db.refs:lazy` boolean fact on the well-known `db:schema`
+    * entity. Schema facts are plan-time metadata (a few rows per attr) —
+    * collecting them to the driver mirrors the reference's schema_pull
+    * and is the one place a driver-side read is the right call. */
+  def bootstrap(spark: SparkSession, facts: DataFrame,
+      schema: Map[String, AttrSchema] = Map.empty,
+      lazyRefs: Option[Boolean] = None): TripleStore = {
+    import spark.implicits._
+    val rows = facts
+      .where(col("a").isInCollection(Seq("db:cardinality", "db:valueType")))
+      .select(col("e"), col("a"), col("vstr")).collect()
+    val inBand: Map[String, AttrSchema] = rows.groupBy(_.getString(0)).map {
+      case (attr, rs) =>
+        val card = rs.find(_.getString(1) == "db:cardinality").map(_.getString(2))
+        val vt = rs.find(_.getString(1) == "db:valueType").map(_.getString(2))
+        val isRef = vt.contains("db.type:ref")
+        val vtype =
+          if (isRef) Triples.VRef
+          else vt.map(_.stripPrefix("db.type:")).getOrElse(Triples.VStr)
+        attr -> AttrSchema(attr,
+          cardOne = card.contains("db.cardinality:one"), isRef, vtype)
+    }
+    val inBandLazy = facts
+      .where(col("e") === "db:schema" && col("a") === "db.refs:lazy" &&
+        col("vbool").isNotNull)
+      .select(col("vbool")).as[Boolean].collect().headOption
+    new TripleStore(spark, facts, inBand ++ schema,
+      lazyRefs = lazyRefs.orElse(inBandLazy).getOrElse(true))
   }
 }

@@ -1,0 +1,198 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.TripleStore
+import graft.model.AttrSchema
+import graft.query._
+import graft.sources.{DocIngest, JsonSource}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** The `tripl` CLI surface (cli.py:72-115) on the Spark engine:
+  *
+  *   graft.tools.Cli join -i in.json ... [-s SCHEMA] [-I id,attrs]
+  *                        [-m CMD] [-n NS] -o out
+  *   graft.tools.Cli pull -i in.json ... [-p PULL_EXPR]
+  *                        (-e ENTITY_PATTERN | -E eid,eid,...) -o out
+  *
+  * `join` ingests the inputs (optionally mapping each line through an
+  * external command, cli.py:20-23) and dumps the store as EAV JSON lines;
+  * `pull` ingests and pulls. JSON argument shapes match the reference's
+  * python API: pull exprs are arrays of attrs / "*" / "ns:_attr" /
+  * {attr: subexpr} / {attr: "..."}; entity patterns are conjunctive
+  * {attr: scalar | [in-list] | {sub-pattern}} maps. Output is JSON LINES
+  * (one doc per line) rather than one indented array — the distributed
+  * rendering of the same data; `-o -` collects to stdout (driver-side,
+  * interactive convenience like the reference's /dev/stdout default).
+  * `-P/--processes` is accepted-and-ignored: executor parallelism comes
+  * from the Spark master, not a process pool. */
+object Cli {
+  private val mapper = new ObjectMapper()
+
+  private case class Args(
+      sub: String,
+      inputs: Seq[String] = Nil,
+      output: String = "-",
+      schema: Option[String] = None,
+      idAttrs: Seq[String] = Nil,
+      mapCommand: Option[String] = None,
+      ns: String = "tripl",
+      pullExpr: String = """["*"]""",
+      entityPattern: Option[String] = None,
+      entities: Option[Seq[String]] = None)
+
+  private def parseArgs(argv: Array[String]): Args = {
+    require(argv.nonEmpty && Seq("join", "pull").contains(argv(0)),
+      "usage: Cli {join|pull} -i inputs... [-p expr] [-e pattern | -E ids] -o out")
+    var a = Args(argv(0))
+    var i = 1
+    def isFlag(s: String) = s.startsWith("-") && s.length > 1 && !s.forall(_.isDigit)
+    while (i < argv.length) {
+      argv(i) match {
+        case "-i" | "--inputs" =>
+          val start = i + 1; var j = start
+          while (j < argv.length && !isFlag(argv(j))) j += 1
+          a = a.copy(inputs = argv.slice(start, j).toSeq); i = j
+        case "-o" | "--output" => a = a.copy(output = argv(i + 1)); i += 2
+        case "-s" | "--schema" => a = a.copy(schema = Some(argv(i + 1))); i += 2
+        case "-I" | "--id-attrs" =>
+          a = a.copy(idAttrs = argv(i + 1).split(",").toSeq); i += 2
+        case "-m" | "--map-command" =>
+          a = a.copy(mapCommand = Some(argv(i + 1))); i += 2
+        case "-n" | "--default-namespace" => a = a.copy(ns = argv(i + 1)); i += 2
+        case "-p" | "--pull-expr" => a = a.copy(pullExpr = argv(i + 1)); i += 2
+        case "-e" | "--entity-pattern" =>
+          a = a.copy(entityPattern = Some(argv(i + 1))); i += 2
+        case "-E" | "--entities" =>
+          a = a.copy(entities = Some(argv(i + 1).split(",").toSeq)); i += 2
+        case "-P" | "--processes" => i += 2 // parallelism comes from Spark
+        case other => sys.error(s"unknown argument: $other")
+      }
+    }
+    require(a.inputs.nonEmpty, "no -i inputs given")
+    a
+  }
+
+  // ---- JSON → query ASTs (the reference's python-literal shapes) ----
+
+  private def isReverse(attr: String): Boolean = {
+    val i = attr.indexOf(':')
+    i >= 0 && attr.length > i + 1 && attr.charAt(i + 1) == '_'
+  }
+  private def forwardAttr(attr: String): String = {
+    val i = attr.indexOf(':')
+    attr.substring(0, i + 1) + attr.substring(i + 2)
+  }
+
+  def parsePullExpr(json: String): Seq[PullSpec] =
+    pullSpecs(mapper.readTree(json))
+
+  private def pullSpecs(n: JsonNode): Seq[PullSpec] = {
+    require(n.isArray, s"pull expr must be a JSON array, got $n")
+    n.elements().asScala.toSeq.flatMap {
+      case t if t.isTextual && t.asText == "*" => Seq(PWild)
+      case t if t.isTextual && isReverse(t.asText) =>
+        Seq(PRevIds(forwardAttr(t.asText)))
+      case t if t.isTextual => Seq(PAttr(t.asText))
+      case o if o.isObject =>
+        o.fields().asScala.toSeq.map { e =>
+          val (attr, v) = (e.getKey, e.getValue)
+          val (fwd, rev) =
+            if (isReverse(attr)) (forwardAttr(attr), true) else (attr, false)
+          if (v.isTextual && v.asText == "...") PRec(fwd, reverse = rev)
+          else PNest(fwd, pullSpecs(v), reverse = rev)
+        }
+      case other => sys.error(s"bad pull spec element: $other")
+    }
+  }
+
+  private def scalar(v: JsonNode): Any =
+    if (v.isTextual) v.asText
+    else if (v.isIntegralNumber) v.asLong
+    else if (v.isNumber) v.asDouble
+    else if (v.isBoolean) v.asBoolean
+    else sys.error(s"bad scalar: $v")
+
+  def parsePattern(json: String): Seq[(String, MVal)] =
+    matchPattern(mapper.readTree(json))
+
+  private def matchPattern(n: JsonNode): Seq[(String, MVal)] = {
+    require(n.isObject, s"entity pattern must be a JSON object, got $n")
+    n.fields().asScala.toSeq.map { e =>
+      val v = e.getValue
+      e.getKey -> (
+        if (v.isArray) MIn(v.elements().asScala.toSeq.map(scalar))
+        else if (v.isObject) MSub(matchPattern(v))
+        else MEq(scalar(v)))
+    }
+  }
+
+  def parseSchema(json: String): Map[String, AttrSchema] =
+    mapper.readTree(json).fields().asScala.map { e =>
+      val spec = e.getValue
+      val card = Option(spec.get("db:cardinality")).map(_.asText)
+      val vt = Option(spec.get("db:valueType")).map(_.asText)
+      val isRef = vt.contains("db.type:ref")
+      e.getKey -> AttrSchema(e.getKey,
+        cardOne = card.contains("db.cardinality:one"), isRef = isRef,
+        vtype = if (isRef) graft.model.Triples.VRef
+          else vt.map(_.stripPrefix("db.type:"))
+            .getOrElse(graft.model.Triples.VStr))
+    }.toMap
+
+  // ---- ingest + subcommands ----
+
+  private def ingest(spark: SparkSession, a: Args): TripleStore = {
+    val triples = a.mapCommand match {
+      case Some(cmd) =>
+        // cli.py:20-23's process pool, distributed: every executor pipes
+        // its partition's lines through the command
+        val mapped = JsonSource.mapCommand(
+          spark.read.textFile(a.inputs: _*), cmd)
+        DocIngest.flatten(spark.read.json(mapped), a.ns, a.idAttrs)
+      case None => JsonSource.loadFacts(spark, a.ns, a.idAttrs, a.inputs: _*)
+    }
+    TripleStore.bootstrap(spark, triples,
+      schema = a.schema.map(parseSchema).getOrElse(Map.empty))
+  }
+
+  private def writeOut(df: org.apache.spark.sql.DataFrame, out: String): Unit =
+    if (out == "-" || out == "/dev/stdout")
+      df.toJSON.collect().foreach(println)
+    else df.write.mode("overwrite").json(out)
+
+  def run(spark: SparkSession, argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val ts = ingest(spark, a)
+    a.sub match {
+      case "join" =>
+        if (a.output == "-" || a.output == "/dev/stdout") {
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_join").toString
+          DocIngest.dumpEavJsonl(ts.resolved, tmp)
+          spark.read.textFile(tmp).collect().foreach(println)
+        } else DocIngest.dumpEavJsonl(ts.resolved, a.output)
+      case "pull" =>
+        val specs = parsePullExpr(a.pullExpr)
+        val result = a.entities match {
+          case Some(ids) => ts.pullManyIds(ids, specs)
+          case None =>
+            val pat = a.entityPattern.map(parsePattern).getOrElse(
+              sys.error("pull needs -e entity-pattern or -E entities"))
+            ts.pullMany(pat, specs)
+        }
+        writeOut(result, a.output)
+    }
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-cli")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, argv)
+  }
+}

@@ -194,6 +194,36 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(bRow.getString(1) === "x")
   }
 
+  test("lazy refs: undeclared attr traverses iff value is a known eid " +
+      "(tripl.py:184-188)") {
+    // p:likes is NOT declared a ref; 'e2' IS a known eid, 'nobody' is not
+    val ts = tinyStore(Seq(
+      ("e1", "p:name", "ada", 0L), ("e1", "p:likes", "e2", 0L),
+      ("e2", "p:name", "bob", 0L), ("e3", "p:name", "cyn", 0L),
+      ("e3", "p:likes", "nobody", 0L)))
+    // match through the lazy edge
+    val matched = ts.matchEntities(
+      Seq("p:likes" -> MSub(Seq("p:name" -> MEq("bob")))))
+      .as[String].collect().toList
+    assert(matched === List("e1"))
+    // pull's nested descent through the lazy edge
+    val pulled = ts.pull(Seq("e1", "e3").toDF("e"),
+      Seq(PAttr("p:name"), PNest("p:likes", Seq(PAttr("p:name", Some("who"))))))
+    // p:name is card-many by default → 'who' is an array inside the struct
+    val byE = pulled.collect().map(r => r.getString(0) ->
+      Option(r.getSeq[org.apache.spark.sql.Row](2))
+        .map(_.flatMap(_.getSeq[String](0)).toList)).toMap
+    assert(byE("e1") === Some(List("bob")))
+    assert(byE("e3").forall(_.isEmpty)) // 'nobody' is not an eid → no edge
+    // Entity access mirrors it
+    val ada = new Entity(ts, "e1")
+    assert(ada.refs("p:likes").map(_.eid) === Seq("e2"))
+    // lazyRefs=false disables the traversal
+    val strict = new TripleStore(ts.spark, ts.triples, ts.schemas, lazyRefs = false)
+    assert(strict.matchEntities(
+      Seq("p:likes" -> MSub(Seq("p:name" -> MEq("bob"))))).count() === 0)
+  }
+
   test("datalog: shared-variable join + constant filter (Q10)") {
     val ts = tinyStore(Seq(
       ("p1", "p:name", "ada", 0L), ("p1", "p:city", "london", 0L),
@@ -202,6 +232,57 @@ class TripleStoreSpec extends AnyFunSuite {
       Seq(("?p", "p:city", "london"), ("?p", "p:name", "?n")))
       .as[String].collect().toList
     assert(out === List("ada"))
+  }
+
+  test("W8 bootstrap precedence: kwargs > in-band schema > defaults") {
+    // in-band: k:one declared cardinality-one; db.refs:lazy = false
+    val base = tinyStore(Seq(
+      ("k:one", "db:cardinality", "db.cardinality:one", 0L),
+      ("k:one", "db:valueType", "db.type:str", 0L),
+      ("e1", "k:one", "old", 0L), ("e1", "k:one", "new", 1L)))
+    val lazyOff = base.triples.limit(0)
+      .unionByName(Seq(("db:schema", "db.refs:lazy")).toDF("e", "a")
+        .withColumn("vtype", lit(Triples.VBool))
+        .withColumn("vstr", lit(null).cast("string"))
+        .withColumn("vlong", lit(null).cast("long"))
+        .withColumn("vdbl", lit(null).cast("double"))
+        .withColumn("vbool", lit(false))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vref", lit(null).cast("string"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .withColumn("txId", lit(0L))
+        .select(Triples.columns.map(col): _*))
+    val facts = base.triples.unionByName(lazyOff)
+    // in-band wins over defaults: card-one resolves latest-tx, lazy off
+    val ts = TripleStore.bootstrap(spark, facts)
+    assert(ts.schemas("k:one").cardOne)
+    assert(!ts.lazyRefs)
+    assert(ts.resolved.where($"a" === "k:one").select($"vstr")
+      .as[String].collect().toList === List("new"))
+    // kwargs win over in-band: force card-many + lazy back on
+    val ts2 = TripleStore.bootstrap(spark, facts,
+      schema = Map("k:one" -> AttrSchema("k:one", cardOne = false,
+        isRef = false, Triples.VStr)),
+      lazyRefs = Some(true))
+    assert(!ts2.schemas("k:one").cardOne)
+    assert(ts2.lazyRefs)
+    assert(ts2.resolved.where($"a" === "k:one").count() === 2)
+  }
+
+  test("pullMany over an explicit eid list; '*' excludes projected attrs") {
+    val ts = tinyStore(Seq(
+      ("e1", "t:name", "ada", 0L), ("e1", "t:city", "london", 0L),
+      ("e2", "t:name", "bob", 0L), ("e2", "t:city", "paris", 0L),
+      ("e3", "t:name", "cyn", 0L)))
+    val out = ts.pullManyIds(Seq("e1", "e3"),
+      Seq(PAttr("t:name"), PWild), sortBy = Some("e"))
+    val rows = out.collect().map(r => (r.getString(0),
+      Option(r.getMap[String, Seq[String]](2)).map(_.keySet.toSet)
+        .getOrElse(Set.empty[String]))).toList
+    // wildcard map must NOT re-include the explicitly-pulled t:name;
+    // an entity with nothing left renders a null map (left-join semantics)
+    assert(rows === List(
+      ("e1", Set("t:city")), ("e3", Set.empty[String])))
   }
 
   test("store merge is set union over globally-unique eids (W5)") {
