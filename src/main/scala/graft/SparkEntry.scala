@@ -239,9 +239,16 @@ object SparkEntry {
     }),
 
     // GraphX PageRank over the ref graph (no SQL oracle: iterative float)
+    // fixed-iteration PageRank (static iteration count → the oracle
+    // unrolls the identical iterations as chained SQL CTEs; the
+    // tolerance-based GraphX variant stays as RefGraph.pageRank API).
+    // resetProb 0.25 is DYADIC: with this graph's out-degrees of 1 every
+    // intermediate rank is an exact binary fraction, so message-sum
+    // ORDER cannot perturb the result and Spark and DuckDB agree bitwise
+    // (0.15 puts two nations exactly on a 0.005 rounding boundary).
     "q17_graph_pagerank" -> ((s, dir) => {
       val ts = Tpch.store(s, dir, "customer", "nation", "region")
-      graft.graph.RefGraph.pageRank(ts)
+      graft.graph.RefGraph.pageRankStatic(ts, iters = 4, resetProb = 0.25)
         .select(col("e"), round(col("rank"), 2).as("rank"))
         .orderBy(col("rank").desc, col("e")).limit(50)
     }),
@@ -751,6 +758,31 @@ object SparkEntry {
   )
 
   private def pipelineSql: Map[String, String] = Map(
+    // static 4-iteration PageRank, unrolled as chained CTEs — the same
+    // rank' = 0.15 + 0.85·Σ_in rank/outdeg update the engine runs
+    "q17_graph_pagerank" -> {
+      val edges =
+        """WITH edges AS (
+          |  SELECT md5('customer:' || CAST(c_custkey AS VARCHAR)) AS src,
+          |         md5('nation:' || CAST(c_nationkey AS VARCHAR)) AS dst
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT md5('nation:' || CAST(n_nationkey AS VARCHAR)),
+          |         md5('region:' || CAST(n_regionkey AS VARCHAR))
+          |  FROM nation),
+          |verts AS (SELECT src AS e FROM edges UNION SELECT dst FROM edges),
+          |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+          |r0 AS (SELECT e, CAST(1.0 AS DOUBLE) AS rank FROM verts)""".stripMargin
+      val iter = (i: Int) =>
+        s"""r$i AS (SELECT v.e, 0.25 + 0.75 * COALESCE(m.s, 0.0) AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT ed.dst AS e, sum(r.rank / od.d) AS s
+           |    FROM edges ed JOIN r${i - 1} r ON r.e = ed.src
+           |    JOIN outdeg od ON od.src = ed.src
+           |    GROUP BY ed.dst) m ON m.e = v.e)""".stripMargin
+      (edges +: (1 to 4).map(iter)).mkString(",\n") +
+        "\nSELECT e, round(rank, 2) AS rank FROM r4 ORDER BY rank DESC, e LIMIT 50"
+    },
     // the simhash FINGERPRINTS are xxhash64-derived (not ANSI-SQL
     // reproducible); the checkable property is the hamming metric over
     // the doubled corpus's known duplicate pairs: identically-texted

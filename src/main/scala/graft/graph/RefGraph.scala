@@ -58,4 +58,41 @@ object RefGraph {
     pr.vertices.toDF("vid", "rank")
       .join(vertexDict(ts), Seq("vid")).select($"e", $"rank")
   }
+
+  /** Fixed-iteration PageRank as pure DataFrame joins, with EXACTLY the
+    * classic per-iteration update rank' = reset + (1-reset)·Σ_in rank/deg
+    * (vertices with no in-edges hold at `reset`; dangling mass is
+    * dropped, as in GraphX). Fully Catalyst-planned — each iteration is
+    * one equi-join + one shuffle-on-dst aggregation, AQE-broadcastable —
+    * and, unlike the tolerance-based GraphX variant, the iteration count
+    * is static, so the result is reproducible in plain SQL (the q17
+    * oracle unrolls the same iterations as chained CTEs). localCheckpoint
+    * per iteration truncates lineage, same as the reachability fixpoint. */
+  def pageRankStatic(ts: TripleStore, iters: Int = 4,
+      resetProb: Double = 0.15,
+      attrs: Option[Seq[String]] = None): DataFrame = {
+    val spark = ts.spark
+    import spark.implicits._
+    val es0 = attrs.map(as => ts.edges.where(col("a").isInCollection(as)))
+      .getOrElse(ts.edges)
+    val es = es0.select($"e".as("src"), $"vref".as("dst"))
+      .localCheckpoint(eager = false)
+    val verts = es.select($"src".as("e")).union(es.select($"dst".as("e")))
+      .distinct().localCheckpoint(eager = false)
+    val outdeg = es.groupBy($"src").agg(count(lit(1)).as("_d"))
+    var ranks = verts.select($"e", lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val msgs = es
+        .join(ranks.withColumnRenamed("e", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy($"dst").agg(sum($"rank" / $"_d").as("_s"))
+        .withColumnRenamed("dst", "e")
+      ranks = verts.join(msgs, Seq("e"), "left")
+        .select($"e",
+          (lit(resetProb) + lit(1 - resetProb) * coalesce($"_s", lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
 }
