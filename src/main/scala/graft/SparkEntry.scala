@@ -253,6 +253,23 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("e")).limit(50)
     }),
 
+    // recursive Datalog rules (reference PLANNED grammar, implemented
+    // here): transitive ancestry over the self-referential geo graph —
+    // every customer's ancestors are its nation AND its region
+    "q48_datalog_rules" -> ((s, dir) =>
+      geoStore(s, dir).datalogRules(
+        Seq("?k", "?n"),
+        Seq(("?x", "tripl:type", "geocustomer"),
+          ("?x", "geo:key", "?k"),
+          ("?x", "ancestor", "?y"),
+          ("?y", "geo:name", "?n")),
+        Seq(
+          DatalogRule(("?a", "ancestor", "?b"),
+            Seq(("?a", "geo:parent", "?b"))),
+          DatalogRule(("?a", "ancestor", "?c"),
+            Seq(("?a", "geo:parent", "?b"), ("?b", "ancestor", "?c")))))
+        .toDF("key", "ancestor_name")),
+
     // §2.6 set ops over match results: union / intersect / except
     "q34_setops" -> ((s, dir) => {
       val ts = Tpch.store(s, dir, "customer")
@@ -679,6 +696,13 @@ object SparkEntry {
     "q47_pull_wildcard_excl" ->
       """SELECT r_name AS name, CAST(3 AS BIGINT) AS n_attrs
         |FROM region""".stripMargin,
+    "q48_datalog_rules" ->
+      """SELECT c_custkey AS key, n_name AS ancestor_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT c_custkey, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q08_retract" ->
       """SELECT c_custkey AS custkey, CAST(NULL AS DOUBLE) AS acctbal
         |FROM customer""".stripMargin,

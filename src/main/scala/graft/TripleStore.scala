@@ -467,28 +467,89 @@ class TripleStore(
     * self-join (SURVEY.md §2.5). Entity/ref positions join as strings;
     * the object position uses the attr's typed value column.
     */
-  def datalog(find: Seq[String], where: Seq[(String, String, Any)]): DataFrame = {
-    require(where.nonEmpty, "empty where")
-    def isVar(t: Any): Boolean = t match {
-      case s: String => s.startsWith("?"); case _ => false }
+  def datalog(find: Seq[String], where: Seq[(String, String, Any)]): DataFrame =
+    datalogRules(find, where, Nil)
 
-    val clauseDfs = where.map { case (s, attr, o) =>
-      var df = scanFor(Seq(attr))
-      val vc = valueCol(attr)
-      var cols = Seq.empty[Column]
-      if (isVar(s)) cols :+= $"e".as(s.toString)
-      else df = df.where($"e" === s.toString)
-      o match {
-        case v: String if isVar(v) => cols :+= col(vc).as(v)
-        case v => df = df.where(col(vc) === lit(v))
-      }
-      df.select(cols: _*)
+  private def isVar(t: Any): Boolean = t match {
+    case s: String => s.startsWith("?"); case _ => false }
+
+  /** One where-clause compiled against the EDB (stored attrs) or an IDB
+    * relation (rule-derived binary predicate, columns s/o). */
+  private def clauseDf(clause: (String, String, Any),
+      idb: Map[String, DataFrame]): DataFrame = {
+    val (s, attr, o) = clause
+    idb.get(attr) match {
+      case Some(rel) =>
+        var df = rel
+        var cols = Seq.empty[Column]
+        if (isVar(s)) cols :+= $"s".as(s) else df = df.where($"s" === s)
+        o match {
+          case v: String if isVar(v) => cols :+= $"o".as(v)
+          case v => df = df.where($"o" === lit(v))
+        }
+        df.select(cols: _*)
+      case None =>
+        var df = scanFor(Seq(attr))
+        val vc = valueCol(attr)
+        var cols = Seq.empty[Column]
+        if (isVar(s)) cols :+= $"e".as(s) else df = df.where($"e" === s)
+        o match {
+          case v: String if isVar(v) => cols :+= col(vc).as(v)
+          case v => df = df.where(col(vc) === lit(v))
+        }
+        df.select(cols: _*)
     }
-    val joined = clauseDfs.reduce { (l, r) =>
+  }
+
+  private def joinClauses(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce { (l, r) =>
       val shared = l.columns.intersect(r.columns).toSeq
       if (shared.nonEmpty) l.join(r, shared) else l.crossJoin(r)
     }
-    joined.select(find.map(col): _*).distinct()
+
+  /** Q10+ — Datalog with RECURSIVE rules (the reference's PLANNED `rules`
+    * grammar, tripl.py:571-584 — spec'd there, never implemented; this
+    * engine implements it). Each rule defines a binary IDB predicate
+    * `head._2` over head variables (head._1, head._3), with a body of
+    * clauses over stored attributes and/or IDB predicates — e.g.
+    * transitive ancestry:
+    *
+    *   DatalogRule(("?x", "ancestor", "?y"), Seq(("?x", "geo:parent", "?y")))
+    *   DatalogRule(("?x", "ancestor", "?z"),
+    *     Seq(("?x", "geo:parent", "?y"), ("?y", "ancestor", "?z")))
+    *
+    * Evaluated as a distributed naive fixpoint: every iteration re-derives
+    * all IDB relations bottom-up (join + union + distinct, each
+    * localCheckpoint'd to truncate lineage), stopping when no relation
+    * grows — the set-at-a-time analogue of SLD resolution, and the same
+    * plan shape as `reachable`. `where` clauses may then use IDB
+    * predicates alongside stored attrs. */
+  def datalogRules(find: Seq[String], where: Seq[(String, String, Any)],
+      rules: Seq[DatalogRule], maxIters: Int = 20): DataFrame = {
+    require(where.nonEmpty, "empty where")
+    val preds = rules.map(_.head._2).distinct
+    val empty = Seq.empty[(String, String)].toDF("s", "o")
+    var idb: Map[String, DataFrame] =
+      preds.map(_ -> empty.localCheckpoint(eager = true)).toMap
+    var sizes: Map[String, Long] = preds.map(_ -> 0L).toMap
+    var changed = rules.nonEmpty
+    var i = 0
+    while (changed && i < maxIters) {
+      val next = preds.map { p =>
+        val derived = rules.filter(_.head._2 == p).map { r =>
+          require(isVar(r.head._1) && isVar(r.head._3),
+            s"rule head vars must be variables: ${r.head}")
+          joinClauses(r.body.map(clauseDf(_, idb)))
+            .select(col(r.head._1).as("s"), col(r.head._3).as("o"))
+        }.reduce(_ unionByName _).distinct().localCheckpoint(eager = true)
+        p -> derived
+      }.toMap
+      val nextSizes = next.map { case (p, df) => p -> df.count() }
+      changed = preds.exists(p => nextSizes(p) != sizes(p))
+      idb = next; sizes = nextSizes; i += 1
+    }
+    joinClauses(where.map(clauseDf(_, idb)))
+      .select(find.map(col): _*).distinct()
   }
 
   /** Unroll a recursive spec to `d` nested-descent levels: each level

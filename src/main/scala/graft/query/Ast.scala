@@ -61,6 +61,14 @@ final case class PRec(attr: String, maxDepth: Int = 20,
   def name: String = as.getOrElse(PullSpec.suffix(attr) + (if (reverse) "_rev" else ""))
 }
 
+/** A Datalog rule: `head` = (varX, idbPredicate, varY) derived from the
+  * conjunction of `body` clauses (each over a stored attribute or another
+  * IDB predicate; variables start with '?'). The reference's PLANNED
+  * `rules` grammar (tripl.py:571-584). */
+final case class DatalogRule(
+    head: (String, String, String),
+    body: Seq[(String, String, Any)])
+
 object PullSpec {
   def suffix(attr: String): String = {
     val i = attr.indexOf(':')

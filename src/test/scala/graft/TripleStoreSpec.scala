@@ -285,6 +285,23 @@ class TripleStoreSpec extends AnyFunSuite {
       ("e1", Set("t:city")), ("e3", Set.empty[String])))
   }
 
+  test("recursive datalog rules: transitive closure terminates on cycles") {
+    // a→b→c→a cycle: ancestor must reach everything from everything,
+    // including self, and the fixpoint must stop growing
+    val ts = tinyStore(Seq(
+      ("a", "r:next", "b", 0L), ("b", "r:next", "c", 0L),
+      ("c", "r:next", "a", 0L)))
+    val out = ts.datalogRules(Seq("?x", "?y"),
+      Seq(("?x", "reach", "?y")),
+      Seq(
+        DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+        DatalogRule(("?x", "reach", "?z"),
+          Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z")))))
+      .as[(String, String)].collect().toSet
+    assert(out === (for { x <- Set("a", "b", "c"); y <- Set("a", "b", "c") }
+      yield (x, y)))
+  }
+
   test("store merge is set union over globally-unique eids (W5)") {
     val a = tinyStore(Seq(("e1", "k:x", "v", 0L)))
     val b = tinyStore(Seq(("e1", "k:x", "v", 0L), ("e2", "k:x", "w", 0L)))
