@@ -13,13 +13,20 @@ object Probe {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val explain = args.contains("--explain")
+    val rest = args.filterNot(_ == "--explain")
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      if (explain) {
+        println(s"==== $name ====")
+        graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(f"== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }
