@@ -502,6 +502,27 @@ object SparkEntry {
           col("n.key").as("natkey"))
     }),
 
+    // gap-based sessionization over the behavioral log: one shuffle on
+    // user_id, lag + running-sum-of-boundaries — the standard windowed
+    // formulation, AQE-skew-safe like any window
+    "q49_sessionize" -> ((s, dir) =>
+      graft.ops.TimeOps.sessionize(
+          Tpch.raw(s, dir, "events"), "user_id", "ts",
+          gapSeconds = 3600, tieCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("session_idx"))),
+
+    // backward as-of join: each click's most recent prior purchase by the
+    // same user — union + single window pass (sort-merge formulation),
+    // NOT a range join; oracle is DuckDB's native ASOF LEFT JOIN
+    "q50_asof_join" -> ((s, dir) => {
+      val ev = Tpch.raw(s, dir, "events")
+      graft.ops.TimeOps.asofJoin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", payloadCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+    }),
+
     // events: JSON props extraction through the triple store round-trip
     "q31_events_json" -> ((s, dir) =>
       Tpch.store(s, dir, "events")
@@ -696,6 +717,21 @@ object SparkEntry {
     "q47_pull_wildcard_excl" ->
       """SELECT r_name AS name, CAST(3 AS BIGINT) AS n_attrs
         |FROM region""".stripMargin,
+    "q49_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+        |FROM (SELECT event_id, user_id, ts,
+        |        extract(epoch FROM ts) -
+        |        extract(epoch FROM lag(ts) OVER (PARTITION BY user_id
+        |                                         ORDER BY ts, event_id)) AS gap
+        |      FROM events) t""".stripMargin,
+    "q50_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
     "q48_datalog_rules" ->
       """SELECT c_custkey AS key, n_name AS ancestor_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators a training-data pipeline needs over behavioral
+  * logs: gap-based sessionization and as-of (most-recent-prior) joins.
+  *
+  * Both are ONE shuffle on the key column and pure window passes after
+  * that — no range-join explosion, no per-key driver loops — so they
+  * scale with the number of (key, time) partitions like any windowed
+  * aggregation. Skewed keys are AQE's problem, same as every window.
+  */
+object TimeOps {
+
+  /** Gap-based sessionization: events of the same `keyCol` belong to one
+    * session while consecutive gaps are ≤ `gapSeconds`; a larger gap
+    * starts a new session. Adds `session_idx` (0-based per key, in time
+    * order) — the classic lag + running-sum-of-boundaries formulation.
+    * `tieCol` breaks equal-timestamp ordering deterministically. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+      gapSeconds: Long, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // via TIMESTAMP: TIMESTAMP_NTZ has no direct numeric cast (identity
+    // conversion under the engine's fixed UTC session timezone)
+    def secs(c: Column) = c.cast("timestamp").cast("double")
+    val gap = secs(col(tsCol)) - secs(lag(col(tsCol), 1).over(w))
+    val newSession = when(gap.isNull || gap > gapSeconds, 1).otherwise(0)
+    df.withColumn("_new", newSession)
+      .withColumn("session_idx",
+        (sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+          .cast("long"))
+      .drop("_new")
+  }
+
+  /** Backward as-of join: for every left row, attach `payloadCols` of the
+    * LATEST right row with the same `keyCol` and right ts ≤ left ts
+    * (DuckDB/kdb ASOF JOIN semantics; equal timestamps match, and among
+    * equal right timestamps the largest `tieCol` wins — fully
+    * deterministic). Implemented as a union + one window pass with
+    * last(_, ignoreNulls): the sort-merge formulation — one shuffle on
+    * the key, linear in |left| + |right|, versus the O(|left|·|right|)
+    * range join a naive join-then-filter would plan. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val payload = payloadCols.map(c => col(c).as(s"_r_$c"))
+    val l = left.select(
+      (leftCols.map(col) :+ lit(1).as("_side")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"_r_$c")): _*)
+    val r = right.select(
+      (leftCols.map(c => if (c == keyCol || c == tsCol || c == tieCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("_side")) ++ payload: _*)
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
+    // equal-timestamp right row is visible to the left row's frame
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"_r_$c").as(s"asof_$c")): _*)
+  }
+}

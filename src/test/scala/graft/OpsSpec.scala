@@ -148,6 +148,37 @@ class OpsSpec extends AnyFunSuite {
     assert(approx === exact)
   }
 
+  test("sessionize: gap threshold splits sessions, ties break on id") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val df = Seq(
+      (1L, 7L, t(0)), (2L, 7L, t(100)),   // session 0
+      (3L, 7L, t(4000)),                  // gap 3900 > 3600 → session 1
+      (4L, 7L, t(4100)),
+      (5L, 9L, t(50))                      // other user → own session 0
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.ops.TimeOps.sessionize(df, "user_id", "ts", 3600, "event_id")
+      .select($"event_id", $"session_idx").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("asofJoin: latest prior (or equal-time) right row per key") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val clicks = Seq((10L, 7L, t(100)), (11L, 7L, t(300)), (12L, 9L, t(50)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (20L, 7L, t(100), 1.5), // equal ts → matches click 10
+      (21L, 7L, t(250), 2.5), // latest before click 11
+      (22L, 7L, t(200), 3.5)) // superseded by 21
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.TimeOps.asofJoin(
+        clicks, purchases, "user_id", "ts", "event_id", Seq("value"))
+      .select($"event_id", $"asof_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(10L -> Some(1.5), 11L -> Some(2.5), 12L -> None))
+  }
+
   test("LSH bucket join candidates are a subset of all pairs with dups found") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val df = ((1 to 20).map(i => (i.toLong, s"junk$i " * 30)) :+
