@@ -523,6 +523,35 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_value"))
     }),
 
+    // §2.8 streaming with a CORRECTNESS oracle: the same events parquet
+    // re-read through a real Structured Streaming file source into the
+    // watermarked tumbling-window aggregation; the final (complete-mode)
+    // result must equal the batch answer DuckDB computes — streaming and
+    // batch semantics agree on bounded input
+    "q51_stream_window" -> ((s, dir) => {
+      // events.ts is physically TIMESTAMP(NANOS): declare it LONG (the
+      // nanosAsLong legacy read Tpch.raw enables) and convert exactly,
+      // same as the batch path; watermarks then need TIMESTAMP (identity
+      // under the engine's fixed UTC session timezone, back to NTZ on
+      // output)
+      Tpch.raw(s, dir, "events") // ensures the nanosAsLong conf is set
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+      // glob form: the streaming file source requires a directory or glob,
+      // and the driver testdata ships events as a single parquet FILE
+      val stream = s.readStream.schema(schema).parquet(dir + "/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamingAssert.windowedEventCounts(stream)
+      val name = "q51_mem_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(
+        col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+    }),
+
     // events: JSON props extraction through the triple store round-trip
     "q31_events_json" -> ((s, dir) =>
       Tpch.store(s, dir, "events")
@@ -717,6 +746,10 @@ object SparkEntry {
     "q47_pull_wildcard_excl" ->
       """SELECT r_name AS name, CAST(3 AS BIGINT) AS n_attrs
         |FROM region""".stripMargin,
+    "q51_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q49_sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
