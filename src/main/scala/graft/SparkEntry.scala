@@ -340,9 +340,11 @@ object SparkEntry {
     // item 4).
     "q22_simhash" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      // copy-id offset derived from the data so it can never collide
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val copies = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
       val fp = graft.ops.Dedup.simhash(docs.unionAll(copies), "doc_id", "text")
-      fp.as("a").join(fp.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000L)
+      fp.as("a").join(fp.as("b"), col("b.doc_id") === col("a.doc_id") + off)
         .select(col("a.doc_id").as("doc_id"),
           graft.ops.Dedup.hamming(col("a.simhash"), col("b.simhash"))
             .cast("long").as("hamming"))
@@ -417,7 +419,10 @@ object SparkEntry {
     "q39_cos_neardup_lsh" -> ((s, dir) => {
       val emb = Tpch.raw(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val copies = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      // copy-id offset derived from the data (max+1) so it can never
+      // collide with real ids at any scale factor; one tiny plan-time agg
+      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val copies = emb.select((col("vec_id") + offset).as("vec_id"),
         transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
       graft.ops.Similarity.cosineNearDups(
         emb.unionAll(copies), "vec_id", "embedding", 0.95)
@@ -895,7 +900,9 @@ object SparkEntry {
     // the LSH near-dup's expected answer is exactly the planted scale-2
     // copies (cos(v, 2v) = 1); all natural pairs are < 0.61 ≪ 0.95
     "q39_cos_neardup_lsh" ->
-      """SELECT vec_id AS id1, vec_id + 10000 AS id2, CAST(1.0 AS DOUBLE) AS cos
+      """SELECT vec_id AS id1,
+        |       vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS id2,
+        |       CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings""".stripMargin,
     // arg_min: the engine keeps the WHOLE min-id row, so companion columns
     // must come from that row (not independent per-column mins)

@@ -548,6 +548,10 @@ class TripleStore(
       changed = preds.exists(p => nextSizes(p) != sizes(p))
       idb = next; sizes = nextSizes; i += 1
     }
+    // a silently truncated closure would LOOK like a valid answer
+    if (changed) throw new IllegalStateException(
+      s"datalogRules did not reach a fixpoint in $maxIters iterations — " +
+        "raise maxIters (deep recursion) or check the rules for divergence")
     joinClauses(where.map(clauseDf(_, idb)))
       .select(find.map(col): _*).distinct()
   }
@@ -647,13 +651,20 @@ object TripleStore {
       schema: Map[String, AttrSchema] = Map.empty,
       lazyRefs: Option[Boolean] = None): TripleStore = {
     import spark.implicits._
+    // latest-tx-wins per (attr, schema-attr): raw facts may contain
+    // re-asserted schema (collect order is partition-dependent, so a
+    // bare `find` would be nondeterministic)
     val rows = facts
       .where(col("a").isInCollection(Seq("db:cardinality", "db:valueType")))
-      .select(col("e"), col("a"), col("vstr")).collect()
+      .select(col("e"), col("a"), col("vstr"), col("txId")).collect()
     val inBand: Map[String, AttrSchema] = rows.groupBy(_.getString(0)).map {
       case (attr, rs) =>
-        val card = rs.find(_.getString(1) == "db:cardinality").map(_.getString(2))
-        val vt = rs.find(_.getString(1) == "db:valueType").map(_.getString(2))
+        def latest(a: String) = rs.filter(_.getString(1) == a) match {
+          case Array() => None
+          case hits => Some(hits.maxBy(_.getLong(3)).getString(2))
+        }
+        val card = latest("db:cardinality")
+        val vt = latest("db:valueType")
         val isRef = vt.contains("db.type:ref")
         val vtype =
           if (isRef) Triples.VRef

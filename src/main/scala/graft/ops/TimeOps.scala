@@ -45,25 +45,29 @@ object TimeOps {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tieCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    val payload = payloadCols.map(c => col(c).as(s"_r_$c"))
+    // the payload rides as ONE struct per right row: last(_, ignoreNulls)
+    // then picks the latest right ROW atomically — per-column fills would
+    // skip legitimately-NULL payload values (attaching a stale older
+    // row's value) and could mix columns from different right rows
+    val rStructType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
-      (leftCols.map(col) :+ lit(1).as("_side")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"_r_$c")): _*)
+      leftCols.map(col) :+ lit(1).as("_side") :+
+        lit(null).cast(rStructType).as("_r"): _*)
     val r = right.select(
-      (leftCols.map(c => if (c == keyCol || c == tsCol || c == tieCol) col(c)
+      leftCols.map(c => if (c == keyCol || c == tsCol || c == tieCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        lit(0).as("_side")) ++ payload: _*)
+        lit(0).as("_side") :+
+        struct(payloadCols.map(col): _*).as("_r"): _*)
     // right rows sort BEFORE left rows at equal ts (side 0 < 1) so an
     // equal-timestamp right row is visible to the left row's frame
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_r_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    filled.where(col("_side") === 1)
+    l.unionByName(r)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"_r_$c").as(s"asof_$c")): _*)
+        payloadCols.map(c => col("_r")(c).as(s"asof_$c")): _*)
   }
 }

@@ -46,26 +46,30 @@ object Cli {
       "usage: Cli {join|pull} -i inputs... [-p expr] [-e pattern | -E ids] -o out")
     var a = Args(argv(0))
     var i = 1
-    def isFlag(s: String) = s.startsWith("-") && s.length > 1 && !s.forall(_.isDigit)
+    def isFlag(s: String) = s.startsWith("-") && s.length > 1
+    def value(flag: String): String = {
+      require(i + 1 < argv.length, s"$flag needs a value")
+      i += 2; argv(i - 1)
+    }
     while (i < argv.length) {
       argv(i) match {
         case "-i" | "--inputs" =>
           val start = i + 1; var j = start
           while (j < argv.length && !isFlag(argv(j))) j += 1
           a = a.copy(inputs = argv.slice(start, j).toSeq); i = j
-        case "-o" | "--output" => a = a.copy(output = argv(i + 1)); i += 2
-        case "-s" | "--schema" => a = a.copy(schema = Some(argv(i + 1))); i += 2
-        case "-I" | "--id-attrs" =>
-          a = a.copy(idAttrs = argv(i + 1).split(",").toSeq); i += 2
-        case "-m" | "--map-command" =>
-          a = a.copy(mapCommand = Some(argv(i + 1))); i += 2
-        case "-n" | "--default-namespace" => a = a.copy(ns = argv(i + 1)); i += 2
-        case "-p" | "--pull-expr" => a = a.copy(pullExpr = argv(i + 1)); i += 2
-        case "-e" | "--entity-pattern" =>
-          a = a.copy(entityPattern = Some(argv(i + 1))); i += 2
-        case "-E" | "--entities" =>
-          a = a.copy(entities = Some(argv(i + 1).split(",").toSeq)); i += 2
-        case "-P" | "--processes" => i += 2 // parallelism comes from Spark
+        case f @ ("-o" | "--output") => a = a.copy(output = value(f))
+        case f @ ("-s" | "--schema") => a = a.copy(schema = Some(value(f)))
+        case f @ ("-I" | "--id-attrs") =>
+          a = a.copy(idAttrs = value(f).split(",").toSeq)
+        case f @ ("-m" | "--map-command") =>
+          a = a.copy(mapCommand = Some(value(f)))
+        case f @ ("-n" | "--default-namespace") => a = a.copy(ns = value(f))
+        case f @ ("-p" | "--pull-expr") => a = a.copy(pullExpr = value(f))
+        case f @ ("-e" | "--entity-pattern") =>
+          a = a.copy(entityPattern = Some(value(f)))
+        case f @ ("-E" | "--entities") =>
+          a = a.copy(entities = Some(value(f).split(",").toSeq))
+        case f @ ("-P" | "--processes") => value(f) // parallelism is Spark's
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -191,6 +195,8 @@ object Cli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // timestamps render/convert identically on any machine
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, argv)

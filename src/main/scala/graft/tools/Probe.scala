@@ -11,6 +11,7 @@ object Probe {
       .appName("probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = args.contains("--explain")
