@@ -49,6 +49,35 @@ object JsonSource {
     }
   }
 
+  /** S9 — build-product file lineage (nestly's `_translate_target`,
+    * nestly.py:318-351): one entity per file path, identified
+    * DETERMINISTICALLY by the path itself, carrying `tripl.file:path`
+    * plus `tripl.file:sources` refs to the files it was derived from.
+    * Cross-doc entity resolution unifies a file's source-stub with that
+    * file's own entity, so the provenance graph is walkable with
+    * match/pull/reachable like any ref edge. Paths under `baseDir` are
+    * relativized (the reference relativizes non-absolute paths against
+    * the build's output dir; a distributed ingest normalizes against an
+    * explicit base instead of process CWD).
+    *
+    * Input: one row per produced file — (pathCol: String,
+    * sourcesCol: Array[String]). */
+  def fileLineage(files: DataFrame, pathCol: String, sourcesCol: String,
+      baseDir: Option[String] = None): DataFrame = {
+    def rel(c: org.apache.spark.sql.Column) = baseDir match {
+      case Some(b) =>
+        val prefix = if (b.endsWith("/")) b else b + "/"
+        when(c.startsWith(prefix),
+          c.substr(lit(prefix.length + 1), length(c))).otherwise(c)
+      case None => c
+    }
+    val docs = files.select(
+      rel(col(pathCol)).as("tripl.file:path"),
+      transform(col(sourcesCol),
+        p => struct(rel(p).as("tripl.file:path"))).as("tripl.file:sources"))
+    DocIngest.flatten(docs, "tripl.file", Seq("tripl.file:path"))
+  }
+
   /** S5 — the `--map-command` analogue (cli.py:20-23): stream every
     * partition's rows through an external command (stdin→stdout line
     * protocol), distributed via RDD.pipe — each executor runs its own

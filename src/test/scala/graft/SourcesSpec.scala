@@ -1,5 +1,6 @@
 package graft
 
+import graft.query.MEq
 import graft.sources.{BioFormats, DocIngest, JsonSource}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -58,6 +59,33 @@ class SourcesSpec extends AnyFunSuite {
       ("?y", "bio.clade:name", "?pn")))
       .as[(String, String)].collect().toMap
     assert(out === Map("A" -> "AB", "B" -> "AB", "AB" -> "root", "C" -> "root"))
+  }
+
+  test("file lineage: provenance graph walkable through source refs (S9)") {
+    val files = Seq(
+      ("/build/a.out", Seq("/src/a.c", "/src/lib.h")),
+      ("/build/b.out", Seq("/build/a.out")))
+      .toDF("path", "sources")
+    val t = JsonSource.fileLineage(files, "path", "sources",
+      baseDir = Some("/build"))
+    val ts = new TripleStore(spark, t, Map(
+      "tripl.file:path" -> graft.model.AttrSchema("tripl.file:path",
+        cardOne = true, isRef = false, graft.model.Triples.VStr),
+      "tripl.file:sources" -> graft.model.AttrSchema("tripl.file:sources",
+        cardOne = false, isRef = true, graft.model.Triples.VRef)))
+    // paths under the base dir relativize; others stay absolute
+    val paths = ts.resolved.where($"a" === "tripl.file:path")
+      .select($"vstr").as[String].collect().toSet
+    assert(paths === Set("a.out", "b.out", "/src/a.c", "/src/lib.h"))
+    // b.out's transitive sources = a.out + a.out's own sources (the stub
+    // and a.out's entity unified by cross-doc resolution)
+    val bOut = ts.matchEntities(Seq("tripl.file:path" -> MEq("b.out")))
+    val reached = ts.reachable(bOut, Some(Seq("tripl.file:sources")))
+      .where($"depth" > 0).select($"e").distinct()
+    val reachedPaths = reached.join(
+        ts.resolved.where($"a" === "tripl.file:path"), Seq("e"))
+      .select($"vstr").as[String].collect().toSet
+    assert(reachedPaths === Set("a.out", "/src/a.c", "/src/lib.h"))
   }
 
   test("multi-file JSON load keeps per-file provenance (S1/S2)") {
