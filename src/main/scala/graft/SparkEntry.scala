@@ -661,7 +661,9 @@ object SparkEntry {
         .unionByName(graft.sources.DocIngest.flatten(custDocs, "cust", Seq("cust:key")))
       val schemas = graft.sources.DocIngest.schemasFor(natDocs, "nat") ++
         graft.sources.DocIngest.schemasFor(custDocs, "cust")
-      val ts = new TripleStore(s, triples, schemas)
+      // preResolved is safe HERE: the two doc sets have unique ids and
+      // disjoint attribute spaces, so no fact is ever re-asserted
+      val ts = new TripleStore(s, triples, schemas, preResolved = true)
       ts.pullMany(
           Seq("cust:nation" -> MSub(Seq("nat:name" -> MEq("GERMANY")))),
           Seq(PAttr("cust:key"),
