@@ -69,4 +69,54 @@ class PropertySpec extends AnyFunSuite {
       assert(out === uniq.map(d => d._1 -> d._3).toMap)
     }
   }
+
+  test("property: ppJoin candidates+verify == brute-force exact Jaccard") {
+    // random low-entropy corpora (8-word vocabulary → heavy shingle
+    // sharing, the prefix filter's adversarial case)
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    (0 until 3).foreach { i =>
+      val docs = (0 until 20).map(j =>
+        (j.toLong, Gen.listOfN(12, word).map(_.mkString(" "))
+          .pureApply(Gen.Parameters.default, Seed(1000L * i + j))))
+      val df = docs.toDF("doc_id", "text")
+      val sh = df.select(col("doc_id"),
+        sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
+      val t = 0.4
+      val got = graft.ops.Dedup.jaccardVerifySh(sh,
+          graft.ops.Dedup.ppJoinCandidates(sh, "doc_id", "sh", t),
+          "doc_id", t, shCol = "sh")
+        .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+      val allPairs = sh.select(col("doc_id").as("id1"))
+        .crossJoin(sh.select(col("doc_id").as("id2")))
+        .where(col("id1") < col("id2"))
+      val want = graft.ops.Dedup.jaccardVerifySh(sh, allPairs,
+          "doc_id", t, shCol = "sh")
+        .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+      assert(got === want, s"seed block $i")
+    }
+  }
+
+  test("property: asofJoin == naive per-row latest-prior lookup") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val lefts = (0 until 25).map(i =>
+        (100L + i, rnd.nextInt(4).toLong, ts(rnd.nextInt(50).toLong)))
+      val rights = (0 until 25).map(i =>
+        (200L + i, rnd.nextInt(4).toLong, ts(rnd.nextInt(50).toLong),
+          rnd.nextInt(100).toDouble))
+      val l = lefts.toDF("event_id", "user_id", "ts")
+      val r = rights.toDF("event_id", "user_id", "ts", "value")
+      val got = graft.ops.TimeOps.asofJoin(l, r, "user_id", "ts",
+          "event_id", Seq("value"))
+        .select(col("event_id"), col("asof_value")).collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      val want = lefts.map { case (eid, u, t) =>
+        val cands = rights.filter(x => x._2 == u && !x._3.after(t))
+        eid -> (if (cands.isEmpty) None
+          else Some(cands.maxBy(x => (x._3.getTime, x._1))._4))
+      }.toMap
+      assert(got === want)
+    }
+  }
 }
