@@ -368,7 +368,9 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cands = graft.ops.Dedup.ppJoinCandidates(
         sh, "doc_id", "sh", 0.3, blockCols = Seq("source"))
-      graft.ops.Dedup.jaccardVerifySh(sh, cands, "doc_id", 0.3, shCol = "sh")
+      graft.ops.CacheScope.releasing(sh) {
+        graft.ops.Dedup.jaccardVerifySh(sh, cands, "doc_id", 0.3, shCol = "sh")
+      }
     }),
 
     // brute-force cosine top-3 (exact ANN baseline)

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Persist-lifecycle scoping for operators that cache shared intermediates.
+  *
+  * A `df.persist()` entry lives in the session's CacheManager until an
+  * explicit `unpersist()` — there is no GC hook. An operator that persists
+  * an intermediate and returns a LAZY result can therefore never release
+  * it: the caller's terminal action happens after the operator returned.
+  * In a long multi-query session those MEMORY_AND_DISK blocks accumulate
+  * and squeeze execution memory for every later query.
+  *
+  * [[releasing]] closes the scope: it materializes the result eagerly via
+  * `localCheckpoint` (distributed — blocks stay on executors, no driver
+  * collect) while the intermediates are still cached, then unpersists
+  * them. Checkpoint blocks are lineage-truncated RDD blocks owned by the
+  * ContextCleaner: they are freed automatically once the returned frame
+  * becomes unreachable, unlike CacheManager entries.
+  *
+  * Trade-off (documented, deliberate): lineage truncation means the
+  * result cannot be recomputed if an executor holding its blocks dies —
+  * acceptable because every use here checkpoints a SMALL verified result
+  * (candidate/near-dup pairs) whose recompute would anyway replay the
+  * whole pipeline.
+  */
+object CacheScope {
+
+  /** Materialize `result` eagerly while `intermediates` are still cached,
+    * then unpersist them. Returns the checkpointed result. */
+  def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+}

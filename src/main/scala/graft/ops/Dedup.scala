@@ -149,11 +149,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = pref.toDF(("id1" +: "_n1" +: "_s" +: blockCols): _*)
     val r = pref.toDF(("id2" +: "_n2" +: "_s" +: blockCols): _*)
-    l.join(r, "_s" +: blockCols)
-      .where(col("id1") < col("id2") &&
-        least(col("_n1"), col("_n2")).cast(DoubleType) >=
-          greatest(col("_n1"), col("_n2")) * threshold)
-      .select(col("id1"), col("id2")).distinct()
+    CacheScope.releasing(pref) {
+      l.join(r, "_s" +: blockCols)
+        .where(col("id1") < col("id2") &&
+          least(col("_n1"), col("_n2")).cast(DoubleType) >=
+            greatest(col("_n1"), col("_n2")) * threshold)
+        .select(col("id1"), col("id2")).distinct()
+    }
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
@@ -176,7 +178,9 @@ object Dedup {
     val sigs = minhashSignaturesSh(sh, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
-    jaccardVerifySh(sh, cands, idCol, threshold)
+    CacheScope.releasing(sh, sigs) {
+      jaccardVerifySh(sh, cands, idCol, threshold)
+    }
   }
 
   /** 64-bit SimHash fingerprint over the doc's distinct tokens: bit b of

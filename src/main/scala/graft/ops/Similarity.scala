@@ -153,11 +153,13 @@ object Similarity {
       .join(b.select(col("_id").as("id2"), col("_bk")), Seq("_bk"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    candIds
-      .join(v.select(col("_id").as("id1"), col("_v").as("_v1")), Seq("id1"))
-      .join(v.select(col("_id").as("id2"), col("_v").as("_v2")), Seq("id2"))
-      .withColumn("cos", cosine(col("_v1"), col("_v2")))
-      .where(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    CacheScope.releasing(v, b) {
+      candIds
+        .join(v.select(col("_id").as("id1"), col("_v").as("_v1")), Seq("id1"))
+        .join(v.select(col("_id").as("id2"), col("_v").as("_v2")), Seq("id2"))
+        .withColumn("cos", cosine(col("_v1"), col("_v2")))
+        .where(col("cos") >= threshold)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    }
   }
 }

@@ -37,16 +37,20 @@ object JsonSource {
     // schema inference only materializes the corrupt-record column when at
     // least one malformed record exists — on fully-valid input the column
     // is absent and referencing it would throw UNRESOLVED_COLUMN
-    if (!docs.columns.contains("_corrupt")) DocIngest.flatten(docs, ns, idAttrs)
-    else {
-      val good = docs.where(col("_corrupt").isNull).drop("_corrupt")
-      val bad = docs.where(col("_corrupt").isNotNull)
-        .select(col("_corrupt").as("tripl.nestly:error"),
-          col("`tripl.file:source`").as("tripl.nestly:file"))
-      val goodT = DocIngest.flatten(good, ns, idAttrs)
-      val badT = DocIngest.flatten(bad, ns, Nil)
-      goodT.unionByName(badT)
-    }
+    val triples =
+      if (!docs.columns.contains("_corrupt")) DocIngest.flatten(docs, ns, idAttrs)
+      else {
+        val good = docs.where(col("_corrupt").isNull).drop("_corrupt")
+        val bad = docs.where(col("_corrupt").isNotNull)
+          .select(col("_corrupt").as("tripl.nestly:error"),
+            col("`tripl.file:source`").as("tripl.nestly:file"))
+        val goodT = DocIngest.flatten(good, ns, idAttrs)
+        val badT = DocIngest.flatten(bad, ns, Nil)
+        goodT.unionByName(badT)
+      }
+    // release the cache before returning (persist-lifecycle hygiene):
+    // the result is small build metadata, so the eager checkpoint is cheap
+    graft.ops.CacheScope.releasing(docs)(triples)
   }
 
   /** S9 — build-product file lineage (nestly's `_translate_target`,

@@ -115,6 +115,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)))
   }
 
+  test("persist lifecycle: persisting operators leave no CacheManager entries") {
+    spark.catalog.clearCache() // clean slate (other suites may share the session)
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base.replace("tok30", "tokX")),
+      (3L, "unrelated filler words entirely")).toDF("doc_id", "text")
+    Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    val sh = docs.select($"doc_id", sort_array(Dedup.shingles($"text")).as("sh"))
+    Dedup.ppJoinCandidates(sh, "doc_id", "sh", 0.5).count()
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    Similarity.cosineNearDups(vecs.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0.95).count()
+    assert(org.apache.spark.sql.CacheProbe.noCachedPlans(spark),
+      "an operator left a persisted intermediate in the CacheManager")
+  }
+
   test("banded cosine LSH near-dups match brute force on planted dups") {
     // 2 planted near-dup pairs (scaled copies, cos = 1) + noise vectors
     val rnd = new scala.util.Random(7)
