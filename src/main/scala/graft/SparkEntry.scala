@@ -220,7 +220,12 @@ object SparkEntry {
 
     // Q7e '...' recursive pull: re-apply the pull expr through a
     // self-referential ref attr, data-driven depth (customer→nation→
-    // region chain ends after 2 hops → innermost parent is null)
+    // region chain ends after 2 hops → innermost parent is null).
+    // NOTE (ADVICE r3): the projection hard-codes depth 2 — PRec's output
+    // schema is probe-depth-dependent, so on a shallower dataset this
+    // select would fail analysis. Deliberate for a fixed benchmark query;
+    // schema-stable consumers should pass PRec(maxDepth) bounds or guard
+    // on the pulled schema.
     "q18_pull_recursive" -> ((s, dir) =>
       geoStore(s, dir)
         .pullMany(Seq(Triples.TypeAttr -> MEq("geocustomer")),
@@ -396,20 +401,13 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
-    // embedding-cosine near-duplicate pairs — exact mid-threshold join,
-    // inherently Ω(n²) on isotropic data (no LSH family prunes at
-    // cos ≥ 0.4 with recall 1 when neighbors sit at the noise floor);
+    // embedding-cosine near-duplicate pairs — the opt-in EXACT
+    // mid-threshold join (Similarity.exactNearDups, deliberately Ω(n²);
+    // the name is the guard rail — no default API builds a cartesian);
     // the high-threshold LSH scale path is q39 / Similarity.cosineNearDups
-    "q36_cos_neardup" -> ((s, dir) => {
-      val emb = Tpch.raw(s, dir, "embeddings")
-      import graft.ops.Similarity.{cosine, toDoubleVec}
-      val v = emb.select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
-      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          cosine(col("a.v"), col("b.v")).as("_c"))
-        .where(col("_c") >= 0.4) // filter on the RAW value, as the oracle does
-        .select(col("id1"), col("id2"), round(col("_c"), 4).as("cos"))
-    }),
+    "q36_cos_neardup" -> ((s, dir) =>
+      graft.ops.Similarity.exactNearDups(
+        Tpch.raw(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
     // LSH-bucketed cosine near-dup at a HIGH threshold — the regime where
     // hyperplane LSH genuinely prunes (q36 keeps the exact mid-threshold
@@ -674,6 +672,86 @@ object SparkEntry {
         .select(col("key"), col("n.nname").as("nation_name"))
     }),
 
+    // engine-native persisted triple layout: save a doc-ingested store as
+    // namespace-partitioned Parquet triples (resolution runs on write),
+    // reopen it — schema bootstraps back from the in-band facts, scans go
+    // through the attribute-pruned ParquetTripleSource — and pull; must
+    // hash-match the SAME oracle as the un-persisted pipeline (q32)
+    "q52_store_save_load" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          struct(col("source"), col("n_chars")).as("src_info"))
+      val ts = new TripleStore(s,
+        graft.sources.DocIngest.flatten(docs, "doc", Seq("doc:doc_id")),
+        graft.sources.DocIngest.schemasFor(docs, "doc"), preResolved = true)
+      val out = scratch("q52", dir)
+      ts.save(out)
+      TripleStore.load(s, out)
+        .pullMany(Seq("doc:doc_id" -> MAny),
+          Seq(PAttr("doc:doc_id"), PAttr("doc:lang"),
+            PNest("doc:src_info", Seq(PAttr("doc:source"), PAttr("doc:n_chars")))))
+        .select(col("doc_id"), col("lang"), explode(col("src_info")).as("si"))
+        .select(col("doc_id"), col("lang"), col("si.source").as("source"),
+          col("si.n_chars").as("n_chars"))
+    }),
+
+    // S9 build-product file lineage: a derived-files frame from documents
+    // (raw upload → ingested doc file → per-source aggregate shard),
+    // ingested as provenance ref entities, then walked TRANSITIVELY with
+    // reachable — each aggregate's full upstream closure with hop depth.
+    // The chain is 2 deep, so the oracle unrolls to two SELECTs.
+    "q53_file_lineage" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val docFiles = docs.select(
+        concat(lit("docs/doc_"), col("doc_id")).as("path"),
+        array(concat(lit("raw/raw_"), col("doc_id"))).as("sources"))
+      val aggFiles = docs.groupBy(col("source"))
+        .agg(sort_array(collect_list(
+          concat(lit("docs/doc_"), col("doc_id")))).as("sources"))
+        .select(concat(lit("agg/"), col("source")).as("path"), col("sources"))
+      val t = graft.sources.JsonSource.fileLineage(
+        docFiles.unionByName(aggFiles), "path", "sources")
+      val ts = new TripleStore(s, t, Map(
+        "tripl.file:path" -> graft.model.AttrSchema("tripl.file:path",
+          cardOne = true, isRef = false, Triples.VStr),
+        "tripl.file:sources" -> graft.model.AttrSchema("tripl.file:sources",
+          cardOne = false, isRef = true, Triples.VRef)))
+      val pathOf = ts.resolved.where(col("a") === "tripl.file:path")
+        .select(col("e"), col("vstr"))
+      val roots = pathOf.where(col("vstr").startsWith("agg/")).select(col("e"))
+      ts.reachable(roots, Some(Seq("tripl.file:sources")))
+        .where(col("depth") > 0)
+        .join(pathOf.toDF("e", "file"), Seq("e"))
+        .join(pathOf.toDF("root", "agg_file"), Seq("root"))
+        .select(col("agg_file"), col("file"),
+          col("depth").cast("long").as("depth"))
+    }),
+
+    // S10/S11 CLI round-trip with a DuckDB oracle (CliSpec keeps the
+    // stdout path): JSON-dump events, run the full CLI pull surface
+    // (ingest -s schema, -e pattern, -p pull expr, -o dir), re-read the
+    // JSONL output — must equal the plain relational SELECT
+    "q54_cli_pull" -> ((s, dir) => {
+      val in = scratch("q54in", dir)
+      Tpch.raw(s, dir, "events")
+        .select(col("event_id").as("ev:event_id"),
+          col("event_type").as("ev:event_type"), col("value").as("ev:value"))
+        .write.mode("overwrite").json(in)
+      val out = scratch("q54out", dir)
+      graft.tools.Cli.run(s, Array("pull", "-i", in,
+        "-I", "ev:event_id",
+        "-s", """{"ev:event_id": {"db:cardinality": "db.cardinality:one",
+                                  "db:valueType": "db.type:long"},
+                  "ev:event_type": {"db:cardinality": "db.cardinality:one"},
+                  "ev:value": {"db:cardinality": "db.cardinality:one",
+                               "db:valueType": "db.type:dbl"}}""",
+        "-p", """["ev:event_id", "ev:event_type", "ev:value"]""",
+        "-e", """{"ev:event_type": "click"}""",
+        "-o", out))
+      s.read.json(out)
+        .select(col("event_id"), col("event_type"), col("value"))
+    }),
+
     // S7 Newick tree parse → self-referential clade entities → nested pull
     "q45_newick" -> ((s, dir) => {
       val ts = {
@@ -711,6 +789,21 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q44_map_command" ->
       "SELECT event_id, event_type FROM events",
+    "q52_store_save_load" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    "q53_file_lineage" ->
+      """SELECT 'agg/' || source AS agg_file,
+        |       'docs/doc_' || CAST(doc_id AS VARCHAR) AS file,
+        |       CAST(1 AS BIGINT) AS depth
+        |FROM documents
+        |UNION ALL
+        |SELECT 'agg/' || source,
+        |       'raw/raw_' || CAST(doc_id AS VARCHAR),
+        |       CAST(2 AS BIGINT)
+        |FROM documents""".stripMargin,
+    "q54_cli_pull" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type = 'click'""".stripMargin,
     "q46_lazy_ref" ->
       """SELECT c_custkey AS key, n_name AS nation_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -57,7 +57,14 @@ class TripleStore(
       * string value is a known entity id. Declared-ref attrs always use
       * the typed edges; the lazy derivation only runs for undeclared
       * attrs a query actually traverses. */
-    val lazyRefs: Boolean = true) {
+    val lazyRefs: Boolean = true,
+    /** db.cardinality:default (tripl.py:297, 342-345): the cardinality
+      * assumed for attrs with NO declaration. The reference default is
+      * card-many; flipping to card-one makes every undeclared attr
+      * upsert-resolve (latest tx wins) and pull as a scalar. Set via the
+      * bootstrap kwarg or the in-band `db:schema / db.cardinality:default`
+      * fact (kwargs > in-band > default-many). */
+    val defaultCardOne: Boolean = false) {
   import spark.implicits._
 
   /** Pruned scan for the given attributes: generate-only-what's-asked
@@ -113,7 +120,8 @@ class TripleStore(
   def refEdges(attr: String): DataFrame = edgesFor(Some(Seq(attr)))
 
   private def schemaOf(attr: String): AttrSchema =
-    schemas.getOrElse(attr, AttrSchema(attr, cardOne = false, isRef = false, Triples.VStr))
+    schemas.getOrElse(attr,
+      AttrSchema(attr, cardOne = defaultCardOne, isRef = false, Triples.VStr))
 
   private def valueCol(attr: String): String =
     Triples.valueColFor(schemaOf(attr).vtype)
@@ -128,16 +136,26 @@ class TripleStore(
     * dedup, both on the same (e, a) shuffle key — AQE merges them.
     */
   lazy val resolved: DataFrame = if (preResolved) triples else {
-    val cardOneAttrs = schemas.collect { case (a, s) if s.cardOne => a }.toSeq
-    val base =
-      if (cardOneAttrs.isEmpty) triples
-      else {
+    val oneAttrs = schemas.collect { case (a, s) if s.cardOne => a }.toSeq
+    val manyAttrs = schemas.collect { case (a, s) if !s.cardOne => a }.toSeq
+    // which facts fall under card-one upsert resolution: declared-one
+    // attrs, plus (under db.cardinality:default = one) every UNdeclared
+    // attr — declared-many attrs are exempt either way
+    val oneCond: Option[Column] =
+      if (defaultCardOne)
+        Some(if (manyAttrs.isEmpty) lit(true)
+             else !$"a".isInCollection(manyAttrs))
+      else if (oneAttrs.isEmpty) None
+      else Some($"a".isInCollection(oneAttrs))
+    val base = oneCond match {
+      case None => triples
+      case Some(isOne) =>
         val w = Window.partitionBy("e", "a")
         triples
           .withColumn("_maxTx", max("txId").over(w))
-          .where(!$"a".isInCollection(cardOneAttrs) || $"txId" === $"_maxTx")
+          .where(!isOne || $"txId" === $"_maxTx")
           .drop("_maxTx")
-      }
+    }
     base.dropDuplicates(Triples.factCols)
   }
 
@@ -154,13 +172,14 @@ class TripleStore(
   /** Assert a batch of triples (append; resolution happens at read). */
   def assertTriples(batch: DataFrame): TripleStore =
     new TripleStore(spark, triples.unionByName(batch), schemas,
-      lazyRefs = lazyRefs)
+      lazyRefs = lazyRefs, defaultCardOne = defaultCardOne)
 
   /** Graph merge (W5, tripl.py:526-529): set union of two stores. Correct
     * because entity ids are globally unique strings (vision.md:62). */
   def merge(other: TripleStore): TripleStore =
     new TripleStore(spark, triples.unionByName(other.triples),
-      schemas ++ other.schemas, lazyRefs = lazyRefs && other.lazyRefs)
+      schemas ++ other.schemas, lazyRefs = lazyRefs && other.lazyRefs,
+      defaultCardOne = defaultCardOne || other.defaultCardOne)
 
   /** Retraction (W6) with clean semantics: anti-join on the fact identity
     * columns. `pattern` columns must be a subset of factCols. */
@@ -169,13 +188,14 @@ class TripleStore(
     // removing facts preserves the resolution invariants
     new TripleStore(spark,
       triples.join(pattern, keys, "left_anti"), schemas, preResolved,
-      lazyRefs = lazyRefs)
+      lazyRefs = lazyRefs, defaultCardOne = defaultCardOne)
   }
 
   /** Retract everything matching an attribute predicate. */
   def retractWhere(cond: Column): TripleStore =
     new TripleStore(spark, triples.where(!coalesce(cond, lit(false))),
-      schemas, preResolved, lazyRefs = lazyRefs)
+      schemas, preResolved, lazyRefs = lazyRefs,
+      defaultCardOne = defaultCardOne)
 
   /** W7/Q9 — the attribute schema rendered IN-BAND as triples, exactly as
     * the reference stores it: attribute entities carrying db:cardinality
@@ -201,6 +221,70 @@ class TripleStore(
 
   /** Store with its schema asserted in-band (W8 bootstrap step). */
   def withSchemaAsserted: TripleStore = assertTriples(schemaTriples)
+
+  /** Register type entities on the well-known db:schema entity via the
+    * card-many `db.schema:types` ref attr (base_schema, tripl.py:291-293;
+    * the reference's `types` kwarg stores the same registry). */
+  def assertTypes(types: Seq[String]): TripleStore = {
+    val rows = types.distinct.sorted.map(t => org.apache.spark.sql.Row(
+      "db:schema", "db.schema:types", Triples.VRef, null, null, null, null,
+      null, t, null, 0L))
+    assertTriples(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Triples.schema))
+  }
+
+  /** db.schema:types introspection: the type entities registered on
+    * db:schema (in-band or via [[assertTypes]]), sorted. Plan-time
+    * metadata — a driver collect is the right call here, as with
+    * bootstrap's schema read. */
+  def schemaTypes: Seq[String] = resolved
+    .where($"e" === "db:schema" && $"a" === "db.schema:types" &&
+      $"vref".isNotNull)
+    .select($"vref").distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  /** Persist the store as the engine-native Parquet triple layout
+    * (SURVEY.md §1.5/§4; reference analogue: the store IS the persistent
+    * artifact, `load`/`dump` tripl.py:536-558): RESOLVED facts + the
+    * effective schema in-band (so `TripleStore.load` bootstraps it back)
+    * + the `db.refs:lazy` flag, partitioned by attribute namespace and
+    * range-partitioned/sorted by (ns, a, e) within files — directory
+    * pruning per namespace, row-group min/max pruning per attribute,
+    * dictionary-encoded attr strings (see ParquetTripleSource).
+    *
+    * Resolution happens ON WRITE (card-one latest-wins + set semantics),
+    * so the reopened store is preResolved: reads skip the resolution
+    * shuffles forever after — the payoff for persisting. Any in-band
+    * schema facts for attrs this store DECLARES are rewritten to the
+    * effective declaration (kwargs won the precedence fight at bootstrap;
+    * persisting stale losers would flip the winner at reload). */
+  def save(path: String): Unit = {
+    val declared = schemas.keySet.toSeq
+    val cleaned = {
+      val noFlags = resolved.where(
+        !($"e" === "db:schema" &&
+          $"a".isInCollection(Seq("db.refs:lazy", "db.cardinality:default"))))
+      if (declared.isEmpty) noFlags
+      else noFlags.where(
+        !($"a".isInCollection(Seq("db:cardinality", "db:valueType")) &&
+          $"e".isInCollection(declared)))
+    }
+    val flags = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(
+          "db:schema", "db.refs:lazy", Triples.VBool, null, null, null,
+          lazyRefs, null, null, null, 0L),
+        org.apache.spark.sql.Row(
+          "db:schema", "db.cardinality:default", Triples.VStr,
+          if (defaultCardOne) "db.cardinality:one" else "db.cardinality:many",
+          null, null, null, null, null, null, 0L)), 1), Triples.schema)
+    cleaned.unionByName(schemaTriples).unionByName(flags)
+      // deterministic dedup across data/schema overlap (set semantics)
+      .groupBy(Triples.factCols.map(col): _*).agg(max($"txId").as("txId"))
+      .withColumn("ns", substring_index($"a", ":", 1))
+      .repartitionByRange($"ns", $"a", $"e")
+      .sortWithinPartitions("ns", "a", "e")
+      .write.mode("overwrite").partitionBy("ns").parquet(path)
+  }
 
   // ---------------------------------------------------------------------
   // match (Q1/Q2): conjunctive pattern → entity ids
@@ -467,8 +551,10 @@ class TripleStore(
     * self-join (SURVEY.md §2.5). Entity/ref positions join as strings;
     * the object position uses the attr's typed value column.
     */
-  def datalog(find: Seq[String], where: Seq[(String, String, Any)]): DataFrame =
-    datalogRules(find, where, Nil)
+  def datalog(find: Seq[String], where: Seq[(String, String, Any)],
+      sortBy: Option[String] = None, desc: Boolean = false,
+      take: Option[Int] = None): DataFrame =
+    datalogRules(find, where, Nil, sortBy = sortBy, desc = desc, take = take)
 
   private def isVar(t: Any): Boolean = t match {
     case s: String => s.startsWith("?"); case _ => false }
@@ -518,42 +604,93 @@ class TripleStore(
     *   DatalogRule(("?x", "ancestor", "?z"),
     *     Seq(("?x", "geo:parent", "?y"), ("?y", "ancestor", "?z")))
     *
-    * Evaluated as a distributed naive fixpoint: every iteration re-derives
-    * all IDB relations bottom-up (join + union + distinct, each
-    * localCheckpoint'd to truncate lineage), stopping when no relation
-    * grows — the set-at-a-time analogue of SLD resolution, and the same
-    * plan shape as `reachable`. `where` clauses may then use IDB
-    * predicates alongside stored attrs. */
+    * Evaluated as a distributed SEMI-NAIVE fixpoint (the classic Datalog
+    * delta iteration; same frontier idiom as `reachable`): each predicate
+    * keeps a running TOTAL and the last iteration's DELTA, and every rule
+    * is re-derived once per IDB literal in its body with THAT literal
+    * bound to the delta and the rest to the totals — a fact can only be
+    * new if its derivation uses at least one new fact, so per-iteration
+    * join input is the frontier, not the whole closure. Naive
+    * re-derivation costs O(depth·|closure|) extra joins on deep graphs;
+    * this costs O(Σ|delta|). New facts = derived ∖ total (left-anti);
+    * iteration stops when every delta is empty, and a non-empty delta at
+    * `maxIters` THROWS — a silently truncated closure would look like a
+    * valid answer. Each delta/total is localCheckpoint'd to truncate
+    * lineage. `where` clauses may use IDB predicates alongside stored
+    * attrs.
+    *
+    * The grammar's `take`/`sort` keys (tripl.py:583) lower exactly like
+    * pullMany's: `sortBy` is one of the `find` variables, and sort+take
+    * together collapse to TakeOrderedAndProject (a distributed per-
+    * partition top-N + merge — no global sort materialization).
+    *
+    * @param onIteration instrumentation hook: (iteration, delta sizes per
+    *   predicate) after each round — lets tests assert the frontier
+    *   shrinks; no-op by default. */
   def datalogRules(find: Seq[String], where: Seq[(String, String, Any)],
-      rules: Seq[DatalogRule], maxIters: Int = 20): DataFrame = {
+      rules: Seq[DatalogRule], maxIters: Int = 20,
+      onIteration: (Int, Map[String, Long]) => Unit = (_, _) => (),
+      sortBy: Option[String] = None, desc: Boolean = false,
+      take: Option[Int] = None): DataFrame = {
     require(where.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
-    var idb: Map[String, DataFrame] =
-      preds.map(_ -> empty.localCheckpoint(eager = true)).toMap
-    var sizes: Map[String, Long] = preds.map(_ -> 0L).toMap
-    var changed = rules.nonEmpty
-    var i = 0
-    while (changed && i < maxIters) {
-      val next = preds.map { p =>
-        val derived = rules.filter(_.head._2 == p).map { r =>
-          require(isVar(r.head._1) && isVar(r.head._3),
-            s"rule head vars must be variables: ${r.head}")
-          joinClauses(r.body.map(clauseDf(_, idb)))
-            .select(col(r.head._1).as("s"), col(r.head._3).as("o"))
-        }.reduce(_ unionByName _).distinct().localCheckpoint(eager = true)
-        p -> derived
-      }.toMap
-      val nextSizes = next.map { case (p, df) => p -> df.count() }
-      changed = preds.exists(p => nextSizes(p) != sizes(p))
-      idb = next; sizes = nextSizes; i += 1
+    val emptyIdb: Map[String, DataFrame] = preds.map(_ -> empty).toMap
+
+    def headCols(r: DatalogRule): Seq[Column] = {
+      require(isVar(r.head._1) && isVar(r.head._3),
+        s"rule head vars must be variables: ${r.head}")
+      Seq(col(r.head._1).as("s"), col(r.head._3).as("o"))
     }
-    // a silently truncated closure would LOOK like a valid answer
-    if (changed) throw new IllegalStateException(
+
+    // seed round: every rule against the EMPTY IDB — only pure-EDB rule
+    // bodies can produce facts; these are the depth-1 base of the closure
+    var total: Map[String, DataFrame] = preds.map { p =>
+      p -> rules.filter(_.head._2 == p)
+        .map(r => joinClauses(r.body.map(clauseDf(_, emptyIdb)))
+          .select(headCols(r): _*))
+        .reduce(_ unionByName _).distinct().localCheckpoint(eager = true)
+    }.toMap
+    var delta: Map[String, DataFrame] = total
+    var deltaSizes: Map[String, Long] =
+      delta.map { case (p, df) => p -> df.count() }
+    onIteration(0, deltaSizes)
+    var i = 1
+    while (deltaSizes.valuesIterator.exists(_ > 0) && i < maxIters) {
+      val next: Map[String, DataFrame] = preds.map { p =>
+        val perLiteral = rules.filter(_.head._2 == p).flatMap { r =>
+          // one derivation per IDB literal, delta-bound at that literal:
+          // any fact all of whose IDB inputs are old was derived before
+          r.body.indices.filter(j => preds.contains(r.body(j)._2)).map { j =>
+            val dfs = r.body.zipWithIndex.map { case (cl, k) =>
+              clauseDf(cl, if (k == j) delta else total)
+            }
+            joinClauses(dfs).select(headCols(r): _*)
+          }
+        }
+        val fresh =
+          if (perLiteral.isEmpty) empty
+          else perLiteral.reduce(_ unionByName _).distinct()
+            .join(total(p), Seq("s", "o"), "left_anti")
+            .localCheckpoint(eager = true)
+        p -> fresh
+      }.toMap
+      delta = next
+      deltaSizes = delta.map { case (p, df) => p -> df.count() }
+      total = preds.map { p =>
+        p -> (if (deltaSizes(p) == 0) total(p)
+              else total(p).unionByName(delta(p)).localCheckpoint(eager = true))
+      }.toMap
+      onIteration(i, deltaSizes)
+      i += 1
+    }
+    if (deltaSizes.valuesIterator.exists(_ > 0)) throw new IllegalStateException(
       s"datalogRules did not reach a fixpoint in $maxIters iterations — " +
         "raise maxIters (deep recursion) or check the rules for divergence")
-    joinClauses(where.map(clauseDf(_, idb)))
-      .select(find.map(col): _*).distinct()
+    sortLimit(
+      joinClauses(where.map(clauseDf(_, total)))
+        .select(find.map(col): _*).distinct(),
+      sortBy, desc, take)
   }
 
   /** Unroll a recursive spec to `d` nested-descent levels: each level
@@ -577,7 +714,9 @@ class TripleStore(
     * chain. Returns the max level at which ANY root's frontier is
     * non-empty, capped at p.maxDepth so cycles terminate. A handful of
     * tiny scalar jobs at plan time — the same pattern as any iterative
-    * fixpoint on Spark. */
+    * fixpoint on Spark. Same (entity × root) frontier-cost caveat as
+    * [[reachable]]: dense graphs with many roots carry O(|V|·|roots|)
+    * state (p.maxDepth is the backstop here). */
   private def recDepth(roots: DataFrame, p: PRec): Int = {
     val es0 = edgesFor(Some(Seq(p.attr)))
     val es =
@@ -609,11 +748,20 @@ class TripleStore(
     * analogue of pull's '...' recursion with its `_seen_entities` cycle
     * guard (tripl.py:652-669). `maxIters` bounds runaway graphs.
     * Output: (e, root, depth) — e reachable from root in `depth` hops.
-    */
+    *
+    * SCALE NOTE: the visited/frontier sets are keyed by (entity, root) —
+    * required by the reference's per-root traversal semantics (each
+    * root's '...' recursion has its own seen-set). On a dense graph where
+    * most entities are reachable from most roots that is O(|V|·|roots|)
+    * state; with many roots prefer per-batch calls, or set `maxFrontier`
+    * — a safety valve that fails fast with a clear message (one tiny
+    * count per iteration) instead of letting the frontier shuffle OOM an
+    * executor 19 iterations in. */
   def reachable(
       roots: DataFrame,
       attrs: Option[Seq[String]] = None,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      maxFrontier: Option[Long] = None): DataFrame = {
     val es = edgesFor(attrs)
       .select($"e".as("_src"), $"vref".as("_dst"))
     var visited = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
@@ -627,7 +775,18 @@ class TripleStore(
         .join(visited.select($"e", $"root"), Seq("e", "root"), "left_anti")
         .groupBy($"e", $"root").agg(min($"depth").as("depth"))
         .localCheckpoint(eager = true)
-      if (next.isEmpty) done = true
+      val frontierSize = maxFrontier match {
+        case Some(cap) =>
+          val n = next.count()
+          if (n > cap) throw new IllegalStateException(
+            s"reachable: frontier of $n (entity, root) pairs at depth ${i + 1} " +
+              s"exceeds maxFrontier=$cap — the graph is too dense for " +
+              "per-root traversal at this root-set size; batch the roots " +
+              "or raise the cap")
+          n
+        case None => if (next.isEmpty) 0L else 1L
+      }
+      if (frontierSize == 0L) done = true
       else { visited = visited.unionByName(next).localCheckpoint(eager = true); frontier = next }
       i += 1
     }
@@ -649,15 +808,24 @@ object TripleStore {
     * and is the one place a driver-side read is the right call. */
   def bootstrap(spark: SparkSession, facts: DataFrame,
       schema: Map[String, AttrSchema] = Map.empty,
-      lazyRefs: Option[Boolean] = None): TripleStore = {
-    import spark.implicits._
-    // latest-tx-wins per (attr, schema-attr): raw facts may contain
-    // re-asserted schema (collect order is partition-dependent, so a
-    // bare `find` would be nondeterministic)
+      lazyRefs: Option[Boolean] = None,
+      defaultCardinality: Option[String] = None): TripleStore =
+    new TripleStore(spark, facts, inBandSchema(facts) ++ schema,
+      lazyRefs = lazyRefs.orElse(inBandLazyFlag(facts)).getOrElse(true),
+      defaultCardOne = defaultCardinality
+        .orElse(inBandDefaultCard(facts))
+        .getOrElse("db.cardinality:many") == "db.cardinality:one")
+
+  /** In-band attr schema: latest-tx-wins per (attr, schema-attr) — raw
+    * facts may contain re-asserted schema (collect order is
+    * partition-dependent, so a bare `find` would be nondeterministic).
+    * Plan-time metadata: a few rows per attr, collected to the driver
+    * like the reference's schema_pull. */
+  private def inBandSchema(facts: DataFrame): Map[String, AttrSchema] = {
     val rows = facts
       .where(col("a").isInCollection(Seq("db:cardinality", "db:valueType")))
       .select(col("e"), col("a"), col("vstr"), col("txId")).collect()
-    val inBand: Map[String, AttrSchema] = rows.groupBy(_.getString(0)).map {
+    rows.groupBy(_.getString(0)).map {
       case (attr, rs) =>
         def latest(a: String) = rs.filter(_.getString(1) == a) match {
           case Array() => None
@@ -672,11 +840,43 @@ object TripleStore {
         attr -> AttrSchema(attr,
           cardOne = card.contains("db.cardinality:one"), isRef, vtype)
     }
-    val inBandLazy = facts
-      .where(col("e") === "db:schema" && col("a") === "db.refs:lazy" &&
-        col("vbool").isNotNull)
-      .select(col("vbool")).as[Boolean].collect().headOption
-    new TripleStore(spark, facts, inBand ++ schema,
-      lazyRefs = lazyRefs.orElse(inBandLazy).getOrElse(true))
+  }
+
+  private def inBandLazyFlag(facts: DataFrame): Option[Boolean] = facts
+    .where(col("e") === "db:schema" && col("a") === "db.refs:lazy" &&
+      col("vbool").isNotNull)
+    .select(col("vbool")).collect().map(_.getBoolean(0)).headOption
+
+  /** In-band db.cardinality:default (tripl.py:297, 342-345), latest-tx-
+    * wins like the per-attr schema facts. */
+  private def inBandDefaultCard(facts: DataFrame): Option[String] = {
+    val rows = facts
+      .where(col("e") === "db:schema" && col("a") === "db.cardinality:default" &&
+        col("vstr").isNotNull)
+      .select(col("vstr"), col("txId")).collect()
+    if (rows.isEmpty) None else Some(rows.maxBy(_.getLong(1)).getString(0))
+  }
+
+  /** Reopen a store persisted by [[TripleStore.save]]: an attribute-pruned
+    * ParquetTripleSource over the namespace-partitioned layout + the
+    * in-band schema bootstrapped back (kwargs > in-band > defaults, same
+    * precedence as [[bootstrap]]). The store is preResolved — resolution
+    * ran at save time — so queries go straight to pruned scans. The
+    * schema read itself is pruned (only the `db` / `db.refs` namespace
+    * partitions are listed). */
+  def load(spark: SparkSession, path: String,
+      schema: Map[String, AttrSchema] = Map.empty,
+      lazyRefs: Option[Boolean] = None,
+      defaultCardinality: Option[String] = None): TripleStore = {
+    val src = graft.sources.ParquetTripleSource(spark, path)
+    val schemaFacts = src.scan(Some(Seq(
+      "db:cardinality", "db:valueType", "db.refs:lazy",
+      "db.cardinality:default")))
+    new TripleStore(spark, src.scan(None), inBandSchema(schemaFacts) ++ schema,
+      preResolved = true, source = Some(src),
+      lazyRefs = lazyRefs.orElse(inBandLazyFlag(schemaFacts)).getOrElse(true),
+      defaultCardOne = defaultCardinality
+        .orElse(inBandDefaultCard(schemaFacts))
+        .getOrElse("db.cardinality:many") == "db.cardinality:one")
   }
 }

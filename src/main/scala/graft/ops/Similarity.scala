@@ -131,6 +131,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** EXACT cosine near-duplicate pairs via the full cross product —
+    * deliberately and irreducibly Ω(n²). This is the opt-in EXACT
+    * mid-threshold path: no LSH family prunes at cos ≥ ~0.4 with recall 1
+    * on isotropic data (weak neighbors sit at the noise floor, so every
+    * bucketing scheme either misses pairs or degenerates to all-pairs).
+    * NOT a default entry point — at 100 TB this plan is infeasible by
+    * construction; use [[cosineNearDups]] (banded LSH + exact verify,
+    * high-threshold regime) unless the corpus is bounded AND the
+    * threshold is below LSH's pruning range and exactness is required.
+    * The name is the guard rail: no other API constructs a cartesian. */
+  def exactNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
+    v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("id1"), col("b._id").as("id2"),
+        cosine(col("a._v"), col("b._v")).as("_c"))
+      // filter on the RAW value (as a SQL oracle does); round only in output
+      .where(col("_c") >= threshold)
+      .select(col("id1"), col("id2"), round(col("_c"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ thresh):
     * banded multi-probe LSH candidates, then EXACT cosine verification —
     * the embedding analogue of MinHash+LSH+exact-Jaccard near-dup

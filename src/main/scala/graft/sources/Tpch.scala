@@ -43,15 +43,23 @@ object Tpch {
     case other => sys.error(s"no spec for table $other")
   }
 
-  private val cache = TrieMap[(Int, String, String), DataFrame]()
-  private def key(spark: SparkSession, sfDir: String, what: String) =
-    (System.identityHashCode(spark), sfDir, what)
+  // weak-keyed by session: a restarted/discarded SparkSession's frames are
+  // GC-reclaimable instead of pinned forever by an identityHashCode key
+  // (two sessions can even share one hash). Harness-side convenience cache.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
+  private def sessionCache(spark: SparkSession): TrieMap[(String, String), DataFrame] =
+    cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) { m = TrieMap.empty; cache.put(spark, m) }
+      m
+    }
 
   /** Raw parquet table. `events.ts` is written as TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects — read it as a nanos long (legacy
     * conf) and convert exactly via integer division to micros. */
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    cache.getOrElseUpdate(key(spark, sfDir, "raw:" + table), {
+    sessionCache(spark).getOrElseUpdate((sfDir, "raw:" + table), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$table.parquet")
       if (table == "events")

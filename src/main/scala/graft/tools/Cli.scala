@@ -14,6 +14,7 @@ import scala.jdk.CollectionConverters._
   *                        [-m CMD] [-n NS] -o out
   *   graft.tools.Cli pull -i in.json ... [-p PULL_EXPR]
   *                        (-e ENTITY_PATTERN | -E eid,eid,...) -o out
+  *   graft.tools.Cli datalog -i in.json ... -q QUERY -o out
   *
   * `join` ingests the inputs (optionally mapping each line through an
   * external command, cli.py:20-23) and dumps the store as EAV JSON lines;
@@ -25,7 +26,15 @@ import scala.jdk.CollectionConverters._
   * rendering of the same data; `-o -` collects to stdout (driver-side,
   * interactive convenience like the reference's /dev/stdout default).
   * `-P/--processes` is accepted-and-ignored: executor parallelism comes
-  * from the Spark master, not a process pool. */
+  * from the Spark master, not a process pool.
+  *
+  * `datalog` runs the reference's PLANNED query-dict grammar
+  * (tripl.py:571-584) end-to-end: `{'find': [vars], 'where': [[s a o]...],
+  * 'rules': [[[pred ?s ?o] [s a o]...]...], 'take': N, 'sort': var}` —
+  * rule heads are [predicate, subject-var, object-var] exactly as the
+  * grammar comment writes them; `sort` names a find variable (leading
+  * '?' optional) and `sort`+`take` lower to TakeOrderedAndProject.
+  * Output columns are the find variables minus the '?'. */
 object Cli {
   private val mapper = new ObjectMapper()
 
@@ -39,11 +48,13 @@ object Cli {
       ns: String = "tripl",
       pullExpr: String = """["*"]""",
       entityPattern: Option[String] = None,
-      entities: Option[Seq[String]] = None)
+      entities: Option[Seq[String]] = None,
+      query: Option[String] = None)
 
   private def parseArgs(argv: Array[String]): Args = {
-    require(argv.nonEmpty && Seq("join", "pull").contains(argv(0)),
-      "usage: Cli {join|pull} -i inputs... [-p expr] [-e pattern | -E ids] -o out")
+    require(argv.nonEmpty && Seq("join", "pull", "datalog").contains(argv(0)),
+      "usage: Cli {join|pull|datalog} -i inputs... [-p expr] " +
+        "[-e pattern | -E ids] [-q query] -o out")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -69,6 +80,7 @@ object Cli {
           a = a.copy(entityPattern = Some(value(f)))
         case f @ ("-E" | "--entities") =>
           a = a.copy(entities = Some(value(f).split(",").toSeq))
+        case f @ ("-q" | "--query") => a = a.copy(query = Some(value(f)))
         case f @ ("-P" | "--processes") => value(f) // parallelism is Spark's
         case other => sys.error(s"unknown argument: $other")
       }
@@ -186,7 +198,42 @@ object Cli {
             ts.pullMany(pat, specs)
         }
         writeOut(result, a.output)
+      case "datalog" =>
+        val q = parseDatalogQuery(
+          a.query.getOrElse(sys.error("datalog needs -q query")))
+        writeOut(q.run(ts), a.output)
     }
+  }
+
+  /** The reference's planned datalog query dict (tripl.py:571-584). */
+  final case class DatalogQuery(
+      find: Seq[String], where: Seq[(String, String, Any)],
+      rules: Seq[DatalogRule], sortBy: Option[String], take: Option[Int]) {
+    def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
+      ts.datalogRules(find, where, rules, sortBy = sortBy, take = take)
+        .toDF(find.map(_.stripPrefix("?")): _*)
+  }
+
+  def parseDatalogQuery(json: String): DatalogQuery = {
+    val q = mapper.readTree(json)
+    def triple(n: JsonNode): (String, String, Any) = {
+      val els = n.elements().asScala.toSeq
+      require(els.size == 3, s"clause must be [s a o], got $n")
+      (els(0).asText, els(1).asText, scalar(els(2)))
+    }
+    val find = q.get("find").elements().asScala.map(_.asText).toSeq
+    val where = q.get("where").elements().asScala.map(triple).toSeq
+    val rules = Option(q.get("rules")).map(_.elements().asScala.map { r =>
+      val els = r.elements().asScala.toSeq
+      // head is [predicate, ?s, ?o] — the grammar comment's order
+      val h = els.head.elements().asScala.toSeq
+      require(h.size == 3, s"rule head must be [pred ?s ?o], got ${els.head}")
+      DatalogRule((h(1).asText, h(0).asText, h(2).asText), els.tail.map(triple))
+    }.toSeq).getOrElse(Nil)
+    val sortBy = Option(q.get("sort")).map(_.asText)
+      .map(s => if (s.startsWith("?")) s else "?" + s)
+    val take = Option(q.get("take")).map(_.asInt)
+    DatalogQuery(find, where, rules, sortBy, take)
   }
 
   def main(argv: Array[String]): Unit = {

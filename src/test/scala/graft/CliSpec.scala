@@ -49,6 +49,47 @@ class CliSpec extends AnyFunSuite {
     assert(dump.count() === 3)
   }
 
+  test("CLI datalog: query dict with rules, sort and take (tripl.py:571-584)") {
+    val dir = Files.createTempDirectory("graft_cli_dl").toString
+    val in = dir + "/people.json"
+    // chain: ada → bob → cyn through person:parent
+    Files.writeString(Paths.get(in),
+      """{"person:id": "ada", "person:parent": {"person:id": "bob"}}
+        |{"person:id": "bob", "person:parent": {"person:id": "cyn"}}
+        |""".stripMargin)
+    val out = dir + "/ancestors"
+    Cli.run(spark, Array("datalog", "-i", in, "-I", "person:id",
+      "-s", """{"person:parent": {"db:valueType": "db.type:ref"}}""",
+      "-q",
+      """{"find": ["?x", "?y"],
+         "where": [["?a", "person:id", "?x"], ["?a", "ancestor", "?b"],
+                   ["?b", "person:id", "?y"]],
+         "rules": [[["ancestor", "?s", "?o"], ["?s", "person:parent", "?o"]],
+                   [["ancestor", "?s", "?o"], ["?s", "person:parent", "?m"],
+                    ["?m", "ancestor", "?o"]]],
+         "sort": "?y", "take": 2}""",
+      "-o", out))
+    import spark.implicits._
+    val rows = spark.read.json(out).select($"x", $"y")
+      .as[(String, String)].collect().toSet
+    // full closure is (ada,bob), (ada,cyn), (bob,cyn); sort by ?y asc +
+    // take 2 keeps the two 'bob'/'cyn'-smallest — ada→bob and one of the
+    // ?y='cyn' rows; sort is on ?y only, so assert semantics not order
+    assert(rows.size === 2)
+    assert(rows.contains(("ada", "bob")))
+    assert(rows.forall(p => Set(("ada", "bob"), ("ada", "cyn"), ("bob", "cyn"))(p)))
+    // parser shapes
+    val q = Cli.parseDatalogQuery(
+      """{"find": ["?x"], "where": [["?e", "a:b", 3]],
+         "rules": [[["anc", "?s", "?o"], ["?s", "p:q", "?o"]]],
+         "sort": "x", "take": 5}""")
+    assert(q.find === Seq("?x"))
+    assert(q.where === Seq(("?e", "a:b", 3L)))
+    assert(q.rules === Seq(query.DatalogRule(("?s", "anc", "?o"),
+      Seq(("?s", "p:q", "?o")))))
+    assert(q.sortBy === Some("?x") && q.take === Some(5))
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===

@@ -96,6 +96,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: semi-naive datalog closure == driver-computed closure on random DAGs") {
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { block =>
+      val n = 10
+      // random DAG: edges only i→j with i < j (acyclic by construction)
+      val edges = for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.3
+      } yield (i, j)
+      val triples = edges.map { case (i, j) => (s"v$i", "g:edge", s"v$j", 0L) }
+      // independent truth: transitive closure computed driver-side
+      val closure = scala.collection.mutable.Set[(Int, Int)](edges: _*)
+      var grew = true
+      while (grew) {
+        val add = for {
+          (a, b) <- closure.toSeq; (c, d) <- closure.toSeq if b == c
+        } yield (a, d)
+        grew = add.exists(p => !closure(p))
+        closure ++= add
+      }
+      val store = {
+        val df = triples.toDF("e", "a", "vstr", "txId")
+          .withColumn("vtype", lit(graft.model.Triples.VStr))
+          .withColumn("vlong", lit(null).cast("long"))
+          .withColumn("vdbl", lit(null).cast("double"))
+          .withColumn("vbool", lit(null).cast("boolean"))
+          .withColumn("vts", lit(null).cast("timestamp_ntz"))
+          .withColumn("vref", lit(null).cast("string"))
+          .withColumn("vbin", lit(null).cast("binary"))
+          .select(graft.model.Triples.columns.map(col): _*)
+        new TripleStore(spark, df, Map.empty)
+      }
+      if (edges.nonEmpty) {
+        val got = store.datalogRules(Seq("?x", "?y"), Seq(("?x", "reach", "?y")),
+          Seq(
+            DatalogRule(("?x", "reach", "?y"), Seq(("?x", "g:edge", "?y"))),
+            DatalogRule(("?x", "reach", "?z"),
+              Seq(("?x", "g:edge", "?y"), ("?y", "reach", "?z")))))
+          .as[(String, String)].collect().toSet
+        val want = closure.map { case (a, b) => (s"v$a", s"v$b") }.toSet
+        assert(got === want, s"block $block edges=$edges")
+      }
+    }
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>

@@ -116,6 +116,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(upper.exists(_.contains("\"V\"")))
   }
 
+  test("Tpch cache is keyed per session: no stale frames across sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    val a = graft.sources.Tpch.raw(spark, dir, "region")
+    val b = graft.sources.Tpch.raw(s2, dir, "region")
+    // same session → cache hit (same frame); other session → its own frame
+    assert(a eq graft.sources.Tpch.raw(spark, dir, "region"))
+    assert(!(a eq b))
+    assert(b.sparkSession eq s2)
+    assert(b.count() === a.count())
+  }
+
   test("entity constructors build namespaced docs (W9)") {
     val doc = Constructors.entityCons("cft.type:seq", "cft.seq")(
       "id" -> "s1", "cft:description" -> "x")

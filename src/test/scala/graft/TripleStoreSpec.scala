@@ -302,6 +302,153 @@ class TripleStoreSpec extends AnyFunSuite {
       yield (x, y)))
   }
 
+  test("semi-naive datalog: the frontier shrinks on a chain graph") {
+    // chain a0→a1→…→a9: closure = 45 pairs. Semi-naive deltas are the
+    // per-distance diagonals (9, 8, 7, …) — strictly shrinking; the naive
+    // fixpoint would re-derive the FULL closure every round instead.
+    val n = 10
+    val edges = (0 until n - 1).map(i => (s"a$i", "r:next", s"a${i + 1}", 0L))
+    val ts = tinyStore(edges)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = ts.datalogRules(Seq("?x", "?y"), Seq(("?x", "reach", "?y")),
+      Seq(
+        DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+        DatalogRule(("?x", "reach", "?z"),
+          Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z")))),
+      onIteration = (_, ds) => sizes += ds("reach"))
+    assert(out.count() === (n - 1) * n / 2)
+    // deltas: 9, 8, 7, … 1, 0 — monotonically decreasing frontier
+    assert(sizes.head === (n - 1))
+    assert(sizes.toList === sizes.toList.sorted.reverse, sizes)
+    assert(sizes.last === 0)
+  }
+
+  test("save/load: Parquet triple layout round-trips data, schema, lazy flag") {
+    val ts = cftStore()
+    val dir = java.nio.file.Files.createTempDirectory("graft_saveload").toString
+    ts.save(dir)
+    val re = TripleStore.load(spark, dir)
+    // data round-trip: the same nested pull as the golden test
+    val out = re.pullMany(
+      Seq("cft:type" -> MEq("cft.type:seq")),
+      Seq(PAttr("cft.seq:id"), PNest("cft.seq:timepoint",
+        Seq(PAttr("cft.timepoint:id", Some("tp"))))))
+      .select($"id", transform($"timepoint", c => c.getField("tp")).as("tps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).sorted.toList)
+      .toMap
+    assert(out === Map(
+      "QA255-seq1" -> List("dpi-1204", "dpi-234"),
+      "QA255-seq2" -> List("dpi-1204")))
+    // schema bootstrapped back from the in-band facts
+    assert(re.schemas("cft.seq:id").cardOne === ts.schemas("cft.seq:id").cardOne)
+    assert(re.schemas("cft.seq:subject").isRef)
+    assert(re.preResolved) // resolution ran at save time
+    // the db.refs:lazy flag round-trips
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_saveload2").toString
+    new TripleStore(spark, ts.triples, ts.schemas, lazyRefs = false).save(dir2)
+    assert(!TripleStore.load(spark, dir2).lazyRefs)
+  }
+
+  test("load: a single-attr match prunes to the attr's namespace partition") {
+    // two namespaces; a query touching only ns 'x' must scan with a
+    // partition filter pinning ns (directory-level pruning)
+    val ts = tinyStore(Seq(
+      ("e1", "x:a", "v1", 0L), ("e2", "x:a", "v2", 0L),
+      ("e1", "y:b", "w", 0L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    ts.save(dir)
+    val q = TripleStore.load(spark, dir).matchEntities(Seq("x:a" -> MEq("v1")))
+    assert(q.as[String].collect().toList === List("e1"))
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("ns#"), s"no partition filter on ns:\n$plan")
+    assert(pf.contains("= x") || pf.contains("IN (x"),
+      s"partition filter does not pin ns=x:\n$pf")
+  }
+
+  test("db.cardinality:default precedence: kwargs > in-band > default-many") {
+    // k:u is UNDECLARED (bootstrap reads only in-band schema; there are no
+    // per-attr facts for it) and re-asserted at a later tx
+    val facts = tinyStore(Seq(
+      ("db:schema", "db.cardinality:default", "db.cardinality:one", 0L),
+      ("e1", "k:u", "old", 0L), ("e1", "k:u", "new", 1L))).triples
+    // in-band default-one: the undeclared attr upsert-resolves
+    val ts = TripleStore.bootstrap(spark, facts)
+    assert(ts.defaultCardOne)
+    assert(ts.resolved.where($"a" === "k:u").select($"vstr")
+      .as[String].collect().toList === List("new"))
+    // explicit kwarg beats the in-band fact
+    val ts2 = TripleStore.bootstrap(spark, facts,
+      defaultCardinality = Some("db.cardinality:many"))
+    assert(!ts2.defaultCardOne)
+    assert(ts2.resolved.where($"a" === "k:u").count() === 2)
+    // nothing declared anywhere → the reference default (card-many)
+    val ts3 = TripleStore.bootstrap(spark,
+      tinyStore(Seq(("e1", "k:u", "a", 0L), ("e1", "k:u", "b", 1L))).triples)
+    assert(!ts3.defaultCardOne)
+    assert(ts3.resolved.where($"a" === "k:u").count() === 2)
+    // a DECLARED card-many attr is exempt from the default-one resolution
+    val ts4 = TripleStore.bootstrap(spark, tinyStore(Seq(
+      ("db:schema", "db.cardinality:default", "db.cardinality:one", 0L),
+      ("k:m", "db:cardinality", "db.cardinality:many", 0L),
+      ("e1", "k:m", "a", 0L), ("e1", "k:m", "b", 1L))).triples)
+    assert(ts4.defaultCardOne && !ts4.schemas("k:m").cardOne)
+    assert(ts4.resolved.where($"a" === "k:m").count() === 2)
+  }
+
+  test("db.schema:types registry: assert + introspect round-trip") {
+    val ts = tinyStore(Seq(("e1", "k:x", "v", 0L)))
+      .assertTypes(Seq("type:b", "type:a", "type:b"))
+    assert(ts.schemaTypes === Seq("type:a", "type:b"))
+    // default-cardinality save/load round-trip carries the flag in-band
+    val dir = java.nio.file.Files.createTempDirectory("graft_dc").toString
+    new TripleStore(spark, ts.triples, ts.schemas, defaultCardOne = true)
+      .save(dir)
+    assert(TripleStore.load(spark, dir).defaultCardOne)
+  }
+
+  test("datalog take/sort lower to TakeOrderedAndProject (tripl.py:583)") {
+    val ts = tinyStore(Seq(
+      ("e1", "p:name", "c", 0L), ("e2", "p:name", "a", 0L),
+      ("e3", "p:name", "b", 0L)))
+    val out = ts.datalog(Seq("?n"), Seq(("?e", "p:name", "?n")),
+      sortBy = Some("?n"), take = Some(2))
+    assert(out.as[String].collect().toList === List("a", "b"))
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val desc = ts.datalog(Seq("?n"), Seq(("?e", "p:name", "?n")),
+      sortBy = Some("?n"), desc = true, take = Some(1))
+    assert(desc.as[String].collect().toList === List("c"))
+  }
+
+  test("reachable: maxFrontier valve fails fast on dense expansion") {
+    // K4 on {a,b,c,d} with all roots: frontier after one hop is 12
+    // (entity, root) pairs — a cap of 5 must trip with a clear message
+    val vs = Seq("a", "b", "c", "d")
+    val edges = for { x <- vs; y <- vs if x != y } yield (x, "r:next", y)
+    val triples = edges.toDF("e", "a", "vref")
+      .withColumn("vtype", lit(Triples.VRef))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val ts = new TripleStore(spark, triples, Map(
+      "r:next" -> AttrSchema("r:next", cardOne = false, isRef = true,
+        Triples.VRef)))
+    val roots = vs.toDF("e")
+    val ex = intercept[IllegalStateException] {
+      ts.reachable(roots, maxFrontier = Some(5L)).count()
+    }
+    assert(ex.getMessage.contains("maxFrontier"))
+    // without the valve the same traversal completes
+    assert(ts.reachable(roots).count() === 16) // 4 roots × 4 reachable each
+  }
+
   test("store merge is set union over globally-unique eids (W5)") {
     val a = tinyStore(Seq(("e1", "k:x", "v", 0L)))
     val b = tinyStore(Seq(("e1", "k:x", "v", 0L), ("e2", "k:x", "w", 0L)))
