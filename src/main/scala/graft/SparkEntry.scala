@@ -727,6 +727,27 @@ object SparkEntry {
           col("depth").cast("long").as("depth"))
     }),
 
+    // tripl.file:contents ingest (nestly.py:98-110): documents written as
+    // ONE sorted text artifact, re-ingested distributed via wholetext →
+    // the file entity's contents fact must reconstruct exactly what SQL
+    // string_agg computes from the base table (rtrim: the text writer
+    // terminates the final line)
+    "q55_file_contents" -> ((s, dir) => {
+      val out = scratch("q55", dir)
+      Tpch.raw(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(1).sortWithinPartitions("doc_id")
+        .select(col("text")).write.mode("overwrite").text(out)
+      val t = graft.sources.JsonSource.fileContents(s, None, out)
+      new TripleStore(s, t, Map(
+        "tripl.file:path" -> graft.model.AttrSchema("tripl.file:path",
+          cardOne = true, isRef = false, Triples.VStr),
+        "tripl.file:contents" -> graft.model.AttrSchema("tripl.file:contents",
+          cardOne = true, isRef = false, Triples.VStr)))
+        .resolved.where(col("a") === "tripl.file:contents")
+        // rtrim(str) trims spaces only — strip the writer's final newline
+        .select(rtrim(col("vstr"), "\n").as("contents"))
+    }),
+
     // S10/S11 CLI round-trip with a DuckDB oracle (CliSpec keeps the
     // stdout path): JSON-dump events, run the full CLI pull surface
     // (ingest -s schema, -e pattern, -p pull expr, -o dir), re-read the
@@ -804,6 +825,9 @@ object SparkEntry {
     "q54_cli_pull" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_type = 'click'""".stripMargin,
+    "q55_file_contents" ->
+      """SELECT string_agg(text, chr(10) ORDER BY doc_id) AS contents
+        |FROM documents""".stripMargin,
     "q46_lazy_ref" ->
       """SELECT c_custkey AS key, n_name AS nation_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

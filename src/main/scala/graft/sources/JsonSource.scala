@@ -68,17 +68,46 @@ object JsonSource {
     * sourcesCol: Array[String]). */
   def fileLineage(files: DataFrame, pathCol: String, sourcesCol: String,
       baseDir: Option[String] = None): DataFrame = {
-    def rel(c: org.apache.spark.sql.Column) = baseDir match {
-      case Some(b) =>
-        val prefix = if (b.endsWith("/")) b else b + "/"
-        when(c.startsWith(prefix),
-          c.substr(lit(prefix.length + 1), length(c))).otherwise(c)
-      case None => c
-    }
     val docs = files.select(
-      rel(col(pathCol)).as("tripl.file:path"),
+      relPath(col(pathCol), baseDir).as("tripl.file:path"),
       transform(col(sourcesCol),
-        p => struct(rel(p).as("tripl.file:path"))).as("tripl.file:sources"))
+        p => struct(relPath(p, baseDir).as("tripl.file:path")))
+        .as("tripl.file:sources"))
+    DocIngest.flatten(docs, "tripl.file", Seq("tripl.file:path"))
+  }
+
+  /** Path relativization shared by lineage and contents ingest: paths
+    * under `baseDir` become relative (the reference relativizes against
+    * the build's output dir, nestly.py:322-327). */
+  private def relPath(c: org.apache.spark.sql.Column,
+      baseDir: Option[String]): org.apache.spark.sql.Column = baseDir match {
+    case Some(b) =>
+      val prefix = if (b.endsWith("/")) b else b + "/"
+      when(c.startsWith(prefix),
+        c.substr(lit(prefix.length + 1), length(c))).otherwise(c)
+    case None => c
+  }
+
+  /** S9+ — `tripl.file:contents` ingest (nestly.py:98-110): one entity
+    * per build-product file, identified by its (relativized) path,
+    * carrying the file's full text as a `tripl.file:contents` fact —
+    * the reference's build-metadata harvesting of non-JSON/YAML
+    * artifacts. Distributed: the text source's `wholetext` mode reads
+    * each file as one row ON THE EXECUTORS (no driver file I/O), so a
+    * million small build products ingest as a normal parallel scan.
+    * Because the entity id is the path (same resolution rule as
+    * [[fileLineage]]), contents attach to the SAME entities the
+    * provenance graph references — lineage + contents compose into one
+    * queryable file graph. */
+  def fileContents(spark: SparkSession, baseDir: Option[String],
+      paths: String*): DataFrame = {
+    // input_file_name yields a URI (file:///abs/path); normalize to the
+    // plain filesystem path so relativization matches lineage's paths
+    val raw = spark.read.option("wholetext", "true").text(paths: _*)
+      .withColumn("_p", regexp_replace(input_file_name(), "^file:(//)?", ""))
+    val docs = raw.select(
+      relPath(col("_p"), baseDir).as("tripl.file:path"),
+      col("value").as("tripl.file:contents"))
     DocIngest.flatten(docs, "tripl.file", Seq("tripl.file:path"))
   }
 

@@ -88,6 +88,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(reachedPaths === Set("a.out", "/src/a.c", "/src/lib.h"))
   }
 
+  test("file contents ingest unifies with lineage entities by path (S9+)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_contents")
+    val f = dir.resolve("a.out")
+    java.nio.file.Files.writeString(f, "built artifact body")
+    // lineage names the file by relative path; contents ingest must land
+    // on the SAME entity (path-keyed cross-doc resolution)
+    val lineage = JsonSource.fileLineage(
+      Seq((f.toString, Seq("/src/a.c"))).toDF("path", "sources"),
+      "path", "sources", baseDir = Some(dir.toString))
+    val contents = JsonSource.fileContents(spark, Some(dir.toString), f.toString)
+    val ts = new TripleStore(spark, lineage.unionByName(contents), Map(
+      "tripl.file:path" -> graft.model.AttrSchema("tripl.file:path",
+        cardOne = true, isRef = false, graft.model.Triples.VStr),
+      "tripl.file:sources" -> graft.model.AttrSchema("tripl.file:sources",
+        cardOne = false, isRef = true, graft.model.Triples.VRef),
+      "tripl.file:contents" -> graft.model.AttrSchema("tripl.file:contents",
+        cardOne = true, isRef = false, graft.model.Triples.VStr)))
+    val aOut = ts.matchEntities(Seq("tripl.file:path" -> MEq("a.out")))
+    assert(aOut.count() === 1) // one unified entity, not lineage + contents
+    val pulled = ts.pull(aOut, Seq(
+      query.PAttr("tripl.file:contents", Some("body")),
+      query.PRevIds("tripl.file:sources", Some("derived"))))
+    val row = pulled.head()
+    assert(row.getAs[String]("body") === "built artifact body")
+  }
+
   test("multi-file JSON load keeps per-file provenance (S1/S2)") {
     val f1 = tmpFile("a.json", """{"u:id": "u1", "u:name": "ada"}""")
     val f2 = tmpFile("b.json", """{"u:id": "u2", "u:name": "bob"}""")
