@@ -302,6 +302,26 @@ class TripleStoreSpec extends AnyFunSuite {
       yield (x, y)))
   }
 
+  test("semi-naive datalog: mutually recursive predicates converge") {
+    // odd/even path-length predicates defined in terms of EACH OTHER —
+    // the delta iteration must propagate new facts across predicates
+    // (a semi-naive bug class: binding only one pred's delta per round)
+    val ts = tinyStore((0 until 3).map(i => (s"a$i", "r:next", s"a${i + 1}", 0L)))
+    val rules = Seq(
+      DatalogRule(("?x", "oddp", "?y"), Seq(("?x", "r:next", "?y"))),
+      DatalogRule(("?x", "oddp", "?y"),
+        Seq(("?x", "r:next", "?z"), ("?z", "evenp", "?y"))),
+      DatalogRule(("?x", "evenp", "?y"),
+        Seq(("?x", "r:next", "?z"), ("?z", "oddp", "?y"))))
+    val odd = ts.datalogRules(Seq("?x", "?y"), Seq(("?x", "oddp", "?y")), rules)
+      .as[(String, String)].collect().toSet
+    val even = ts.datalogRules(Seq("?x", "?y"), Seq(("?x", "evenp", "?y")), rules)
+      .as[(String, String)].collect().toSet
+    // chain a0→a1→a2→a3: odd distances {1,3}, even distances {2}
+    assert(odd === Set(("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a0", "a3")))
+    assert(even === Set(("a0", "a2"), ("a1", "a3")))
+  }
+
   test("semi-naive datalog: the frontier shrinks on a chain graph") {
     // chain a0→a1→…→a9: closure = 45 pairs. Semi-naive deltas are the
     // per-distance diagonals (9, 8, 7, …) — strictly shrinking; the naive
