@@ -369,6 +369,34 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(!TripleStore.load(spark, dir2).lazyRefs)
   }
 
+  test("save/load round-trips every typed value column (ts, bin, long, dbl, bool)") {
+    val rows = Seq(
+      org.apache.spark.sql.Row("e1", "t:ts", Triples.VTs, null, null, null,
+        null, java.time.LocalDateTime.of(2026, 8, 12, 10, 30, 0), null, null, 0L),
+      org.apache.spark.sql.Row("e1", "t:bin", Triples.VBin, null, null, null,
+        null, null, null, Array[Byte](1, 2, 3), 0L),
+      org.apache.spark.sql.Row("e1", "t:n", Triples.VLong, null, 42L, null,
+        null, null, null, null, 0L),
+      org.apache.spark.sql.Row("e1", "t:d", Triples.VDbl, null, null, 2.5,
+        null, null, null, null, 0L),
+      org.apache.spark.sql.Row("e1", "t:b", Triples.VBool, null, null, null,
+        true, null, null, null, 0L))
+    val triples = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Triples.schema)
+    val ts = new TripleStore(spark, triples, Map.empty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_typed").toString
+    ts.save(dir)
+    val re = TripleStore.load(spark, dir)
+    val back = re.resolved.where($"e" === "e1")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(back("t:ts").getAs[java.time.LocalDateTime]("vts") ===
+      java.time.LocalDateTime.of(2026, 8, 12, 10, 30, 0))
+    assert(back("t:bin").getAs[Array[Byte]]("vbin").toSeq === Seq[Byte](1, 2, 3))
+    assert(back("t:n").getAs[Long]("vlong") === 42L)
+    assert(back("t:d").getAs[Double]("vdbl") === 2.5)
+    assert(back("t:b").getAs[Boolean]("vbool") === true)
+  }
+
   test("load: a single-attr match prunes to the attr's namespace partition") {
     // two namespaces; a query touching only ns 'x' must scan with a
     // partition filter pinning ns (directory-level pruning)
