@@ -744,8 +744,9 @@ object SparkEntry {
         "tripl.file:contents" -> graft.model.AttrSchema("tripl.file:contents",
           cardOne = true, isRef = false, Triples.VStr)))
         .resolved.where(col("a") === "tripl.file:contents")
-        // rtrim(str) trims spaces only — strip the writer's final newline
-        .select(rtrim(col("vstr"), "\n").as("contents"))
+        // strip exactly the ONE newline the text writer appended (rtrim
+        // would also eat a trailing newline belonging to the last doc)
+        .select(regexp_replace(col("vstr"), "\n$", "").as("contents"))
     }),
 
     // S10/S11 CLI round-trip with a DuckDB oracle (CliSpec keeps the

@@ -179,7 +179,10 @@ class TripleStore(
   def merge(other: TripleStore): TripleStore =
     new TripleStore(spark, triples.unionByName(other.triples),
       schemas ++ other.schemas, lazyRefs = lazyRefs && other.lazyRefs,
-      defaultCardOne = defaultCardOne || other.defaultCardOne)
+      // conservative like lazyRefs: default-one in the merged store would
+      // upsert-resolve (drop facts of) the default-many side's undeclared
+      // card-many attrs — only default to one when BOTH sides did
+      defaultCardOne = defaultCardOne && other.defaultCardOne)
 
   /** Retraction (W6) with clean semantics: anti-join on the fact identity
     * columns. `pattern` columns must be a subset of factCols. */
@@ -237,9 +240,8 @@ class TripleStore(
     * db:schema (in-band or via [[assertTypes]]), sorted. Plan-time
     * metadata — a driver collect is the right call here, as with
     * bootstrap's schema read. */
-  def schemaTypes: Seq[String] = resolved
-    .where($"e" === "db:schema" && $"a" === "db.schema:types" &&
-      $"vref".isNotNull)
+  def schemaTypes: Seq[String] = scanFor(Seq("db.schema:types"))
+    .where($"e" === "db:schema" && $"vref".isNotNull)
     .select($"vref").distinct().collect().map(_.getString(0)).sorted.toSeq
 
   /** Persist the store as the engine-native Parquet triple layout
@@ -842,10 +844,15 @@ object TripleStore {
     }
   }
 
-  private def inBandLazyFlag(facts: DataFrame): Option[Boolean] = facts
-    .where(col("e") === "db:schema" && col("a") === "db.refs:lazy" &&
-      col("vbool").isNotNull)
-    .select(col("vbool")).collect().map(_.getBoolean(0)).headOption
+  /** In-band db.refs:lazy, latest-tx-wins (a bare headOption would be
+    * partition-order-dependent when the flag is re-asserted). */
+  private def inBandLazyFlag(facts: DataFrame): Option[Boolean] = {
+    val rows = facts
+      .where(col("e") === "db:schema" && col("a") === "db.refs:lazy" &&
+        col("vbool").isNotNull)
+      .select(col("vbool"), col("txId")).collect()
+    if (rows.isEmpty) None else Some(rows.maxBy(_.getLong(1)).getBoolean(0))
+  }
 
   /** In-band db.cardinality:default (tripl.py:297, 342-345), latest-tx-
     * wins like the per-attr schema facts. */
@@ -872,8 +879,16 @@ object TripleStore {
     val schemaFacts = src.scan(Some(Seq(
       "db:cardinality", "db:valueType", "db.refs:lazy",
       "db.cardinality:default")))
+    // save() resolved the facts under the schema IN EFFECT AT SAVE TIME;
+    // a cardinality override at load changes which facts should survive,
+    // so overridden loads must re-resolve (and give up pruned scans) —
+    // otherwise load(…, defaultCardinality=one) and bootstrap over the
+    // same facts would disagree. The no-override common case keeps the
+    // preResolved fast path. lazyRefs does not affect resolution.
+    val overridden = schema.nonEmpty || defaultCardinality.nonEmpty
     new TripleStore(spark, src.scan(None), inBandSchema(schemaFacts) ++ schema,
-      preResolved = true, source = Some(src),
+      preResolved = !overridden,
+      source = if (overridden) None else Some(src),
       lazyRefs = lazyRefs.orElse(inBandLazyFlag(schemaFacts)).getOrElse(true),
       defaultCardOne = defaultCardinality
         .orElse(inBandDefaultCard(schemaFacts))

@@ -27,10 +27,11 @@ import org.apache.spark.sql.DataFrame
 object CacheScope {
 
   /** Materialize `result` eagerly while `intermediates` are still cached,
-    * then unpersist them. Returns the checkpointed result. */
-  def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
+    * then unpersist them — also on failure (an aborted materialization
+    * must not leave the intermediates pinned, or every error path
+    * reintroduces the leak this exists to fix). Returns the checkpointed
+    * result. */
+  def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame =
+    try result.localCheckpoint(eager = true)
+    finally intermediates.foreach(_.unpersist(blocking = false))
 }

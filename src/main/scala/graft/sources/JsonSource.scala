@@ -25,32 +25,35 @@ object JsonSource {
     * PERMISSIVE mode's corrupt-record column. */
   def loadFactsFailable(spark: SparkSession, ns: String,
       idAttrs: Seq[String], paths: String*): DataFrame = {
-    // cache: Spark refuses plans that read ONLY the corrupt-record column
-    // from raw JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN); these are small
-    // metadata loads in the reference's usage (nestly build products)
     val docs = spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(paths: _*)
       .withColumn("tripl.file:source", input_file_name())
-      .cache()
     // schema inference only materializes the corrupt-record column when at
     // least one malformed record exists — on fully-valid input the column
     // is absent and referencing it would throw UNRESOLVED_COLUMN
-    val triples =
-      if (!docs.columns.contains("_corrupt")) DocIngest.flatten(docs, ns, idAttrs)
-      else {
-        val good = docs.where(col("_corrupt").isNull).drop("_corrupt")
-        val bad = docs.where(col("_corrupt").isNotNull)
-          .select(col("_corrupt").as("tripl.nestly:error"),
-            col("`tripl.file:source`").as("tripl.nestly:file"))
-        val goodT = DocIngest.flatten(good, ns, idAttrs)
-        val badT = DocIngest.flatten(bad, ns, Nil)
-        goodT.unionByName(badT)
+    if (!docs.columns.contains("_corrupt")) DocIngest.flatten(docs, ns, idAttrs)
+    else {
+      // the GOOD branch stays fully lazy (it reads real data columns, so
+      // no corrupt-record-only restriction applies, and eagerly
+      // checkpointing a whole corpus at ingest time would double storage)
+      val goodT = DocIngest.flatten(
+        docs.where(col("_corrupt").isNull).drop("_corrupt"), ns, idAttrs)
+      // the BAD branch projects ONLY the corrupt-record column, which
+      // Spark refuses on raw JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      // — cache just for this branch and release once the (small) error
+      // entities are checkpointed
+      val cached = docs.cache()
+      val badT = graft.ops.CacheScope.releasing(cached) {
+        DocIngest.flatten(
+          cached.where(col("_corrupt").isNotNull)
+            .select(col("_corrupt").as("tripl.nestly:error"),
+              col("`tripl.file:source`").as("tripl.nestly:file")),
+          ns, Nil)
       }
-    // release the cache before returning (persist-lifecycle hygiene):
-    // the result is small build metadata, so the eager checkpoint is cheap
-    graft.ops.CacheScope.releasing(docs)(triples)
+      goodT.unionByName(badT)
+    }
   }
 
   /** S9 — build-product file lineage (nestly's `_translate_target`,
@@ -101,10 +104,13 @@ object JsonSource {
     * queryable file graph. */
   def fileContents(spark: SparkSession, baseDir: Option[String],
       paths: String*): DataFrame = {
-    // input_file_name yields a URI (file:///abs/path); normalize to the
-    // plain filesystem path so relativization matches lineage's paths
+    // input_file_name yields a percent-ENCODED URI (file:///a/my%20file):
+    // strip the scheme and percent-decode so the path matches fileLineage's
+    // raw paths (pre-encode literal '+' — url_decode is form-decoding and
+    // would otherwise turn it into a space)
     val raw = spark.read.option("wholetext", "true").text(paths: _*)
-      .withColumn("_p", regexp_replace(input_file_name(), "^file:(//)?", ""))
+      .withColumn("_p", url_decode(regexp_replace(
+        regexp_replace(input_file_name(), "^file:(//)?", ""), "\\+", "%2B")))
     val docs = raw.select(
       relPath(col("_p"), baseDir).as("tripl.file:path"),
       col("value").as("tripl.file:contents"))

@@ -45,14 +45,23 @@ object Tpch {
 
   // weak-keyed by session: a restarted/discarded SparkSession's frames are
   // GC-reclaimable instead of pinned forever by an identityHashCode key
-  // (two sessions can even share one hash). Harness-side convenience cache.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, TrieMap[(String, String), DataFrame]]()
+  // (two sessions can even share one hash). The VALUES are softly held:
+  // each cached DataFrame strongly references its own SparkSession, so a
+  // strong map value would keep the weak key reachable forever (the
+  // WeakHashMap value→key pitfall); the SoftReference breaks that cycle —
+  // a discarded session's entry is reclaimed under memory pressure.
+  // Harness-side convenience cache.
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    java.lang.ref.SoftReference[TrieMap[(String, String), DataFrame]]]()
   private def sessionCache(spark: SparkSession): TrieMap[(String, String), DataFrame] =
     cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) { m = TrieMap.empty; cache.put(spark, m) }
-      m
+      Option(cache.get(spark)).flatMap(r => Option(r.get)) match {
+        case Some(m) => m
+        case None =>
+          val m = TrieMap.empty[(String, String), DataFrame]
+          cache.put(spark, new java.lang.ref.SoftReference(m))
+          m
+      }
     }
 
   /** Raw parquet table. `events.ts` is written as TIMESTAMP(NANOS), which

@@ -221,8 +221,13 @@ object Cli {
       require(els.size == 3, s"clause must be [s a o], got $n")
       (els(0).asText, els(1).asText, scalar(els(2)))
     }
-    val find = q.get("find").elements().asScala.map(_.asText).toSeq
-    val where = q.get("where").elements().asScala.map(triple).toSeq
+    def required(key: String): JsonNode = {
+      val n = q.get(key)
+      require(n != null, s"datalog query needs a '$key' key, got $json")
+      n
+    }
+    val find = required("find").elements().asScala.map(_.asText).toSeq
+    val where = required("where").elements().asScala.map(triple).toSeq
     val rules = Option(q.get("rules")).map(_.elements().asScala.map { r =>
       val els = r.elements().asScala.toSeq
       // head is [predicate, ?s, ?o] — the grammar comment's order

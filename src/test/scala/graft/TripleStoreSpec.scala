@@ -369,6 +369,25 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(!TripleStore.load(spark, dir2).lazyRefs)
   }
 
+  test("load with overriding kwargs re-resolves instead of trusting save-time state") {
+    // saved under default-many: both undeclared k:u facts survive save
+    val facts = tinyStore(Seq(
+      ("e1", "k:u", "old", 0L), ("e1", "k:u", "new", 1L))).triples
+    val dir = java.nio.file.Files.createTempDirectory("graft_override").toString
+    TripleStore.bootstrap(spark, facts).save(dir)
+    // no override → preResolved fast path, card-many semantics intact
+    val plain = TripleStore.load(spark, dir)
+    assert(plain.preResolved)
+    assert(plain.resolved.where($"a" === "k:u").count() === 2)
+    // cardinality override at load → must re-resolve (same answer as
+    // bootstrap with the identical kwarg), not serve save-time state
+    val over = TripleStore.load(spark, dir,
+      defaultCardinality = Some("db.cardinality:one"))
+    assert(!over.preResolved)
+    assert(over.resolved.where($"a" === "k:u").select($"vstr")
+      .as[String].collect().toList === List("new"))
+  }
+
   test("save/load round-trips every typed value column (ts, bin, long, dbl, bool)") {
     val rows = Seq(
       org.apache.spark.sql.Row("e1", "t:ts", Triples.VTs, null, null, null,
