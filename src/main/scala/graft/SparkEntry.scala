@@ -428,6 +428,37 @@ object SparkEntry {
         emb.unionAll(copies), "vec_id", "embedding", 0.95)
     }),
 
+    // deterministic content-hash sampling: the md5-bucket predicate is a
+    // pure function of the id, so DuckDB computes the IDENTICAL sample —
+    // reproducible across engines/runs/partitionings, unlike seeded
+    // Dataset.sample
+    "q56_deterministic_sample" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicSample(
+          Tpch.raw(s, dir, "documents"), "doc_id", buckets = 32)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // near-dup cluster canonicalization: a tripled corpus with ONLY
+    // adjacent-copy pair evidence (orig~copy1, copy1~copy2) — the
+    // connected-components closure must merge each chain into one
+    // 3-member cluster and keep exactly the min-id (original) docs
+    "q57_dedup_clusters" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val c1 = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
+      val c2 = docs.select((col("doc_id") + 2 * off).as("doc_id"), col("text"))
+      val all = docs.unionAll(c1).unionAll(c2)
+      val pairs = docs.select(col("doc_id").as("id1"),
+          (col("doc_id") + off).as("id2"))
+        .unionAll(docs.select((col("doc_id") + off).as("id1"),
+          (col("doc_id") + 2 * off).as("id2")))
+      val kept = graft.ops.Dedup.canonicalize(all, "doc_id", pairs)
+      val sizes = graft.ops.Dedup.clusters(all.select(col("doc_id")),
+          "doc_id", pairs)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      kept.join(sizes, kept("doc_id") === sizes("cluster"))
+        .select(col("doc_id"), col("n"))
+    }),
+
     // language-ID by stopword ballot (deterministic heuristic)
     "q26_langid" -> ((s, dir) =>
       Tpch.raw(s, dir, "documents")
@@ -978,6 +1009,11 @@ object SparkEntry {
   )
 
   private def pipelineSql: Map[String, String] = Map(
+    "q56_deterministic_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'""".stripMargin,
+    "q57_dedup_clusters" ->
+      "SELECT doc_id, CAST(3 AS BIGINT) AS n FROM documents",
     // static 4-iteration PageRank, unrolled as chained CTEs — the same
     // rank' = 0.15 + 0.85·Σ_in rank/outdeg update the engine runs
     "q17_graph_pagerank" -> {

@@ -206,4 +206,46 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints (popcount of XOR) —
     * the SimHash near-dup metric. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup CLUSTERS from pairwise matches: connected components over
+    * the (id1, id2) pair graph. Pairwise near-dup output alone leaves
+    * chains split — a~b and b~c never emits (a, c) — but dedup must treat
+    * the whole chain as ONE duplicate group, so the transitive closure is
+    * the real cluster structure. GraphX connected components (Pregel
+    * min-propagation — O(diameter) rounds, each a shuffle on the edge
+    * partitioning) with doc ids AS vertex ids: the component id GraphX
+    * assigns is the component's minimum vertex id, i.e. exactly the
+    * min-member canonical id — no remapping join needed. Docs in `ids`
+    * appearing in no pair form their own singleton cluster.
+    *
+    * Input ids must be integral (they become VertexIds).
+    * Output: (idCol, cluster) with cluster = min doc id of the group. */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.storage.StorageLevel
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val es = pairs
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val cc = Graph.fromEdges(es, (), StorageLevel.MEMORY_AND_DISK,
+        StorageLevel.MEMORY_AND_DISK)
+      .connectedComponents().vertices
+    val comp = cc.toDF(idCol, "cluster")
+    ids.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol)).as("cluster"))
+  }
+
+  /** Deduplicate by near-dup clusters: keep ONE representative row per
+    * cluster — the minimum-id member (deterministic, content-derived when
+    * ids are). This is the step that actually REMOVES duplicates from a
+    * training corpus once [[nearDupPairs]] / [[ppJoinCandidates]] /
+    * [[simhash]]-style pair evidence is in hand. */
+  def canonicalize(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val canonical = clusters(df.select(col(idCol)), idCol, pairs)
+      .where(col(idCol) === col("cluster")).select(col(idCol))
+    df.join(canonical, Seq(idCol), "left_semi")
+  }
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data mixes.
+  *
+  * `sample(fraction)` on a Dataset is seed-dependent AND
+  * partitioning-dependent — re-ingesting the corpus or changing partition
+  * counts yields a different sample, which breaks train/val hygiene. The
+  * content-hash predicate here is a pure function of each row's id:
+  * reproducible across runs, engines (any SQL engine's md5 computes the
+  * identical sample — DuckDB-verifiable), cluster layouts, and
+  * re-ingests; and disjoint bucket ranges give DISJOINT splits
+  * (train/val/test) with no global shuffle, no state, and no coordination
+  * — the 100 TB-correct way to split a corpus.
+  */
+object Sampling {
+
+  /** md5-derived bucket in [0, 256): the first two lowercase-hex chars of
+    * md5(id) compared as a string (equivalent to the numeric comparison,
+    * since both sides are fixed-width lowercase hex). */
+  private def bucketHex(b: Int): String = f"$b%02x"
+
+  /** Keep rows whose id hashes into buckets [lo, hi) of 256 — an exact,
+    * portable (hi-lo)/256 sample. `deterministicSample(df, id, 0, 32)`
+    * keeps ~1/8; `(0, 240)/(240, 248)/(248, 256)` is a disjoint
+    * train/val/test split. */
+  def deterministicRange(df: DataFrame, idCol: String,
+      lo: Int, hi: Int): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 256, s"bad bucket range [$lo, $hi)")
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    val cond =
+      (if (lo == 0) lit(true) else h >= lit(bucketHex(lo))) &&
+        (if (hi == 256) lit(true) else h < lit(bucketHex(hi)))
+    df.where(cond)
+  }
+
+  /** Keep the first `buckets` of 256 hash buckets (~buckets/256 of rows). */
+  def deterministicSample(df: DataFrame, idCol: String, buckets: Int): DataFrame =
+    deterministicRange(df, idCol, 0, buckets)
+}

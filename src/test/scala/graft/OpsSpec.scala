@@ -132,6 +132,40 @@ class OpsSpec extends AnyFunSuite {
       "an operator left a persisted intermediate in the CacheManager")
   }
 
+  test("dedup clusters close transitive chains; canonicalize keeps min id") {
+    // chain 1~2~3, pair 5~4 (reversed order), singleton 9
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("id1", "id2")
+    val cl = Dedup.clusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (9L, "f")).toDF("doc_id", "text")
+    val kept = Dedup.canonicalize(rows, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 9L))
+  }
+
+  test("deterministic sampling: pure id function, disjoint covering splits") {
+    val df = (0L until 500L).toDF("doc_id")
+    val a = graft.ops.Sampling.deterministicSample(df, "doc_id", 32)
+      .as[Long].collect().toSet
+    // re-evaluation and repartitioning cannot change membership
+    val again = graft.ops.Sampling.deterministicSample(df.repartition(7),
+      "doc_id", 32).as[Long].collect().toSet
+    assert(a === again)
+    assert(a.nonEmpty && a.size < 500)
+    // a 3-way range split is disjoint and covers everything
+    val s1 = graft.ops.Sampling.deterministicRange(df, "doc_id", 0, 240)
+      .as[Long].collect().toSet
+    val s2 = graft.ops.Sampling.deterministicRange(df, "doc_id", 240, 248)
+      .as[Long].collect().toSet
+    val s3 = graft.ops.Sampling.deterministicRange(df, "doc_id", 248, 256)
+      .as[Long].collect().toSet
+    assert((s1 & s2).isEmpty && (s1 & s3).isEmpty && (s2 & s3).isEmpty)
+    assert((s1 | s2 | s3) === (0L until 500L).toSet)
+  }
+
   test("banded cosine LSH near-dups match brute force on planted dups") {
     // 2 planted near-dup pairs (scaled copies, cos = 1) + noise vectors
     val rnd = new scala.util.Random(7)
