@@ -459,6 +459,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n"))
     }),
 
+    // train/test contamination: split the corpus with the deterministic
+    // md5 splitter, count each test doc's 3-gram shingles that appear
+    // anywhere in train — the decontamination primitive, end-to-end
+    // composed from the same splitter DuckDB reproduces
+    "q58_contamination" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val train = graft.ops.Sampling.deterministicRange(docs, "doc_id", 0, 128)
+      val test = graft.ops.Sampling.deterministicRange(docs, "doc_id", 128, 256)
+      graft.ops.Dedup.contamination(train, test, "doc_id", "text")
+    }),
+
     // language-ID by stopword ballot (deterministic heuristic)
     "q26_langid" -> ((s, dir) =>
       Tpch.raw(s, dir, "documents")
@@ -1014,6 +1025,22 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'""".stripMargin,
     "q57_dedup_clusters" ->
       "SELECT doc_id, CAST(3 AS BIGINT) AS n FROM documents",
+    // word 3-gram shingles in SQL: the same windows Dedup.shingles builds
+    // (short docs → the whole text as one shingle; distinct per doc)
+    "q58_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS is_train,
+        |         unnest(CASE WHEN len(words) < 3
+        |                THEN [array_to_string(words, ' ')]
+        |                ELSE list_transform(range(1, len(words) - 1),
+        |                       i -> array_to_string(words[i:i+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+        |train_sh AS (SELECT DISTINCT s FROM sh WHERE is_train),
+        |test_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE NOT is_train)
+        |SELECT doc_id, count(*) AS n_contaminated
+        |FROM test_sh JOIN train_sh USING (s)
+        |GROUP BY doc_id""".stripMargin,
     // static 4-iteration PageRank, unrolled as chained CTEs — the same
     // rank' = 0.15 + 0.85·Σ_in rank/outdeg update the engine runs
     "q17_graph_pagerank" -> {

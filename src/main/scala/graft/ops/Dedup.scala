@@ -207,6 +207,28 @@ object Dedup {
     * the SimHash near-dup metric. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Train/test CONTAMINATION check — the decontamination primitive: for
+    * each test document, how many of its distinct word n-gram shingles
+    * appear anywhere in the train split. Test examples sharing long
+    * n-grams with training data inflate evals; this finds them so they
+    * can be dropped or rewritten.
+    *
+    * Plan: one distinct over the train shingle set (shuffle on shingle),
+    * one left-semi equi-join test-shingle→train-shingle, one groupBy per
+    * test doc — all key-partitioned, no cartesian, train set never
+    * collected. Output: (idCol, n_contaminated) for test docs with ≥ 1
+    * shared shingle (clean docs are absent — anti-join against this
+    * result to keep them). */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val trainSh = train
+      .select(explode(shingles(col(textCol), n)).as("_s")).distinct()
+    val testSh = test
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("_s"))
+    testSh.join(trainSh, Seq("_s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   /** Near-dup CLUSTERS from pairwise matches: connected components over
     * the (id1, id2) pair graph. Pairwise near-dup output alone leaves
     * chains split — a~b and b~c never emits (a, c) — but dedup must treat

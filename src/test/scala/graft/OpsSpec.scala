@@ -146,6 +146,18 @@ class OpsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 4L, 9L))
   }
 
+  test("contamination counts shared n-gram shingles per test doc") {
+    val train = Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "a b c q r"),      // shares exactly 'a b c'
+      (11L, "b c d e f"),      // shares 'b c d' and 'c d e'
+      (12L, "p q r s t"))      // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(train, test, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(10L -> 1L, 11L -> 2L)) // clean doc absent
+  }
+
   test("deterministic sampling: pure id function, disjoint covering splits") {
     val df = (0L until 500L).toDF("doc_id")
     val a = graft.ops.Sampling.deterministicSample(df, "doc_id", 32)
