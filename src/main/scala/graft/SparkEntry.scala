@@ -371,10 +371,11 @@ object SparkEntry {
       val sh = docs.select(col("doc_id"), col("source"),
         sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cands = graft.ops.Dedup.ppJoinCandidates(
-        sh, "doc_id", "sh", 0.3, blockCols = Seq("source"))
-      graft.ops.CacheScope.releasing(sh) {
-        graft.ops.Dedup.jaccardVerifySh(sh, cands, "doc_id", 0.3, shCol = "sh")
+      // ppJoin verifies BEFORE checkpointing: only the small verified
+      // pair set is materialized; prefixes release inside, sh here
+      graft.ops.CacheScope.around(sh) {
+        graft.ops.Dedup.ppJoin(sh, "doc_id", "sh", 0.3,
+          blockCols = Seq("source"))
       }
     }),
 
@@ -787,8 +788,11 @@ object SparkEntry {
           cardOne = true, isRef = false, Triples.VStr)))
         .resolved.where(col("a") === "tripl.file:contents")
         // strip exactly the ONE newline the text writer appended (rtrim
-        // would also eat a trailing newline belonging to the last doc)
-        .select(regexp_replace(col("vstr"), "\n$", "").as("contents"))
+        // would also eat a trailing newline belonging to the last doc;
+        // \z not $ — non-MULTILINE $ is \Z, which still matches BEFORE a
+        // final terminator and would over-eat when the last doc's text
+        // itself ends in "\n")
+        .select(regexp_replace(col("vstr"), "\n\\z", "").as("contents"))
     }),
 
     // S10/S11 CLI round-trip with a DuckDB oracle (CliSpec keeps the

@@ -120,8 +120,8 @@ class TripleStore(
   def refEdges(attr: String): DataFrame = edgesFor(Some(Seq(attr)))
 
   private def schemaOf(attr: String): AttrSchema =
-    schemas.getOrElse(attr,
-      AttrSchema(attr, cardOne = defaultCardOne, isRef = false, Triples.VStr))
+    schemas.getOrElse(attr, TripleStore.BaseSchema.getOrElse(attr,
+      AttrSchema(attr, cardOne = defaultCardOne, isRef = false, Triples.VStr)))
 
   private def valueCol(attr: String): String =
     Triples.valueColFor(schemaOf(attr).vtype)
@@ -136,8 +136,9 @@ class TripleStore(
     * dedup, both on the same (e, a) shuffle key — AQE merges them.
     */
   lazy val resolved: DataFrame = if (preResolved) triples else {
-    val oneAttrs = schemas.collect { case (a, s) if s.cardOne => a }.toSeq
-    val manyAttrs = schemas.collect { case (a, s) if !s.cardOne => a }.toSeq
+    val eff = TripleStore.BaseSchema ++ schemas
+    val oneAttrs = eff.collect { case (a, s) if s.cardOne => a }.toSeq
+    val manyAttrs = eff.collect { case (a, s) if !s.cardOne => a }.toSeq
     // which facts fall under card-one upsert resolution: declared-one
     // attrs, plus (under db.cardinality:default = one) every UNdeclared
     // attr — declared-many attrs are exempt either way
@@ -797,6 +798,20 @@ class TripleStore(
 }
 
 object TripleStore {
+  /** The reference's base_schema (tripl.py:283-297): declarations present
+    * BEFORE any user facts load. `db.schema:types` /
+    * `db.schema:attributes` are card-MANY refs there, so they must stay
+    * exempt from `db.cardinality:default = one` — without this, registry
+    * facts asserted at different txIds would collapse to the latest
+    * under latest-tx-wins. Implicit engine knowledge (present in every
+    * store, exactly as base_schema is); NOT rendered by `schemaTriples`,
+    * which reflects only user declarations. User declarations override. */
+  val BaseSchema: Map[String, AttrSchema] = Map(
+    "db.schema:types" ->
+      AttrSchema("db.schema:types", cardOne = false, isRef = true, Triples.VRef),
+    "db.schema:attributes" ->
+      AttrSchema("db.schema:attributes", cardOne = false, isRef = true, Triples.VRef))
+
   /** W8 — store bootstrap with the reference's config precedence
     * (tripl.py:337-346): explicit kwargs > in-band schema facts >
     * defaults (cardinality-many, lazy refs ON).

@@ -20,9 +20,13 @@ import org.apache.spark.sql.DataFrame
   *
   * Trade-off (documented, deliberate): lineage truncation means the
   * result cannot be recomputed if an executor holding its blocks dies —
-  * acceptable because every use here checkpoints a SMALL verified result
-  * (candidate/near-dup pairs) whose recompute would anyway replay the
-  * whole pipeline.
+  * acceptable when the checkpointed frame is a SMALL verified result
+  * (near-dup pairs) whose recompute would anyway replay the whole
+  * pipeline. Callers are responsible for scoping so that what gets
+  * checkpointed IS small: verify candidates before the releasing scope
+  * closes (see Dedup.ppJoin vs Dedup.ppJoinCandidates — the latter
+  * checkpoints an unverified candidate set and documents that trade-off
+  * at its own call site).
   */
 object CacheScope {
 
@@ -33,5 +37,13 @@ object CacheScope {
     * result. */
   def releasing(intermediates: DataFrame*)(result: DataFrame): DataFrame =
     try result.localCheckpoint(eager = true)
+    finally intermediates.foreach(_.unpersist(blocking = false))
+
+  /** Unpersist `intermediates` after `body` completes — for bodies that
+    * ALREADY return an eagerly-materialized frame (e.g. one produced by a
+    * nested [[releasing]]). Avoids the double checkpoint that nesting two
+    * `releasing` scopes would create. */
+  def around(intermediates: DataFrame*)(body: => DataFrame): DataFrame =
+    try body
     finally intermediates.foreach(_.unpersist(blocking = false))
 }

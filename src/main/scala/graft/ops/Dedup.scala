@@ -136,26 +136,59 @@ object Dedup {
     * already size-ratio-filtered. */
   def ppJoinCandidates(sh: DataFrame, idCol: String, shCol: String,
       threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val pref = ppJoinPrefixes(sh, idCol, shCol, threshold, blockCols)
+    // NOTE: this checkpoints the UNVERIFIED candidate pair set — on a
+    // low-entropy corpus it can be much larger than the verified result,
+    // and its truncated lineage is unrecoverable on executor loss. For
+    // production pipelines use [[ppJoin]], which verifies BEFORE
+    // checkpointing so only the small verified pair set is materialized.
+    // This candidates-only surface exists for tests and for callers with
+    // their own verification metric.
+    CacheScope.releasing(pref)(ppJoinPairs(pref, idCol, threshold, blockCols))
+  }
+
+  /** The production PPJoin surface: prefix-filtered candidates + exact
+    * sorted-merge Jaccard verification in ONE scope, so the eager
+    * checkpoint holds only the SMALL verified pair set — the prefix
+    * intermediate is released as soon as verification materializes.
+    * `shCol` must be a SORTED shingle array (see [[jaccardVerifySh]]). */
+  def ppJoin(sh: DataFrame, idCol: String, shCol: String,
+      threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val pref = ppJoinPrefixes(sh, idCol, shCol, threshold, blockCols)
+    CacheScope.releasing(pref) {
+      jaccardVerifySh(sh,
+        ppJoinPairs(pref, idCol, threshold, blockCols),
+        idCol, threshold, shCol = shCol)
+    }
+  }
+
+  /** Frequency-ordered prefix shingles, persisted — both sides of the
+    * candidate self-join read it, and the column renames defeat Spark's
+    * identical-subtree exchange reuse. Caller owns the unpersist. */
+  private def ppJoinPrefixes(sh: DataFrame, idCol: String, shCol: String,
+      threshold: Double, blockCols: Seq[String]): DataFrame = {
     val ex = sh.select(col(idCol) +: blockCols.map(col) :+
       size(col(shCol)).as("_n") :+ explode(col(shCol)).as("_s"): _*)
     val freq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_s"))
-    // persisted: both sides of the self-join below read it, and the
-    // column renames defeat Spark's identical-subtree exchange reuse
-    val pref = ex.join(freq, Seq("_s"))
+    ex.join(freq, Seq("_s"))
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= col("_n") - ceil(col("_n") * threshold) + 1)
       .select(col(idCol) +: col("_n") +: col("_s") +: blockCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate (id1, id2) pairs from the persisted prefix frame: one
+    * equi-join on (shingle, blocks) + size-ratio prefilter + distinct. */
+  private def ppJoinPairs(pref: DataFrame, idCol: String,
+      threshold: Double, blockCols: Seq[String]): DataFrame = {
     val l = pref.toDF(("id1" +: "_n1" +: "_s" +: blockCols): _*)
     val r = pref.toDF(("id2" +: "_n2" +: "_s" +: blockCols): _*)
-    CacheScope.releasing(pref) {
-      l.join(r, "_s" +: blockCols)
-        .where(col("id1") < col("id2") &&
-          least(col("_n1"), col("_n2")).cast(DoubleType) >=
-            greatest(col("_n1"), col("_n2")) * threshold)
-        .select(col("id1"), col("id2")).distinct()
-    }
+    l.join(r, "_s" +: blockCols)
+      .where(col("id1") < col("id2") &&
+        least(col("_n1"), col("_n2")).cast(DoubleType) >=
+          greatest(col("_n1"), col("_n2")) * threshold)
+      .select(col("id1"), col("id2")).distinct()
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.

@@ -230,6 +230,7 @@ object Cli {
     val where = required("where").elements().asScala.map(triple).toSeq
     val rules = Option(q.get("rules")).map(_.elements().asScala.map { r =>
       val els = r.elements().asScala.toSeq
+      require(els.nonEmpty, s"rule must be [[pred ?s ?o] body...], got $r")
       // head is [predicate, ?s, ?o] — the grammar comment's order
       val h = els.head.elements().asScala.toSeq
       require(h.size == 3, s"rule head must be [pred ?s ?o], got ${els.head}")
@@ -237,6 +238,8 @@ object Cli {
     }.toSeq).getOrElse(Nil)
     val sortBy = Option(q.get("sort")).map(_.asText)
       .map(s => if (s.startsWith("?")) s else "?" + s)
+    sortBy.foreach(s => require(find.contains(s),
+      s"'sort' names $s, which is not in 'find' ${find.mkString("[", " ", "]")}"))
     val take = Option(q.get("take")).map(_.asInt)
     DatalogQuery(find, where, rules, sortBy, take)
   }

@@ -90,6 +90,19 @@ class CliSpec extends AnyFunSuite {
     assert(q.sortBy === Some("?x") && q.take === Some(5))
   }
 
+  test("CLI datalog parse rejects empty rules and unknown sort vars") {
+    val e1 = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?x"], "where": [["?x", "a:b", 1]], "rules": [[]]}""")
+    }
+    assert(e1.getMessage.contains("rule must be"))
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?x"], "where": [["?x", "a:b", 1]], "sort": "y"}""")
+    }
+    assert(e2.getMessage.contains("not in 'find'"))
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===

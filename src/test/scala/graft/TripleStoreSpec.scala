@@ -464,6 +464,39 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(ts4.resolved.where($"a" === "k:m").count() === 2)
   }
 
+  test("base schema: registry attrs stay card-many under default-one " +
+      "(tripl.py:291-297)") {
+    // db.schema:types facts asserted at DIFFERENT txIds: the reference's
+    // base_schema declares the registry card-many BEFORE user facts load,
+    // so db.cardinality:default=one must not latest-tx-collapse them —
+    // while a plain undeclared attr (k:u) still upsert-resolves
+    val rows = Seq(
+      ("db:schema", "db.schema:types", "type:a", 0L),
+      ("db:schema", "db.schema:types", "type:b", 1L),
+      ("e1", "k:u", "old", 0L), ("e1", "k:u", "new", 1L))
+    val t = rows.toDF("e", "a", "v", "txId")
+      .withColumn("vtype", when($"a" === "db.schema:types",
+        lit(Triples.VRef)).otherwise(lit(Triples.VStr)))
+      .withColumn("vstr", when($"vtype" === Triples.VStr, $"v"))
+      .withColumn("vref", when($"vtype" === Triples.VRef, $"v"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .select(Triples.columns.map(col): _*)
+    val ts = new TripleStore(spark, t, Map.empty, defaultCardOne = true)
+    assert(ts.schemaTypes === Seq("type:a", "type:b"))
+    assert(ts.resolved.where($"a" === "db.schema:types").count() === 2)
+    assert(ts.resolved.where($"a" === "k:u").select($"vstr")
+      .as[String].collect().toList === List("new"))
+    // an explicit user declaration overrides the base schema
+    val declaredOne = new TripleStore(spark, t, Map("db.schema:types" ->
+      AttrSchema("db.schema:types", cardOne = true, isRef = true,
+        Triples.VRef)), defaultCardOne = true)
+    assert(declaredOne.resolved.where($"a" === "db.schema:types").count() === 1)
+  }
+
   test("db.schema:types registry: assert + introspect round-trip") {
     val ts = tinyStore(Seq(("e1", "k:x", "v", 0L)))
       .assertTypes(Seq("type:b", "type:a", "type:b"))
