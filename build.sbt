@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] needs execution memory per task slot: 8g gave ~150 MB/slot
+  // and made shuffle-heavy queries spill under load. The box has 128 GiB;
+  // 24g ≈ 450 MB/slot matches a sanely-provisioned executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
