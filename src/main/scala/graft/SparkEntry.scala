@@ -379,6 +379,29 @@ object SparkEntry {
       }
     }),
 
+    // IVF ANN top-1 over a planted-copy corpus: data-adaptive coarse
+    // quantizer (hash-seeded Lloyd's), nProbe=2-of-16 cell pruning, exact
+    // cosine re-rank. A scale-2 copy has BIT-IDENTICAL cosines (scaling
+    // by a power of two is exact in IEEE), so it lands in its original's
+    // cell — the first cell the query probes — and cos = 1 beats every
+    // natural pair (all < 0.7 on this corpus): the top-1 is the planted
+    // copy by construction, which is the oracle. This shows IVF pruning
+    // at recall 1 honestly; on the UNPLANTED isotropic corpus no
+    // space-partitioning index prunes at recall 1 (same argument as
+    // exactNearDups' scaladoc), which is why q59 doesn't fake one.
+    "q59_ann_ivf" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val copies = emb.select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
+      graft.ops.Similarity.ivfTopK(
+          emb.unionAll(copies), emb.where(col("vec_id") < 20),
+          "vec_id", "embedding", k = 1, nCells = 16, nProbe = 2, iters = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // brute-force cosine top-3 (exact ANN baseline)
     "q24_ann_brute" -> ((s, dir) => {
       val emb = Tpch.raw(s, dir, "embeddings")
@@ -599,6 +622,32 @@ object SparkEntry {
         col("window.start").cast("timestamp_ntz").as("wstart"),
         col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
     }),
+
+    // §2.8 streaming dedup with a batch-equivalence oracle: documents
+    // re-read through a real file-source stream (twice, unioned — the
+    // same doubled corpus as q20) into stateful fingerprint clustering;
+    // the final complete-mode table must equal DuckDB's batch GROUP BY
+    "q60_stream_dedup" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, " +
+          "source STRING, n_chars BIGINT")
+      def read() = s.readStream.schema(schema)
+        .parquet(dir + "/documents.parque*")
+      val dd = graft.streaming.StreamingDedup.exactClusters(
+        read().unionAll(read()), "doc_id", "text")
+      val name = "q60_mem_" + System.nanoTime()
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(col("keep_id"), col("n_copies"))
+    }),
+
+    // Gopher-style repetition/boilerplate scores (dup-word fraction,
+    // top-bigram dominance) — the quality-filter signals a training-data
+    // pipeline cuts on
+    "q61_repetition" -> ((s, dir) =>
+      graft.ops.TextOps.repetitionStats(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text")),
 
     // events: JSON props extraction through the triple store round-trip
     "q31_events_json" -> ((s, dir) =>
@@ -923,6 +972,27 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB reproduces the bigram multiset with the q58 window trick
+    // (range is exclusive; ws[i:i+1] slices two 1-based elements)
+    "q61_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |        i -> array_to_string(ws[i:i+1], ' '))) AS bg FROM w),
+        |f AS (SELECT doc_id, max(c) AS topc FROM
+        |        (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        |      GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |       round(1 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 4)
+        |         AS dup_word_frac,
+        |       round(coalesce(topc / CAST(len(ws) - 1 AS DOUBLE), 0), 4)
+        |         AS top_bigram_frac
+        |FROM w LEFT JOIN f ON w.doc_id = f.doc_id""".stripMargin,
+    // streaming dedup over the doubled corpus: every cluster keeps its
+    // min doc_id and counts 2 copies (same normalization as q20)
+    "q60_stream_dedup" ->
+      """SELECT min(doc_id) AS keep_id, CAST(2 * count(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))""".stripMargin,
     "q49_sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN gap IS NULL OR gap > 3600 THEN 1 ELSE 0 END)
@@ -1086,6 +1156,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < 20 AND b.vec_id <> a.vec_id
         |QUALIFY rank <= 3""".stripMargin,
+    // the IVF top-1 is exactly each query's planted scale-2 copy
+    "q59_ann_ivf" ->
+      """SELECT vec_id AS query_id,
+        |       vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS neighbor_id,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // the LSH near-dup's expected answer is exactly the planted scale-2
     // copies (cos(v, 2v) = 1); all natural pairs are < 0.61 ≪ 0.95
     "q39_cos_neardup_lsh" ->

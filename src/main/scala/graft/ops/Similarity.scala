@@ -131,6 +131,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** The `probe` nearest coarse centroids for a vector, as a sorted
+    * array<struct<d,cell>> column (d = −cosine, so array_sort's
+    * lexicographic struct order ranks best-first; ties break on cell id).
+    * Centroids ride into the plan as LITERAL arrays — no broadcast state,
+    * every executor codegens the same nCells cosine evaluations. */
+  private def nearestCells(vec: Column, centroids: Array[Seq[Double]],
+      probe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (cv, i) =>
+      struct((-cosine(vec, typedLit(cv))).as("d"), lit(i).as("cell"))
+    }: _*)
+    slice(array_sort(scored), 1, probe)
+  }
+
+  private def cellOf(vec: Column, centroids: Array[Seq[Double]]): Column =
+    element_at(nearestCells(vec, centroids, 1), 1)("cell")
+
+  /** IVF (inverted-file) approximate top-k: the scale path the LSH
+    * variant ([[lshTopK]]) doesn't cover — data-ADAPTIVE cells instead of
+    * data-oblivious hyperplanes, so clustered corpora prune far harder.
+    *
+    * Index build: a coarse quantizer of `nCells` centroids — initialized
+    * from the corpus vectors first in xxhash64(id) order (a reproducible
+    * pseudo-random sample; no RNG state to ship) and refined by `iters`
+    * distributed Lloyd's rounds (assign = argmin over literal centroids,
+    * update = per-(cell, dim) avg — two narrow shuffles per round, on
+    * `trainFraction` of the corpus when < 1, the knob a 100 TB build
+    * uses: quantizer quality needs a sample, not the corpus). Search:
+    * each query probes its `nProbe` nearest cells, scores only corpus
+    * vectors assigned there — cost |Q|·|C|·nProbe/nCells — and exact
+    * cosine re-ranks, so results are exact whenever the true top-k lie
+    * in probed cells.
+    *
+    * Centroids are k·dim doubles on the driver (tiny by construction —
+    * this is plan-time metadata, not a driver-side data loop). At scale,
+    * persist the assigned corpus bucketed by `_cell` so repeated query
+    * batches skip assignment entirely. Lloyd's avg is float-order
+    * sensitive across partitionings; the exact re-rank makes the FINAL
+    * top-k robust to borderline cell flips given a sane `nProbe`. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 8,
+      iters: Int = 3, trainFraction: Double = 1.0): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("_cv"))
+    val train = if (trainFraction >= 1.0) c
+      else c.where(pmod(xxhash64(col("neighbor_id")), lit(1000)) <
+        lit((trainFraction * 1000).toLong))
+    var centroids: Array[Seq[Double]] = c
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nCells).select(col("_cv")).collect()
+      .map(_.getSeq[Double](0))
+    for (_ <- 0 until iters) {
+      val upd = train
+        .select(cellOf(col("_cv"), centroids).as("_cell"),
+          posexplode(col("_cv")).as(Seq("_p", "_x")))
+        .groupBy(col("_cell"), col("_p")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_cell"))
+        .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
+        .select(col("_cell"), col("_pm")("_m").as("_c"))
+        .collect()
+      val m = upd.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // a cell that lost every member keeps its previous centroid
+      centroids = centroids.indices.map(i => m.getOrElse(i, centroids(i))).toArray
+    }
+    val assigned = c.withColumn("_cell", cellOf(col("_cv"), centroids))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("_qv"))
+    val probes = q.select(col("query_id"), col("_qv"),
+      explode(nearestCells(col("_qv"), centroids, nProbe)("cell")).as("_cell"))
+    val scored = assigned.join(broadcast(probes), Seq("_cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_sim", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** EXACT cosine near-duplicate pairs via the full cross product —
     * deliberately and irreducibly Ω(n²). This is the opt-in EXACT
     * mid-threshold path: no LSH family prunes at cos ≥ ~0.4 with recall 1

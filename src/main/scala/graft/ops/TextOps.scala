@@ -54,6 +54,52 @@ object TextOps {
   def stopwordRatio(text: Column): Column =
     stopwordCount(text).cast(DoubleType) / nTokens(text).cast(DoubleType)
 
+  /** ALL word n-grams of the text, duplicates preserved (unlike
+    * `Dedup.shingles`, which is a set) — frequency analysis needs the
+    * multiset. Docs shorter than n words yield an empty array. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    val cnt = size(words)
+    when(cnt < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), cnt - lit(n)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
+  }
+
+  /** Gopher-style repetition/boilerplate scores per document:
+    *  - `n_words` — token count;
+    *  - `dup_word_frac` — fraction of tokens that repeat an earlier one
+    *    (1 − distinct/total): high values mean keyword stuffing or
+    *    TEMPLATE boilerplate;
+    *  - `top_bigram_frac` — fraction of the doc's word bigrams occupied
+    *    by its single most frequent bigram: high values mean repeated
+    *    phrases/navigation chrome (the "fraction of characters in most
+    *    common n-gram" family from the Gopher quality filters, counted
+    *    over n-grams).
+    *
+    * Shape: the per-doc ratios are a narrow map; the top-bigram count is
+    * one explode + groupBy(doc, bigram) + groupBy(doc) — both shuffles
+    * key on the doc id, and the final join re-uses it. No driver loops,
+    * no UDFs; every value reproducible in ANSI SQL. */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      nTokens(col(textCol)).as("n_words"),
+      nDistinctTokens(col(textCol)).as("_nd"),
+      ngramsAll(col(textCol), 2).as("_bgs"))
+    val top = base
+      .select(col(idCol), explode(col("_bgs")).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_topc"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words").cast(LongType).as("n_words"),
+        round(lit(1.0) - col("_nd").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 4).as("dup_word_frac"),
+        round(coalesce(col("_topc").cast(DoubleType) /
+          (col("n_words") - lit(1)).cast(DoubleType), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * repetition penalty. Deterministic, SQL-expressible. */
   def qualityScore(text: Column): Column = {

@@ -211,6 +211,49 @@ class OpsSpec extends AnyFunSuite {
     assert(approx === exact)
   }
 
+  test("ivfTopK reproduces exact bruteTopK with full-recall probes " +
+      "and prunes cells at nProbe=1") {
+    val rnd = new scala.util.Random(11)
+    // two well-separated clusters so the quantizer has real structure
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 4.0 else -4.0
+      (i.toLong, Array.fill(16)((base + rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 5)
+    val exact = Similarity.bruteTopK(df, q, "vec_id", "embedding", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, q, "vec_id", "embedding", 3,
+      nCells = 4, nProbe = 4, iters = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf === exact)
+    // nProbe=1 prunes to a single cell per query yet still yields a
+    // well-formed ranking (dense ranks from 1, no self-pairs). Recall
+    // under pruning is the probe-count trade-off, not asserted here —
+    // the full-probe equality above is the correctness claim.
+    val pruned = Similarity.ivfTopK(df, q, "vec_id", "embedding", 3,
+      nCells = 4, nProbe = 1, iters = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pruned.nonEmpty && pruned.forall { case (qid, nid, _) => qid != nid })
+    pruned.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1 to rows.size).toSeq)
+    }
+  }
+
+  test("repetitionStats: dup-word and top-bigram fractions, short-doc edges") {
+    val df = Seq(
+      (1L, "a b a b a"),   // 5 words, 3 dups of 2 distinct; bigrams: "a b"×2, "b a"×2 → top 2/4
+      (2L, "x y z"),       // no repetition: dup 0, each bigram once → top 1/2
+      (3L, "w")            // single word: no bigrams → top frac 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((5L, 0.6, 0.5)))
+    assert(out(2L) === ((3L, 0.0, 0.5)))
+    assert(out(3L) === ((1L, 0.0, 0.0)))
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)

@@ -38,6 +38,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming first-seen dedup drops repeats within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val dd = graft.streaming.StreamingDedup.firstSeen(
+      docs, "text", "ts", watermarkDelay = "30 seconds")
+    val q = dd.writeStream.format("memory").queryName("fsd")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b", ts(1)), (3L, "other", ts(3)))
+      q.processAllAvailable()
+      // "A  b" ≡ "a b" under normalization and arrives within the
+      // watermark → dropped against batch-1 state; "fresh" passes
+      input.addData((2L, "A  b", ts(5)), (4L, "fresh", ts(6)))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT id FROM fsd ORDER BY id")
+        .as[Long].collect().toList
+      assert(out === List(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation over events") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
