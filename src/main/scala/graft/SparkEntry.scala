@@ -649,6 +649,58 @@ object SparkEntry {
       graft.ops.TextOps.repetitionStats(
         Tpch.raw(s, dir, "documents"), "doc_id", "text")),
 
+    // PII scrubbing with planted PII (the corpus itself is synthetic word
+    // soup): every 5th doc gains an email, every 7th a phone number; the
+    // scrubber must count and redact exactly those. Output hashes the
+    // redacted text so the oracle compares full content, not row counts.
+    "q62_pii_scrub" -> ((s, dir) => {
+      val planted = Tpch.raw(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" mail u"), col("doc_id"), lit("@ex.com"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" call 555-867-5309")).otherwise(lit(""))).as("text"))
+      graft.ops.TextOps.scrubPii(planted, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
+    }),
+
+    // corpus vocabulary head: top-20 terms by frequency (vocab building /
+    // tokenizer audit), deterministic ties on term
+    "q63_vocab_top" -> ((s, dir) =>
+      graft.ops.TextOps.topTerms(
+        Tpch.raw(s, dir, "documents"), "text", 20)),
+
+    // int8 embedding quantization: per-vector max-abs scale + integer
+    // codes, summarized to scalars (sum/min/max of codes) so the oracle
+    // compares exact quantized values without list-typed columns
+    "q64_quantize_int8" -> ((s, dir) => {
+      val q = graft.ops.Similarity.quantizeInt8(
+        Tpch.raw(s, dir, "embeddings"), "vec_id", "embedding")
+      q.select(col("vec_id"), col("scale"),
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qvec")).cast("long").as("q_min"),
+        array_max(col("qvec")).cast("long").as("q_max"))
+    }),
+
+    // bucketed co-located join: both sides written bucketed+sorted on the
+    // key, then equi-joined WITHOUT a shuffle (LayoutSpec asserts the
+    // plan has no Exchange) — the recurring-join layout for 100 TB
+    "q65_bucketed_join" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.Layout.saveBucketed(
+        docs.select(col("doc_id"), col("n_chars")),
+        s"q65a_$tag", scratch("q65a", dir), 8, Seq("doc_id"))
+      graft.ops.Layout.saveBucketed(
+        docs.select(col("doc_id"), col("source")),
+        s"q65b_$tag", scratch("q65b", dir), 8, Seq("doc_id"))
+      s.table(s"q65a_$tag").join(s.table(s"q65b_$tag"), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // events: JSON props extraction through the triple store round-trip
     "q31_events_json" -> ((s, dir) =>
       Tpch.store(s, dir, "events")
@@ -987,6 +1039,53 @@ object SparkEntry {
         |       round(coalesce(topc / CAST(len(ws) - 1 AS DOUBLE), 0), 4)
         |         AS top_bigram_frac
         |FROM w LEFT JOIN f ON w.doc_id = f.doc_id""".stripMargin,
+    // same planting arithmetic, same (RE2-safe) patterns, same redaction
+    // order; md5 of the redacted text compares full content
+    "q62_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM p""".stripMargin,
+    "q63_vocab_top" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // identical arithmetic shape (x / s * 127 + 0.5, floored) so the
+    // integer codes agree bit-for-bit; FLOAT[] cast to DOUBLE[] first
+    "q64_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) AS sc FROM v),
+        |q AS (SELECT vec_id, sc,
+        |        CASE WHEN sc = 0 THEN list_transform(e, x -> 0)
+        |             ELSE list_transform(e,
+        |               x -> CAST(floor(x / sc * 127.0 + 0.5) AS INTEGER))
+        |        END AS qv
+        |      FROM s)
+        |SELECT vec_id, sc AS scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min,
+        |       CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
+    "q65_bucketed_join" ->
+      """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // streaming dedup over the doubled corpus: every cluster keeps its
     // min doc_id and counts 2 copies (same normalization as q20)
     "q60_stream_dedup" ->

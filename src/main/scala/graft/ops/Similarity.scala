@@ -210,6 +210,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path that makes 100 TB ANN tractable: 4× smaller than float32 (8×
+    * vs the float64 compute form), with the per-vector max-abs scale
+    * kept alongside for dequantization (`x ≈ q/127 · scale`).
+    *
+    * Quantized value = floor(x/scale·127 + 0.5) — explicit half-up
+    * rounding written out in arithmetic so ANY engine reproduces the
+    * exact same codes (no dependence on a round() builtin's tie rule).
+    * Zero vectors quantize to zeros with scale 0. Narrow map, no
+    * shuffle; columns: idCol, `scale`, `qvec` (array<int>, values in
+    * [−127, 127]). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = toDouble(col(vecCol))
+    val s = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol), s.as("scale"),
+      when(s === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v,
+          x => floor(x / s * lit(127.0) + lit(0.5)).cast("int")))
+        .as("qvec"))
+  }
+
   /** EXACT cosine near-duplicate pairs via the full cross product —
     * deliberately and irreducibly Ω(n²). This is the opt-in EXACT
     * mid-threshold path: no LSH family prunes at cos ≥ ~0.4 with recall 1

@@ -100,6 +100,40 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** PII patterns, kept to syntax valid in BOTH Java regex and RE2 (no
+    * backrefs/lookaround) so redaction decisions are reproducible in
+    * ANSI-SQL engines — the determinism contract of this module. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training-data pipeline runs
+    * before anything else sees the text: emails/phones/IPv4s replaced by
+    * type tags, with per-doc match counts kept as audit columns. A narrow
+    * codegen'd map (regexp_count + regexp_replace), no shuffle; order
+    * matters (emails first, or the IP pattern would eat dotted hosts
+    * inside addresses already redacted). */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col(textCol), lit(Ipv4Re)).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("redacted"))
+
+  /** Corpus-wide top-k terms (vocabulary head): one explode + one
+    * count-groupBy + TakeOrdered (count desc, term asc — deterministic
+    * ties). The shuffle carries (term, partial count) pairs only —
+    * map-side combine makes this linear in distinct terms, not tokens. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * repetition penalty. Deterministic, SQL-expressible. */
   def qualityScore(text: Column): Column = {

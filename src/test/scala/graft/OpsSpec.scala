@@ -254,6 +254,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) === ((1L, 0.0, 0.0)))
   }
 
+  test("scrubPii: counts and redacts emails, phones, IPs; order-safe") {
+    val df = Seq(
+      (1L, "mail a.b@x.io or c@y.co call 555-123-4567 from 10.0.0.1"),
+      (2L, "clean text only")).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(df, "doc_id", "text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 2 && out(1L)._3 === 1 && out(1L)._4 === 1)
+    assert(out(1L)._5 ===
+      "mail <EMAIL> or <EMAIL> call <PHONE> from <IP>")
+    assert(out(2L) === ((2L, 0, 0, 0, "clean text only")))
+  }
+
+  test("topTerms: frequency head with deterministic term ties") {
+    val df = Seq((1L, "b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.topTerms(df, "text", 2)
+      .as[(String, Long)].collect().toList
+    assert(out === List(("b", 3L), ("a", 2L)))
+  }
+
+  test("quantizeInt8: max-abs scale, half-up codes, zero-vector edge") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1.0)
+    // floor(x/1*127 + 0.5): 127, floor(-63.5+0.5) = -63, floor(31.75+0.5) = 32
+    assert(out(1L)._3 === Seq(127, -63, 32))
+    assert(out(2L)._2 === 0.0 && out(2L)._3 === Seq(0, 0, 0))
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
