@@ -684,6 +684,26 @@ object SparkEntry {
         array_max(col("qvec")).cast("long").as("q_max"))
     }),
 
+    // skew-free exact distinct: stage-1 dedup spreads a hot key's values
+    // over many reducers (shuffle keyed by value too), stage-2 count is
+    // algebraic — per-source distinct vocabulary without a hot reducer
+    "q66_distinct_skewfree" -> ((s, dir) =>
+      graft.ops.Skew.distinctCount(
+        Tpch.raw(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("term")),
+        Seq("source"), "term")),
+
+    // multimodal frame sampling: 4 uniform-stride 64-byte "frames" per
+    // payload — codec-free video-keyframe plumbing; frames compare by md5
+    "q67_frame_sample" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.ops.Multimodal.frameSample(docs, "doc_id", "payload", 4, 64)
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          md5(col("frame")).as("frame_md5"))
+    }),
+
     // bucketed co-located join: both sides written bucketed+sorted on the
     // key, then equi-joined WITHOUT a shuffle (LayoutSpec asserts the
     // plan has no Exchange) — the recurring-join layout for 100 TB
@@ -1086,6 +1106,25 @@ object SparkEntry {
     "q65_bucketed_join" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "q66_distinct_skewfree" ->
+      """SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
+    // same integer-exact stride arithmetic; the corpus is pure ASCII
+    // (octet_length == length corpus-wide), so TEXT slicing reproduces
+    // the engine's byte slicing and md5(VARCHAR) hashes the same bytes
+    // (DuckDB has no BLOB substring)
+    "q67_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, unnest(range(0, 4)) AS frame_idx,
+        |             greatest(length(text) - 64, 0) AS span
+        |           FROM documents)
+        |SELECT doc_id, frame_idx,
+        |       CAST(floor(frame_idx * span / 3.0) AS BIGINT) AS offset,
+        |       md5(substring(text,
+        |         CAST(floor(frame_idx * span / 3.0) AS INTEGER) + 1, 64))
+        |         AS frame_md5
+        |FROM f""".stripMargin,
     // streaming dedup over the doubled corpus: every cluster keeps its
     // min doc_id and counts 2 copies (same normalization as q20)
     "q60_stream_dedup" ->

@@ -52,6 +52,32 @@ object Multimodal {
       payload.length.toFloat)
   }
 
+  /** Frame sampling over an opaque video/audio payload: `n` fixed-width
+    * `frameLen`-byte chunks at a uniform integer stride tiling
+    * [0, len − frameLen] — the codec-free plumbing of video frame
+    * extraction (a real pipeline swaps the byte slice for a decoder
+    * keyframe read; row shape, distribution, and determinism are
+    * identical). Pure codegen'd substring arithmetic — no UDF, no
+    * shuffle; one output row per (id, frame_idx). Payloads shorter than
+    * `frameLen` yield n copies of the whole payload (offset 0), keeping
+    * the output shape fixed for downstream batch featurizers. */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+      n: Int, frameLen: Int): DataFrame = {
+    require(n >= 2 && frameLen >= 1)
+    val len = length(col(binCol)).cast(LongType)
+    val span = greatest(len - lit(frameLen.toLong), lit(0L))
+    // double division is exact here (offsets ≪ 2^53), and floor(x/k)
+    // written the same way in SQL engines reproduces identical offsets
+    val offs = transform(sequence(lit(0L), lit((n - 1).toLong)),
+      i => floor((i * span) / lit((n - 1).toDouble)).cast(LongType))
+    df.select(col(idCol), col(binCol).as("_b"),
+        posexplode(offs).as(Seq("frame_idx", "offset")))
+      .select(col(idCol), col("frame_idx").cast(LongType).as("frame_idx"),
+        col("offset"),
+        col("_b").substr(col("offset").cast("int") + lit(1),
+          lit(frameLen)).as("frame"))
+  }
+
   /** Partition-local batch featurization of (idCol, binCol) rows. */
   def featurize(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val in = df.select(col(idCol).cast(LongType), col(binCol))

@@ -286,6 +286,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L)._2 === 0.0 && out(2L)._3 === Seq(0, 0, 0))
   }
 
+  test("skew ops: two-stage distinct count and salted sum match plain agg") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("k", "v")
+    val d = graft.ops.Skew.distinctCount(df, Seq("k"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(d === Map("a" -> 2L, "b" -> 1L))
+    val nums = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      .toDF("k", "n")
+    val s = graft.ops.Skew.salted(nums, Seq("k"), saltBy = "n", salts = 4,
+      partials = Seq(sum($"n").as("_s"), count(lit(1)).as("_c")),
+      combine = Seq(sum($"_s").as("total"), sum($"_c").as("cnt")))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s === Map("a" -> ((6L, 3L)), "b" -> ((10L, 1L))))
+  }
+
+  test("frameSample: uniform integer strides, short-payload edge") {
+    val bytes = Array.tabulate(100)(_.toByte)
+    val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3))).toDF("id", "b")
+    val out = Multimodal.frameSample(df, "id", "b", n = 4, frameLen = 10)
+      .select($"id", $"frame_idx", $"offset", length($"frame").as("flen"))
+      .as[(Long, Long, Long, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    // span = 90 → offsets 0, 30, 60, 90; full 10-byte frames
+    assert(byDoc(1L).sortBy(_._2).map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 10), (30L, 10), (60L, 10), (90L, 10)))
+    // payload shorter than frameLen: four copies of the whole payload
+    assert(byDoc(2L).sortBy(_._2).map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 3), (0L, 3), (0L, 3), (0L, 3)))
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
