@@ -39,8 +39,13 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // a query that leaks a CacheManager entry must pay for it itself,
-      // not squeeze every later query's execution memory
+      // not squeeze every later query's execution memory; checkpoint
+      // blocks are ContextCleaner-owned and the cleaner is GC-triggered —
+      // on a large heap GC may not run for many queries, so nudge it, or
+      // dead queries' blocks stack up in the block manager and force
+      // evictions under later queries' shuffles
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
