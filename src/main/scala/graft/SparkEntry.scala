@@ -395,9 +395,13 @@ object SparkEntry {
       val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
       val copies = emb.select((col("vec_id") + offset).as("vec_id"),
         transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
+      // quantizer trained on a 25% hash sample — the 100 TB knob in
+      // action; correctness is independent of centroid quality (the
+      // planted copy shares its original's cell for ANY centroids)
       graft.ops.Similarity.ivfTopK(
           emb.unionAll(copies), emb.where(col("vec_id") < 20),
-          "vec_id", "embedding", k = 1, nCells = 16, nProbe = 2, iters = 3)
+          "vec_id", "embedding", k = 1, nCells = 16, nProbe = 2, iters = 3,
+          trainFraction = 0.25)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
     }),
@@ -704,6 +708,14 @@ object SparkEntry {
           md5(col("frame")).as("frame_md5"))
     }),
 
+    // rare-term (OOV-ish) quality stats: terms holding ≤ 2% of corpus
+    // token mass are "rare" (on this corpus: the planted 'dup' marker at
+    // 0.1% vs the ~3.2% body vocabulary); per doc, rare-token count and
+    // fraction — the integer-robust perplexity-filter analogue
+    "q68_rare_terms" -> ((s, dir) =>
+      graft.ops.TextOps.rareTermStats(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", maxShare = 0.02)),
+
     // bucketed co-located join: both sides written bucketed+sorted on the
     // key, then equi-joined WITHOUT a shuffle (LayoutSpec asserts the
     // plan has no Exchange) — the recurring-join layout for 100 TB
@@ -719,6 +731,34 @@ object SparkEntry {
       s.table(s"q65a_$tag").join(s.table(s"q65b_$tag"), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // §2.8 stream-stream interval join with a batch-equivalence oracle:
+    // clicks joined to the purchases that follow within 1 hour, both
+    // sides real file-source streams with watermarks (state bounded by
+    // rate × (delay + window), not stream lifetime)
+    "q69_stream_join" -> ((s, dir) => {
+      Tpch.raw(s, dir, "events") // ensures the nanosAsLong conf is set
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+      def read() = s.readStream.schema(schema).parquet(dir + "/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = read().where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"))
+      val purchases = read().where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("pts"), col("value"))
+      val joined = graft.streaming.StreamingJoin.intervalJoin(
+        clicks, purchases, "user_id", "cts", "pts",
+        within = "1 HOUR", watermarkDelay = "30 minutes")
+      val name = "q69_mem_" + System.nanoTime()
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(col("click_id"), col("purchase_id"),
+        round(col("value"), 4).as("value"))
     }),
 
     // events: JSON props extraction through the triple store round-trip
@@ -1106,6 +1146,22 @@ object SparkEntry {
     "q65_bucketed_join" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "q68_rare_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |f AS (SELECT term, count(*) AS f FROM t GROUP BY term),
+        |tot AS (SELECT count(*) AS tot FROM t),
+        |r AS (SELECT doc_id, count(*) AS n_rare
+        |      FROM t JOIN f USING (term)
+        |      WHERE CAST(f AS DOUBLE) <= 0.02 * (SELECT CAST(tot AS DOUBLE) FROM tot)
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(r.n_rare, 0) AS BIGINT) AS n_rare,
+        |       round(coalesce(r.n_rare, 0) /
+        |             CAST(len(string_split(d.text, ' ')) AS DOUBLE), 4)
+        |         AS rare_frac
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
     "q66_distinct_skewfree" ->
       """SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS term
@@ -1125,6 +1181,15 @@ object SparkEntry {
         |         CAST(floor(frame_idx * span / 3.0) AS INTEGER) + 1, 64))
         |         AS frame_md5
         |FROM f""".stripMargin,
+    // bounded input ⇒ the stream-stream interval join equals the batch
+    // range join
+    "q69_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       round(p.value, 4) AS value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     // streaming dedup over the doubled corpus: every cluster keeps its
     // min doc_id and counts 2 copies (same normalization as q20)
     "q60_stream_dedup" ->

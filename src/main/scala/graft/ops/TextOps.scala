@@ -134,6 +134,40 @@ object TextOps {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** Rare-term statistics per document — the integer-robust cousin of
+    * perplexity filtering: a term is "rare" when its share of the corpus
+    * token mass is ≤ `maxShare` (relative, so the same threshold means
+    * the same thing at any corpus scale), and each document reports how
+    * many of its tokens are rare and the rare fraction. High rare_frac
+    * flags OOV-heavy / garbled / niche documents exactly where an LM
+    * perplexity filter would, without float log-sums that no SQL oracle
+    * can reproduce bit-for-bit.
+    *
+    * Shape: one explode + term-count groupBy (map-side combined), the
+    * corpus total as a scalar subquery-style 1-row cross join, a
+    * term-keyed semi-join of doc tokens against the rare vocabulary
+    * (NOT broadcast by construction: under Zipf the rare tail IS most of
+    * the vocabulary — AQE may still choose broadcast when it fits), and
+    * a doc-keyed count. */
+  def rareTermStats(df: DataFrame, idCol: String, textCol: String,
+      maxShare: Double): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("_f"))
+    val total = toks.select(count(lit(1)).as("_tot"))
+    val rare = freq.crossJoin(total)
+      .where(col("_f").cast(DoubleType) <=
+        lit(maxShare) * col("_tot").cast(DoubleType))
+      .select(col("term"))
+    val counts = toks.join(rare, Seq("term"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_nr"))
+    df.select(col(idCol), nTokens(col(textCol)).cast(LongType).as("n_tokens"))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("_nr"), lit(0L)).as("n_rare"),
+        round(coalesce(col("_nr"), lit(0L)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 4).as("rare_frac"))
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * repetition penalty. Deterministic, SQL-expressible. */
   def qualityScore(text: Column): Column = {
