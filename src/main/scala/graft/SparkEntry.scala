@@ -716,6 +716,13 @@ object SparkEntry {
       graft.ops.TextOps.rareTermStats(
         Tpch.raw(s, dir, "documents"), "doc_id", "text", maxShare = 0.02)),
 
+    // per-source quota (domain balancing): at most 10 docs per source,
+    // picked in md5(doc_id) order — deterministic, engine-reproducible
+    "q70_source_quota" -> ((s, dir) =>
+      graft.ops.Sampling.perGroupQuota(
+          Tpch.raw(s, dir, "documents"), "source", "doc_id", quota = 10)
+        .select(col("doc_id"), col("source"))),
+
     // bucketed co-located join: both sides written bucketed+sorted on the
     // key, then equi-joined WITHOUT a shuffle (LayoutSpec asserts the
     // plan has no Exchange) — the recurring-join layout for 100 TB
@@ -1146,6 +1153,10 @@ object SparkEntry {
     "q65_bucketed_join" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "q70_source_quota" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10""".stripMargin,
     "q68_rare_terms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

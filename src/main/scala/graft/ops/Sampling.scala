@@ -39,4 +39,19 @@ object Sampling {
   /** Keep the first `buckets` of 256 hash buckets (~buckets/256 of rows). */
   def deterministicSample(df: DataFrame, idCol: String, buckets: Int): DataFrame =
     deterministicRange(df, idCol, 0, buckets)
+
+  /** Per-group quota (domain balancing): keep at most `quota` rows per
+    * `groupCol`, chosen in md5(id) order — a deterministic pseudo-random
+    * pick, NOT "first N by id" (which would bias toward old rows). The
+    * training-mix operator that stops one huge domain from dominating
+    * the corpus. One window over the group key (single shuffle); ties
+    * impossible because id breaks them. */
+  def perGroupQuota(df: DataFrame, groupCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rq", row_number().over(w))
+      .where(col("_rq") <= quota).drop("_rq")
+  }
 }

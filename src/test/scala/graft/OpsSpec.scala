@@ -316,6 +316,20 @@ class OpsSpec extends AnyFunSuite {
       Seq((0L, 3), (0L, 3), (0L, 3), (0L, 3)))
   }
 
+  test("perGroupQuota caps each group deterministically in hash order") {
+    val df = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
+      .toDF("id", "src")
+    val out = graft.ops.Sampling.perGroupQuota(df, "src", "id", 5)
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2)
+    assert(bySrc("big").length === 5)      // capped
+    assert(bySrc("small").length === 5)    // under quota → all kept
+    // deterministic: same pick on re-run
+    val again = graft.ops.Sampling.perGroupQuota(df, "src", "id", 5)
+      .as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
