@@ -63,9 +63,25 @@ object SparkEntry {
 
   /** Scratch dir for source round-trip queries — per (query, sf) so
     * sf0.01 Verify and sf0.1 Bench runs never collide. */
+  /** Filesystem/catalog-safe tag for a data directory. */
+  private def dirTag(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   private def scratch(name: String, sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${name}_" +
-      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${dirTag(sfDir)}"
+
+  /** Project a streaming memory sink's table, pin the (small) result as
+    * ContextCleaner-owned checkpoint blocks, and DROP the temp view —
+    * a registered sink would otherwise hold the full materialized result
+    * in the driver catalog for the rest of the session (clearCache
+    * doesn't remove temp views, and GC can't collect a live catalog
+    * entry). */
+  private def drainSink(s: SparkSession, name: String)(
+      project: DataFrame => DataFrame): DataFrame = {
+    val out = project(s.table(name)).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
+  }
 
   /** Reference-surface operators (SURVEY.md §2.2-2.5). */
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -622,9 +638,9 @@ object SparkEntry {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).select(
+      drainSink(s, name)(_.select(
         col("window.start").cast("timestamp_ntz").as("wstart"),
-        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value")))
     }),
 
     // §2.8 streaming dedup with a batch-equivalence oracle: documents
@@ -643,7 +659,7 @@ object SparkEntry {
       val q = dd.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).select(col("keep_id"), col("n_copies"))
+      drainSink(s, name)(_.select(col("keep_id"), col("n_copies")))
     }),
 
     // Gopher-style repetition/boilerplate scores (dup-word fraction,
@@ -728,7 +744,7 @@ object SparkEntry {
     // plan has no Exchange) — the recurring-join layout for 100 TB
     "q65_bucketed_join" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = dirTag(dir)
       graft.ops.Layout.saveBucketed(
         docs.select(col("doc_id"), col("n_chars")),
         s"q65a_$tag", scratch("q65a", dir), 8, Seq("doc_id"))
@@ -764,8 +780,8 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(name).select(col("click_id"), col("purchase_id"),
-        round(col("value"), 4).as("value"))
+      drainSink(s, name)(_.select(col("click_id"), col("purchase_id"),
+        round(col("value"), 4).as("value")))
     }),
 
     // events: JSON props extraction through the triple store round-trip

@@ -153,7 +153,9 @@ object TextOps {
       maxShare: Double): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("_f"))
-    val total = toks.select(count(lit(1)).as("_tot"))
+    // total token mass from the (tiny) aggregated table — NOT another
+    // full corpus tokenize+scan
+    val total = freq.agg(sum(col("_f")).as("_tot"))
     val rare = freq.crossJoin(total)
       .where(col("_f").cast(DoubleType) <=
         lit(maxShare) * col("_tot").cast(DoubleType))
