@@ -59,6 +59,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("first-seen dedup state survives a checkpoint restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val data = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(data)
+    // file sink: the one that actually supports checkpoint recovery
+    // (the memory sink is test-only and refuses to resume)
+    def start() = {
+      val stream = spark.readStream
+        .schema("id BIGINT, text STRING, ts TIMESTAMP")
+        .parquet(data)
+      graft.streaming.StreamingDedup
+        .firstSeen(stream, "text", "ts", watermarkDelay = "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def ids() = spark.read.parquet(out).select($"id")
+      .as[Long].collect().toList.sorted
+    // run 1: establish dedup state, then STOP
+    write(Seq((1L, "a b", ts(1)), (2L, "other", ts(2))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(ids() === List(1L, 2L))
+    // run 2: restart from the SAME checkpoint; the duplicate of run 1's
+    // "a b" must be dropped by RECOVERED state, the fresh doc passes
+    write(Seq((3L, "A  b", ts(10)), (4L, "fresh", ts(11))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(ids() === List(1L, 2L, 4L))
+  }
+
   test("streaming windowed aggregation over events") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
