@@ -182,6 +182,20 @@ object SparkEntry {
             ("?n", "nation:name", "?nname")))
         .toDF("cname", "nname")),
 
+    // stratified datalog NEGATION composed with a rule: customers with
+    // NO partial-status order — hasP(?o, ?c) is rule-derived, then the
+    // not-clause anti-joins on the shared ?c (the ?x slot is existential)
+    "q71_datalog_not" -> ((s, dir) =>
+      Tpch.store(s, dir, "customer", "orders")
+        .datalogRules(
+          find = Seq("?ck"),
+          where = Seq(("?c", "customer:custkey", "?ck")),
+          rules = Seq(graft.query.DatalogRule(("?o", "hasP", "?cc"),
+            Seq(("?o", "orders:customer", "?cc"),
+              ("?o", "orders:orderstatus", "P")))),
+          notWhere = Seq(("?x", "hasP", "?c")))
+        .toDF("custkey")),
+
     // §2.6 relational agg over pull output (TPC-H Q1-lite via triples)
     "q11_agg" -> ((s, dir) =>
       Tpch.store(s, dir, "lineitem")
@@ -1169,6 +1183,11 @@ object SparkEntry {
     "q65_bucketed_join" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "q71_datalog_not" ->
+      """SELECT c_custkey AS custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')""".stripMargin,
     "q70_source_quota" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source

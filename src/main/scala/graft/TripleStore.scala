@@ -556,8 +556,10 @@ class TripleStore(
     */
   def datalog(find: Seq[String], where: Seq[(String, String, Any)],
       sortBy: Option[String] = None, desc: Boolean = false,
-      take: Option[Int] = None): DataFrame =
-    datalogRules(find, where, Nil, sortBy = sortBy, desc = desc, take = take)
+      take: Option[Int] = None,
+      notWhere: Seq[(String, String, Any)] = Nil): DataFrame =
+    datalogRules(find, where, Nil, sortBy = sortBy, desc = desc,
+      take = take, notWhere = notWhere)
 
   private def isVar(t: Any): Boolean = t match {
     case s: String => s.startsWith("?"); case _ => false }
@@ -634,7 +636,15 @@ class TripleStore(
       rules: Seq[DatalogRule], maxIters: Int = 20,
       onIteration: (Int, Map[String, Long]) => Unit = (_, _) => (),
       sortBy: Option[String] = None, desc: Boolean = false,
-      take: Option[Int] = None): DataFrame = {
+      take: Option[Int] = None,
+      /** STRATIFIED negation: each clause here removes bindings for which
+        * a matching fact exists (NOT EXISTS). Negation applies AFTER the
+        * rule fixpoint (one stratum — negated predicates may be IDB, but
+        * rules never depend on a negation), so semantics are the standard
+        * stratified model. Variables shared with the positive body are
+        * the anti-join keys; unshared variables are existential inside
+        * the negation. */
+      notWhere: Seq[(String, String, Any)] = Nil): DataFrame = {
     require(where.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
@@ -690,9 +700,17 @@ class TripleStore(
     if (deltaSizes.valuesIterator.exists(_ > 0)) throw new IllegalStateException(
       s"datalogRules did not reach a fixpoint in $maxIters iterations — " +
         "raise maxIters (deep recursion) or check the rules for divergence")
+    val positive = joinClauses(where.map(clauseDf(_, total)))
+    val negated = notWhere.foldLeft(positive) { (acc, cl) =>
+      val clDf = clauseDf(cl, total)
+      val shared = clDf.columns.filter(acc.columns.contains).toSeq
+      require(shared.nonEmpty,
+        s"negated clause $cl shares no variable with the positive body — " +
+          "unsafe negation (nothing to anti-join on)")
+      acc.join(clDf.select(shared.map(col): _*), shared, "left_anti")
+    }
     sortLimit(
-      joinClauses(where.map(clauseDf(_, total)))
-        .select(find.map(col): _*).distinct(),
+      negated.select(find.map(col): _*).distinct(),
       sortBy, desc, take)
   }
 

@@ -205,12 +205,15 @@ object Cli {
     }
   }
 
-  /** The reference's planned datalog query dict (tripl.py:571-584). */
+  /** The reference's planned datalog query dict (tripl.py:571-584),
+    * extended with stratified negation under the `not` key. */
   final case class DatalogQuery(
       find: Seq[String], where: Seq[(String, String, Any)],
-      rules: Seq[DatalogRule], sortBy: Option[String], take: Option[Int]) {
+      rules: Seq[DatalogRule], sortBy: Option[String], take: Option[Int],
+      notWhere: Seq[(String, String, Any)] = Nil) {
     def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
-      ts.datalogRules(find, where, rules, sortBy = sortBy, take = take)
+      ts.datalogRules(find, where, rules, sortBy = sortBy, take = take,
+          notWhere = notWhere)
         .toDF(find.map(_.stripPrefix("?")): _*)
   }
 
@@ -241,7 +244,9 @@ object Cli {
     sortBy.foreach(s => require(find.contains(s),
       s"'sort' names $s, which is not in 'find' ${find.mkString("[", " ", "]")}"))
     val take = Option(q.get("take")).map(_.asInt)
-    DatalogQuery(find, where, rules, sortBy, take)
+    val notW = Option(q.get("not"))
+      .map(_.elements().asScala.map(triple).toSeq).getOrElse(Nil)
+    DatalogQuery(find, where, rules, sortBy, take, notW)
   }
 
   def main(argv: Array[String]): Unit = {

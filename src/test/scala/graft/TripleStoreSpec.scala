@@ -497,6 +497,25 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(declaredOne.resolved.where($"a" === "db.schema:types").count() === 1)
   }
 
+  test("datalog stratified negation: not-clause anti-joins on shared vars") {
+    val ts = tinyStore(Seq(
+      ("e1", "p:name", "ada", 0L), ("e2", "p:name", "bob", 0L),
+      ("e3", "p:name", "cyn", 0L),
+      ("e1", "p:flag", "y", 0L), ("e3", "p:flag", "y", 0L)))
+    val out = ts.datalog(
+      find = Seq("?n"),
+      where = Seq(("?e", "p:name", "?n")),
+      notWhere = Seq(("?e", "p:flag", "y")))
+      .as[String].collect().toList
+    assert(out === List("bob"))
+    // unshared-variable negation is unsafe and must fail fast
+    val err = intercept[IllegalArgumentException] {
+      ts.datalog(find = Seq("?n"), where = Seq(("?e", "p:name", "?n")),
+        notWhere = Seq(("?z", "p:flag", "?w")))
+    }
+    assert(err.getMessage.contains("shares no variable"))
+  }
+
   test("db.schema:types registry: assert + introspect round-trip") {
     val ts = tinyStore(Seq(("e1", "k:x", "v", 0L)))
       .assertTypes(Seq("type:b", "type:a", "type:b"))
