@@ -746,6 +746,19 @@ object SparkEntry {
       graft.ops.TextOps.rareTermStats(
         Tpch.raw(s, dir, "documents"), "doc_id", "text", maxShare = 0.02)),
 
+    // context-window chunking: 16-token windows at stride 8 (50% overlap)
+    // — the corpus → fixed-length-training-sequences transform
+    "q72_chunking" -> ((s, dir) =>
+      graft.ops.TextOps.chunk(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 16, stride = 8)),
+
+    // sequential sequence packing into 256-token bins (doc order): the
+    // shuffle-free corpus-writer assignment of docs to training rows
+    "q73_packing" -> ((s, dir) =>
+      graft.ops.TextOps.packSequences(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", capacity = 256)),
+
     // per-source quota (domain balancing): at most 10 docs per source,
     // picked in md5(doc_id) order — deterministic, engine-reproducible
     "q70_source_quota" -> ((s, dir) =>
@@ -1183,6 +1196,27 @@ object SparkEntry {
     "q65_bucketed_join" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    // zipped unnests (DuckDB pairs them positionally, like posexplode);
+    // ws[a:b] is 1-based inclusive and clamps like slice(words, a, len)
+    "q72_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |        CAST(1 + ceil(greatest(len(ws) - 16, 0) / 8.0) AS BIGINT) AS nch
+        |      FROM w)
+        |SELECT doc_id, unnest(range(0, nch)) AS chunk_idx,
+        |       unnest(list_transform(range(0, nch),
+        |         i -> array_to_string(ws[CAST(i*8+1 AS BIGINT) :
+        |                                 CAST(i*8+16 AS BIGINT)], ' ')))
+        |         AS chunk
+        |FROM c""".stripMargin,
+    "q73_packing" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(floor((sum(len(string_split(text, ' ')))
+        |                     OVER (ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING)
+        |                   - len(string_split(text, ' '))) / 256.0) AS BIGINT)
+        |         AS bin
+        |FROM documents""".stripMargin,
     "q71_datalog_not" ->
       """SELECT c_custkey AS custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

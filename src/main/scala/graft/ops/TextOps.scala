@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -168,6 +169,49 @@ object TextOps {
         coalesce(col("_nr"), lit(0L)).as("n_rare"),
         round(coalesce(col("_nr"), lit(0L)).cast(DoubleType) /
           col("n_tokens").cast(DoubleType), 4).as("rare_frac"))
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `size` tokens advancing by `stride` (overlap =
+    * size − stride) — how a corpus becomes fixed-length training
+    * sequences. Pure narrow plan: one transform over a token-index
+    * sequence + posexplode, no shuffle, no UDF; chunk count =
+    * 1 + ⌈max(n − size, 0) / stride⌉ so every token is covered and short
+    * docs yield exactly one chunk. Output: idCol, chunk_idx, chunk. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val words = tokens(col(textCol))
+    val n = size(words)
+    val nch = (ceil(greatest(n - lit(chunkSize), lit(0))
+      .cast(DoubleType) / lit(stride.toDouble)) + lit(1)).cast(IntegerType)
+    val chunks = transform(sequence(lit(0), nch - lit(1)),
+      i => concat_ws(" ", slice(words, i * lit(stride) + lit(1), lit(chunkSize))))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("chunk"))
+  }
+
+  /** Sequential sequence packing: assign documents (in deterministic
+    * `idCol` order) to training bins of `capacity` tokens — bin =
+    * ⌊tokens-before-this-doc / capacity⌋, so a doc straddling a boundary
+    * stays whole in the earlier bin (bins may overflow by one doc; the
+    * shuffle-free approximation of first-fit packing, and exactly what a
+    * sequential corpus writer produces). One window over a global
+    * ordering — at 100 TB, partition first (e.g. by shard) and pack
+    * within partitions; the global window here mirrors the reference
+    * corpus-writer semantics. Output: idCol, n_tokens, bin. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity >= 1)
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), nTokens(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("n_tokens"),
+        floor((col("_cum") - col("n_tokens")).cast(DoubleType) /
+          lit(capacity.toDouble)).cast(LongType).as("bin"))
   }
 
   /** Composite quality score in [0,1]: length band + stopword presence +

@@ -330,6 +330,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("chunk: overlapping windows cover every token; short docs one chunk") {
+    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunk(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .as[(Long, Long, String)].collect().toSet
+    // n=10, size=4, stride=2 → 1+ceil(6/2)=4 chunks at starts 1,3,5,7
+    assert(out === Set(
+      (1L, 0L, "t1 t2 t3 t4"), (1L, 1L, "t3 t4 t5 t6"),
+      (1L, 2L, "t5 t6 t7 t8"), (1L, 3L, "t7 t8 t9 t10"),
+      (2L, 0L, "a b")))
+  }
+
+  test("packSequences: cumulative bins, straddling doc stays in earlier bin") {
+    val df = Seq(
+      (1L, (1 to 6).map("w" + _).mkString(" ")),   // 6 tokens, cum-before 0  → bin 0
+      (2L, (1 to 6).map("w" + _).mkString(" ")),   // cum-before 6  → bin 0 (straddles 8)
+      (3L, "a b"),                                  // cum-before 12 → bin 1
+      (4L, "x")                                     // cum-before 14 → bin 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequences(df, "doc_id", "text", capacity = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(1L -> ((6L, 0L)), 2L -> ((6L, 0L)),
+      3L -> ((2L, 1L)), 4L -> ((1L, 1L))))
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
