@@ -61,12 +61,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = coreSql ++ pipelineSql ++ sourceSql
 
-  /** Scratch dir for source round-trip queries — per (query, sf) so
-    * sf0.01 Verify and sf0.1 Bench runs never collide. */
   /** Filesystem/catalog-safe tag for a data directory. */
   private def dirTag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Scratch dir for source round-trip queries — per (query, sf) so
+    * sf0.01 Verify and sf0.1 Bench runs never collide. */
   private def scratch(name: String, sfDir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${dirTag(sfDir)}"
 

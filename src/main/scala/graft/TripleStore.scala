@@ -702,6 +702,12 @@ class TripleStore(
         "raise maxIters (deep recursion) or check the rules for divergence")
     val positive = joinClauses(where.map(clauseDf(_, total)))
     val negated = notWhere.foldLeft(positive) { (acc, cl) =>
+      // a repeated variable (?e attr ?e) would emit two identically-named
+      // columns and die downstream as AMBIGUOUS_REFERENCE — fail with the
+      // real reason instead
+      require(!(isVar(cl._1) && cl._1 == cl._3),
+        s"negated clause $cl repeats a variable; bind s=o with a " +
+          "positive clause and negate through a distinct variable")
       val clDf = clauseDf(cl, total)
       val shared = clDf.columns.filter(acc.columns.contains).toSeq
       require(shared.nonEmpty,

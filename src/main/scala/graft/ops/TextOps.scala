@@ -55,17 +55,24 @@ object TextOps {
   def stopwordRatio(text: Column): Column =
     stopwordCount(text).cast(DoubleType) / nTokens(text).cast(DoubleType)
 
-  /** ALL word n-grams of the text, duplicates preserved (unlike
-    * `Dedup.shingles`, which is a set) — frequency analysis needs the
-    * multiset. Docs shorter than n words yield an empty array. */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val words = tokens(text)
+  /** ALL word n-grams over a PRE-TOKENIZED array column, duplicates
+    * preserved (unlike `Dedup.shingles`, which is a set) — frequency
+    * analysis needs the multiset. Take an already-materialized token
+    * array: a raw split expression inside the transform lambda would
+    * re-tokenize once PER ELEMENT (higher-order lambda bodies get no CSE
+    * across iterations). Docs shorter than n words yield an empty
+    * array. */
+  def ngramsOfTokens(words: Column, n: Int): Column = {
     val cnt = size(words)
     when(cnt < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), cnt - lit(n)),
         i => concat_ws(" ",
           (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
   }
+
+  /** [[ngramsOfTokens]] over raw text — only for single-use contexts;
+    * pipelines should tokenize into a projected column first. */
+  def ngramsAll(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
 
   /** Gopher-style repetition/boilerplate scores per document:
     *  - `n_words` — token count;
@@ -84,10 +91,14 @@ object TextOps {
     * no UDFs; every value reproducible in ANSI SQL. */
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val base = df.select(col(idCol),
-      nTokens(col(textCol)).as("n_words"),
-      nDistinctTokens(col(textCol)).as("_nd"),
-      ngramsAll(col(textCol), 2).as("_bgs"))
+    // tokenize ONCE into a projected column; the multi-referenced alias
+    // keeps CollapseProject from inlining the split back into the lambda
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .select(col(idCol),
+        size(col("_ws")).as("n_words"),
+        size(array_distinct(col("_ws"))).as("_nd"),
+        ngramsOfTokens(col("_ws"), 2).as("_bgs"))
     val top = base
       .select(col(idCol), explode(col("_bgs")).as("_bg"))
       .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
@@ -182,13 +193,17 @@ object TextOps {
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       "need 1 <= stride <= chunkSize")
-    val words = tokens(col(textCol))
-    val n = size(words)
+    // tokenize ONCE per row in its own projection — a raw split inside
+    // the transform lambda would re-tokenize once per CHUNK, turning the
+    // narrow map quadratic on long documents
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+    val n = size(col("_ws"))
     val nch = (ceil(greatest(n - lit(chunkSize), lit(0))
       .cast(DoubleType) / lit(stride.toDouble)) + lit(1)).cast(IntegerType)
     val chunks = transform(sequence(lit(0), nch - lit(1)),
-      i => concat_ws(" ", slice(words, i * lit(stride) + lit(1), lit(chunkSize))))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      i => concat_ws(" ",
+        slice(col("_ws"), i * lit(stride) + lit(1), lit(chunkSize))))
+    toks.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
         col("chunk"))
   }

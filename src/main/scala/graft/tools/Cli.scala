@@ -244,8 +244,13 @@ object Cli {
     sortBy.foreach(s => require(find.contains(s),
       s"'sort' names $s, which is not in 'find' ${find.mkString("[", " ", "]")}"))
     val take = Option(q.get("take")).map(_.asInt)
-    val notW = Option(q.get("not"))
-      .map(_.elements().asScala.map(triple).toSeq).getOrElse(Nil)
+    val notW = Option(q.get("not")).map { n =>
+      // a scalar/object here would silently yield Nil and run the query
+      // UN-negated — wrong rows with no error; validate like find/where
+      require(n.isArray && n.elements().asScala.forall(_.isArray),
+        s"'not' must be a list of [s a o] clauses, got $n")
+      n.elements().asScala.map(triple).toSeq
+    }.getOrElse(Nil)
     DatalogQuery(find, where, rules, sortBy, take, notW)
   }
 

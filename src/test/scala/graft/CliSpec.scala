@@ -90,6 +90,27 @@ class CliSpec extends AnyFunSuite {
     assert(q.sortBy === Some("?x") && q.take === Some(5))
   }
 
+  test("CLI datalog 'not' key: parses clause lists, rejects non-arrays") {
+    val q = Cli.parseDatalogQuery(
+      """{"find": ["?n"], "where": [["?e", "p:name", "?n"]],
+         "not": [["?e", "p:flag", "y"]]}""")
+    assert(q.notWhere === Seq(("?e", "p:flag", "y")))
+    // a scalar/object 'not' must fail loudly, not silently un-negate
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?n"], "where": [["?e", "p:name", "?n"]],
+           "not": "bogus"}""")
+    }
+    assert(e.getMessage.contains("'not' must be a list"))
+    // a single un-nested clause is also malformed
+    val e2 = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?n"], "where": [["?e", "p:name", "?n"]],
+           "not": ["?e", "p:flag", "y"]}""")
+    }
+    assert(e2.getMessage.contains("'not' must be a list"))
+  }
+
   test("CLI datalog parse rejects empty rules and unknown sort vars") {
     val e1 = intercept[IllegalArgumentException] {
       Cli.parseDatalogQuery(
