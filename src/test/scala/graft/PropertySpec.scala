@@ -140,6 +140,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: int8 dequantization error is within the half-step bound") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian() * 3).toFloat)))
+    val out = graft.ops.Similarity.quantizeInt8(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .as[(Long, Double, Seq[Int])].collect()
+    val byId = vecs.toMap
+    out.foreach { case (id, scale, q) =>
+      val orig = byId(id).map(_.toDouble)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      if (scale > 0) {
+        // |q·s/127 − x| ≤ s/254 from half-up rounding (+ float slack)
+        val bound = scale / 254.0 * (1 + 1e-9) + 1e-12
+        q.zip(orig).foreach { case (c, x) =>
+          assert(math.abs(c * scale / 127.0 - x) <= bound,
+            s"id=$id code=$c x=$x scale=$scale")
+        }
+      } else assert(orig.forall(_ == 0.0) && q.forall(_ == 0))
+    }
+  }
+
+  test("property: chunk windows tile the token stream exactly") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { round =>
+      val docs = (0 until 12).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        (i.toLong, (0 until n).map(j => s"w${j}").mkString(" "))
+      }
+      val (size, stride) = Seq((5, 2), (8, 8), (4, 1))(round)
+      val got = graft.ops.TextOps.chunk(
+          docs.toDF("doc_id", "text"), "doc_id", "text", size, stride)
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.sortBy(_._2).map(_._3).toSeq }
+      val want = docs.map { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        val nch = 1 + math.ceil(math.max(ws.size - size, 0) / stride.toDouble).toInt
+        id -> (0 until nch).map(k =>
+          ws.slice(k * stride, k * stride + size).mkString(" "))
+      }.toMap
+      assert(got === want, s"size=$size stride=$stride")
+    }
+  }
+
+  test("property: packSequences bins == driver-computed cumulative bins") {
+    val rnd = new scala.util.Random(29)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(30))).map(j => "t").mkString(" ")))
+    val cap = 37
+    val got = graft.ops.TextOps.packSequences(
+        docs.toDF("doc_id", "text"), "doc_id", "text", cap)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    var cum = 0L
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val n = text.split(" ").length.toLong
+      val bin = (cum / cap)
+      cum += n
+      id -> bin
+    }.toMap
+    assert(got === want)
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>
