@@ -746,6 +746,26 @@ object SparkEntry {
       graft.ops.TextOps.rareTermStats(
         Tpch.raw(s, dir, "documents"), "doc_id", "text", maxShare = 0.02)),
 
+    // weighted source mixing: per-source sampling rates (1/4 of src0,
+    // none of src1, all of everything else) — deterministic md5-bucket
+    // cuts, reproducible by any SQL engine
+    "q74_weighted_mix" -> ((s, dir) =>
+      graft.ops.Sampling.weightedMix(
+          Tpch.raw(s, dir, "documents"), "source", "doc_id",
+          rates = Map("src0" -> 64, "src1" -> 0))
+        .select(col("doc_id"), col("source"))),
+
+    // incremental ingest dedup: the doc_id >= 200 "new batch" dedups
+    // against the doc_id < 250 "accumulated corpus" (overlap 200-249
+    // must vanish) and within itself
+    "q75_incremental_dedup" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      graft.ops.Dedup.incrementalExact(
+          docs.where(col("doc_id") >= 200),
+          docs.where(col("doc_id") < 250), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // context-window chunking: 16-token windows at stride 8 (50% overlap)
     // — the corpus → fixed-length-training-sequences transform
     "q72_chunking" -> ((s, dir) =>
@@ -1196,6 +1216,21 @@ object SparkEntry {
     "q65_bucketed_join" ->
       """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY source""".stripMargin,
+    "q74_weighted_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN source = 'src0' THEN '40'
+        |       WHEN source = 'src1' THEN '00'
+        |       ELSE 'zz' END""".stripMargin,
+    "q75_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |           FROM documents),
+        |b AS (SELECT min(doc_id) AS doc_id, arg_min(n_chars, doc_id) AS n_chars, fp
+        |      FROM f WHERE doc_id >= 200 GROUP BY fp)
+        |SELECT doc_id, n_chars FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM f c
+        |                  WHERE c.doc_id < 250 AND c.fp = b.fp)""".stripMargin,
     // zipped unnests (DuckDB pairs them positionally, like posexplode);
     // ws[a:b] is 1-based inclusive and clamps like slice(words, a, len)
     "q72_chunking" ->

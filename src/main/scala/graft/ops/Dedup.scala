@@ -32,6 +32,24 @@ object Dedup {
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental (cross-batch) exact dedup — the daily-ingest shape: a
+    * new `batch` dedups against the ACCUMULATED `corpus` (drop any row
+    * whose fingerprint already exists there) and against itself
+    * (min-id-wins, as [[exact]]). The corpus side prunes to its distinct
+    * fingerprint column before the anti-join, so the shuffle carries one
+    * 32-char hash per known document — not the corpus — and the batch
+    * side is one window + one anti-join. Streaming sibling:
+    * StreamingDedup.firstSeen. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val known = corpus
+      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+    exact(batch, idCol, textCol)
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .join(known, Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** Word 3-gram shingle set. Docs shorter than n words yield one
     * shingle = the whole text (so every doc has ≥1 shingle). */
   def shingles(text: Column, n: Int = 3): Column = {

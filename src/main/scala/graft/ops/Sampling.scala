@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data mixes.
@@ -39,6 +39,28 @@ object Sampling {
   /** Keep the first `buckets` of 256 hash buckets (~buckets/256 of rows). */
   def deterministicSample(df: DataFrame, idCol: String, buckets: Int): DataFrame =
     deterministicRange(df, idCol, 0, buckets)
+
+  /** Weighted source mixing: each group samples at its OWN rate —
+    * `rates` maps group value → buckets-of-256 kept (e.g. "web" → 64
+    * keeps 1/4 of web, "books" → 256 keeps all books), groups absent
+    * from the map keep `defaultBuckets`. The training-mix primitive:
+    * up/down-weight sources deterministically, reproducibly (same
+    * md5-bucket predicate as [[deterministicRange]] — any SQL engine
+    * recomputes the identical mix), with no shuffle: one narrow filter
+    * over the scan. */
+  def weightedMix(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Int], defaultBuckets: Int = 256): DataFrame = {
+    (rates.values ++ Seq(defaultBuckets)).foreach(b =>
+      require(0 <= b && b <= 256, s"buckets must be in [0, 256], got $b"))
+    // 256 ⇒ keep-all sentinel "zz" (> every 2-char hex; "100" would NOT
+    // work — lexicographically "ff" > "100")
+    def cutHex(b: Int): String = if (b >= 256) "zz" else bucketHex(b)
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    val cut = rates.foldLeft(lit(cutHex(defaultBuckets)): Column) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(cutHex(b))).otherwise(acc)
+    }
+    df.where(h < cut)
+  }
 
   /** Per-group quota (domain balancing): keep at most `quota` rows per
     * `groupCol`, chosen in md5(id) order — a deterministic pseudo-random

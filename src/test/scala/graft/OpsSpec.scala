@@ -316,6 +316,35 @@ class OpsSpec extends AnyFunSuite {
       Seq((0L, 3), (0L, 3), (0L, 3), (0L, 3)))
   }
 
+  test("weightedMix: per-group rates (none / some / all) and determinism") {
+    val df = (1L to 300L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt))).toDF("id", "src")
+    val out = graft.ops.Sampling.weightedMix(df, "src", "id",
+        rates = Map("a" -> 0, "b" -> 128))
+      .as[(Long, String)].collect()
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!bySrc.contains("a"))                       // rate 0 → dropped
+    assert(bySrc("c") === 100)                          // default 256 → all
+    val b = bySrc("b")
+    assert(b > 20 && b < 80, s"~half of b expected, got $b") // rate 128 ≈ 1/2
+    // deterministic: identical pick on re-run
+    val again = graft.ops.Sampling.weightedMix(df, "src", "id",
+        rates = Map("a" -> 0, "b" -> 128)).as[(Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("incrementalExact drops cross-batch and within-batch duplicates") {
+    val corpus = Seq((1L, "alpha text", 1L), (2L, "beta text", 2L))
+      .toDF("doc_id", "text", "n")
+    val batch = Seq(
+      (10L, "ALPHA  text", 3L),  // dup of corpus doc 1 (normalized)
+      (11L, "gamma", 4L), (12L, "gamma", 5L), // within-batch dup → min id
+      (13L, "delta", 6L)).toDF("doc_id", "text", "n")
+    val out = graft.ops.Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(11L, 13L))
+  }
+
   test("perGroupQuota caps each group deterministically in hash order") {
     val df = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
       .toDF("id", "src")
