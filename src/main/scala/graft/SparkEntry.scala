@@ -813,8 +813,9 @@ object SparkEntry {
         "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING")
       // ONE file source, self-joined (stream-stream self-joins are
-      // supported) — halves the per-microbatch source scans vs two
-      // independent readStreams
+      // supported): each join side still scans per microbatch, but a
+      // single FileStreamSource does the directory listing and offset
+      // tracking instead of two
       val stream = s.readStream.schema(schema)
         .parquet(dir + "/events.parque*")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

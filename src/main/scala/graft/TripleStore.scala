@@ -565,28 +565,37 @@ class TripleStore(
     case s: String => s.startsWith("?"); case _ => false }
 
   /** One where-clause compiled against the EDB (stored attrs) or an IDB
-    * relation (rule-derived binary predicate, columns s/o). */
+    * relation (rule-derived binary predicate, columns s/o). A REPEATED
+    * variable (?e attr ?e) is a self-loop: compiled as an equality
+    * filter with ONE output column (two identically-named columns would
+    * be ambiguous downstream). */
   private def clauseDf(clause: (String, String, Any),
       idb: Map[String, DataFrame]): DataFrame = {
     val (s, attr, o) = clause
+    val selfLoop = isVar(s) && (o match {
+      case v: String => v == s; case _ => false })
     idb.get(attr) match {
       case Some(rel) =>
-        var df = rel
+        var df = if (selfLoop) rel.where($"s" === $"o") else rel
         var cols = Seq.empty[Column]
         if (isVar(s)) cols :+= $"s".as(s) else df = df.where($"s" === s)
         o match {
-          case v: String if isVar(v) => cols :+= $"o".as(v)
-          case v => df = df.where($"o" === lit(v))
+          case v: String if isVar(v) && !selfLoop => cols :+= $"o".as(v)
+          case v if !isVar(v) => df = df.where($"o" === lit(v))
+          case _ => ()
         }
         df.select(cols: _*)
       case None =>
-        var df = scanFor(Seq(attr))
         val vc = valueCol(attr)
+        var df =
+          if (selfLoop) scanFor(Seq(attr)).where($"e" === col(vc).cast("string"))
+          else scanFor(Seq(attr))
         var cols = Seq.empty[Column]
         if (isVar(s)) cols :+= $"e".as(s) else df = df.where($"e" === s)
         o match {
-          case v: String if isVar(v) => cols :+= col(vc).as(v)
-          case v => df = df.where(col(vc) === lit(v))
+          case v: String if isVar(v) && !selfLoop => cols :+= col(vc).as(v)
+          case v if !isVar(v) => df = df.where(col(vc) === lit(v))
+          case _ => ()
         }
         df.select(cols: _*)
     }
@@ -702,12 +711,6 @@ class TripleStore(
         "raise maxIters (deep recursion) or check the rules for divergence")
     val positive = joinClauses(where.map(clauseDf(_, total)))
     val negated = notWhere.foldLeft(positive) { (acc, cl) =>
-      // a repeated variable (?e attr ?e) would emit two identically-named
-      // columns and die downstream as AMBIGUOUS_REFERENCE — fail with the
-      // real reason instead
-      require(!(isVar(cl._1) && cl._1 == cl._3),
-        s"negated clause $cl repeats a variable; bind s=o with a " +
-          "positive clause and negate through a distinct variable")
       val clDf = clauseDf(cl, total)
       val shared = clDf.columns.filter(acc.columns.contains).toSeq
       require(shared.nonEmpty,

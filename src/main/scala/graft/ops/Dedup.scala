@@ -44,8 +44,12 @@ object Dedup {
       idCol: String, textCol: String): DataFrame = {
     val known = corpus
       .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
-    exact(batch, idCol, textCol)
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    // fingerprint ONCE per batch row: the window key and the anti-join
+    // key share the projected column instead of re-normalizing the text
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    batch.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
       .join(known, Seq("_fp"), "left_anti")
       .drop("_fp")
   }

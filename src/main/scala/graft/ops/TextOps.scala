@@ -70,9 +70,6 @@ object TextOps {
           (0 until n).map(j => element_at(words, i + lit(j + 1))): _*)))
   }
 
-  /** [[ngramsOfTokens]] over raw text — only for single-use contexts;
-    * pipelines should tokenize into a projected column first. */
-  def ngramsAll(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
 
   /** Gopher-style repetition/boilerplate scores per document:
     *  - `n_words` — token count;

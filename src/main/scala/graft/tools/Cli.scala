@@ -229,24 +229,37 @@ object Cli {
       require(n != null, s"datalog query needs a '$key' key, got $json")
       n
     }
-    val find = required("find").elements().asScala.map(_.asText).toSeq
-    val where = required("where").elements().asScala.map(triple).toSeq
-    val rules = Option(q.get("rules")).map(_.elements().asScala.map { r =>
-      val els = r.elements().asScala.toSeq
-      require(els.nonEmpty, s"rule must be [[pred ?s ?o] body...], got $r")
-      // head is [predicate, ?s, ?o] — the grammar comment's order
-      val h = els.head.elements().asScala.toSeq
-      require(h.size == 3, s"rule head must be [pred ?s ?o], got ${els.head}")
-      DatalogRule((h(1).asText, h(0).asText, h(2).asText), els.tail.map(triple))
-    }.toSeq).getOrElse(Nil)
+    // shape-validate EVERY list key: JsonNode.elements() on a scalar is
+    // an empty iterator, so a mis-typed value would silently become Nil
+    // and the query would run with wrong semantics and no error
+    def asArray(key: String, n: JsonNode): JsonNode = {
+      require(n.isArray, s"'$key' must be a list, got $n")
+      n
+    }
+    val find = asArray("find", required("find"))
+      .elements().asScala.map(_.asText).toSeq
+    require(find.nonEmpty, s"'find' must name at least one variable")
+    val where = asArray("where", required("where"))
+      .elements().asScala.map(triple).toSeq
+    val rules = Option(q.get("rules")).map(asArray("rules", _))
+      .map(_.elements().asScala.map { r =>
+        val els = r.elements().asScala.toSeq
+        require(r.isArray && els.nonEmpty,
+          s"rule must be [[pred ?s ?o] body...], got $r")
+        // head is [predicate, ?s, ?o] — the grammar comment's order
+        val h = els.head.elements().asScala.toSeq
+        require(h.size == 3, s"rule head must be [pred ?s ?o], got ${els.head}")
+        DatalogRule((h(1).asText, h(0).asText, h(2).asText), els.tail.map(triple))
+      }.toSeq).getOrElse(Nil)
     val sortBy = Option(q.get("sort")).map(_.asText)
       .map(s => if (s.startsWith("?")) s else "?" + s)
     sortBy.foreach(s => require(find.contains(s),
       s"'sort' names $s, which is not in 'find' ${find.mkString("[", " ", "]")}"))
-    val take = Option(q.get("take")).map(_.asInt)
+    val take = Option(q.get("take")).map { n =>
+      require(n.isIntegralNumber, s"'take' must be an integer, got $n")
+      n.asInt
+    }
     val notW = Option(q.get("not")).map { n =>
-      // a scalar/object here would silently yield Nil and run the query
-      // UN-negated — wrong rows with no error; validate like find/where
       require(n.isArray && n.elements().asScala.forall(_.isArray),
         s"'not' must be a list of [s a o] clauses, got $n")
       n.elements().asScala.map(triple).toSeq

@@ -122,6 +122,21 @@ class CliSpec extends AnyFunSuite {
         """{"find": ["?x"], "where": [["?x", "a:b", 1]], "sort": "y"}""")
     }
     assert(e2.getMessage.contains("not in 'find'"))
+    // mis-typed list keys must fail loudly, never silently become Nil
+    val e3 = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?x"], "where": [["?x", "a:b", 1]], "rules": "bogus"}""")
+    }
+    assert(e3.getMessage.contains("'rules' must be a list"))
+    val e4 = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery("""{"find": "?x", "where": [["?x", "a:b", 1]]}""")
+    }
+    assert(e4.getMessage.contains("'find' must be a list"))
+    val e5 = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?x"], "where": [["?x", "a:b", 1]], "take": "all"}""")
+    }
+    assert(e5.getMessage.contains("'take' must be an integer"))
   }
 
   test("CLI pull-expr / pattern / schema JSON parsers") {

@@ -514,6 +514,17 @@ class TripleStoreSpec extends AnyFunSuite {
         notWhere = Seq(("?z", "p:flag", "?w")))
     }
     assert(err.getMessage.contains("shares no variable"))
+    // a repeated variable is a SELF-LOOP equality filter (one column),
+    // in positive position and under negation
+    val ts2 = tinyStore(Seq(
+      ("e1", "p:name", "ada", 0L), ("e2", "p:name", "bob", 0L),
+      ("e1", "p:self", "e1", 0L), ("e2", "p:self", "e9", 0L)))
+    assert(ts2.datalog(find = Seq("?e"), where = Seq(("?e", "p:self", "?e")))
+      .as[String].collect().toList === List("e1"))
+    assert(ts2.datalog(find = Seq("?n"),
+        where = Seq(("?e", "p:name", "?n")),
+        notWhere = Seq(("?e", "p:self", "?e")))
+      .as[String].collect().toList === List("bob"))
   }
 
   test("db.schema:types registry: assert + introspect round-trip") {
