@@ -196,6 +196,28 @@ object SparkEntry {
           notWhere = Seq(("?x", "hasP", "?c")))
         .toDF("custkey")),
 
+    // MULTI-STRATUM datalog: rule-level negation ({"not": ...} body
+    // literal) puts `top` one stratum ABOVE `parent`, and `childoftop`
+    // consumes the negated predicate from a further rule — the standard
+    // stratified model (stratum 0: parent; stratum 1: top, childoftop),
+    // which single-stratum query-level `not` (q71) cannot express. The
+    // whole program goes through the CLI's JSON grammar, so the shell
+    // surface of stratified negation is what's actually under test.
+    "q80_datalog_strata" -> ((s, dir) => {
+      val q = graft.tools.Cli.parseDatalogQuery(
+        """{"find": ["?cname", "?tname"],
+          |"where": [["?c", "childoftop", "?t"],
+          |          ["?c", "geo:name", "?cname"],
+          |          ["?t", "geo:name", "?tname"]],
+          |"rules": [
+          |  [["parent", "?x", "?y"], ["?x", "geo:parent", "?y"]],
+          |  [["top", "?t", "?t"], ["?t", "geo:key", "?k"],
+          |   {"not": ["?t", "parent", "?p"]}],
+          |  [["childoftop", "?c", "?t"], ["?c", "geo:parent", "?t"],
+          |   ["?t", "top", "?t"]]]}""".stripMargin)
+      q.run(geoStore(s, dir))
+    }),
+
     // §2.6 relational agg over pull output (TPC-H Q1-lite via triples)
     "q11_agg" -> ((s, dir) =>
       Tpch.store(s, dir, "lineitem")
@@ -669,6 +691,9 @@ object SparkEntry {
         .parquet(dir + "/documents.parque*")
       val dd = graft.streaming.StreamingDedup.exactClusters(
         read().unionAll(read()), "doc_id", "text")
+      // memory sink = oracle-harness convenience ONLY (bounded input,
+      // driver-side compare); a production pipeline sinks to files/Kafka
+      // — the operator itself (StreamingDedup) is sink-agnostic
       val name = "q60_mem_" + System.nanoTime()
       val q = dd.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
@@ -828,6 +853,9 @@ object SparkEntry {
       val joined = graft.streaming.StreamingJoin.intervalJoin(
         clicks, purchases, "user_id", "cts", "pts",
         within = "1 HOUR", watermarkDelay = "30 minutes")
+      // memory sink = oracle-harness convenience ONLY (bounded input,
+      // driver-side compare); a production pipeline sinks to files/Kafka
+      // — the operator itself (StreamingJoin) is sink-agnostic
       val name = "q69_mem_" + System.nanoTime()
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
@@ -844,6 +872,107 @@ object SparkEntry {
             PAttr("events:value"), PAttr("events:props")))
         .select(col("event_id"), col("ts"), col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // PARTITIONED sequence packing — the 100 TB form of q73: the window
+    // partitions by source, so the cumulative sum runs one task per shard
+    // instead of one task total (PackingPlanSpec asserts the plan's
+    // Window partitions and there is no Exchange SinglePartition)
+    "q77_packing_sharded" -> ((s, dir) =>
+      graft.ops.TextOps.packSequences(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        capacity = 256, partitionCol = "source")),
+
+    // PERSISTED IVF index: build once (train + assign + write bucketed by
+    // _cell + centroid sidecar), then query the TABLE — ivfQuery loads
+    // centroids only, probes 2/16 cells, and its corpus scan bucket-prunes
+    // to the probed cells (LayoutSpec asserts SelectedBucketsCount).
+    // Same planted-copy oracle as q59: the scale-2 copy shares its
+    // original's cell for ANY centroids and cos=1 beats every natural
+    // pair, so top-1 = the copy, at recall 1, honestly.
+    "q78_ann_ivf_index" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val copies = emb.select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
+      val table = s"q78idx_${dirTag(dir)}"
+      graft.ops.Similarity.buildIvfIndex(
+        emb.unionAll(copies), "vec_id", "embedding",
+        table, scratch("q78idx", dir),
+        nCells = 16, iters = 3, trainFraction = 0.25)
+      graft.ops.Similarity.ivfQuery(
+          emb.where(col("vec_id") < 20), table,
+          "vec_id", "embedding", k = 1, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    // the CLI pipeline surface end-to-end: `chunk` verb over the raw
+    // parquet → JSONL artifact → read-back; must equal the q72 oracle —
+    // the CLI is a thin shell over the same operator, and this proves it
+    "q79_cli_chunk" -> ((s, dir) => {
+      val out = scratch("q79", dir)
+      graft.tools.Cli.run(s, Array("chunk",
+        "-i", dir + "/documents.parquet", "--format", "parquet",
+        "--id", "doc_id", "--text", "text",
+        "--size", "16", "--stride", "8", "-o", out))
+      s.read.schema("doc_id BIGINT, chunk_idx BIGINT, chunk STRING").json(out)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+    }),
+
+    // StreamingDedup.firstSeen with its watermark-EXPIRY semantics under
+    // oracle: three file-source microbatches — (1) every distinct doc at
+    // T0, (2) a lone sentinel an hour later, which advances the watermark
+    // past T0 + 10min and EXPIRES batch-1's dedup state, (3) the same
+    // docs again at T0+2h, which therefore re-emit. Append-mode output =
+    // each fingerprint once per horizon, not once per stream lifetime —
+    // exactly the bounded-state contract, and the part q60's
+    // within-batch dedup can't see. Batches are written between
+    // processAllAvailable calls, so microbatch boundaries (and thus
+    // watermark advancement points) are deterministic.
+    "q76_stream_firstseen" -> ((s, dir) => {
+      val in = scratch("q76in", dir)
+      // fresh input dir: batches APPEND files, so a prior run's artifacts
+      // would otherwise replay as extra batch-1 data
+      val p = java.nio.file.Paths.get(in)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+      // one row per distinct fingerprint (min id), so which-copy-wins
+      // inside a batch can never make the output nondeterministic
+      val uniq = graft.ops.Dedup.exact(
+        Tpch.raw(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      def writeBatch(df: DataFrame, batch: Int, ts: String): Unit =
+        df.select(col("doc_id"), col("text"),
+            lit(batch).cast("long").as("batch"),
+            lit(ts).cast("timestamp").as("ts"))
+          .write.mode("append").parquet(in)
+      writeBatch(uniq, 1, "2024-01-01 00:00:00")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, batch BIGINT, ts TIMESTAMP")
+      val stream = s.readStream.schema(schema).parquet(in)
+      val dd = graft.streaming.StreamingDedup.firstSeen(
+        stream, "text", "ts", watermarkDelay = "10 minutes")
+      // memory sink = oracle-harness convenience ONLY (bounded input,
+      // driver-side compare); a production pipeline sinks to files/Kafka
+      val name = "q76_mem_" + System.nanoTime()
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        import s.implicits._
+        writeBatch(
+          Seq((-1L, "watermark advance sentinel")).toDF("doc_id", "text"),
+          2, "2024-01-01 01:00:00")
+        q.processAllAvailable()
+        writeBatch(uniq, 3, "2024-01-01 02:00:00")
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, name)(_.select(col("doc_id"), col("batch")))
+    }),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -1257,6 +1386,48 @@ object SparkEntry {
         |                   - len(string_split(text, ' '))) / 256.0) AS BIGINT)
         |         AS bin
         |FROM documents""".stripMargin,
+    "q77_packing_sharded" ->
+      """SELECT doc_id, source,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(floor((sum(len(string_split(text, ' ')))
+        |                     OVER (PARTITION BY source ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING)
+        |                   - len(string_split(text, ' '))) / 256.0) AS BIGINT)
+        |         AS bin
+        |FROM documents""".stripMargin,
+    // the persisted-index query returns the same planted-copy top-1 as q59
+    "q78_ann_ivf_index" ->
+      """SELECT vec_id AS query_id,
+        |       vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS neighbor_id,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // the CLI chunk verb must reproduce the q72 chunking oracle exactly
+    "q79_cli_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |        CAST(1 + ceil(greatest(len(ws) - 16, 0) / 8.0) AS BIGINT) AS nch
+        |      FROM w)
+        |SELECT doc_id, unnest(range(0, nch)) AS chunk_idx,
+        |       unnest(list_transform(range(0, nch),
+        |         i -> array_to_string(ws[CAST(i*8+1 AS BIGINT) :
+        |                                 CAST(i*8+16 AS BIGINT)], ' ')))
+        |         AS chunk
+        |FROM c""".stripMargin,
+    // firstSeen emits each distinct fingerprint in batch 1, the sentinel
+    // in batch 2, and the SAME fingerprints again in batch 3 (their
+    // batch-1 state expired when the sentinel pushed the watermark past
+    // T0 + delay) — once per horizon, not once per stream lifetime
+    "q76_stream_firstseen" ->
+      """WITH f AS (SELECT min(doc_id) AS doc_id FROM documents
+        |           GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM f
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT)
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM f""".stripMargin,
+    "q80_datalog_strata" ->
+      """SELECT DISTINCT n_name AS cname, r_name AS tname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "q71_datalog_not" ->
       """SELECT c_custkey AS custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

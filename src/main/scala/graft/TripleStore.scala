@@ -646,18 +646,40 @@ class TripleStore(
       onIteration: (Int, Map[String, Long]) => Unit = (_, _) => (),
       sortBy: Option[String] = None, desc: Boolean = false,
       take: Option[Int] = None,
-      /** STRATIFIED negation: each clause here removes bindings for which
-        * a matching fact exists (NOT EXISTS). Negation applies AFTER the
-        * rule fixpoint (one stratum — negated predicates may be IDB, but
-        * rules never depend on a negation), so semantics are the standard
-        * stratified model. Variables shared with the positive body are
-        * the anti-join keys; unshared variables are existential inside
-        * the negation. */
+      /** STRATIFIED negation at the query level: each clause here removes
+        * bindings for which a matching fact exists (NOT EXISTS), applied
+        * AFTER all rule strata complete — the query is implicitly the
+        * topmost stratum. Variables shared with the positive body are the
+        * anti-join keys; unshared variables are existential inside the
+        * negation. Rule-LEVEL negation lives in DatalogRule.negBody. */
       notWhere: Seq[(String, String, Any)] = Nil): DataFrame = {
     require(where.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
-    val emptyIdb: Map[String, DataFrame] = preds.map(_ -> empty).toMap
+
+    // ---- stratification (standard model): positive dependency p ← q
+    // needs stratum(p) ≥ stratum(q); NEGATIVE dependency p ← ¬q needs
+    // stratum(p) > stratum(q). Bellman-Ford-style relaxation converges
+    // iff no cycle passes through a negation; a stratum exceeding the
+    // predicate count proves such a cycle, and the program is rejected
+    // rather than given ad-hoc semantics.
+    val stratum = scala.collection.mutable.Map(preds.map(_ -> 0): _*)
+    var changedStr = true
+    while (changedStr) {
+      changedStr = false
+      for (r <- rules) {
+        val h = r.head._2
+        for ((_, a, _) <- r.body if stratum.contains(a))
+          if (stratum(h) < stratum(a)) { stratum(h) = stratum(a); changedStr = true }
+        for ((_, a, _) <- r.negBody if stratum.contains(a)) {
+          if (stratum(h) <= stratum(a)) {
+            stratum(h) = stratum(a) + 1; changedStr = true }
+          if (stratum(h) > preds.size) throw new IllegalArgumentException(
+            s"rules are not stratifiable: predicate '$h' depends on a " +
+              "negation of itself (directly or through a cycle)")
+        }
+      }
+    }
 
     def headCols(r: DatalogRule): Seq[Column] = {
       require(isVar(r.head._1) && isVar(r.head._3),
@@ -665,53 +687,85 @@ class TripleStore(
       Seq(col(r.head._1).as("s"), col(r.head._3).as("o"))
     }
 
-    // seed round: every rule against the EMPTY IDB — only pure-EDB rule
-    // bodies can produce facts; these are the depth-1 base of the closure
-    var total: Map[String, DataFrame] = preds.map { p =>
-      p -> rules.filter(_.head._2 == p)
-        .map(r => joinClauses(r.body.map(clauseDf(_, emptyIdb)))
-          .select(headCols(r): _*))
-        .reduce(_ unionByName _).distinct().localCheckpoint(eager = true)
-    }.toMap
-    var delta: Map[String, DataFrame] = total
-    var deltaSizes: Map[String, Long] =
-      delta.map { case (p, df) => p -> df.count() }
-    onIteration(0, deltaSizes)
-    var i = 1
-    while (deltaSizes.valuesIterator.exists(_ > 0) && i < maxIters) {
-      val next: Map[String, DataFrame] = preds.map { p =>
-        val perLiteral = rules.filter(_.head._2 == p).flatMap { r =>
-          // one derivation per IDB literal, delta-bound at that literal:
-          // any fact all of whose IDB inputs are old was derived before
-          r.body.indices.filter(j => preds.contains(r.body(j)._2)).map { j =>
-            val dfs = r.body.zipWithIndex.map { case (cl, k) =>
-              clauseDf(cl, if (k == j) delta else total)
-            }
-            joinClauses(dfs).select(headCols(r): _*)
-          }
-        }
-        val fresh =
-          if (perLiteral.isEmpty) empty
-          else perLiteral.reduce(_ unionByName _).distinct()
-            .join(total(p), Seq("s", "o"), "left_anti")
-            .localCheckpoint(eager = true)
-        p -> fresh
-      }.toMap
-      delta = next
-      deltaSizes = delta.map { case (p, df) => p -> df.count() }
-      total = preds.map { p =>
-        p -> (if (deltaSizes(p) == 0) total(p)
-              else total(p).unionByName(delta(p)).localCheckpoint(eager = true))
-      }.toMap
-      onIteration(i, deltaSizes)
-      i += 1
+    // one rule derivation: positive body joined (per-literal IDB choice —
+    // the semi-naive delta binding), then each negated literal anti-joined
+    // against the COMPLETE lower-stratum relations in `negIdb`
+    def ruleDf(r: DatalogRule, idbOf: Int => Map[String, DataFrame],
+        negIdb: Map[String, DataFrame]): DataFrame = {
+      val pos = joinClauses(r.body.zipWithIndex.map {
+        case (cl, k) => clauseDf(cl, idbOf(k)) })
+      r.negBody.foldLeft(pos) { (acc, cl) =>
+        val clDf = clauseDf(cl, negIdb)
+        val shared = clDf.columns.filter(acc.columns.contains).toSeq
+        require(shared.nonEmpty,
+          s"negated clause $cl in rule for '${r.head._2}' shares no " +
+            "variable with the positive body — unsafe negation")
+        acc.join(clDf.select(shared.map(col): _*), shared, "left_anti")
+      }.select(headCols(r): _*)
     }
-    if (deltaSizes.valuesIterator.exists(_ > 0)) throw new IllegalStateException(
-      s"datalogRules did not reach a fixpoint in $maxIters iterations — " +
-        "raise maxIters (deep recursion) or check the rules for divergence")
-    val positive = joinClauses(where.map(clauseDf(_, total)))
+
+    // ---- evaluate strata bottom-up: lower strata are COMPLETE (plain
+    // EDB-like relations) before any rule that negates them fires; the
+    // semi-naive delta iteration runs within each stratum, delta-binding
+    // only same-stratum IDB literals (lower-stratum relations are fixed,
+    // so re-deriving against their deltas would derive nothing new).
+    var totalAll: Map[String, DataFrame] = Map.empty
+    var iterNo = 0
+    for (s <- stratum.values.toSeq.distinct.sorted) {
+      val predsS = preds.filter(stratum(_) == s)
+      val rulesS = rules.filter(r => stratum(r.head._2) == s)
+      // seed round: every rule against the EMPTY same-stratum IDB — only
+      // bodies over the EDB and lower strata can produce facts; these are
+      // the depth-1 base of this stratum's closure
+      val seedIdb = totalAll ++ predsS.map(_ -> empty).toMap
+      var total: Map[String, DataFrame] = predsS.map { p =>
+        p -> rulesS.filter(_.head._2 == p)
+          .map(r => ruleDf(r, _ => seedIdb, totalAll))
+          .reduce(_ unionByName _).distinct().localCheckpoint(eager = true)
+      }.toMap
+      var delta: Map[String, DataFrame] = total
+      var deltaSizes: Map[String, Long] =
+        delta.map { case (p, df) => p -> df.count() }
+      onIteration(iterNo, deltaSizes)
+      iterNo += 1
+      var i = 1
+      while (deltaSizes.valuesIterator.exists(_ > 0) && i < maxIters) {
+        val idbTot = totalAll ++ total
+        val next: Map[String, DataFrame] = predsS.map { p =>
+          val perLiteral = rulesS.filter(_.head._2 == p).flatMap { r =>
+            // one derivation per same-stratum IDB literal, delta-bound at
+            // that literal: any fact all of whose same-stratum inputs are
+            // old was derived in an earlier round
+            r.body.indices.filter(j => predsS.contains(r.body(j)._2)).map { j =>
+              ruleDf(r,
+                k => if (k == j) totalAll ++ delta else idbTot, totalAll)
+            }
+          }
+          val fresh =
+            if (perLiteral.isEmpty) empty
+            else perLiteral.reduce(_ unionByName _).distinct()
+              .join(total(p), Seq("s", "o"), "left_anti")
+              .localCheckpoint(eager = true)
+          p -> fresh
+        }.toMap
+        delta = next
+        deltaSizes = delta.map { case (p, df) => p -> df.count() }
+        total = predsS.map { p =>
+          p -> (if (deltaSizes(p) == 0) total(p)
+                else total(p).unionByName(delta(p)).localCheckpoint(eager = true))
+        }.toMap
+        onIteration(iterNo, deltaSizes)
+        iterNo += 1
+        i += 1
+      }
+      if (deltaSizes.valuesIterator.exists(_ > 0)) throw new IllegalStateException(
+        s"datalogRules did not reach a fixpoint in $maxIters iterations — " +
+          "raise maxIters (deep recursion) or check the rules for divergence")
+      totalAll ++= total
+    }
+    val positive = joinClauses(where.map(clauseDf(_, totalAll)))
     val negated = notWhere.foldLeft(positive) { (acc, cl) =>
-      val clDf = clauseDf(cl, total)
+      val clDf = clauseDf(cl, totalAll)
       val shared = clDf.columns.filter(acc.columns.contains).toSeq
       require(shared.nonEmpty,
         s"negated clause $cl shares no variable with the positive body — " +

@@ -175,6 +175,18 @@ object Similarity {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("_cv"))
+    val centroids = trainCentroids(c, nCells, iters, trainFraction)
+    val assigned = c.withColumn("_cell", cellOf(col("_cv"), centroids))
+    probeAndRerank(assigned, queries, idCol, vecCol, k, nProbe, centroids)
+  }
+
+  /** The coarse quantizer shared by [[ivfTopK]] and [[buildIvfIndex]]:
+    * centroids initialized from the corpus first in xxhash64(id) order
+    * and refined by `iters` distributed Lloyd's rounds over
+    * `trainFraction` of the corpus. Returns k·dim doubles — plan-time
+    * metadata on the driver, not a data loop. */
+  private def trainCentroids(c: DataFrame, nCells: Int, iters: Int,
+      trainFraction: Double): Array[Seq[Double]] = {
     val train = if (trainFraction >= 1.0) c
       else c.where(pmod(xxhash64(col("neighbor_id")), lit(1000)) <
         lit((trainFraction * 1000).toLong))
@@ -195,7 +207,14 @@ object Similarity {
       // a cell that lost every member keeps its previous centroid
       centroids = centroids.indices.map(i => m.getOrElse(i, centroids(i))).toArray
     }
-    val assigned = c.withColumn("_cell", cellOf(col("_cv"), centroids))
+    centroids
+  }
+
+  /** Probe `nProbe` cells per query against a cell-assigned corpus
+    * (columns neighbor_id, _cv, _cell) and exact-cosine re-rank. */
+  private def probeAndRerank(assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      centroids: Array[Seq[Double]]): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("_qv"))
     val probes = q.select(col("query_id"), col("_qv"),
@@ -208,6 +227,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** PERSISTED IVF index — the repeated-query-batch workload [[ivfTopK]]
+    * doesn't serve: train the quantizer once, assign every corpus vector
+    * its cell, and write the assigned corpus BUCKETED BY `_cell`
+    * (Layout.saveBucketed) plus a tiny `<table>_centroids` sidecar table.
+    * Subsequent [[ivfQuery]] batches skip training AND assignment
+    * entirely, and their scans bucket-prune to the probed cells only —
+    * at 100 TB a query batch reads nProbe·|Q| cells' buckets, not the
+    * corpus. Index build cost amortizes over every batch, the same
+    * write-once-join-often contract as Layout.saveBucketed. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, path: String, nCells: Int = 16, iters: Int = 3,
+      trainFraction: Double = 1.0, buckets: Int = 16): Unit = {
+    require(nCells >= 1)
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("_cv"))
+    val centroids = trainCentroids(c, nCells, iters, trainFraction)
+    Layout.saveBucketed(c.withColumn("_cell", cellOf(col("_cv"), centroids)),
+      table, path, buckets, Seq("_cell"))
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").option("path", path + "_centroids")
+      .format("parquet").saveAsTable(table + "_centroids")
+  }
+
+  /** Query a [[buildIvfIndex]] table: load the centroid sidecar (k·dim
+    * doubles — plan-time metadata), probe each query's `nProbe` nearest
+    * cells, and score ONLY those cells' rows. The probed cell set rides
+    * into the scan as an IN-list of literals, so the bucketed-by-_cell
+    * layout bucket-prunes the read (the plan's FileSourceScan shows
+    * `SelectedBucketsCount < total`, asserted by LayoutSpec) — no
+    * training, no assignment, no full-corpus scan. */
+  def ivfQuery(queries: DataFrame, table: String, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[Seq[Double]] = spark.table(table + "_centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")))
+    require(nProbe >= 1 && nProbe <= centroids.length)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("_qv"))
+    val probes = q.select(col("query_id"), col("_qv"),
+      explode(nearestCells(col("_qv"), centroids, nProbe)("cell")).as("_cell"))
+    // the distinct probed cells as literals: queries are small by
+    // construction (the broadcast side), so this is plan-time metadata —
+    // and it is exactly what lets the scan bucket-prune
+    val cells = probes.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val assigned = spark.table(table).where(col("_cell").isin(cells.map(Int.box): _*))
+    probeAndRerank(assigned, q, "query_id", "_qv", k, nProbe, centroids)
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage
@@ -240,10 +312,21 @@ object Similarity {
     * construction; use [[cosineNearDups]] (banded LSH + exact verify,
     * high-threshold regime) unless the corpus is bounded AND the
     * threshold is below LSH's pruning range and exactness is required.
-    * The name is the guard rail: no other API constructs a cartesian. */
+    * The name is the guard rail — no other API constructs a cartesian —
+    * and `maxRows` is the fail-fast: the input is counted first (one
+    * narrow scan of two columns) and anything larger than `maxRows`
+    * THROWS before the quadratic stage can start. The default caps the
+    * pair count at ~1.25e9 — hours of cluster work, the outer edge of
+    * "bounded corpus"; raising it is an explicit, knowing act. */
   def exactNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxRows: Long = 50000): DataFrame = {
     val v = df.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
+    val n = v.count()
+    require(n <= maxRows,
+      s"exactNearDups is deliberately Ω(n²): input has $n rows > maxRows=" +
+        s"$maxRows (~${n * n / 2} pairs). Use cosineNearDups (LSH + exact " +
+        "verify) at high thresholds, or pass maxRows explicitly to accept " +
+        "the cartesian.")
     v.as("a").join(v.as("b"), col("a._id") < col("b._id"))
       .select(col("a._id").as("id1"), col("b._id").as("id2"),
         cosine(col("a._v"), col("b._v")).as("_c"))

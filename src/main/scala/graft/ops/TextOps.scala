@@ -210,10 +210,10 @@ object TextOps {
     * ⌊tokens-before-this-doc / capacity⌋, so a doc straddling a boundary
     * stays whole in the earlier bin (bins may overflow by one doc; the
     * shuffle-free approximation of first-fit packing, and exactly what a
-    * sequential corpus writer produces). One window over a global
-    * ordering — at 100 TB, partition first (e.g. by shard) and pack
-    * within partitions; the global window here mirrors the reference
-    * corpus-writer semantics. Output: idCol, n_tokens, bin. */
+    * sequential corpus writer produces). One window over a GLOBAL
+    * ordering — a single task at scale, so this form is the small-corpus
+    * convenience only; the scale path is the `partitionCol` overload
+    * below, which packs within shards. Output: idCol, n_tokens, bin. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       capacity: Int): DataFrame = {
     require(capacity >= 1)
@@ -222,6 +222,28 @@ object TextOps {
     df.select(col(idCol), nTokens(col(textCol)).cast(LongType).as("n_tokens"))
       .withColumn("_cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("n_tokens"),
+        floor((col("_cum") - col("n_tokens")).cast(DoubleType) /
+          lit(capacity.toDouble)).cast(LongType).as("bin"))
+  }
+
+  /** Partitioned sequence packing — the 100 TB form: documents pack into
+    * bins WITHIN each `partitionCol` shard (window partitioned by shard,
+    * ordered by `idCol`), so the cumulative sum parallelizes across
+    * shards instead of funnelling the whole corpus through one task the
+    * way the global overload does. Bin ids are per-shard (the output
+    * carries `partitionCol`, so (shard, bin) is the global bin key) —
+    * exactly what a sharded corpus writer produces: each shard writes its
+    * own files with its own local sequence numbering.
+    * Output: idCol, partitionCol, n_tokens, bin. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, partitionCol: String): DataFrame = {
+    require(capacity >= 1)
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(partitionCol),
+        nTokens(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col(partitionCol), col("n_tokens"),
         floor((col("_cum") - col("n_tokens")).cast(DoubleType) /
           lit(capacity.toDouble)).cast(LongType).as("bin"))
   }

@@ -64,10 +64,19 @@ final case class PRec(attr: String, maxDepth: Int = 20,
 /** A Datalog rule: `head` = (varX, idbPredicate, varY) derived from the
   * conjunction of `body` clauses (each over a stored attribute or another
   * IDB predicate; variables start with '?'). The reference's PLANNED
-  * `rules` grammar (tripl.py:571-584). */
+  * `rules` grammar (tripl.py:571-584).
+  *
+  * `negBody` clauses are NEGATED literals (NOT EXISTS): a binding
+  * survives only if no matching fact exists. A negated IDB predicate
+  * forces the rule into a HIGHER STRATUM than that predicate (standard
+  * stratified semantics — the negated relation is complete before this
+  * rule ever fires); cycles through negation are rejected at
+  * stratification time. Each negated clause must share at least one
+  * variable with the positive body (safety). */
 final case class DatalogRule(
     head: (String, String, String),
-    body: Seq[(String, String, Any)])
+    body: Seq[(String, String, Any)],
+    negBody: Seq[(String, String, Any)] = Nil)
 
 object PullSpec {
   def suffix(attr: String): String = {

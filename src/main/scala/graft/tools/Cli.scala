@@ -32,9 +32,22 @@ import scala.jdk.CollectionConverters._
   * (tripl.py:571-584) end-to-end: `{'find': [vars], 'where': [[s a o]...],
   * 'rules': [[[pred ?s ?o] [s a o]...]...], 'take': N, 'sort': var}` —
   * rule heads are [predicate, subject-var, object-var] exactly as the
-  * grammar comment writes them; `sort` names a find variable (leading
+  * grammar comment writes them; rule body literals may be negated as
+  * `{"not": [s a o]}` (stratified); `sort` names a find variable (leading
   * '?' optional) and `sort`+`take` lower to TakeOrderedAndProject.
-  * Output columns are the find variables minus the '?'. */
+  * Output columns are the find variables minus the '?'.
+  *
+  * Pipeline verbs (`dedup`, `sample`, `chunk`, `pack`, `scrub`) drive the
+  * training-data operators over tabular input (JSON lines or parquet,
+  * `--format` or inferred) — the reference's own CLI precedent
+  * (cli.py:101-108) that every engine capability gets a shell surface:
+  *
+  *   Cli dedup  -i docs.parquet --id doc_id --text text -o out
+  *   Cli sample -i docs.parquet --id doc_id --buckets 32 -o out
+  *   Cli chunk  -i docs.parquet --size 16 --stride 8 -o out
+  *   Cli pack   -i docs.parquet --capacity 256 [--by source] -o out
+  *   Cli scrub  -i docs.parquet --id doc_id --text text -o out
+  */
 object Cli {
   private val mapper = new ObjectMapper()
 
@@ -49,12 +62,29 @@ object Cli {
       pullExpr: String = """["*"]""",
       entityPattern: Option[String] = None,
       entities: Option[Seq[String]] = None,
-      query: Option[String] = None)
+      query: Option[String] = None,
+      format: Option[String] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkSize: Int = 16,
+      stride: Int = 8,
+      capacity: Int = 256,
+      packBy: Option[String] = None,
+      buckets: Option[Int] = None,
+      lo: Int = 0,
+      hi: Int = 256)
+
+  private val TripleSubs = Seq("join", "pull", "datalog")
+  private val PipelineSubs = Seq("dedup", "sample", "chunk", "pack", "scrub")
 
   private def parseArgs(argv: Array[String]): Args = {
-    require(argv.nonEmpty && Seq("join", "pull", "datalog").contains(argv(0)),
+    require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
       "usage: Cli {join|pull|datalog} -i inputs... [-p expr] " +
-        "[-e pattern | -E ids] [-q query] -o out")
+        "[-e pattern | -E ids] [-q query] -o out\n" +
+        "   or: Cli {dedup|sample|chunk|pack|scrub} -i inputs... " +
+        "[--format json|parquet] [--id COL] [--text COL] " +
+        "[--size N --stride N | --capacity N [--by COL] | " +
+        "--buckets N | --lo A --hi B] -o out")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -82,6 +112,16 @@ object Cli {
           a = a.copy(entities = Some(value(f).split(",").toSeq))
         case f @ ("-q" | "--query") => a = a.copy(query = Some(value(f)))
         case f @ ("-P" | "--processes") => value(f) // parallelism is Spark's
+        case f @ "--format" => a = a.copy(format = Some(value(f)))
+        case f @ "--id" => a = a.copy(idCol = value(f))
+        case f @ "--text" => a = a.copy(textCol = value(f))
+        case f @ "--size" => a = a.copy(chunkSize = value(f).toInt)
+        case f @ "--stride" => a = a.copy(stride = value(f).toInt)
+        case f @ "--capacity" => a = a.copy(capacity = value(f).toInt)
+        case f @ "--by" => a = a.copy(packBy = Some(value(f)))
+        case f @ "--buckets" => a = a.copy(buckets = Some(value(f).toInt))
+        case f @ "--lo" => a = a.copy(lo = value(f).toInt)
+        case f @ "--hi" => a = a.copy(hi = value(f).toInt)
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -177,8 +217,46 @@ object Cli {
       df.toJSON.collect().foreach(println)
     else df.write.mode("overwrite").json(out)
 
+  /** Tabular input for the pipeline verbs: parquet when named (or when
+    * the paths look like parquet), JSON lines otherwise — the same two
+    * formats the engine's sources read. */
+  private def readTable(spark: SparkSession,
+      a: Args): org.apache.spark.sql.DataFrame = {
+    val fmt = a.format.getOrElse(
+      if (a.inputs.exists(_.contains(".parquet"))) "parquet" else "json")
+    fmt match {
+      case "parquet" => spark.read.parquet(a.inputs: _*)
+      case "json" => spark.read.json(a.inputs: _*)
+      case other => sys.error(s"--format must be json or parquet, got $other")
+    }
+  }
+
   def run(spark: SparkSession, argv: Array[String]): Unit = {
     val a = parseArgs(argv)
+    // pipeline verbs (cli.py:101-108 precedent: every engine capability
+    // gets a CLI surface) operate on tabular input directly — no triple
+    // round-trip for corpus transforms
+    if (PipelineSubs.contains(a.sub)) {
+      val df = readTable(spark, a)
+      val out = a.sub match {
+        case "dedup" => graft.ops.Dedup.exact(df, a.idCol, a.textCol)
+        case "sample" => a.buckets match {
+          case Some(b) => graft.ops.Sampling.deterministicSample(df, a.idCol, b)
+          case None => graft.ops.Sampling.deterministicRange(df, a.idCol, a.lo, a.hi)
+        }
+        case "chunk" => graft.ops.TextOps.chunk(
+          df, a.idCol, a.textCol, a.chunkSize, a.stride)
+        case "pack" => a.packBy match {
+          case Some(shard) => graft.ops.TextOps.packSequences(
+            df, a.idCol, a.textCol, a.capacity, shard)
+          case None => graft.ops.TextOps.packSequences(
+            df, a.idCol, a.textCol, a.capacity)
+        }
+        case "scrub" => graft.ops.TextOps.scrubPii(df, a.idCol, a.textCol)
+      }
+      writeOut(out, a.output)
+      return
+    }
     val ts = ingest(spark, a)
     a.sub match {
       case "join" =>
@@ -249,7 +327,15 @@ object Cli {
         // head is [predicate, ?s, ?o] — the grammar comment's order
         val h = els.head.elements().asScala.toSeq
         require(h.size == 3, s"rule head must be [pred ?s ?o], got ${els.head}")
-        DatalogRule((h(1).asText, h(0).asText, h(2).asText), els.tail.map(triple))
+        // body literals: [s a o], or {"not": [s a o]} for a NEGATED
+        // literal (stratified — the engine orders strata and rejects
+        // cycles through negation)
+        val (negEls, posEls) =
+          els.tail.partition(e => e.isObject && e.has("not"))
+        negEls.foreach(e => require(e.size() == 1,
+          s"negated body literal must be exactly {\"not\": [s a o]}, got $e"))
+        DatalogRule((h(1).asText, h(0).asText, h(2).asText),
+          posEls.map(triple), negEls.map(e => triple(e.get("not"))))
       }.toSeq).getOrElse(Nil)
     val sortBy = Option(q.get("sort")).map(_.asText)
       .map(s => if (s.startsWith("?")) s else "?" + s)

@@ -139,6 +139,84 @@ class CliSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("'take' must be an integer"))
   }
 
+  test("CLI datalog rule-level negation: {\"not\": ...} body literal parses " +
+      "and the stratified program runs end-to-end") {
+    val q = Cli.parseDatalogQuery(
+      """{"find": ["?x"], "where": [["?x", "leaf", "?x"]],
+         "rules": [[["haskid", "?p", "?c"], ["?c", "p:parent", "?p"]],
+                   [["leaf", "?x", "?x"], ["?x", "p:id", "?i"],
+                    {"not": ["?x", "haskid", "?c"]}]]}""")
+    assert(q.rules(1).negBody === Seq(("?x", "haskid", "?c")))
+    assert(q.rules(1).body === Seq(("?x", "p:id", "?i")))
+    // malformed negation objects fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?x"], "where": [["?x", "a:b", 1]],
+           "rules": [[["p", "?s", "?o"], {"not": ["?s", "a:b", 1],
+                      "extra": 1}]]}""")
+    }
+    assert(e.getMessage.contains("negated body literal"))
+    // end-to-end: ada → bob → cyn; leaves (entities with no child) = ada
+    val dir = Files.createTempDirectory("graft_cli_neg").toString
+    val in = dir + "/people.json"
+    Files.writeString(Paths.get(in),
+      """{"person:id": "ada", "person:parent": {"person:id": "bob"}}
+        |{"person:id": "bob", "person:parent": {"person:id": "cyn"}}
+        |""".stripMargin)
+    val out = dir + "/leaves"
+    Cli.run(spark, Array("datalog", "-i", in, "-I", "person:id",
+      "-s", """{"person:parent": {"db:valueType": "db.type:ref"}}""",
+      "-q",
+      """{"find": ["?n"],
+         "where": [["?x", "leaf", "?x"], ["?x", "person:id", "?n"]],
+         "rules": [[["haskid", "?p", "?c"], ["?c", "person:parent", "?p"]],
+                   [["leaf", "?x", "?x"], ["?x", "person:id", "?i"],
+                    {"not": ["?x", "haskid", "?c"]}]]}""",
+      "-o", out))
+    import spark.implicits._
+    val leaves = spark.read.json(out).select($"n").as[String].collect().toSet
+    assert(leaves === Set("ada"))
+  }
+
+  test("CLI pipeline verbs: dedup / sample / chunk / pack / scrub end-to-end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_pipe").toString
+    val in = dir + "/docs.json"
+    Files.writeString(Paths.get(in),
+      """{"doc_id": 1, "source": "s0", "text": "a b c d"}
+        |{"doc_id": 2, "source": "s0", "text": "a  b c d"}
+        |{"doc_id": 3, "source": "s1", "text": "mail me x@y.io now"}
+        |{"doc_id": 4, "source": "s1", "text": "e f g h i j"}
+        |""".stripMargin)
+    // dedup: docs 1 and 2 share a normalized fingerprint → min id kept
+    Cli.run(spark, Array("dedup", "-i", in, "-o", dir + "/dd"))
+    val dd = spark.read.json(dir + "/dd").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(dd === Set(1L, 3L, 4L))
+    // chunk: size 3 stride 2 over doc 4 (6 tokens → 1+ceil(3/2)=3 chunks)
+    Cli.run(spark, Array("chunk", "-i", in, "--size", "3", "--stride", "2",
+      "-o", dir + "/ch"))
+    val ch = spark.read.json(dir + "/ch").where($"doc_id" === 4)
+      .select($"chunk_idx", $"chunk").as[(Long, String)].collect().toMap
+    assert(ch === Map(0L -> "e f g", 1L -> "g h i", 2L -> "i j"))
+    // pack --by shard: per-shard bins (s0: 4+5 tokens, s1: 4+6 tokens;
+    // capacity 4 → the second doc of each shard starts bin 1)
+    Cli.run(spark, Array("pack", "-i", in, "--capacity", "4",
+      "--by", "source", "-o", dir + "/pk"))
+    val pk = spark.read.json(dir + "/pk")
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    assert(pk === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // scrub: the planted email is counted and redacted
+    Cli.run(spark, Array("scrub", "-i", in, "-o", dir + "/sc"))
+    val sc = spark.read.json(dir + "/sc").where($"doc_id" === 3)
+      .select($"n_emails", $"redacted").as[(Long, String)].head()
+    assert(sc === ((1L, "mail me <EMAIL> now")))
+    // sample --buckets 256 keeps everything (identity cut)
+    Cli.run(spark, Array("sample", "-i", in, "--buckets", "256",
+      "-o", dir + "/sm"))
+    assert(spark.read.json(dir + "/sm").count() === 4)
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===

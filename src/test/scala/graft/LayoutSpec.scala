@@ -27,4 +27,36 @@ class LayoutSpec extends AnyFunSuite {
     val row = joined.where($"k" === 7L).select($"a", $"b").head
     assert(row.getLong(0) === 70L && row.getString(1) === "v7")
   }
+
+  test("persisted IVF index: ivfQuery skips assignment and bucket-prunes " +
+      "the corpus scan to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // 24 well-separated unit-ish vectors + an EXACT scale-2 copy of each:
+    // cosine is scale-invariant and doubling is IEEE-exact, so each copy
+    // shares its original's cell for ANY centroids and is its exact top-1
+    val base = (0 until 24).map { i =>
+      val th = i * 0.26
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val copies = base.map { case (i, v) => (i + 100L, v.map(_ * 2)) }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      "ivf_idx_test", s"$dir/idx", nCells = 8, iters = 2, buckets = 8)
+    val queries = base.take(4).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.ivfQuery(queries, "ivf_idx_test",
+      "vec_id", "embedding", k = 1, nProbe = 2)
+    val got = out.as[(Long, Long, Int)].collect().toSet
+    assert(got === (0 until 4).map(i => (i.toLong, i + 100L, 1)).toSet)
+    // the scan must bucket-prune: the probed-cell IN-list reaches the
+    // bucketed FileSourceScan, which then reads a strict subset of buckets
+    val plan = out.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"scan read every bucket:\n$plan")
+    // and no Lloyd's/assignment stage: the only corpus source is the table
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"ivfQuery re-ran the trainer:\n$plan")
+  }
 }

@@ -384,6 +384,47 @@ class OpsSpec extends AnyFunSuite {
       3L -> ((2L, 1L)), 4L -> ((1L, 1L))))
   }
 
+  test("partitioned packSequences packs within shards and avoids the " +
+      "single-task global window") {
+    val df = Seq(
+      (1L, "s0", "w1 w2 w3 w4 w5 w6"), // s0: cum-before 0 → bin 0
+      (2L, "s0", "a b c"),             // s0: cum-before 6 → bin 0 (straddle)
+      (3L, "s0", "x"),                 // s0: cum-before 9 → bin 1
+      (4L, "s1", "p q r s t u v w x"), // s1: cum-before 0 → bin 0
+      (5L, "s1", "k")                  // s1: cum-before 9 → bin 1
+    ).toDF("doc_id", "source", "text")
+    val out = TextOps.packSequences(df, "doc_id", "text",
+      capacity = 8, partitionCol = "source")
+    val rows = out.as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows === Map(
+      1L -> (("s0", 6L, 0L)), 2L -> (("s0", 3L, 0L)), 3L -> (("s0", 1L, 1L)),
+      4L -> (("s1", 9L, 0L)), 5L -> (("s1", 1L, 1L))))
+    // the plan must partition the window by the shard column — the whole
+    // point of the overload; the global form funnels through ONE task
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"sharded packing still uses a global window:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"expected window partitioned by source:\n$plan")
+    val global = TextOps.packSequences(df, "doc_id", "text", capacity = 8)
+    assert(global.queryExecution.executedPlan.toString
+      .contains("SinglePartition"))
+  }
+
+  test("exactNearDups fail-fast cap: oversized input throws before the cartesian") {
+    val df = (0 until 20).map(i => (i.toLong, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactNearDups(df, "vec_id", "embedding", 0.5, maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows"))
+    // under the cap it still computes (id1 < id2, threshold filter)
+    val ok = Similarity.exactNearDups(df.limit(3), "vec_id", "embedding",
+      -1.0, maxRows = 10).as[(Long, Long, Double)].collect()
+    assert(ok.length === 3 && ok.forall { case (a, b, _) => a < b })
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)

@@ -343,6 +343,51 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(sizes.last === 0)
   }
 
+  test("stratified rule negation: 2-stratum program, lower stratum complete first") {
+    // chain a→b→c. Stratum 0: reach (recursive). Stratum 1: sink = a
+    // labeled node with NO outgoing reach edge (rule-level negation), and
+    // reachessink CONSUMES the negated predicate — the composition
+    // query-level `not` cannot express.
+    val ts = tinyStore(Seq(
+      ("a", "r:next", "b", 0L), ("b", "r:next", "c", 0L),
+      ("a", "r:lbl", "x", 0L), ("b", "r:lbl", "x", 0L), ("c", "r:lbl", "x", 0L)))
+    val rules = Seq(
+      DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+      DatalogRule(("?x", "reach", "?z"),
+        Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z"))),
+      DatalogRule(("?x", "sink", "?x"), Seq(("?x", "r:lbl", "x")),
+        negBody = Seq(("?x", "reach", "?y"))),
+      DatalogRule(("?x", "reachessink", "?s"),
+        Seq(("?x", "reach", "?s"), ("?s", "sink", "?s"))))
+    val sinks = ts.datalogRules(Seq("?x"), Seq(("?x", "sink", "?x")), rules)
+      .as[String].collect().toList
+    assert(sinks === List("c"))
+    val rs = ts.datalogRules(Seq("?x", "?s"),
+      Seq(("?x", "reachessink", "?s")), rules)
+      .as[(String, String)].collect().toSet
+    assert(rs === Set(("a", "c"), ("b", "c")))
+  }
+
+  test("rule negation: cycle through negation is rejected, unsafe negation too") {
+    val ts = tinyStore(Seq(("a", "r:next", "b", 0L)))
+    // p depends on ¬p — no stratification exists
+    val cyclic = Seq(
+      DatalogRule(("?x", "p", "?y"), Seq(("?x", "r:next", "?y")),
+        negBody = Seq(("?x", "p", "?y"))))
+    val e1 = intercept[IllegalArgumentException] {
+      ts.datalogRules(Seq("?x"), Seq(("?x", "p", "?y")), cyclic)
+    }
+    assert(e1.getMessage.contains("not stratifiable"))
+    // negated clause sharing NO variable with the positive body is unsafe
+    val unsafe = Seq(
+      DatalogRule(("?x", "q", "?y"), Seq(("?x", "r:next", "?y")),
+        negBody = Seq(("?u", "r:next", "?w"))))
+    val e2 = intercept[IllegalArgumentException] {
+      ts.datalogRules(Seq("?x"), Seq(("?x", "q", "?y")), unsafe)
+    }
+    assert(e2.getMessage.contains("unsafe negation"))
+  }
+
   test("save/load: Parquet triple layout round-trips data, schema, lazy flag") {
     val ts = cftStore()
     val dir = java.nio.file.Files.createTempDirectory("graft_saveload").toString
