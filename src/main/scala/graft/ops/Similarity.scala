@@ -138,6 +138,15 @@ object Similarity {
     * every executor codegens the same nCells cosine evaluations. */
   private def nearestCells(vec: Column, centroids: Array[Seq[Double]],
       probe: Int): Column = {
+    // literal centroids are plan metadata, and plan/codegen size grows as
+    // nCells·dim — fine for coarse quantizers (≤ a few hundred cells, the
+    // IVF regime), ruinous beyond: a 4096-cell quantizer belongs in a
+    // broadcast-join argmin, not an expression tree. Fail fast with the
+    // reason rather than let codegen silently fall back to interpreted.
+    require(centroids.length <= 256,
+      s"${centroids.length} cells exceed the literal-centroid plan budget " +
+        "(256): at that scale assign cells via a broadcast join against a " +
+        "centroid table, not plan literals")
     val scored = array(centroids.zipWithIndex.map { case (cv, i) =>
       struct((-cosine(vec, typedLit(cv))).as("d"), lit(i).as("cell"))
     }: _*)

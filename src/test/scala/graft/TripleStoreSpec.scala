@@ -368,6 +368,26 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(rs === Set(("a", "c"), ("b", "c")))
   }
 
+  test("stratified rule negation: 3 strata — negation over a negation-derived predicate") {
+    // stratum 0: reach; stratum 1: sink = no outgoing reach (¬reach);
+    // stratum 2: nonsink = ¬sink — each stratum must be COMPLETE before
+    // the one above negates it
+    val ts = tinyStore(Seq(
+      ("a", "r:next", "b", 0L), ("b", "r:next", "c", 0L),
+      ("a", "r:lbl", "x", 0L), ("b", "r:lbl", "x", 0L), ("c", "r:lbl", "x", 0L)))
+    val rules = Seq(
+      DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+      DatalogRule(("?x", "reach", "?z"),
+        Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z"))),
+      DatalogRule(("?x", "sink", "?x"), Seq(("?x", "r:lbl", "x")),
+        negBody = Seq(("?x", "reach", "?y"))),
+      DatalogRule(("?x", "nonsink", "?x"), Seq(("?x", "r:lbl", "x")),
+        negBody = Seq(("?x", "sink", "?x"))))
+    val out = ts.datalogRules(Seq("?x"), Seq(("?x", "nonsink", "?x")), rules)
+      .as[String].collect().toSet
+    assert(out === Set("a", "b"))
+  }
+
   test("rule negation: cycle through negation is rejected, unsafe negation too") {
     val ts = tinyStore(Seq(("a", "r:next", "b", 0L)))
     // p depends on ¬p — no stratification exists
