@@ -873,6 +873,26 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("value"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // C4-style line-level boilerplate removal with planted chrome: every
+    // 3rd doc gains a SUBSCRIBE footer, every 4th a follow-us line (both
+    // cross the 5% doc-frequency bar → stripped corpus-wide), every 7th a
+    // doc-unique note line (stays, and must reassemble in order AFTER the
+    // original text). Output hashes the cleaned text so the oracle
+    // compares full content and line order, not just drop counts.
+    "q81_boilerplate" -> ((s, dir) => {
+      val planted = Tpch.raw(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nSUBSCRIBE NOW"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("\nfollow us on hypernet"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit("\nnote "), col("doc_id")))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.TextOps.stripBoilerplate(planted, "doc_id", "text", 0.05)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("n_dropped"))
+    }),
+
     // PARTITIONED sequence packing — the 100 TB form of q73: the window
     // partitions by source, so the cumulative sum runs one task per shard
     // instead of one task total (PackingPlanSpec asserts the plan's
@@ -1386,6 +1406,33 @@ object SparkEntry {
         |                   - len(string_split(text, ' '))) / 256.0) AS BIGINT)
         |         AS bin
         |FROM documents""".stripMargin,
+    // same planting; zipped unnests keep (line, position) pairs, the
+    // NOT IN drops corpus-frequent lines, string_agg ORDER BY position
+    // reassembles — md5 compares full cleaned content including order
+    "q81_boilerplate" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'SUBSCRIBE NOW'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'follow us on hypernet'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'note ' ||
+        |         CAST(doc_id AS VARCHAR) ELSE '' END AS text
+        |  FROM documents),
+        |z AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln,
+        |             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+        |      FROM p),
+        |f AS (SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS cd
+        |                      FROM z GROUP BY ln)
+        |      WHERE CAST(cd AS DOUBLE) >=
+        |            0.05 * (SELECT CAST(count(*) AS DOUBLE) FROM p)),
+        |k AS (SELECT doc_id, i, ln FROM z
+        |      WHERE ln NOT IN (SELECT ln FROM f)),
+        |r AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text,
+        |             count(*) AS nk FROM k GROUP BY doc_id)
+        |SELECT p.doc_id, md5(coalesce(r.text, '')) AS clean_md5,
+        |       CAST(len(string_split(p.text, chr(10))) - coalesce(r.nk, 0)
+        |            AS BIGINT) AS n_dropped
+        |FROM p LEFT JOIN r ON p.doc_id = r.doc_id""".stripMargin,
     "q77_packing_sharded" ->
       """SELECT doc_id, source,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -248,6 +248,49 @@ object TextOps {
           lit(capacity.toDouble)).cast(LongType).as("bin"))
   }
 
+  /** C4/RefinedWeb-style LINE-level boilerplate removal: a line that
+    * appears verbatim in at least `maxDocFrac` of all documents is
+    * chrome (cookie banners, "subscribe" footers, navigation), and is
+    * dropped from EVERY document; remaining lines reassemble in their
+    * original order. This is within-doc content removal driven by
+    * corpus-wide statistics — the step between whole-doc dedup
+    * (Dedup.exact) and token-level quality scores.
+    *
+    * Shape: one posexplode on lines; line-keyed doc-frequency groupBy
+    * (map-side combined — the shuffle carries one (line, partial count)
+    * per distinct line per partition); doc count as a 1-row cross join
+    * (plan-time scalar, same idiom as rareTermStats); a left-anti join
+    * of lines against the frequent set (NOT broadcast by assumption —
+    * the frequent set is tiny by construction, AQE will broadcast it);
+    * one doc-keyed groupBy to rebuild. No driver actions, every value
+    * ANSI-SQL reproducible. Docs whose every line was boilerplate come
+    * back as empty text, never dropped rows.
+    * Output: idCol, text (cleaned), n_dropped. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      maxDocFrac: Double): DataFrame = {
+    require(maxDocFrac > 0.0 && maxDocFrac <= 1.0)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_ln", "_line")))
+    val total = df.agg(count(lit(1)).as("_ndocs"))
+    val frequent = lines.groupBy(col("_line"))
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .crossJoin(total)
+      .where(col("_df").cast(DoubleType) >=
+        lit(maxDocFrac) * col("_ndocs").cast(DoubleType))
+      .select(col("_line"))
+    val rebuilt = lines.join(frequent, Seq("_line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("_ln"), col("_line")))),
+            x => x("_line")), "\n").as("_clean"),
+        count(lit(1)).as("_nkept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast(LongType).as("_nlines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_clean"), lit("")).as("text"),
+        (col("_nlines") - coalesce(col("_nkept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * repetition penalty. Deterministic, SQL-expressible. */
   def qualityScore(text: Column): Column = {

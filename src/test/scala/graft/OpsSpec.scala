@@ -425,6 +425,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.length === 3 && ok.forall { case (a, b, _) => a < b })
   }
 
+  test("stripBoilerplate: frequent lines drop everywhere, order preserved, " +
+      "all-boilerplate doc becomes empty") {
+    val df = Seq(
+      (1L, "alpha\nSUBSCRIBE\nbeta"),
+      (2L, "SUBSCRIBE\ngamma"),
+      (3L, "SUBSCRIBE"),
+      (4L, "delta")).toDF("doc_id", "text")
+    // SUBSCRIBE appears in 3 of 4 docs ≥ 50% → boilerplate; every other
+    // line is unique → kept in original order
+    val out = TextOps.stripBoilerplate(df, "doc_id", "text", 0.5)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1L -> (("alpha\nbeta", 1L)), 2L -> (("gamma", 1L)),
+      3L -> (("", 1L)), 4L -> (("delta", 0L))))
+  }
+
   test("sessionize: gap threshold splits sessions, ties break on id") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
