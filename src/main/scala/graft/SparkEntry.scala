@@ -811,6 +811,15 @@ object SparkEntry {
           Tpch.raw(s, dir, "documents"), "source", "doc_id", quota = 10)
         .select(col("doc_id"), col("source"))),
 
+    // per-source TOKEN budget: each source keeps md5-ordered docs until
+    // 1000 tokens are reached (straddler stays whole) — the
+    // tokens-per-domain mix primitive, window per source, no global sort
+    "q82_token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudget(
+          Tpch.raw(s, dir, "documents"), "source", "doc_id", "text",
+          budget = 1000)
+        .select(col("doc_id"), col("source"), col("n_tokens"))),
+
     // bucketed co-located join: both sides written bucketed+sorted on the
     // key, then equi-joined WITHOUT a shuffle (LayoutSpec asserts the
     // plan has no Exchange) — the recurring-join layout for 100 TB
@@ -1484,6 +1493,15 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10""".stripMargin,
+    "q82_token_budget" ->
+      """SELECT doc_id, source,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |QUALIFY sum(len(string_split(text, ' ')))
+        |          OVER (PARTITION BY source
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                ROWS UNBOUNDED PRECEDING)
+        |        - len(string_split(text, ' ')) < 1000""".stripMargin,
     "q68_rare_terms" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |           FROM documents),

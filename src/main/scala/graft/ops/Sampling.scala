@@ -76,4 +76,28 @@ object Sampling {
     df.withColumn("_rq", row_number().over(w))
       .where(col("_rq") <= quota).drop("_rq")
   }
+
+  /** Per-group TOKEN budget — how training mixes are actually specified
+    * ("N tokens per domain", not N documents): keep each group's
+    * documents, in the same unbiased md5(id) order as [[perGroupQuota]],
+    * while the group's running token total BEFORE the doc is under
+    * `budget` — the straddling doc stays whole (first-fit overflow by at
+    * most one doc, packSequences' rule), and any non-empty group yields
+    * at least one doc. One window per group key, parallel across groups
+    * — never a global window; deterministic and SQL-reproducible like
+    * every sampler here. Output: input columns + `n_tokens`. */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    require(budget >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tokens",
+        graft.ops.TextOps.nTokens(col(textCol)).cast("long"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .where(col("_cum") - col("n_tokens") < budget)
+      .drop("_cum")
+  }
 }

@@ -425,6 +425,24 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.length === 3 && ok.forall { case (a, b, _) => a < b })
   }
 
+  test("tokenBudget: md5-ordered first-fit per group, straddler stays, " +
+      "every non-empty group keeps a doc") {
+    val df = Seq(
+      (1L, "g1", "a b c"), (2L, "g1", "d e f"), (3L, "g1", "g h i"),
+      (4L, "g2", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ops.Sampling.tokenBudget(df, "source", "doc_id",
+      "text", budget = 5)
+    val kept = out.select($"doc_id").as[Long].collect().toSet
+    // g1 md5 order: md5(1) < md5(2) < md5(3) (c4ca < c81e < eccb) →
+    // doc1 (cum-before 0), doc2 (cum-before 3 < 5), doc3 (cum-before
+    // 6 ≥ 5, cut)
+    assert(kept === Set(1L, 2L, 4L))
+    // g2's single 10-token doc exceeds the budget alone but stays (the
+    // first doc of a group always fits the before-< rule at cum 0)
+    assert(out.where($"doc_id" === 4).select($"n_tokens").as[Long].head === 10L)
+  }
+
   test("stripBoilerplate: frequent lines drop everywhere, order preserved, " +
       "all-boilerplate doc becomes empty") {
     val df = Seq(
