@@ -246,7 +246,10 @@ object Similarity {
     * entirely, and their scans bucket-prune to the probed cells only —
     * at 100 TB a query batch reads nProbe·|Q| cells' buckets, not the
     * corpus. Index build cost amortizes over every batch, the same
-    * write-once-join-often contract as Layout.saveBucketed. */
+    * write-once-join-often contract as Layout.saveBucketed — and the
+    * same catalog caveat: bucket metadata lives in the session catalog,
+    * so a NEW session re-registers both tables over the existing parquet
+    * (the data itself needs no rewrite). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       table: String, path: String, nCells: Int = 16, iters: Int = 3,
       trainFraction: Double = 1.0, buckets: Int = 16): Unit = {

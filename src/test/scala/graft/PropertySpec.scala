@@ -203,6 +203,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("property: stripBoilerplate == driver-computed frequent-line filter") {
+    val rnd = new scala.util.Random(41)
+    (0 until 3).foreach { _ =>
+      // small line alphabet so real cross-doc collisions occur
+      val docs = (0 until 30).map { i =>
+        val n = 1 + rnd.nextInt(5)
+        (i.toLong, (0 until n).map(_ => s"L${rnd.nextInt(8)}").mkString("\n"))
+      }
+      val frac = 0.25
+      val got = graft.ops.TextOps.stripBoilerplate(
+          docs.toDF("doc_id", "text"), "doc_id", "text", frac)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val df = docs.flatMap { case (id, t) => t.split("\n").distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+      val frequent = df.filter(_._2 >= frac * docs.size).keySet
+      val want = docs.map { case (id, t) =>
+        val kept = t.split("\n").filterNot(frequent)
+        id -> ((kept.mkString("\n"), (t.split("\n").length - kept.length).toLong))
+      }.toMap
+      assert(got === want)
+    }
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>
