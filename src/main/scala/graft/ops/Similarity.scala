@@ -173,9 +173,10 @@ object Similarity {
     * in probed cells.
     *
     * Centroids are k·dim doubles on the driver (tiny by construction —
-    * this is plan-time metadata, not a driver-side data loop). At scale,
-    * persist the assigned corpus bucketed by `_cell` so repeated query
-    * batches skip assignment entirely. Lloyd's avg is float-order
+    * this is plan-time metadata, not a driver-side data loop). For
+    * repeated query batches against one corpus use [[buildIvfIndex]] +
+    * [[ivfQuery]], which persist the assignment bucketed by `_cell` and
+    * bucket-prune every subsequent scan. Lloyd's avg is float-order
     * sensitive across partitionings; the exact re-rank makes the FINAL
     * top-k robust to borderline cell flips given a sane `nProbe`. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
