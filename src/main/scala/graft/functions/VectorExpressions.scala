@@ -218,6 +218,73 @@ object HyperplaneSignBits {
   }
 }
 
+/** All k MinHash signature values of a shingle array in ONE traversal —
+  * `[min_j xxhash64(j, el) for j in 0..k-1]` as array<long>, bit-identical
+  * to the `min(xxhash64(lit(j), exploded_el))` aggregate formulation it
+  * replaces (seed chain: XXH64.hashInt(j, 42) then hashUTF8String):
+  * signatures become a NARROW MAP over documents instead of an
+  * explode + k-aggregate groupBy — at 100 TB that deletes a
+  * (docs × shingles)-row shuffle from every MinHash pipeline. An empty
+  * shingle array yields Long.MaxValue sentinels (callers guarantee ≥ 1
+  * shingle; Dedup.shingles emits the whole text as one shingle for
+  * short docs). */
+case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1 && k <= 1024, "1 <= k <= 1024 signature values")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sigs"
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(j =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, 42L))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = x.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(s, seeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $x.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $x.getUTF8String($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($s, $seedsRef[$j]);
+         |    if ($h < $mins[$j]) $mins[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> (or float, auto-cast). */
   def dotNative(a: Column, b: Column): Column =
@@ -239,4 +306,8 @@ object VectorFunctions {
   def hyperplaneSignBits(vec: Column, planes: Int, firstPlane: Int = 0): Column =
     ColumnBridge.column(HyperplaneSignBits(
       ColumnBridge.expression(vec), planes, firstPlane))
+
+  /** Codegen'd all-k MinHash signature array of a shingle array. */
+  def minhashSigs(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigs(ColumnBridge.expression(shingles), k))
 }

@@ -67,21 +67,27 @@ object Dedup {
   }
 
   /** MinHash signature columns h0..h{k-1}: min over the doc's shingles of
-    * xxhash64(seed_j, shingle). One explode + one groupBy for all k. */
+    * xxhash64(seed_j, shingle) — a NARROW MAP (one codegen'd traversal
+    * computes all k values per doc, graft.functions.MinHashSigs), where
+    * the aggregate formulation it replaced shuffled a (docs × shingles)
+    * relation through a k-aggregate groupBy. Values are bit-identical to
+    * `min(xxhash64(lit(j), exploded_shingle))`. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int = 32): DataFrame =
     minhashSignaturesSh(
       df.select(col(idCol), shingles(col(textCol)).as("_sh")), idCol, k)
 
   /** As [[minhashSignatures]] but over precomputed shingle arrays —
-    * lets one pipeline share the shingle pass with verification. */
+    * lets one pipeline share the shingle pass with verification. The
+    * signature array materializes in its OWN projection before the h_j
+    * columns slice it (CollapseProject keeps a multi-referenced
+    * non-trivial alias, so the traversal runs once, not k times). */
   def minhashSignaturesSh(sh: DataFrame, idCol: String, k: Int = 32,
-      shCol: String = "_sh"): DataFrame = {
-    val exploded = sh.select(col(idCol), explode(col(shCol)).as("_el"))
-    val aggs = (0 until k).map(j =>
-      min(xxhash64(lit(j), col("_el"))).as(s"h$j"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      shCol: String = "_sh"): DataFrame =
+    sh.select(col(idCol),
+        graft.functions.VectorFunctions.minhashSigs(col(shCol), k).as("_sig"))
+      .select(col(idCol) +:
+        (0 until k).map(j => element_at(col("_sig"), j + 1).as(s"h$j")): _*)
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * hash each band, equi-join docs sharing any (band, bandHash) bucket.

@@ -203,6 +203,28 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("property: native MinHashSigs == explode+groupBy aggregate formulation") {
+    val rnd = new scala.util.Random(53)
+    val docs = (0 until 25).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(60)}").mkString(" "))
+    }
+    val k = 8
+    val sh = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        sort_array(graft.ops.Dedup.shingles(col("text"))).as("_sh"))
+    val native = graft.ops.Dedup.minhashSignaturesSh(sh, "doc_id", k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toList).toMap
+    // the aggregate formulation the narrow-map expression must match
+    // bit-for-bit (same xxhash64 seed chain)
+    val exploded = sh.select(col("doc_id"), explode(col("_sh")).as("_el"))
+    val aggs = (0 until k).map(j =>
+      min(xxhash64(lit(j), col("_el"))).as(s"h$j"))
+    val legacy = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toList).toMap
+    assert(native === legacy)
+  }
+
   test("property: stripBoilerplate == driver-computed frequent-line filter") {
     val rnd = new scala.util.Random(41)
     (0 until 3).foreach { _ =>
