@@ -285,6 +285,111 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a (pre-distinct) token array in ONE traversal: bit b
+  * of the fingerprint is the sign of Σ_tokens ±1 by bit b of
+  * xxhash64(token) — bit-identical to the explode + 64-sum groupBy
+  * aggregate formulation it replaces (integer sums are order-free), which
+  * shuffled a (docs × tokens) relation per fingerprint. Empty array →
+  * all sums 0 → fingerprint 0. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val sums = new Array[Int](64)
+    var i = 0; val n = x.numElements()
+    while (i < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(x.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L; var b = 0
+    while (b < 64) { if (sums(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val n = ctx.freshName("n"); val sums = ctx.freshName("sums")
+      val h = ctx.freshName("h"); val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $x.numElements();
+         |int[] $sums = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUTF8String($x.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) != 0L) $sums[$b]++; else $sums[$b]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($sums[$b] > 0) $fp |= (1L << $b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Length of the longest run of equal adjacent elements in a SORTED
+  * string array — i.e. the maximum multiplicity of any value — in one
+  * merge-style pass. Callers sort once with `sort_array`; this replaces
+  * a groupBy(key, value) + groupBy(key) max DOUBLE shuffle for a
+  * quantity that is a pure per-row function of the array. Empty array
+  * → 0. */
+case class MaxRunLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_max_run_length"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) 0
+    else {
+      var best = 1; var run = 1; var i = 1
+      while (i < n) {
+        if (x.getUTF8String(i).equals(x.getUTF8String(i - 1))) {
+          run += 1; if (run > best) best = run
+        } else run = 1
+        i += 1
+      }
+      best
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val best = ctx.freshName("best"); val run = ctx.freshName("run")
+      s"""
+         |int $n = $x.numElements();
+         |int $best = 0;
+         |if ($n > 0) {
+         |  $best = 1; int $run = 1;
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    if ($x.getUTF8String($i).equals($x.getUTF8String($i - 1))) {
+         |      $run++; if ($run > $best) $best = $run;
+         |    } else { $run = 1; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaxRunLength =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd dot product of two array<double> (or float, auto-cast). */
   def dotNative(a: Column, b: Column): Column =
@@ -310,4 +415,12 @@ object VectorFunctions {
   /** Codegen'd all-k MinHash signature array of a shingle array. */
   def minhashSigs(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(shingles), k))
+
+  /** Codegen'd 64-bit SimHash of a (distinct) token array. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Codegen'd longest-equal-run length of a SORTED string array. */
+  def maxRunLength(sorted: Column): Column =
+    ColumnBridge.column(MaxRunLength(ColumnBridge.expression(sorted)))
 }

@@ -246,23 +246,15 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint over the doc's distinct tokens: bit b of
     * the fingerprint is the sign of Σ_tokens (±1 by bit b of
-    * xxhash64(token)). One explode + one groupBy computing 64 sums.
-    * Near-dups then cluster by fingerprint equality (or small Hamming
-    * distance via banding the 64 bits, same trick as LSH). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("_h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
-        .as(s"b$b")
-    }
-    val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    summed.select(col(idCol), fp.as("simhash"))
-  }
+    * xxhash64(token)) — a NARROW MAP (one codegen'd traversal per doc,
+    * graft.functions.SimHash64, bit-identical to the explode + 64-sum
+    * groupBy it replaces: integer sums are order-free). Near-dups then
+    * cluster by fingerprint equality (or small Hamming distance via
+    * banding the 64 bits, same trick as LSH). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.VectorFunctions.simhash64(
+        array_distinct(split(col(textCol), " "))).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints (popcount of XOR) —
     * the SimHash near-dup metric. */

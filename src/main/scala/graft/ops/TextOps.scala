@@ -82,30 +82,29 @@ object TextOps {
     *    common n-gram" family from the Gopher quality filters, counted
     *    over n-grams).
     *
-    * Shape: the per-doc ratios are a narrow map; the top-bigram count is
-    * one explode + groupBy(doc, bigram) + groupBy(doc) — both shuffles
-    * key on the doc id, and the final join re-uses it. No driver loops,
-    * no UDFs; every value reproducible in ANSI SQL. */
+    * Shape: a FULLY NARROW map — the top-bigram multiplicity is the
+    * longest equal run of the doc's SORTED bigram array (one codegen'd
+    * pass, graft.functions.MaxRunLength), a pure per-row function that
+    * needs no explode, no shuffle, no re-join. No driver loops, no UDFs;
+    * every value reproducible in ANSI SQL. */
   def repetitionStats(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     // tokenize ONCE into a projected column; the multi-referenced alias
     // keeps CollapseProject from inlining the split back into the lambda
-    val base = df
-      .select(col(idCol), tokens(col(textCol)).as("_ws"))
+    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
       .select(col(idCol),
         size(col("_ws")).as("n_words"),
         size(array_distinct(col("_ws"))).as("_nd"),
-        ngramsOfTokens(col("_ws"), 2).as("_bgs"))
-    val top = base
-      .select(col(idCol), explode(col("_bgs")).as("_bg"))
-      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
-      .groupBy(col(idCol)).agg(max(col("_c")).as("_topc"))
-    base.join(top, Seq(idCol), "left")
+        graft.functions.VectorFunctions.maxRunLength(
+          sort_array(ngramsOfTokens(col("_ws"), 2))).as("_topc"))
       .select(col(idCol), col("n_words").cast(LongType).as("n_words"),
         round(lit(1.0) - col("_nd").cast(DoubleType) /
           col("n_words").cast(DoubleType), 4).as("dup_word_frac"),
-        round(coalesce(col("_topc").cast(DoubleType) /
-          (col("n_words") - lit(1)).cast(DoubleType), lit(0.0)), 4)
+        // a 1-word doc has no bigrams: _topc = 0 and n_words − 1 = 0, so
+        // the 0/0 division is null → coalesce 0, exactly the left-join
+        // null of the aggregate formulation this replaces
+        round(coalesce(when(col("_topc") > 0, col("_topc").cast(DoubleType))
+            / (col("n_words") - lit(1)).cast(DoubleType), lit(0.0)), 4)
           .as("top_bigram_frac"))
   }
 
