@@ -744,6 +744,27 @@ object SparkEntry {
       graft.ops.TextOps.topTerms(
         Tpch.raw(s, dir, "documents"), "text", 20)),
 
+    // per-document tf-idf keywords: top-3 terms per doc by tf·(N/df)
+    // (raw-idf — an exact rational of three integer counts, so ranks
+    // need no rounding; see TextOps.tfIdfTopTerms on why not libm ln)
+    "q84_tfidf_top" -> ((s, dir) =>
+      graft.ops.TextOps.tfIdfTopTerms(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", 3)),
+
+    // BM25 lexical search for a 3-term query (audit/upsample "docs about
+    // X"): Robertson tf-saturation with rational idf core, dyadic k1/b
+    "q85_bm25" -> ((s, dir) =>
+      graft.ops.TextOps.bm25Rank(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), k = 15)),
+
+    // per-source token-length quantiles (nearest-rank p50/p90/p99) —
+    // all-integer arithmetic over the per-source length HISTOGRAM; the
+    // window input is the histogram, never the corpus
+    "q86_length_quantiles" -> ((s, dir) =>
+      graft.ops.TextOps.lengthQuantiles(
+        Tpch.raw(s, dir, "documents"), "source", "text", Seq(50, 90, 99))),
+
     // int8 embedding quantization: per-vector max-abs scale + integer
     // codes, summarized to scalars (sum/min/max of codes) so the oracle
     // compares exact quantized values without list-typed columns
@@ -1371,6 +1392,69 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // identical association order as the Spark plan: tf · (n / df), all
+    // three operands exact integers cast to DOUBLE — bit-identical, so
+    // the rank window needs no rounding
+    "q84_tfidf_top" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |s AS (SELECT doc_id, tf.term, tf,
+        |        CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+        |          AS sc
+        |      FROM tf JOIN dfr USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, sc,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY sc DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf,
+        |       round(sc, 4) AS tf_idf
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // mirrors TextOps.bm25Rank term-for-term: rational idf
+    // (n−df+0.5)/(df+0.5), tf·2.25/(tf + 1.25·(1−0.75 + 0.75·dl/avgdl)),
+    // per-term round(…,4) BEFORE the per-doc sum, sum rounded again
+    "q85_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        |           CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(sum(ts), 4) AS score
+        |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // nearest-rank over the per-source length histogram; the rank test
+    // ⌈p·n/100⌉ ≤ cum is evaluated integer-only as p·n ≤ 100·cum
+    "q86_length_quantiles" ->
+      """WITH h AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS _len,
+        |             CAST(count(*) AS BIGINT) AS _cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, _len,
+        |        sum(_cnt) OVER (PARTITION BY source ORDER BY _len
+        |                        ROWS UNBOUNDED PRECEDING) AS _cum,
+        |        sum(_cnt) OVER (PARTITION BY source) AS _n
+        |      FROM h)
+        |SELECT source, CAST(pct AS BIGINT) AS pct,
+        |       CAST(min(_len) AS BIGINT) AS n_tokens
+        |FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+        |WHERE pct * _n <= _cum * 100
+        |GROUP BY 1, 2""".stripMargin,
     // identical arithmetic shape (x / s * 127 + 0.5, floored) so the
     // integer codes agree bit-for-bit; FLOAT[] cast to DOUBLE[] first
     "q64_quantize_int8" ->

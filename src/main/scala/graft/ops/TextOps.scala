@@ -290,6 +290,126 @@ object TextOps {
         (col("_nlines") - coalesce(col("_nkept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Per-document top-k keywords by tf-idf, raw-idf variant: score =
+    * tf · (N / df). The idf factor is the raw rarity ratio rather than
+    * its logarithm — a recognized tf-idf family member chosen here
+    * because it keeps the score an EXACT IEEE rational of three integer
+    * counts (libm `ln` differs across engines, breaking bit-for-bit
+    * oracle reproduction; see the module determinism contract). Per-term
+    * ln-idf is a monotone transform of N/df, so per-term orderings agree
+    * with the classic formula; only cross-term weighting differs.
+    *
+    * Shape: explode → (doc, term) tf groupBy (map-side combined) →
+    * term-keyed df groupBy over the ALREADY-AGGREGATED tf table (rows =
+    * distinct doc-term pairs, not tokens) → term-keyed equi-join (both
+    * sides shuffle on term; dfreq is vocabulary-sized, Zipf-large, so it
+    * is deliberately NOT forced broadcast — AQE may still choose it) →
+    * row_number window PARTITIONED BY doc. No global window, no
+    * cartesian, no driver action; ranks are deterministic (score desc,
+    * term asc — scores are bit-identical rationals, so ranking needs no
+    * rounding). Output: idCol, rank, term, tf, tf_idf (rounded 4). */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val ndocs = df.agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("term").asc)
+    tf.join(dfreq, "term").crossJoin(ndocs)
+      .withColumn("_score", col("tf").cast(DoubleType) *
+        (col("_n").cast(DoubleType) / col("_df").cast(DoubleType)))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        col("tf").cast(LongType).as("tf"),
+        round(col("_score"), 4).as("tf_idf"))
+  }
+
+  /** BM25 document ranking for a bag of query terms — the lexical-search
+    * side of a data pipeline (find docs about X to audit/upsample). Exact
+    * Robertson/Okapi shape for the tf-saturation part,
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), with the RATIONAL idf
+    * core (N − df + 0.5)/(df + 0.5) kept un-logged: the classic formula
+    * wraps it in ln(1 + ·), a monotone transform, so per-term rankings
+    * agree; skipping libm keeps every score an exact IEEE expression the
+    * SQL oracle reproduces bit-for-bit (module determinism contract).
+    * Defaults k1 = 1.25 (dyadic, near the textbook 1.2) and b = 0.75
+    * (dyadic and textbook) so the constants parse identically everywhere.
+    *
+    * Shape: the term filter lands BEFORE the tf groupBy, so only rows
+    * for query terms travel (narrow filter over the token stream — at
+    * 100 TB the shuffle carries one row per matching doc-term, not the
+    * corpus); dfreq (≤ |terms| rows) and the 1-row corpus stats are
+    * broadcast; dl joins tf on the doc key (shuffle equi-join — the
+    * matching-doc set is unbounded, so NOT broadcast). Per-term scores
+    * round to 4 before the per-doc sum (short sums — ≤ |terms| values —
+    * so association-order noise is ~1e-13, far inside the rounding
+    * grid), and the total rounds again. Top-k via TakeOrdered
+    * (score desc, id asc). Output: idCol, n_matched, score. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val dl = df.select(col(idCol), nTokens(col(textCol)).cast(LongType).as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl",
+        col("_sumdl").cast(DoubleType) / col("_n").cast(DoubleType))
+      .withColumn("_idf",
+        ((col("_n") - col("_df")).cast(DoubleType) + lit(0.5)) /
+          (col("_df").cast(DoubleType) + lit(0.5)))
+      .withColumn("_tscore", round(col("_idf") *
+        (col("_tf").cast(DoubleType) * lit(k1 + 1.0) /
+          (col("_tf").cast(DoubleType) + lit(k1) *
+            (lit(1.0) - lit(b) +
+              lit(b) * col("_dl").cast(DoubleType) / col("_avgdl")))), 4))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"), round(sum(col("_tscore")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact per-group token-length quantiles by the NEAREST-RANK
+    * definition: for each integer percent p, the smallest length whose
+    * cumulative count reaches ⌈p·n/100⌉. Integer percents + integer
+    * counts mean the entire computation is integer arithmetic — the
+    * rank test ⌈p·n/100⌉ ≤ cum is evaluated as p·n ≤ 100·cum, so there
+    * is no division, no float, nothing for an oracle to disagree about.
+    *
+    * Shape — the 100 TB point of this operator: the corpus reduces to a
+    * per-group LENGTH HISTOGRAM first (groupBy (group, len), map-side
+    * combined), and the cumulative window runs over the histogram, whose
+    * cardinality is bounded by (#groups × max doc length) — thousands of
+    * rows — NOT over the corpus. A naive percentile over raw lengths
+    * sorts 100 TB through one task (the exact single-reducer shape this
+    * codebase bans); this form's window partitions by group over a
+    * vanishing input. Output: groupCol, pct, n_tokens. */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val hist = df.select(col(groupCol),
+        nTokens(col(textCol)).cast(LongType).as("_len"))
+      .groupBy(col(groupCol), col("_len")).agg(count(lit(1)).as("_cnt"))
+    val wcum = Window.partitionBy(col(groupCol)).orderBy(col("_len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col(groupCol))
+    hist.withColumn("_cum", sum(col("_cnt")).over(wcum))
+      .withColumn("_n", sum(col("_cnt")).over(wall))
+      .select(col(groupCol), col("_len"), col("_cum"), col("_n"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("pct"))
+      .where(col("pct") * col("_n") <= col("_cum") * lit(100L))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col("_len")).as("n_tokens"))
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * repetition penalty. Deterministic, SQL-expressible. */
   def qualityScore(text: Column): Column = {

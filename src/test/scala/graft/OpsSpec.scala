@@ -288,6 +288,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out === List(("b", 3L), ("a", 2L)))
   }
 
+  test("tfIdfTopTerms: raw-idf scores, deterministic score/term ranking") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c d"))
+      .toDF("doc_id", "text")
+    // N=3; df: a=2 b=1 c=2 d=1 → d1: a 2·(3/2)=3.0 ties b 1·3=3.0 (term
+    // asc breaks); d3: c 3·1.5=4.5 beats d 3.0
+    val out = TextOps.tfIdfTopTerms(df, "doc_id", "text", 2)
+      .as[(Long, Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, 1L)) === (("a", 2L, 3.0)))
+    assert(out((1L, 2L)) === (("b", 1L, 3.0)))
+    assert(out((2L, 1L)) === (("a", 1L, 1.5)))
+    assert(out((3L, 1L)) === (("c", 3L, 4.5)))
+    assert(out((3L, 2L)) === (("d", 1L, 3.0)))
+  }
+
+  test("bm25Rank: more query-term hits rank higher; non-matching docs drop") {
+    val df = Seq(
+      (1L, "q q q x"), (2L, "q x x x"), (3L, "x x x x"), (4L, "q r x x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25Rank(df, "doc_id", "text", Seq("q", "r"), k = 4)
+      .as[(Long, Long, Double)].collect().toList
+    assert(out.map(_._1) === List(4L, 1L, 2L)) // 2 terms beats 1; tf breaks
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(4L)._2 === 2L && byDoc(1L)._2 === 1L)
+    assert(byDoc(1L)._3 > byDoc(2L)._3) // same dl, higher tf → higher score
+    assert(!out.exists(_._1 === 3L))
+  }
+
+  test("lengthQuantiles: nearest-rank per group, integer-exact") {
+    val df = Seq(("a", "w"), ("a", "w w"), ("a", "w w w"), ("a", "w w w w"),
+      ("b", "w w w w w")).toDF("source", "text")
+    val out = TextOps.lengthQuantiles(df, "source", "text", Seq(50, 100))
+      .as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("a", 50L, 2L), ("a", 100L, 4L),
+      ("b", 50L, 5L), ("b", 100L, 5L)))
+  }
+
   test("quantizeInt8: max-abs scale, half-up codes, zero-vector edge") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),
