@@ -463,6 +463,31 @@ class OpsSpec extends AnyFunSuite {
       .contains("SinglePartition"))
   }
 
+  test("text-ranking plan shapes: per-doc/per-group windows, TakeOrdered " +
+      "top-k, no global window anywhere") {
+    val df = Seq((1L, "a b", "s0"), (2L, "a c d", "s1"))
+      .toDF("doc_id", "text", "source")
+    // quantiles: the cumulative window must partition by the group column
+    // and nothing in the plan may funnel to a single partition (the corpus
+    // reduces to a histogram first — that is the operator's whole point)
+    val qp = TextOps.lengthQuantiles(df, "source", "text", Seq(50, 99))
+      .queryExecution.executedPlan.toString
+    assert(qp.contains("windowspecdefinition(source"),
+      s"quantile window not partitioned by group:\n$qp")
+    assert(!qp.contains("SinglePartition"),
+      s"quantiles funnel through one task:\n$qp")
+    // tf-idf: the rank window partitions by the document key
+    val tp = TextOps.tfIdfTopTerms(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(tp.contains("windowspecdefinition(doc_id"),
+      s"tf-idf rank window not partitioned by doc:\n$tp")
+    // bm25: top-k lowers to TakeOrderedAndProject, never a global Sort
+    val bp = TextOps.bm25Rank(df, "doc_id", "text", Seq("a"), 5)
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"bm25 top-k did not lower to TakeOrdered:\n$bp")
+  }
+
   test("exactNearDups fail-fast cap: oversized input throws before the cartesian") {
     val df = (0 until 20).map(i => (i.toLong, Array(1.0f, i.toFloat)))
       .toDF("vec_id", "embedding")
