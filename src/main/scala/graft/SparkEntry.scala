@@ -765,6 +765,30 @@ object SparkEntry {
       graft.ops.TextOps.lengthQuantiles(
         Tpch.raw(s, dir, "documents"), "source", "text", Seq(50, 90, 99))),
 
+    // top-20 bigram collocations by lift (= un-logged PMI, an exact
+    // rational of four integer counts); minCount prunes the tail before
+    // the unigram joins
+    "q87_collocations" -> ((s, dir) =>
+      graft.ops.TextOps.collocations(
+        Tpch.raw(s, dir, "documents"), "text", minCount = 5, k = 20)),
+
+    // leakage-safe 192/32/32 fold split hashed on the GROUP (source):
+    // whole domains co-travel, so near-dups inside a domain can never
+    // straddle train/test
+    "q88_group_split" -> ((s, dir) =>
+      graft.ops.Sampling.groupSplit(
+          Tpch.raw(s, dir, "documents"), "source",
+          Seq("train" -> 192, "val" -> 32, "test" -> 32))
+        .select(col("doc_id"), col("source"), col("fold"))),
+
+    // contiguous global ids 0..n-1 in doc_id order WITHOUT a global
+    // window (range-partitioned sort + per-partition offsets); the oracle
+    // is literally the row_number() formulation this operator replaces
+    "q89_contiguous_ids" -> ((s, dir) =>
+      graft.ops.Layout.contiguousIds(
+          Tpch.raw(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("row_id"))),
+
     // int8 embedding quantization: per-vector max-abs scale + integer
     // codes, summarized to scalars (sum/min/max of codes) so the oracle
     // compares exact quantized values without list-typed columns
@@ -1455,6 +1479,41 @@ object SparkEntry {
         |FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
         |WHERE pct * _n <= _cum * 100
         |GROUP BY 1, 2""".stripMargin,
+    // bigrams via the q61 window trick; ORDER BY the UNROUNDED lift on
+    // both sides (Spark orders pre-round too) — exact rationals, so the
+    // ranking agrees bit-for-bit
+    "q87_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |u AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT unnest(ws) AS term FROM w) GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM u),
+        |b AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+        |      FROM (SELECT unnest(list_transform(range(1, len(ws)),
+        |              i -> array_to_string(ws[i:i+1], ' '))) AS bg FROM w)
+        |      GROUP BY 1 HAVING count(*) >= 5),
+        |s AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |             string_split(bg, ' ')[2] AS w2, c_ab FROM b)
+        |SELECT w1, w2, c_ab,
+        |       round((CAST(c_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
+        |             (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)), 4) AS lift
+        |FROM s JOIN u ua ON s.w1 = ua.term JOIN u ub ON s.w2 = ub.term
+        |     CROSS JOIN t
+        |ORDER BY (CAST(c_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
+        |         (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) DESC, w1, w2
+        |LIMIT 20""".stripMargin,
+    // cumulative cuts c0/e0 mirror bucketHex(192)/bucketHex(224)
+    "q88_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source), 1, 2) < 'c0' THEN 'train'
+        |       WHEN substring(md5(source), 1, 2) < 'e0' THEN 'val'
+        |       ELSE 'test' END AS fold
+        |FROM documents""".stripMargin,
+    // the single-task formulation the distributed operator replaces
+    "q89_contiguous_ids" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        |         AS row_id
+        |FROM documents""".stripMargin,
     // identical arithmetic shape (x / s * 127 + 0.5, floored) so the
     // integer codes agree bit-for-bit; FLOAT[] cast to DOUBLE[] first
     "q64_quantize_int8" ->

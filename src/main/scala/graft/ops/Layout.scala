@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.LongType
 
 /** Physical-layout operators: co-located (bucketed) storage.
   *
@@ -27,4 +29,46 @@ object Layout {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Contiguous global row ids 0..n−1 in `orderCol` order WITHOUT a
+    * global window — the 100 TB replacement for
+    * `row_number() OVER (ORDER BY …)`, whose empty PARTITION BY funnels
+    * the entire corpus through ONE task (the single-reducer shape this
+    * codebase bans). Training-example numbering, shard manifests, and
+    * resumable cursors all need exactly this.
+    *
+    * Two passes over a range-partitioned sort (the same shape
+    * `df.sort(...).write` produces): (1) a count job that materializes
+    * the sort shuffle and collects ONE LONG PER PARTITION to the driver
+    * — plan-time metadata, not data, same budget class as IVF centroids
+    * or bootstrap schema facts; (2) a per-partition map attaching
+    * offset + local index. The second pass REUSES the first's shuffle
+    * files (same RDD lineage — `.rdd` is a lazy val on the Dataset), so
+    * the sort happens once. One of the few legitimate `mapPartitions`
+    * uses: genuinely per-partition imperative state (the running local
+    * index) that no Column expression can express without the global
+    * window this exists to avoid.
+    *
+    * `orderCol` values must be UNIQUE: ids are ranks in the global sort
+    * order, and ties would make the rank (hence the id) depend on
+    * physical partition layout. Output: input columns + `row_id`. */
+  def contiguousIds(df: DataFrame, orderCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add("row_id", LongType, nullable = false)
+    val withIds = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var next = bc.value(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ next); next += 1; out }
+    }
+    spark.createDataFrame(withIds, schema)
+  }
 }

@@ -77,6 +77,32 @@ object Sampling {
       .where(col("_rq") <= quota).drop("_rq")
   }
 
+  /** Leakage-safe fold assignment: the fold is a function of the GROUP's
+    * hash — every row of a group (all docs from one domain, all chunks of
+    * one document, all works of one author) lands in the SAME fold.
+    * Row-hash splits leak: near-duplicates inside a group straddle
+    * train/test and inflate eval scores; hashing the group key makes the
+    * folds group-disjoint by construction. `folds` maps fold name →
+    * bucket width out of 256 (widths must sum to 256; achieved fractions
+    * are approximate because whole groups are atomic — the coarser the
+    * groups, the lumpier the split). Pure narrow map over the scan (one
+    * md5 + a when-chain), no shuffle, reproducible by any SQL engine.
+    * Output: input columns + `fold`. */
+  def groupSplit(df: DataFrame, groupCol: String,
+      folds: Seq[(String, Int)]): DataFrame = {
+    require(folds.nonEmpty && folds.forall(_._2 >= 1),
+      "every fold needs a positive width")
+    require(folds.map(_._2).sum == 256, "fold widths must sum to 256")
+    val h = substring(md5(col(groupCol).cast("string")), 1, 2)
+    val his = folds.scanLeft(0) { case (acc, (_, wdt)) => acc + wdt }.tail
+    val fold = folds.zip(his).init.foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), hi)) =>
+        val cut = h < lit(bucketHex(hi))
+        Some(acc.fold(when(cut, name))(_.when(cut, name)))
+    }.fold(lit(folds.head._1))(_.otherwise(folds.last._1))
+    df.withColumn("fold", fold)
+  }
+
   /** Per-group TOKEN budget — how training mixes are actually specified
     * ("N tokens per domain", not N documents): keep each group's
     * documents, in the same unbiased md5(id) order as [[perGroupQuota]],

@@ -377,6 +377,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Top-k bigram collocations by LIFT — the association-mining side of
+    * corpus analysis (multi-word expressions, template detection, tokenizer
+    * merge candidates). Lift is PMI's exponent kept un-logged:
+    * (c_ab · N) / (c_a · c_b) for bigram count c_ab, unigram counts
+    * c_a/c_b, and corpus token total N — an exact IEEE expression of four
+    * integer counts (same determinism argument as [[tfIdfTopTerms]]: libm
+    * log breaks cross-engine bit-reproduction; ln is monotone, so
+    * lift-ranking IS PMI-ranking). `minCount` prunes the bigram tail
+    * BEFORE the unigram joins — rare-pair noise (lift explodes for
+    * singletons) and join volume drop together.
+    *
+    * Shape: two explode+groupBy passes (tokens, bigrams — both map-side
+    * combined), the bigram head filtered by minCount, then two term-keyed
+    * equi-joins of the small head against the unigram table, the 1-row
+    * token total broadcast, TakeOrdered for top-k (lift desc, bigram asc
+    * — scores bit-identical, ranking needs no rounding). */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val toks = df.select(tokens(col(textCol)).as("_ws"))
+    val uni = toks.select(explode(col("_ws")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_c"))
+    val total = uni.agg(sum(col("_c")).as("_t"))
+    val big = toks.select(explode(ngramsOfTokens(col("_ws"), 2)).as("_bg"))
+      .groupBy(col("_bg")).agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+      .select(split(col("_bg"), " ")(0).as("w1"),
+        split(col("_bg"), " ")(1).as("w2"), col("c_ab"))
+    big
+      .join(uni.select(col("term").as("w1"), col("_c").as("_ca")), "w1")
+      .join(uni.select(col("term").as("w2"), col("_c").as("_cb")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("_lift",
+        (col("c_ab").cast(DoubleType) * col("_t").cast(DoubleType)) /
+          (col("_ca").cast(DoubleType) * col("_cb").cast(DoubleType)))
+      .orderBy(col("_lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(col("_lift"), 4).as("lift"))
+  }
+
   /** Exact per-group token-length quantiles by the NEAREST-RANK
     * definition: for each integer percent p, the smallest length whose
     * cumulative count reaches ⌈p·n/100⌉. Integer percents + integer

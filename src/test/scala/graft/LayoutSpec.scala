@@ -28,6 +28,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(row.getLong(0) === 70L && row.getString(1) === "v7")
   }
 
+  test("contiguousIds: global 0..n-1 ranks with no global window") {
+    // ids deliberately shuffled and sparse; 7 partitions force several
+    // non-trivial offsets
+    val df = scala.util.Random.shuffle((0 until 100).toList)
+      .map(i => (i * 3L + 7L, s"v$i")).toDF("k", "v")
+    val out = graft.ops.Layout.contiguousIds(df, "k", numPartitions = 7)
+    val got = out.select($"k", $"row_id").as[(Long, Long)].collect().toList
+      .sortBy(_._2)
+    assert(got.map(_._2) === (0L until 100L).toList)
+    assert(got.map(_._1) === got.map(_._1).sorted, "ids not in k order")
+    // the physical plan must not contain a single-partition global window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"contiguousIds used a window:\n$plan")
+  }
+
   test("persisted IVF index: ivfQuery skips assignment and bucket-prunes " +
       "the corpus scan to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString

@@ -325,6 +325,41 @@ class OpsSpec extends AnyFunSuite {
       ("b", 50L, 5L), ("b", 100L, 5L)))
   }
 
+  test("collocations: lift ranks rare-but-bound pairs over frequent ones") {
+    val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
+    // unigrams a2 b2 c1 d1, T=6; bigrams "a b"x2, "b a"x1, "c d"x1
+    // lifts: cd 1·6/(1·1)=6, ab 2·6/(2·2)=3, ba 1·6/(2·2)=1.5
+    val out = TextOps.collocations(df, "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(out === List(("c", "d", 1L, 6.0), ("a", "b", 2L, 3.0),
+      ("b", "a", 1L, 1.5)))
+    // minCount prunes before ranking
+    val pruned = TextOps.collocations(df, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toList
+    assert(pruned === List(("a", "b", 2L, 3.0)))
+  }
+
+  test("groupSplit: whole groups co-travel; widths must sum to 256") {
+    val df = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g3"))
+      .toDF("doc_id", "grp")
+    val out = graft.ops.Sampling.groupSplit(df, "grp",
+        Seq("train" -> 192, "val" -> 32, "test" -> 32))
+      .as[(Long, String, String)].collect()
+    val byGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byGroup.values.forall(_.size === 1), s"split a group: $out")
+    // fold matches the md5-prefix rule computed independently
+    def expected(g: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val h = d.take(1).map("%02x".format(_)).mkString
+      if (h < "c0") "train" else if (h < "e0") "val" else "test"
+    }
+    assert(out.forall(r => r._3 === expected(r._2)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.groupSplit(df, "grp", Seq("a" -> 100, "b" -> 100))
+    }
+  }
+
   test("quantizeInt8: max-abs scale, half-up codes, zero-vector edge") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f)),
