@@ -765,6 +765,19 @@ object SparkEntry {
       graft.ops.TextOps.lengthQuantiles(
         Tpch.raw(s, dir, "documents"), "source", "text", Seq(50, 90, 99))),
 
+    // PERSISTED inverted index: build postings bucketed by term once,
+    // then answer the SAME query as q85 from the term-pruned index scan
+    // alone (no tokenization at query time; LayoutSpec asserts the
+    // bucket pruning) — one oracle proves both paths agree
+    "q90_bm25_index" -> ((s, dir) => {
+      val table = s"q90idx_${dirTag(dir)}"
+      graft.ops.TextOps.buildTextIndex(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        table, scratch("q90idx", dir))
+      graft.ops.TextOps.bm25Query(s, table, "doc_id",
+        Seq("spark", "window", "merge"), k = 15)
+    }),
+
     // top-20 bigram collocations by lift (= un-logged PMI, an exact
     // rational of four integer counts); minCount prunes the tail before
     // the unigram joins
@@ -1479,6 +1492,30 @@ object SparkEntry {
         |FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
         |WHERE pct * _n <= _cum * 100
         |GROUP BY 1, 2""".stripMargin,
+    // the indexed path must reproduce q85's oracle exactly — same terms,
+    // same k, same arithmetic, different physical plan
+    "q90_bm25_index" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        |           CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(sum(ts), 4) AS score
+        |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     // bigrams via the q61 window trick; ORDER BY the UNROUNDED lift on
     // both sides (Spark orders pre-round too) — exact rationals, so the
     // ranking agrees bit-for-bit

@@ -44,6 +44,32 @@ class LayoutSpec extends AnyFunSuite {
       s"contiguousIds used a window:\n$plan")
   }
 
+  test("persisted text index: bm25Query matches bm25Rank and bucket-prunes " +
+      "the postings scan to the query terms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    val docs = (1L to 40L).map { i =>
+      val extra = if (i % 5 == 0) " spark spark" else ""
+      (i, s"filler w$i common common$extra")
+    }.toDF("doc_id", "text")
+    graft.ops.TextOps.buildTextIndex(docs, "doc_id", "text",
+      "txt_idx_test", s"$dir/idx", buckets = 8)
+    val viaIndex = graft.ops.TextOps.bm25Query(spark, "txt_idx_test",
+      "doc_id", Seq("spark", "common"), k = 10)
+    val direct = graft.ops.TextOps.bm25Rank(docs, "doc_id", "text",
+      Seq("spark", "common"), k = 10)
+    assert(viaIndex.as[(Long, Long, Double)].collect().toList ===
+      direct.as[(Long, Long, Double)].collect().toList)
+    // the term IN-list must reach the bucketed scan and prune it
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"scan read every bucket:\n$plan")
+    // and the query path never tokenizes: no split/explode over raw text
+    assert(!plan.contains("split(text"), s"query re-tokenized the corpus:\n$plan")
+  }
+
   test("persisted IVF index: ivfQuery skips assignment and bucket-prunes " +
       "the corpus scan to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
