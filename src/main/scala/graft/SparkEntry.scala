@@ -765,6 +765,28 @@ object SparkEntry {
       graft.ops.TextOps.lengthQuantiles(
         Tpch.raw(s, dir, "documents"), "source", "text", Seq(50, 90, 99))),
 
+    // quality-aware canonical selection: per exact-fingerprint cluster
+    // keep the LONGEST doc (ties → min id) — the "best member" policy
+    // beside exact()'s min-id policy
+    "q91_keep_best" -> ((s, dir) =>
+      graft.ops.Dedup.keepBest(
+          Tpch.raw(s, dir, "documents"),
+          graft.ops.TextOps.fingerprint(col("text")), "doc_id", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // the CLI split verb end-to-end: parquet → JSONL artifact →
+    // read-back; must equal the q88 oracle (the verb is a thin shell
+    // over Sampling.groupSplit, and this proves it)
+    "q92_cli_split" -> ((s, dir) => {
+      val out = scratch("q92", dir)
+      graft.tools.Cli.run(s, Array("split",
+        "-i", dir + "/documents.parquet", "--format", "parquet",
+        "--group", "source", "--folds", "train:192,val:32,test:32",
+        "-o", out))
+      s.read.schema("doc_id BIGINT, source STRING, fold STRING").json(out)
+        .select(col("doc_id"), col("source"), col("fold"))
+    }),
+
     // PERSISTED inverted index: build postings bucketed by term once,
     // then answer the SAME query as q85 from the term-pruned index scan
     // alone (no tokenization at query time; LayoutSpec asserts the
@@ -1538,6 +1560,20 @@ object SparkEntry {
         |ORDER BY (CAST(c_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
         |         (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) DESC, w1, w2
         |LIMIT 20""".stripMargin,
+    // same fingerprint normalization as q20/q75; arg-max by (n_chars
+    // desc, doc_id) as a deterministic window
+    "q91_keep_best" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+        |  ORDER BY n_chars DESC, doc_id) = 1""".stripMargin,
+    // the CLI verb must reproduce the q88 group-split oracle exactly
+    "q92_cli_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source), 1, 2) < 'c0' THEN 'train'
+        |       WHEN substring(md5(source), 1, 2) < 'e0' THEN 'val'
+        |       ELSE 'test' END AS fold
+        |FROM documents""".stripMargin,
     // cumulative cuts c0/e0 mirror bucketHex(192)/bucketHex(224)
     "q88_group_split" ->
       """SELECT doc_id, source,

@@ -32,6 +32,23 @@ object Dedup {
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  /** QUALITY-aware canonical selection: within each `clusterCol` keep the
+    * row maximizing `scoreCol` (ties broken by min `idCol`, so the choice
+    * is total and deterministic). [[exact]] and `canonicalize` keep the
+    * MIN-ID representative — right for idempotent ids, wrong when cluster
+    * members differ in quality (a near-dup cluster usually holds one
+    * full-text doc and several truncated/boilerplate copies; a pipeline
+    * wants the best one, not the oldest one). Compose with any clustering
+    * here: exact fingerprints, LSH clusters, or CC components. One window
+    * per cluster key — a single shuffle, parallel across clusters. */
+  def keepBest(df: DataFrame, clusterCol: Column, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
   /** Incremental (cross-batch) exact dedup — the daily-ingest shape: a
     * new `batch` dedups against the ACCUMULATED `corpus` (drop any row
     * whose fingerprint already exists there) and against itself

@@ -47,6 +47,7 @@ import scala.jdk.CollectionConverters._
   *   Cli chunk  -i docs.parquet --size 16 --stride 8 -o out
   *   Cli pack   -i docs.parquet --capacity 256 [--by source] -o out
   *   Cli scrub  -i docs.parquet --id doc_id --text text -o out
+  *   Cli split  -i docs.parquet --group source --folds train:192,val:32,test:32 -o out
   */
 object Cli {
   private val mapper = new ObjectMapper()
@@ -72,19 +73,23 @@ object Cli {
       packBy: Option[String] = None,
       buckets: Option[Int] = None,
       lo: Int = 0,
-      hi: Int = 256)
+      hi: Int = 256,
+      groupCol: String = "source",
+      folds: String = "train:192,val:32,test:32")
 
   private val TripleSubs = Seq("join", "pull", "datalog")
-  private val PipelineSubs = Seq("dedup", "sample", "chunk", "pack", "scrub")
+  private val PipelineSubs =
+    Seq("dedup", "sample", "chunk", "pack", "scrub", "split")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
       "usage: Cli {join|pull|datalog} -i inputs... [-p expr] " +
         "[-e pattern | -E ids] [-q query] -o out\n" +
-        "   or: Cli {dedup|sample|chunk|pack|scrub} -i inputs... " +
+        "   or: Cli {dedup|sample|chunk|pack|scrub|split} -i inputs... " +
         "[--format json|parquet] [--id COL] [--text COL] " +
         "[--size N --stride N | --capacity N [--by COL] | " +
-        "--buckets N | --lo A --hi B] -o out")
+        "--buckets N | --lo A --hi B | " +
+        "--group COL --folds name:width,...] -o out")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -122,6 +127,8 @@ object Cli {
         case f @ "--buckets" => a = a.copy(buckets = Some(value(f).toInt))
         case f @ "--lo" => a = a.copy(lo = value(f).toInt)
         case f @ "--hi" => a = a.copy(hi = value(f).toInt)
+        case f @ "--group" => a = a.copy(groupCol = value(f))
+        case f @ "--folds" => a = a.copy(folds = value(f))
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -217,6 +224,17 @@ object Cli {
       df.toJSON.collect().foreach(println)
     else df.write.mode("overwrite").json(out)
 
+  /** `name:width,name:width,...` → ordered fold spec for
+    * Sampling.groupSplit (widths are buckets of 256 and must sum to 256
+    * — groupSplit enforces it). */
+  private def parseFolds(spec: String): Seq[(String, Int)] =
+    spec.split(",").toSeq.map { part =>
+      part.split(":") match {
+        case Array(name, wdt) if name.nonEmpty => name -> wdt.toInt
+        case _ => sys.error(s"bad fold spec '$part' (want name:width)")
+      }
+    }
+
   /** Tabular input for the pipeline verbs: parquet when named (or when
     * the paths look like parquet), JSON lines otherwise — the same two
     * formats the engine's sources read. */
@@ -253,6 +271,8 @@ object Cli {
             df, a.idCol, a.textCol, a.capacity)
         }
         case "scrub" => graft.ops.TextOps.scrubPii(df, a.idCol, a.textCol)
+        case "split" => graft.ops.Sampling.groupSplit(
+          df, a.groupCol, parseFolds(a.folds))
       }
       writeOut(out, a.output)
       return

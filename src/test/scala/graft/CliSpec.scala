@@ -215,6 +215,18 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, Array("sample", "-i", in, "--buckets", "256",
       "-o", dir + "/sm"))
     assert(spark.read.json(dir + "/sm").count() === 4)
+    // split: folds hashed on the group — both docs of a source agree
+    Cli.run(spark, Array("split", "-i", in, "--group", "source",
+      "--folds", "train:192,val:32,test:32", "-o", dir + "/sp"))
+    val sp = spark.read.json(dir + "/sp")
+      .select($"source", $"fold").as[(String, String)].collect()
+    assert(sp.length === 4)
+    assert(sp.groupBy(_._1).values.forall(_.map(_._2).toSet.size === 1))
+    // bad fold spec fails fast
+    intercept[RuntimeException] {
+      Cli.run(spark, Array("split", "-i", in, "--folds", "oops", "-o",
+        dir + "/bad"))
+    }
   }
 
   test("CLI pull-expr / pattern / schema JSON parsers") {

@@ -325,6 +325,14 @@ class OpsSpec extends AnyFunSuite {
       ("b", 50L, 5L), ("b", 100L, 5L)))
   }
 
+  test("keepBest: per-cluster max-score survivor, min-id ties") {
+    val df = Seq((1L, "fp1", 10L), (2L, "fp1", 30L), (3L, "fp1", 30L),
+      (4L, "fp2", 5L)).toDF("doc_id", "cl", "score")
+    val out = Dedup.keepBest(df, col("cl"), "doc_id", "score")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out === Set(2L, 4L))
+  }
+
   test("collocations: lift ranks rare-but-bound pairs over frequent ones") {
     val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
     // unigrams a2 b2 c1 d1, T=6; bigrams "a b"x2, "b a"x1, "c d"x1
