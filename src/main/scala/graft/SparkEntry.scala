@@ -692,6 +692,29 @@ object SparkEntry {
         col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value")))
     }),
 
+    // SLIDING-window streaming aggregation (1h windows every 30min —
+    // each event lands in exactly 2 windows) with a batch-equivalence
+    // oracle: DuckDB reproduces the overlap by unnesting each event into
+    // its two window starts
+    "q93_stream_sliding" -> ((s, dir) => {
+      Tpch.raw(s, dir, "events") // ensures the nanosAsLong conf is set
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING")
+      val stream = s.readStream.schema(schema).parquet(dir + "/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamingAssert.slidingEventCounts(stream)
+      // memory sink = oracle-harness convenience ONLY; production sinks
+      // are files/Kafka — the operator itself is sink-agnostic
+      val name = "q93_mem_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainSink(s, name)(_.select(
+        col("window.start").cast("timestamp_ntz").as("wstart"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value")))
+    }),
+
     // §2.8 streaming dedup with a batch-equivalence oracle: documents
     // re-read through a real file-source stream (twice, unioned — the
     // same doubled corpus as q20) into stateful fingerprint clustering;
@@ -1410,6 +1433,18 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event belongs to the two 1h/30min sliding windows starting at
+    // bucket30(ts) and bucket30(ts) − 30min
+    "q93_stream_sliding" ->
+      """SELECT wstart, event_type, count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM (SELECT unnest([
+        |        time_bucket(INTERVAL '30 minutes', ts),
+        |        time_bucket(INTERVAL '30 minutes', ts)
+        |          - INTERVAL '30 minutes']) AS wstart,
+        |        event_type, value
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     // DuckDB reproduces the bigram multiset with the q58 window trick
     // (range is exclusive; ws[i:i+1] slices two 1-based elements)
     "q61_repetition" ->

@@ -85,4 +85,23 @@ object StreamingAssert {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** SLIDING-window aggregation — overlapping windows of length `window`
+    * advancing every `slide`: the rate-monitor shape ("events per hour,
+    * refreshed every 30 minutes"). Spark expands each event into its
+    * window/slide window assignments BEFORE the keyed aggregation — a
+    * narrow generate, so streaming state stays one row per live
+    * (window, type) pair exactly as in the tumbling form; the overlap
+    * factor is a plan constant, not a state multiplier. Watermark expiry
+    * closes each window `watermarkDelay` after its END, overlapping or
+    * not. */
+  def slidingEventCounts(events: DataFrame, window: String = "1 hour",
+      slide: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 }

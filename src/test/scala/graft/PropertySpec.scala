@@ -249,6 +249,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: tfIdfTopTerms == driver-computed tf·(N/df) ranking") {
+    val rnd = new scala.util.Random(61)
+    val docs = (0 until 20).map { i =>
+      val n = 1 + rnd.nextInt(25)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    }
+    val k = 3
+    val got = graft.ops.TextOps.tfIdfTopTerms(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Long, String, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rs) =>
+        id -> rs.sortBy(_._2).map(r => (r._3, r._4)).toList }
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, xs) => (id, w, xs.length.toLong) } }
+    val dfreq = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val n = docs.size.toDouble
+    val want = tf.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.toList
+        .sortBy { case (_, w, c) => (-(c * (n / dfreq(w))), w) }
+        .take(k).map { case (_, w, c) => (w, c) }
+    }
+    assert(got === want)
+  }
+
+  test("property: lengthQuantiles == sort-based nearest-rank quantile") {
+    val rnd = new scala.util.Random(67)
+    val docs = (0 until 60).map { i =>
+      (s"g${rnd.nextInt(3)}", (0 until (1 + rnd.nextInt(30)))
+        .map(_ => "t").mkString(" "))
+    }
+    val ps = Seq(25, 50, 75, 100)
+    val got = graft.ops.TextOps.lengthQuantiles(
+        docs.toDF("source", "text"), "source", "text", ps)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = docs.groupBy(_._1).flatMap { case (g, xs) =>
+      val lens = xs.map(_._2.split(" ").length.toLong).sorted
+      ps.map { p =>
+        val rank = math.ceil(p * lens.size / 100.0).toInt
+        (g, p.toLong) -> lens(rank - 1)
+      }
+    }
+    assert(got === want)
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>
