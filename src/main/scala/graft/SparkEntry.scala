@@ -219,6 +219,23 @@ object SparkEntry {
     }),
 
     // §2.6 relational agg over pull output (TPC-H Q1-lite via triples)
+    // Datomic-style find-AGGREGATES over the datalog surface: per
+    // customer, order count + max total price. Aggregation is over the
+    // DISTINCT (find ++ agg vars) projection (set semantics first), so
+    // counts are of distinct orders, never join multiplicities.
+    "q94_datalog_agg" -> ((s, dir) =>
+      Tpch.store(s, dir, "customer", "orders")
+        .datalog(
+          find = Seq("?ck"),
+          where = Seq(
+            ("?o", "orders:customer", "?c"),
+            ("?c", "customer:custkey", "?ck"),
+            ("?o", "orders:totalprice", "?tp")),
+          aggregates = Seq(
+            graft.query.DatalogAgg("count", "?o", "n_orders"),
+            graft.query.DatalogAgg("max", "?tp", "max_price")))
+        .toDF("custkey", "n_orders", "max_price")),
+
     "q11_agg" -> ((s, dir) =>
       Tpch.store(s, dir, "lineitem")
         .pullMany(Seq(Triples.TypeAttr -> MEq("lineitem")),
@@ -1748,6 +1765,13 @@ object SparkEntry {
     "q80_datalog_strata" ->
       """SELECT DISTINCT n_name AS cname, r_name AS tname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    // orderkeys are unique in this data, so count(*) == count of order
+    // entities; max is order-independent (no float-sum hazard)
+    "q94_datalog_agg" ->
+      """SELECT c_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       max(o_totalprice) AS max_price
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q71_datalog_not" ->
       """SELECT c_custkey AS custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

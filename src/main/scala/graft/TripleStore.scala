@@ -557,9 +557,10 @@ class TripleStore(
   def datalog(find: Seq[String], where: Seq[(String, String, Any)],
       sortBy: Option[String] = None, desc: Boolean = false,
       take: Option[Int] = None,
-      notWhere: Seq[(String, String, Any)] = Nil): DataFrame =
+      notWhere: Seq[(String, String, Any)] = Nil,
+      aggregates: Seq[DatalogAgg] = Nil): DataFrame =
     datalogRules(find, where, Nil, sortBy = sortBy, desc = desc,
-      take = take, notWhere = notWhere)
+      take = take, notWhere = notWhere, aggregates = aggregates)
 
   private def isVar(t: Any): Boolean = t match {
     case s: String => s.startsWith("?"); case _ => false }
@@ -652,7 +653,15 @@ class TripleStore(
         * topmost stratum. Variables shared with the positive body are the
         * anti-join keys; unshared variables are existential inside the
         * negation. Rule-LEVEL negation lives in DatalogRule.negBody. */
-      notWhere: Seq[(String, String, Any)] = Nil): DataFrame = {
+      notWhere: Seq[(String, String, Any)] = Nil,
+      /** Datomic-style find aggregates. With any present, `find` becomes
+        * the group keys and the output is find ++ aggregates.map(_.as);
+        * aggregation is over the DISTINCT (find ++ agg vars) projection
+        * of the solved body (set semantics before aggregation, so counts
+        * are of distinct partner values, never of join multiplicities).
+        * One extra groupBy on the find keys — the same shuffle shape the
+        * bare distinct already pays. */
+      aggregates: Seq[DatalogAgg] = Nil): DataFrame = {
     require(where.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
@@ -772,9 +781,29 @@ class TripleStore(
           "unsafe negation (nothing to anti-join on)")
       acc.join(clDf.select(shared.map(col): _*), shared, "left_anti")
     }
-    sortLimit(
-      negated.select(find.map(col): _*).distinct(),
-      sortBy, desc, take)
+    val result =
+      if (aggregates.isEmpty) negated.select(find.map(col): _*).distinct()
+      else {
+        aggregates.foreach(a => require(isVar(a.v) && a.as.nonEmpty,
+          s"aggregate must name a ?variable and an output column: $a"))
+        val proj = negated
+          .select((find ++ aggregates.map(_.v)).distinct.map(col): _*)
+          .distinct()
+        val aggCols = aggregates.map { a =>
+          (a.fn match {
+            case "count" => count(col(a.v))
+            case "sum" => sum(col(a.v))
+            case "min" => min(col(a.v))
+            case "max" => max(col(a.v))
+            case "avg" => avg(col(a.v))
+            case other => throw new IllegalArgumentException(
+              s"unknown aggregate function '$other' " +
+                "(want count|sum|min|max|avg)")
+          }).as(a.as)
+        }
+        proj.groupBy(find.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    sortLimit(result, sortBy, desc, take)
   }
 
   /** Unroll a recursive spec to `d` nested-descent levels: each level

@@ -78,6 +78,15 @@ final case class DatalogRule(
     body: Seq[(String, String, Any)],
     negBody: Seq[(String, String, Any)] = Nil)
 
+/** A Datalog find-aggregate (Datomic-style `(count ?x)` forms): apply
+  * `fn` (count | sum | min | max | avg) to variable `v`, output column
+  * `as`. With aggregates present, the query's plain `find` variables
+  * become the group keys. Aggregation is over the SET of bindings
+  * projected onto (find vars + aggregated vars) — set semantics first,
+  * then aggregate — so `count` counts DISTINCT partner values, never
+  * join multiplicities (which are an artifact of clause order). */
+final case class DatalogAgg(fn: String, v: String, as: String)
+
 object PullSpec {
   def suffix(attr: String): String = {
     val i = attr.indexOf(':')

@@ -304,15 +304,18 @@ object Cli {
   }
 
   /** The reference's planned datalog query dict (tripl.py:571-584),
-    * extended with stratified negation under the `not` key. */
+    * extended with stratified negation under the `not` key and Datomic-
+    * style find-aggregates under the `agg` key
+    * (`"agg": [["count", "?o", "n_orders"]]` — find vars group). */
   final case class DatalogQuery(
       find: Seq[String], where: Seq[(String, String, Any)],
       rules: Seq[DatalogRule], sortBy: Option[String], take: Option[Int],
-      notWhere: Seq[(String, String, Any)] = Nil) {
+      notWhere: Seq[(String, String, Any)] = Nil,
+      agg: Seq[DatalogAgg] = Nil) {
     def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
       ts.datalogRules(find, where, rules, sortBy = sortBy, take = take,
-          notWhere = notWhere)
-        .toDF(find.map(_.stripPrefix("?")): _*)
+          notWhere = notWhere, aggregates = agg)
+        .toDF(find.map(_.stripPrefix("?")) ++ agg.map(_.as): _*)
   }
 
   def parseDatalogQuery(json: String): DatalogQuery = {
@@ -357,10 +360,21 @@ object Cli {
         DatalogRule((h(1).asText, h(0).asText, h(2).asText),
           posEls.map(triple), negEls.map(e => triple(e.get("not"))))
       }.toSeq).getOrElse(Nil)
-    val sortBy = Option(q.get("sort")).map(_.asText)
-      .map(s => if (s.startsWith("?")) s else "?" + s)
-    sortBy.foreach(s => require(find.contains(s),
-      s"'sort' names $s, which is not in 'find' ${find.mkString("[", " ", "]")}"))
+    val aggs = Option(q.get("agg")).map(asArray("agg", _))
+      .map(_.elements().asScala.map { a =>
+        val els = a.elements().asScala.toSeq
+        require(a.isArray && els.size == 3,
+          s"agg entry must be [fn ?var out_name], got $a")
+        DatalogAgg(els(0).asText, els(1).asText, els(2).asText)
+      }.toSeq).getOrElse(Nil)
+    // sort may name a find variable (?-normalized) or an agg output column
+    val sortBy = Option(q.get("sort")).map(_.asText).map { s =>
+      if (aggs.exists(_.as == s)) s
+      else if (s.startsWith("?")) s else "?" + s
+    }
+    sortBy.foreach(s => require(find.contains(s) || aggs.exists(_.as == s),
+      s"'sort' names $s, which is neither in 'find' " +
+        s"${find.mkString("[", " ", "]")} nor an agg output"))
     val take = Option(q.get("take")).map { n =>
       require(n.isIntegralNumber, s"'take' must be an integer, got $n")
       n.asInt
@@ -370,7 +384,7 @@ object Cli {
         s"'not' must be a list of [s a o] clauses, got $n")
       n.elements().asScala.map(triple).toSeq
     }.getOrElse(Nil)
-    DatalogQuery(find, where, rules, sortBy, take, notW)
+    DatalogQuery(find, where, rules, sortBy, take, notW, aggs)
   }
 
   def main(argv: Array[String]): Unit = {

@@ -90,6 +90,32 @@ class CliSpec extends AnyFunSuite {
     assert(q.sortBy === Some("?x") && q.take === Some(5))
   }
 
+  test("CLI datalog 'agg' key: find-aggregates group and run end-to-end") {
+    val dir = Files.createTempDirectory("graft_cli_agg").toString
+    val in = dir + "/people.json"
+    Files.writeString(Paths.get(in),
+      """{"person:id": "ada", "person:pet": ["rex", "tom"]}
+        |{"person:id": "bob", "person:pet": ["rex"]}
+        |""".stripMargin)
+    val out = dir + "/petcounts"
+    Cli.run(spark, Array("datalog", "-i", in, "-I", "person:id", "-q",
+      """{"find": ["?n"],
+         "where": [["?p", "person:id", "?n"], ["?p", "person:pet", "?x"]],
+         "agg": [["count", "?x", "n_pets"]], "sort": "n_pets", "take": 1}""",
+      "-o", out))
+    import spark.implicits._
+    val rows = spark.read.json(out).select($"n", $"n_pets")
+      .as[(String, Long)].collect().toList
+    assert(rows === List(("bob", 1L))) // sort by the agg output, asc
+    // grammar: mis-shaped agg entries fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?n"], "where": [["?e", "p:name", "?n"]],
+           "agg": [["count", "?e"]]}""")
+    }
+    assert(e.getMessage.contains("agg entry"))
+  }
+
   test("CLI datalog 'not' key: parses clause lists, rejects non-arrays") {
     val q = Cli.parseDatalogQuery(
       """{"find": ["?n"], "where": [["?e", "p:name", "?n"]],
@@ -121,7 +147,7 @@ class CliSpec extends AnyFunSuite {
       Cli.parseDatalogQuery(
         """{"find": ["?x"], "where": [["?x", "a:b", 1]], "sort": "y"}""")
     }
-    assert(e2.getMessage.contains("not in 'find'"))
+    assert(e2.getMessage.contains("neither in 'find'"))
     // mis-typed list keys must fail loudly, never silently become Nil
     val e3 = intercept[IllegalArgumentException] {
       Cli.parseDatalogQuery(

@@ -234,6 +234,29 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(out === List("ada"))
   }
 
+  test("datalog aggregates: set-semantics grouping, count/max") {
+    // p1 has TWO children (one asserted twice — set semantics must not
+    // double count), p2 has one
+    val ts = tinyStore(Seq(
+      ("p1", "p:child", "c1", 0L), ("p1", "p:child", "c1", 1L),
+      ("p1", "p:child", "c2", 0L), ("p2", "p:child", "c3", 0L),
+      ("c1", "c:age", "10", 0L), ("c2", "c:age", "20", 0L),
+      ("c3", "c:age", "30", 0L)))
+    val out = ts.datalog(
+        find = Seq("?p"),
+        where = Seq(("?p", "p:child", "?c"), ("?c", "c:age", "?a")),
+        aggregates = Seq(graft.query.DatalogAgg("count", "?c", "n"),
+          graft.query.DatalogAgg("max", "?a", "oldest")))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map("p1" -> ((2L, "20")), "p2" -> ((1L, "30"))))
+    intercept[IllegalArgumentException] {
+      ts.datalog(Seq("?p"), Seq(("?p", "p:child", "?c")),
+        aggregates = Seq(graft.query.DatalogAgg("median", "?c", "m")))
+        .collect()
+    }
+  }
+
   test("W8 bootstrap precedence: kwargs > in-band schema > defaults") {
     // in-band: k:one declared cardinality-one; db.refs:lazy = false
     val base = tinyStore(Seq(
