@@ -732,6 +732,51 @@ object SparkEntry {
         col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value")))
     }),
 
+    // STREAMING gap sessionization (native session_window state) with a
+    // batch-equivalence oracle: real events in batch 1, then a lone
+    // far-future sentinel (user −1) advances the watermark past every
+    // real session's end so append mode EMITS them all (the q76 idiom);
+    // the sentinel's own session stays open and is filtered out. Oracle =
+    // the q49 lag/gap formulation aggregated per session, with the
+    // boundary rule matched to session_window's half-open windows (a gap
+    // of EXACTLY the duration starts a new session).
+    "q95_stream_session" -> ((s, dir) => {
+      Tpch.raw(s, dir, "events") // ensures the nanosAsLong conf is set
+      val in = scratch("q95in", dir)
+      val p = java.nio.file.Paths.get(in)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+      val evs = s.read.parquet(dir + "/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).cast("timestamp").as("ts"))
+      evs.write.mode("append").parquet(in)
+      val maxTs = evs.agg(max(col("ts"))).head.getTimestamp(0)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+      val stream = s.readStream.schema(schema).parquet(in)
+      val agg = graft.streaming.StreamingAssert.sessionWindowCounts(stream)
+      // memory sink = oracle-harness convenience ONLY; production sinks
+      // are files/Kafka — the operator itself is sink-agnostic
+      val name = "q95_mem_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        import s.implicits._
+        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)))
+          .toDF("event_id", "user_id", "ts")
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, name)(_.where(col("user_id") >= 0).select(
+        col("session_window.start").cast("timestamp_ntz").as("wstart"),
+        col("session_window.end").cast("timestamp_ntz").as("wend"),
+        col("user_id"), col("n")))
+    }),
+
     // §2.8 streaming dedup with a batch-equivalence oracle: documents
     // re-read through a real file-source stream (twice, unioned — the
     // same doubled corpus as q20) into stateful fingerprint clustering;
@@ -1450,6 +1495,23 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // q49's lag/gap session assignment aggregated per session; gap >=
+    // 1800 starts a NEW session (session_window's half-open windows);
+    // wend = last event + gap, exactly the session_window end
+    "q95_stream_session" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |             extract(epoch FROM ts) - extract(epoch FROM lag(ts)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |               AS gap
+        |           FROM events),
+        |s AS (SELECT user_id, ts,
+        |        sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT min(ts) AS wstart, max(ts) + INTERVAL 30 MINUTE AS wend,
+        |       user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // each event belongs to the two 1h/30min sliding windows starting at
     // bucket30(ts) and bucket30(ts) − 30min
     "q93_stream_sliding" ->

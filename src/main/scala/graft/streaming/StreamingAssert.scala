@@ -104,4 +104,20 @@ object StreamingAssert {
         org.apache.spark.sql.functions.window(col("ts"), window, slide),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** STREAMING gap sessionization — the incremental sibling of
+    * TimeOps.sessionize: native `session_window` state merges
+    * per-(key, session), and a session CLOSES (emits, in append mode)
+    * once the watermark passes its end — bounded state, exactly-once
+    * session rows, no reprocessing of closed sessions. Emits one row per
+    * (user, session): the session window plus its event count. Append
+    * mode only emits watermark-closed sessions — a bounded replay must
+    * push the watermark past the last session's end (sentinel batch, see
+    * q95) or the tail sessions stay buffered, correctly, forever. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
 }
