@@ -885,6 +885,13 @@ object SparkEntry {
         Seq("spark", "window", "merge"), k = 15)
     }),
 
+    // exact-COUNT deterministic sample: the 25 docs with the smallest
+    // md5(doc_id) — same 25 on any engine; lowers to TakeOrdered
+    "q96_exact_n" -> ((s, dir) =>
+      graft.ops.Sampling.exactN(
+          Tpch.raw(s, dir, "documents"), "doc_id", 25)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // top-20 bigram collocations by lift (= un-logged PMI, an exact
     // rational of four integer counts); minCount prunes the tail before
     // the unigram joins
@@ -1652,6 +1659,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
         |       round(sum(ts), 4) AS score
         |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q96_exact_n" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 25""".stripMargin,
     // bigrams via the q61 window trick; ORDER BY the UNROUNDED lift on
     // both sides (Spark orders pre-round too) — exact rationals, so the
     // ranking agrees bit-for-bit

@@ -77,6 +77,20 @@ object Sampling {
       .where(col("_rq") <= quota).drop("_rq")
   }
 
+  /** EXACT-size deterministic sample: the n rows with the smallest
+    * md5(id) — a uniform-ish pseudo-random pick that is a pure function
+    * of ids (same n rows on any run, engine, or cluster layout, unlike
+    * `df.sample` or `LIMIT n` without order). [[deterministicRange]]
+    * gives an exact RATE; this gives an exact COUNT — what eval-set
+    * construction ("exactly 10k held-out docs") needs. Lowered to
+    * TakeOrdered (per-partition top-n + merge of n·#partitions rows —
+    * no global sort materialization); ties impossible because id breaks
+    * them. */
+  def exactN(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+  }
+
   /** Leakage-safe fold assignment: the fold is a function of the GROUP's
     * hash — every row of a group (all docs from one domain, all chunks of
     * one document, all works of one author) lands in the SAME fold.

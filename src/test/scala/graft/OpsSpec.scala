@@ -325,6 +325,19 @@ class OpsSpec extends AnyFunSuite {
       ("b", 50L, 5L), ("b", 100L, 5L)))
   }
 
+  test("exactN: deterministic exact-count sample in md5 order") {
+    val df = (1L to 50L).map(i => (i, s"d$i")).toDF("id", "v")
+    val a = graft.ops.Sampling.exactN(df, "id", 7)
+      .select($"id").as[Long].collect().toList
+    val b = graft.ops.Sampling.exactN(df.repartition(13), "id", 7)
+      .select($"id").as[Long].collect().toList
+    assert(a.size === 7 && a === b) // layout-independent pick
+    // matches the driver-computed md5 order
+    def hex(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(a === (1L to 50L).sortBy(i => (hex(i), i)).take(7).toList)
+  }
+
   test("keepBest: per-cluster max-score survivor, min-id ties") {
     val df = Seq((1L, "fp1", 10L), (2L, "fp1", 30L), (3L, "fp1", 30L),
       (4L, "fp2", 5L)).toDF("doc_id", "cl", "score")

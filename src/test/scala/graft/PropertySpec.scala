@@ -294,6 +294,33 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("property: collocations == driver-computed lift ranking") {
+    val rnd = new scala.util.Random(71)
+    val docs = (0 until 15).map { i =>
+      (i.toLong, (0 until (2 + rnd.nextInt(20)))
+        .map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val k = 12
+    val got = graft.ops.TextOps.collocations(
+        docs.toDF("doc_id", "text"), "text", minCount = 2, k)
+      .as[(String, String, Long, Double)].collect().toList
+      .map(r => (r._1, r._2, r._3))
+    val toks = docs.map(_._2.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val total = toks.map(_.size).sum.toDouble
+    val bigrams = toks.flatMap(ws => ws.zip(ws.tail).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).map { case (bg, xs) => bg -> xs.size.toLong }
+      .filter(_._2 >= 2)
+    val want = bigrams.toList.map { case (bg, c) =>
+      val Array(w1, w2) = bg.split(" ")
+      // same IEEE association order as the operator:
+      // (c_ab·T) / (c_a·c_b), each operand cast to double
+      (w1, w2, c, (c.toDouble * total) / (uni(w1) * uni(w2)).toDouble)
+    }.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }
+      .take(k).map(r => (r._1, r._2, r._3))
+    assert(got === want)
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>

@@ -93,6 +93,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids() === List(1L, 2L, 4L))
   }
 
+  test("session_window state survives a checkpoint restart and merges " +
+      "across runs") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val data = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    def write(rows: Seq[(Long, Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("event_id", "user_id", "ts").coalesce(1)
+        .write.mode("append").parquet(data)
+    def start() = {
+      val stream = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        .parquet(data)
+      StreamingAssert.sessionWindowCounts(stream,
+          gap = "10 seconds", watermarkDelay = "5 seconds")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    def sessions() = spark.read.parquet(out)
+      .select($"user_id", $"n").as[(Long, Long)].collect().toList.sorted
+    // run 1: two events 5s apart (one open session for user 1), stop
+    write(Seq((1L, 1L, ts(0)), (2L, 1L, ts(5))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 from the SAME checkpoint: an event at +8s must MERGE into the
+    // recovered session (gap 3s < 10s); a far-future event closes it
+    write(Seq((3L, 1L, ts(8))))
+    write(Seq((4L, 9L, ts(1000))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // user 1's single 3-event session emitted once; user 9's still open
+    assert(sessions() === List((1L, 3L)))
+  }
+
   test("streaming windowed aggregation over events") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
