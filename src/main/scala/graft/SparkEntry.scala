@@ -265,6 +265,29 @@ object SparkEntry {
         .orderBy(col("depth"))
     }),
 
+    // multi-source BFS shortest hop distance (global visited set — min
+    // over roots, unlike reachable's per-root state): regions outward
+    // along REVERSED refs label nations 1, customers 2
+    "q97_shortest_paths" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer", "nation", "region")
+      val roots = ts.matchEntities(Seq(Triples.TypeAttr -> MEq("region")))
+      graft.graph.RefGraph.shortestPaths(ts, roots, reverse = true)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+        .orderBy(col("dist"))
+    }),
+
+    // NEAREST as-of: each click attaches the closest purchase in EITHER
+    // direction (ties → earlier); output the matched timestamp itself so
+    // equal-timestamp right rows cannot make the pick ambiguous
+    "q98_asof_nearest" -> ((s, dir) => {
+      val ev = Tpch.raw(s, dir, "events")
+      graft.ops.TimeOps.asofJoinNearest(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", payloadCols = Nil)
+        .select(col("event_id"), col("user_id"), col("near_ts"))
+    }),
+
     // Q7d nested descent pull: ref → sub-doc, flattened back via explode
     "q14_pull_nested" -> ((s, dir) =>
       Tpch.store(s, dir, "orders", "customer")
@@ -1927,6 +1950,28 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    // the 3-level ref tree: regions at 0, nations at 1, customers at 2
+    "q97_shortest_paths" ->
+      """SELECT CAST(0 AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n
+        |FROM region
+        |UNION ALL SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT)
+        |FROM nation
+        |UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+        |FROM customer""".stripMargin,
+    // two ASOF passes (backward, forward) + the same tie rule as the
+    // operator: equal distance prefers the earlier row
+    "q98_asof_nearest" ->
+      """SELECT c.event_id, c.user_id,
+        |  CASE WHEN b.ts IS NULL THEN f.ts
+        |       WHEN f.ts IS NULL THEN b.ts
+        |       WHEN extract(epoch FROM c.ts) - extract(epoch FROM b.ts)
+        |            <= extract(epoch FROM f.ts) - extract(epoch FROM c.ts)
+        |         THEN b.ts ELSE f.ts END AS near_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON c.user_id = b.user_id AND c.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') f
+        |  ON c.user_id = f.user_id AND c.ts <= f.ts""".stripMargin,
     "q48_datalog_rules" ->
       """SELECT c_custkey AS key, n_name AS ancestor_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

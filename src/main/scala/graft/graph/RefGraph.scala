@@ -59,6 +59,53 @@ object RefGraph {
       .join(vertexDict(ts), Seq("vid")).select($"e", $"rank")
   }
 
+  /** Multi-source BFS shortest HOP DISTANCE over the ref graph: dist 0
+    * at the `roots` (a DataFrame with an `e` column), dist d for
+    * entities first reached at frontier step d — min over all roots by
+    * construction (global visited set, unlike [[TripleStore.reachable]],
+    * whose per-root state answers a different question). The
+    * feature-graph primitive behind "hops from any seed entity".
+    *
+    * Pure frontier iteration: each step is one equi-join of the frontier
+    * against the (deduped) edge list + one anti-join against the known
+    * set — state is O(|V|) total, localCheckpoint truncates lineage, and
+    * a frontier still alive at `maxIters` THROWS (a silently truncated
+    * BFS would look like a valid distance map). `reverse` walks edges
+    * backwards (value → referrer). Output: (e, dist). */
+  def shortestPaths(ts: TripleStore, roots: DataFrame,
+      attrs: Option[Seq[String]] = None, reverse: Boolean = false,
+      maxIters: Int = 20): DataFrame = {
+    val spark = ts.spark
+    import spark.implicits._
+    val es0 = attrs.map(as => ts.edges.where(col("a").isInCollection(as)))
+      .getOrElse(ts.edges)
+    val es = (if (reverse) es0.select($"vref".as("src"), $"e".as("dst"))
+              else es0.select($"e".as("src"), $"vref".as("dst")))
+      .distinct().localCheckpoint(eager = false)
+    var known = roots.select($"e").distinct()
+      .select($"e", lit(0L).as("dist")).localCheckpoint(eager = true)
+    var frontier = known.select($"e")
+    var d = 0L
+    var n = frontier.count()
+    while (n > 0 && d < maxIters) {
+      d += 1
+      val next = es.join(frontier.withColumnRenamed("e", "src"), Seq("src"))
+        .select($"dst".as("e")).distinct()
+        .join(known, Seq("e"), "left_anti")
+        .localCheckpoint(eager = true)
+      n = next.count()
+      if (n > 0) {
+        known = known.unionByName(next.select($"e", lit(d).as("dist")))
+          .localCheckpoint(eager = true)
+        frontier = next.select($"e")
+      }
+    }
+    if (n > 0) throw new IllegalStateException(
+      s"shortestPaths frontier still alive after $maxIters iterations — " +
+        "raise maxIters (deep graph) or check for unexpected edges")
+    known
+  }
+
   /** Fixed-iteration PageRank as pure DataFrame joins, with EXACTLY the
     * classic per-iteration update rank' = reset + (1-reset)·Σ_in rank/deg
     * (vertices with no in-edges hold at `reset`; dangling mass is

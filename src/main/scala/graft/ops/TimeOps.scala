@@ -42,6 +42,56 @@ object TimeOps {
     * last(_, ignoreNulls): the sort-merge formulation — one shuffle on
     * the key, linear in |left| + |right|, versus the O(|left|·|right|)
     * range join a naive join-then-filter would plan. */
+  /** NEAREST as-of join: for every left row, the right row with the same
+    * `keyCol` whose timestamp is CLOSEST in either direction (sensor
+    * alignment, nearest-snapshot enrichment — where backward-only as-of
+    * attaches a stale row when a fresher one sits just ahead). Equal
+    * distance prefers the earlier (backward) row, equal timestamps
+    * match, so the pick is total and deterministic.
+    *
+    * Same sort-merge shape as [[asofJoin]] — one union, one shuffle on
+    * the key, TWO window passes over the same sort (backward
+    * last-non-null, forward first-non-null), then a per-row distance
+    * compare. Linear in |left| + |right|; never a range join. The right
+    * timestamp rides inside the payload struct (`_ts`), so the compare
+    * never mixes columns from different right rows. Output: left columns
+    * + `near_ts` + `near_<payload>`. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val rStructType = org.apache.spark.sql.types.StructType(
+      right.schema(tsCol).copy(name = "_ts") +:
+        payloadCols.map(c => right.schema(c).copy(name = c)))
+    val l = left.select(
+      leftCols.map(col) :+ lit(1).as("_side") :+
+        lit(null).cast(rStructType).as("_r"): _*)
+    val r = right.select(
+      leftCols.map(c => if (c == keyCol || c == tsCol || c == tieCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("_side") :+
+        struct(col(tsCol).as("_ts") +: payloadCols.map(col): _*).as("_r"): _*)
+    val wb = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("_side"), col(tieCol))
+      .rowsBetween(0, Window.unboundedFollowing)
+    def secs(c: Column) = c.cast("timestamp").cast("double")
+    l.unionByName(r)
+      .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wb))
+      .withColumn("_next", first(col("_r"), ignoreNulls = true).over(wf))
+      .where(col("_side") === 1)
+      .withColumn("_pick",
+        when(col("_prev").isNull, col("_next"))
+          .when(col("_next").isNull, col("_prev"))
+          .when(secs(col(tsCol)) - secs(col("_prev")("_ts")) <=
+            secs(col("_next")("_ts")) - secs(col(tsCol)), col("_prev"))
+          .otherwise(col("_next")))
+      .select(leftCols.map(col) ++
+        (col("_pick")("_ts").as("near_ts") +:
+          payloadCols.map(c => col("_pick")(c).as(s"near_$c"))): _*)
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tieCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns

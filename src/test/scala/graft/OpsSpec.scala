@@ -623,6 +623,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map(10L -> Some(1.5), 11L -> Some(2.5), 12L -> None))
   }
 
+  test("asofJoinNearest: closest row either direction, ties prefer earlier") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    val clicks = Seq((10L, 7L, t(100)), (11L, 7L, t(220)), (12L, 7L, t(300)),
+      (13L, 9L, t(50)))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (20L, 7L, t(90), 1.5),  // 10 behind click 10 (next is 110 ahead)
+      (21L, 7L, t(210), 2.5), // 10 behind click 11... and 10 AHEAD via 22
+      (22L, 7L, t(230), 3.5)) // equidistant from click 11 → earlier wins
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.TimeOps.asofJoinNearest(
+        clicks, purchases, "user_id", "ts", "event_id", Seq("value"))
+      .select($"event_id", $"near_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // click 12 (t=300): nearest is 22 at 230 (70 back) vs nothing ahead
+    assert(out === Map(10L -> Some(1.5), 11L -> Some(2.5),
+      12L -> Some(3.5), 13L -> None))
+  }
+
   test("LSH bucket join candidates are a subset of all pairs with dups found") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val df = ((1 to 20).map(i => (i.toLong, s"junk$i " * 30)) :+

@@ -129,6 +129,36 @@ class TripleStoreSpec extends AnyFunSuite {
       Seq("t:c" -> MEq("red"), "t:s" -> MEq("big"))).count() === 1)
   }
 
+  test("shortestPaths: multi-source min distance, cycle-safe, reverse") {
+    // diamond + cycle: a→b, a→c, b→d, c→d, d→a
+    val edges = Seq(("a", "r:next", "b"), ("a", "r:next", "c"),
+      ("b", "r:next", "d"), ("c", "r:next", "d"), ("d", "r:next", "a"))
+    val triples = edges.toDF("e", "a", "vref")
+      .withColumn("vtype", lit(Triples.VRef))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val ts = new TripleStore(spark, triples,
+      Map("r:next" -> AttrSchema("r:next", cardOne = false, isRef = true,
+        Triples.VRef)))
+    val d = graft.graph.RefGraph.shortestPaths(ts, Seq("a").toDF("e"))
+      .as[(String, Long)].collect().toMap
+    assert(d === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // multi-source: min over roots; d reached at 1 from b
+    val d2 = graft.graph.RefGraph.shortestPaths(ts, Seq("b", "c").toDF("e"))
+      .as[(String, Long)].collect().toMap
+    assert(d2 === Map("b" -> 0L, "c" -> 0L, "d" -> 1L, "a" -> 2L))
+    // reverse walks value → referrer
+    val dr = graft.graph.RefGraph.shortestPaths(ts, Seq("d").toDF("e"),
+      reverse = true).as[(String, Long)].collect().toMap
+    assert(dr === Map("d" -> 0L, "b" -> 1L, "c" -> 1L, "a" -> 2L))
+  }
+
   test("reachability fixpoint terminates on cycles (Q7e cycle guard)") {
     val edges = Seq(
       ("a", "r:next", "b"), ("b", "r:next", "c"), ("c", "r:next", "a"))
