@@ -236,6 +236,24 @@ object SparkEntry {
             graft.query.DatalogAgg("max", "?tp", "max_price")))
         .toDF("custkey", "n_orders", "max_price")),
 
+    // datalog agg over LONG values (sum/min are integer-exact — the avg
+    // float path stays unit-tested): per-source character mass.
+    // `withVars = ?d` is Datomic's :with — without it, two docs in a
+    // source with the SAME n_chars would collapse to one contribution
+    // under set semantics (caught by this very oracle during development)
+    "q99_datalog_sum" -> ((s, dir) =>
+      Tpch.store(s, dir, "documents")
+        .datalog(
+          find = Seq("?src"),
+          where = Seq(
+            ("?d", "documents:source", "?src"),
+            ("?d", "documents:n_chars", "?nc")),
+          aggregates = Seq(
+            graft.query.DatalogAgg("sum", "?nc", "sum_chars"),
+            graft.query.DatalogAgg("min", "?nc", "min_chars")),
+          withVars = Seq("?d"))
+        .toDF("source", "sum_chars", "min_chars")),
+
     "q11_agg" -> ((s, dir) =>
       Tpch.store(s, dir, "lineitem")
         .pullMany(Seq(Triples.TypeAttr -> MEq("lineitem")),
@@ -1860,6 +1878,12 @@ object SparkEntry {
     "q80_datalog_strata" ->
       """SELECT DISTINCT n_name AS cname, r_name AS tname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    // doc ids are unique → one (?d, ?nc) binding per doc; long sums are
+    // association-order-proof
+    "q99_datalog_sum" ->
+      """SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // orderkeys are unique in this data, so count(*) == count of order
     // entities; max is order-independent (no float-sum hazard)
     "q94_datalog_agg" ->

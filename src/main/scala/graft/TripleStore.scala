@@ -558,9 +558,11 @@ class TripleStore(
       sortBy: Option[String] = None, desc: Boolean = false,
       take: Option[Int] = None,
       notWhere: Seq[(String, String, Any)] = Nil,
-      aggregates: Seq[DatalogAgg] = Nil): DataFrame =
+      aggregates: Seq[DatalogAgg] = Nil,
+      withVars: Seq[String] = Nil): DataFrame =
     datalogRules(find, where, Nil, sortBy = sortBy, desc = desc,
-      take = take, notWhere = notWhere, aggregates = aggregates)
+      take = take, notWhere = notWhere, aggregates = aggregates,
+      withVars = withVars)
 
   private def isVar(t: Any): Boolean = t match {
     case s: String => s.startsWith("?"); case _ => false }
@@ -656,12 +658,19 @@ class TripleStore(
       notWhere: Seq[(String, String, Any)] = Nil,
       /** Datomic-style find aggregates. With any present, `find` becomes
         * the group keys and the output is find ++ aggregates.map(_.as);
-        * aggregation is over the DISTINCT (find ++ agg vars) projection
-        * of the solved body (set semantics before aggregation, so counts
-        * are of distinct partner values, never of join multiplicities).
-        * One extra groupBy on the find keys — the same shuffle shape the
-        * bare distinct already pays. */
-      aggregates: Seq[DatalogAgg] = Nil): DataFrame = {
+        * aggregation is over the DISTINCT (find ++ with ++ agg vars)
+        * projection of the solved body (set semantics before aggregation,
+        * so counts are of distinct partner values, never of join
+        * multiplicities). One extra groupBy on the find keys — the same
+        * shuffle shape the bare distinct already pays. */
+      aggregates: Seq[DatalogAgg] = Nil,
+      /** Datomic's `:with`: variables included in the pre-aggregation
+        * DISTINCT basis but not grouped or output. Needed whenever the
+        * aggregated VALUE is not itself unique per contributing entity —
+        * `sum ?price` over docs must carry `:with ?doc`, or two docs with
+        * the same price collapse to one contribution under set
+        * semantics. */
+      withVars: Seq[String] = Nil): DataFrame = {
     require(where.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
@@ -787,7 +796,8 @@ class TripleStore(
         aggregates.foreach(a => require(isVar(a.v) && a.as.nonEmpty,
           s"aggregate must name a ?variable and an output column: $a"))
         val proj = negated
-          .select((find ++ aggregates.map(_.v)).distinct.map(col): _*)
+          .select((find ++ withVars ++ aggregates.map(_.v))
+            .distinct.map(col): _*)
           .distinct()
         val aggCols = aggregates.map { a =>
           (a.fn match {

@@ -311,10 +311,11 @@ object Cli {
       find: Seq[String], where: Seq[(String, String, Any)],
       rules: Seq[DatalogRule], sortBy: Option[String], take: Option[Int],
       notWhere: Seq[(String, String, Any)] = Nil,
-      agg: Seq[DatalogAgg] = Nil) {
+      agg: Seq[DatalogAgg] = Nil,
+      withVars: Seq[String] = Nil) {
     def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
       ts.datalogRules(find, where, rules, sortBy = sortBy, take = take,
-          notWhere = notWhere, aggregates = agg)
+          notWhere = notWhere, aggregates = agg, withVars = withVars)
         .toDF(find.map(_.stripPrefix("?")) ++ agg.map(_.as): _*)
   }
 
@@ -384,7 +385,10 @@ object Cli {
         s"'not' must be a list of [s a o] clauses, got $n")
       n.elements().asScala.map(triple).toSeq
     }.getOrElse(Nil)
-    DatalogQuery(find, where, rules, sortBy, take, notW, aggs)
+    // Datomic's :with — extra distinct-basis vars for the aggregates
+    val withV = Option(q.get("with")).map(asArray("with", _))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    DatalogQuery(find, where, rules, sortBy, take, notW, aggs, withV)
   }
 
   def main(argv: Array[String]): Unit = {

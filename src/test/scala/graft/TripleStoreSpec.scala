@@ -280,6 +280,20 @@ class TripleStoreSpec extends AnyFunSuite {
       .as[(String, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out === Map("p1" -> ((2L, "20")), "p2" -> ((1L, "30"))))
+    // WITHOUT :with, equal aggregated values collapse under set
+    // semantics (c1/c2 both aged "20" → one contribution); WITH ?c each
+    // child contributes — Datomic's :with, verbatim
+    val eq = tinyStore(Seq(
+      ("p1", "p:child", "c1", 0L), ("p1", "p:child", "c2", 0L),
+      ("c1", "c:age", "20", 0L), ("c2", "c:age", "20", 0L)))
+    def n(withVars: Seq[String]) = eq.datalog(
+        find = Seq("?p"),
+        where = Seq(("?p", "p:child", "?c"), ("?c", "c:age", "?a")),
+        aggregates = Seq(graft.query.DatalogAgg("count", "?a", "n")),
+        withVars = withVars)
+      .as[(String, Long)].collect().toMap.apply("p1")
+    assert(n(Nil) === 1L)
+    assert(n(Seq("?c")) === 2L)
     intercept[IllegalArgumentException] {
       ts.datalog(Seq("?p"), Seq(("?p", "p:child", "?c")),
         aggregates = Seq(graft.query.DatalogAgg("median", "?c", "m")))
