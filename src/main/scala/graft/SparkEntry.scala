@@ -294,6 +294,24 @@ object SparkEntry {
         .orderBy(col("dist"))
     }),
 
+    // BATCH interval join via BINNING (the q69 semantics without a
+    // stream): clicks open 1h windows, purchases inside match — the
+    // (key, bin) equi-join + BETWEEN post-filter shape, never a nested
+    // loop; same oracle as q69
+    "q100_interval_join" -> ((s, dir) => {
+      val ev = Tpch.raw(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+      graft.ops.TimeOps.intervalJoin(clicks,
+          ev.where(col("event_type") === "purchase"),
+          "user_id", "lo", "hi", "ts",
+          binSeconds = 3600, payloadCols = Seq("event_id", "value"))
+        .select(col("click_id"), col("pt_event_id").as("purchase_id"),
+          round(col("pt_value"), 4).as("value"))
+    }),
+
     // NEAREST as-of: each click attaches the closest purchase in EITHER
     // direction (ties → earlier); output the matched timestamp itself so
     // equal-timestamp right rows cannot make the pick ambiguous
@@ -1982,6 +2000,14 @@ object SparkEntry {
         |FROM nation
         |UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
         |FROM customer""".stripMargin,
+    // identical semantics to q69 through a batch binned plan
+    "q100_interval_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       round(p.value, 4) AS value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     // two ASOF passes (backward, forward) + the same tie rule as the
     // operator: equal distance prefers the earlier row
     "q98_asof_nearest" ->

@@ -42,6 +42,38 @@ object TimeOps {
     * last(_, ignoreNulls): the sort-merge formulation — one shuffle on
     * the key, linear in |left| + |right|, versus the O(|left|·|right|)
     * range join a naive join-then-filter would plan. */
+  /** Scalable BATCH interval join (band join): match each point row to
+    * every interval [lo, hi] with the same key containing its timestamp
+    * — attribution windows, sensor-range enrichment, the batch analogue
+    * of StreamingJoin.intervalJoin. A naive `ts BETWEEN lo AND hi` join
+    * carries no equi-predicate beyond the key and degenerates per hot
+    * key; this form BINS time into `binSeconds` buckets, explodes each
+    * interval to the bins it touches, and equi-joins on (key, bin) with
+    * the exact BETWEEN as a post-filter — a plain shuffle hash/SMJ join,
+    * never a nested loop (asserted by OpsSpec). Each point lives in
+    * exactly ONE bin, so no pair can match twice (no dedup pass needed).
+    * The blowup factor is span/binSeconds intervals-side rows — pick
+    * binSeconds near the typical span, exactly like choosing a streaming
+    * watermark window. Point columns come back as `pt_<name>`; both
+    * bounds are inclusive. */
+  def intervalJoin(intervals: DataFrame, points: DataFrame,
+      keyCol: String, loCol: String, hiCol: String, tsCol: String,
+      binSeconds: Long, payloadCols: Seq[String]): DataFrame = {
+    require(binSeconds >= 1)
+    def secs(c: Column) = c.cast("timestamp").cast("double")
+    def bin(c: Column) = floor(secs(c) / lit(binSeconds.toDouble)).cast("long")
+    val li = intervals.withColumn("_ibin",
+      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    val pts = points.select(
+      (col(keyCol).as("_k") +: col(tsCol).as("_pts") +:
+        payloadCols.map(c => col(c).as(s"pt_$c"))): _*)
+      .withColumn("_pbin", bin(col("_pts")))
+    li.join(pts, col(keyCol) === col("_k") && col("_ibin") === col("_pbin"))
+      .where(col("_pts") >= col(loCol) && col("_pts") <= col(hiCol))
+      .drop("_ibin", "_pbin", "_k")
+      .withColumnRenamed("_pts", s"pt_$tsCol")
+  }
+
   /** NEAREST as-of join: for every left row, the right row with the same
     * `keyCol` whose timestamp is CLOSEST in either direction (sensor
     * alignment, nearest-snapshot enrichment — where backward-only as-of

@@ -623,6 +623,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map(10L -> Some(1.5), 11L -> Some(2.5), 12L -> None))
   }
 
+  test("intervalJoin: binned band join — boundary bins, inclusive ends, " +
+      "no nested loop") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // interval [95, 205] spans bins 0/1/2 at width 100
+    val iv = Seq((1L, 7L, t(95), t(205)), (2L, 9L, t(0), t(10)))
+      .toDF("iid", "k", "lo", "hi")
+    val pts = Seq((30L, 7L, t(95)), (31L, 7L, t(100)), (32L, 7L, t(205)),
+      (33L, 7L, t(206)), (34L, 9L, t(5)), (35L, 8L, t(100)))
+      .toDF("pid", "k", "ts")
+    val out = graft.ops.TimeOps.intervalJoin(iv, pts, "k", "lo", "hi", "ts",
+      binSeconds = 100, payloadCols = Seq("pid"))
+    val got = out.select($"iid", $"pt_pid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 30L), (1L, 31L), (1L, 32L), (2L, 34L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"band join planned a nested loop:\n$plan")
+  }
+
   test("asofJoinNearest: closest row either direction, ties prefer earlier") {
     import java.sql.Timestamp
     def t(s: Long) = new Timestamp(s * 1000)
