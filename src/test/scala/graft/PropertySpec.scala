@@ -321,6 +321,65 @@ class PropertySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("property: intervalJoin == naive BETWEEN join on random intervals") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(83)
+    def t(s: Long) = new Timestamp(s * 1000)
+    val iv = (0 until 40).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, rnd.nextInt(4).toLong, t(lo), t(lo + rnd.nextInt(300)))
+    }
+    val pts = (100 until 250).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong, t(rnd.nextInt(1300).toLong))
+    }
+    val got = graft.ops.TimeOps.intervalJoin(
+        iv.toDF("iid", "k", "lo", "hi"), pts.toDF("pid", "k", "ts"),
+        "k", "lo", "hi", "ts", binSeconds = 97, payloadCols = Seq("pid"))
+      .select($"iid", $"pt_pid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (iid, ik, lo, hi) <- iv
+      (pid, pk, ts) <- pts
+      if ik == pk && !ts.before(lo) && !ts.after(hi)
+    } yield (iid, pid)).toSet
+    assert(got === want)
+  }
+
+  test("property: asofJoinNearest == naive per-row closest lookup") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(89)
+    def t(s: Long) = new Timestamp(s * 1000)
+    val left = (0 until 60).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, t(rnd.nextInt(500).toLong)))
+    val right = (100 until 160).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, t(rnd.nextInt(500).toLong), i * 1.5))
+    val got = graft.ops.TimeOps.asofJoinNearest(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", Seq("value"))
+      .select($"event_id", $"near_value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val want = left.map { case (id, k, ts) =>
+      val cands = right.filter(_._2 == k)
+      if (cands.isEmpty) id -> None
+      else {
+        // min |Δ|; ties prefer the EARLIER right row, then the window's
+        // (ts, event_id) sort order within equal timestamps: backward
+        // last = LARGEST id among equal earlier ts, forward first =
+        // smallest id among equal later ts
+        val withD = cands.map { case (rid, _, rts, v) =>
+          (math.abs(rts.getTime - ts.getTime), rts.getTime, rid, v) }
+        val minD = withD.map(_._1).min
+        val atMin = withD.filter(_._1 == minD)
+        val back = atMin.filter(_._2 <= ts.getTime)
+        val pick =
+          if (back.nonEmpty) back.maxBy(_._3) // backward: last in order
+          else atMin.minBy(_._3)              // forward: first in order
+        id -> Some(pick._4)
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   test("property: asofJoin == naive per-row latest-prior lookup") {
     val rnd = new scala.util.Random(7)
     (0 until 3).foreach { _ =>
