@@ -294,6 +294,18 @@ object SparkEntry {
         .orderBy(col("dist"))
     }),
 
+    // the CLI stats verb end-to-end (thin shell over lengthQuantiles;
+    // must equal the q86 oracle)
+    "q101_cli_stats" -> ((s, dir) => {
+      val out = scratch("q101", dir)
+      graft.tools.Cli.run(s, Array("stats",
+        "-i", dir + "/documents.parquet", "--format", "parquet",
+        "--group", "source", "--text", "text", "--pcts", "50,90,99",
+        "-o", out))
+      s.read.schema("source STRING, pct BIGINT, n_tokens BIGINT").json(out)
+        .select(col("source"), col("pct"), col("n_tokens"))
+    }),
+
     // BATCH interval join via BINNING (the q69 semantics without a
     // stream): clicks open 1h windows, purchases inside match — the
     // (key, bin) equi-join + BETWEEN post-filter shape, never a nested
@@ -2000,6 +2012,22 @@ object SparkEntry {
         |FROM nation
         |UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
         |FROM customer""".stripMargin,
+    // the CLI verb must reproduce the q86 quantile oracle exactly
+    "q101_cli_stats" ->
+      """WITH h AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS _len,
+        |             CAST(count(*) AS BIGINT) AS _cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, _len,
+        |        sum(_cnt) OVER (PARTITION BY source ORDER BY _len
+        |                        ROWS UNBOUNDED PRECEDING) AS _cum,
+        |        sum(_cnt) OVER (PARTITION BY source) AS _n
+        |      FROM h)
+        |SELECT source, CAST(pct AS BIGINT) AS pct,
+        |       CAST(min(_len) AS BIGINT) AS n_tokens
+        |FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+        |WHERE pct * _n <= _cum * 100
+        |GROUP BY 1, 2""".stripMargin,
     // identical semantics to q69 through a batch binned plan
     "q100_interval_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,

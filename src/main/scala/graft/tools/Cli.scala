@@ -48,6 +48,7 @@ import scala.jdk.CollectionConverters._
   *   Cli pack   -i docs.parquet --capacity 256 [--by source] -o out
   *   Cli scrub  -i docs.parquet --id doc_id --text text -o out
   *   Cli split  -i docs.parquet --group source --folds train:192,val:32,test:32 -o out
+  *   Cli stats  -i docs.parquet --group source --text text --pcts 50,90,99 -o out
   */
 object Cli {
   private val mapper = new ObjectMapper()
@@ -75,11 +76,12 @@ object Cli {
       lo: Int = 0,
       hi: Int = 256,
       groupCol: String = "source",
-      folds: String = "train:192,val:32,test:32")
+      folds: String = "train:192,val:32,test:32",
+      pcts: Seq[Int] = Seq(50, 90, 99))
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
-    Seq("dedup", "sample", "chunk", "pack", "scrub", "split")
+    Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -129,6 +131,8 @@ object Cli {
         case f @ "--hi" => a = a.copy(hi = value(f).toInt)
         case f @ "--group" => a = a.copy(groupCol = value(f))
         case f @ "--folds" => a = a.copy(folds = value(f))
+        case f @ "--pcts" =>
+          a = a.copy(pcts = value(f).split(",").toSeq.map(_.toInt))
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -273,6 +277,8 @@ object Cli {
         case "scrub" => graft.ops.TextOps.scrubPii(df, a.idCol, a.textCol)
         case "split" => graft.ops.Sampling.groupSplit(
           df, a.groupCol, parseFolds(a.folds))
+        case "stats" => graft.ops.TextOps.lengthQuantiles(
+          df, a.groupCol, a.textCol, a.pcts)
       }
       writeOut(out, a.output)
       return
