@@ -30,6 +30,27 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Re-register an EXISTING bucketed table (written by [[saveBucketed]]
+    * or the index builders) in a fresh session's catalog — the missing
+    * half of the "bucket metadata lives in the session catalog" caveat:
+    * the parquet needs no rewrite, but a new session must re-declare the
+    * bucket spec or scans lose co-location and pruning. Reads the schema
+    * from the files, then issues the CREATE TABLE … CLUSTERED/SORTED
+    * BY … LOCATION DDL with the SAME buckets/keys the writer used
+    * (mismatched declarations would silently mis-bucket reads — this is
+    * the caller's contract to honor, same as any external-table DDL). */
+  def registerBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, buckets: Int,
+      keyCols: Seq[String]): Unit = {
+    val schema = spark.read.parquet(path).schema
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY (${keyCols.mkString(", ")}) " +
+        s"SORTED BY (${keyCols.mkString(", ")}) INTO $buckets BUCKETS " +
+        s"LOCATION '$path'")
+  }
+
   /** Contiguous global row ids 0..n−1 in `orderCol` order WITHOUT a
     * global window — the 100 TB replacement for
     * `row_number() OVER (ORDER BY …)`, whose empty PARTITION BY funnels

@@ -44,6 +44,28 @@ class LayoutSpec extends AnyFunSuite {
       s"contiguousIds used a window:\n$plan")
   }
 
+  test("registerBucketed: a dropped catalog entry re-registers over the " +
+      "existing parquet with co-location intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
+    val left = (1L to 100L).map(i => (i, i * 2)).toDF("k", "a")
+    val right = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "b")
+    Layout.saveBucketed(left, "reg_l", s"$dir/l", 4, Seq("k"))
+    Layout.saveBucketed(right, "reg_r", s"$dir/r", 4, Seq("k"))
+    // simulate a NEW session: the catalog forgets, the parquet stays
+    spark.sql("DROP TABLE reg_l")
+    spark.sql("DROP TABLE reg_r")
+    Layout.registerBucketed(spark, "reg_l", s"$dir/l", 4, Seq("k"))
+    Layout.registerBucketed(spark, "reg_r", s"$dir/r", 4, Seq("k"))
+    val joined = spark.table("reg_l").hint("merge")
+      .join(spark.table("reg_r"), "k")
+    assert(joined.count() === 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"re-registered bucketed join shuffles:\n$plan")
+    val row = joined.where($"k" === 9L).select($"a", $"b").head
+    assert(row.getLong(0) === 18L && row.getString(1) === "r9")
+  }
+
   test("persisted text index: bm25Query matches bm25Rank and bucket-prunes " +
       "the postings scan to the query terms") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
