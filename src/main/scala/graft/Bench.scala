@@ -56,13 +56,20 @@ object Bench {
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+      // only SUCCESSFUL reps contribute to the stats: a rep that throws
+      // usually fails much faster than a healthy run completes, so mixing
+      // time-to-failure into the median would report a misleadingly fast
+      // number for a broken query ("failed" already records the name and
+      // the run exits non-zero; a query with zero good reps reports null)
+      val times = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // a query that leaks a CacheManager entry must pay for it itself,
         // not squeeze every later query's execution memory; checkpoint
@@ -72,16 +79,27 @@ object Bench {
         // evictions under later queries' shuffles
         spark.catalog.clearCache()
         System.gc()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> median(times)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
+    def med(ts: Seq[Double]): Option[Double] =
+      if (ts.isEmpty) None else Some(median(ts))
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fmt(med(ts)) }
       .mkString("{", ",", "}")
+    // per-query spread alongside the location estimate: single runs on a
+    // shared box show 2-5x spreads, so regression checks need min/max to
+    // tell a real slowdown from one bad rep
+    val stats = results.map { case (k, ts) =>
+      "\"" + k + "\":{\"p50\":" + fmt(med(ts)) +
+        ",\"min\":" + fmt(ts.minOption) +
+        ",\"max\":" + fmt(ts.maxOption) + ",\"n\":" + ts.size + "}"
+    }.mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap { case (_, ts) => med(ts) }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_stats":$stats,"reps":$reps,"failed":$fs,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
     spark.stop()

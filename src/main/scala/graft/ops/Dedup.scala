@@ -98,10 +98,15 @@ object Dedup {
     * lets one pipeline share the shingle pass with verification. The
     * signature array materializes in its OWN projection before the h_j
     * columns slice it (CollapseProject keeps a multi-referenced
-    * non-trivial alias, so the traversal runs once, not k times). */
+    * non-trivial alias, so the traversal runs once, not k times).
+    * Rows with NULL or EMPTY shingle arrays are DROPPED (matching the
+    * explode+groupBy formulation this replaced) — an all-empty doc has
+    * no signature, and emitting sentinel values instead would make every
+    * empty doc collide in every LSH band. */
   def minhashSignaturesSh(sh: DataFrame, idCol: String, k: Int = 32,
       shCol: String = "_sh"): DataFrame =
-    sh.select(col(idCol),
+    sh.where(size(col(shCol)) >= 1)
+      .select(col(idCol),
         graft.functions.VectorFunctions.minhashSigs(col(shCol), k).as("_sig"))
       .select(col(idCol) +:
         (0 until k).map(j => element_at(col("_sig"), j + 1).as(s"h$j")): _*)

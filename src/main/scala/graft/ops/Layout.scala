@@ -80,8 +80,14 @@ object Layout {
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(col(orderCol))
+    // count in a Long loop — it.size is an Int and would silently
+    // overflow on a partition exceeding 2^31 rows
     val counts = sorted.rdd
-      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator((i, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -209,20 +209,50 @@ object TextOps {
     * ⌊tokens-before-this-doc / capacity⌋, so a doc straddling a boundary
     * stays whole in the earlier bin (bins may overflow by one doc; the
     * shuffle-free approximation of first-fit packing, and exactly what a
-    * sequential corpus writer produces). One window over a GLOBAL
-    * ordering — a single task at scale, so this form is the small-corpus
-    * convenience only; the scale path is the `partitionCol` overload
-    * below, which packs within shards. Output: idCol, n_tokens, bin. */
+    * sequential corpus writer produces).
+    *
+    * The global cumulative sum is computed WITHOUT a global window
+    * (`sum() OVER (ORDER BY …)` with empty PARTITION BY funnels the whole
+    * corpus through ONE task — the single-reducer shape this codebase
+    * bans). Same two-pass idiom as [[graft.ops.Layout.contiguousIds]]:
+    * range-partition by `idCol`, per-partition token TOTALS to the driver
+    * (one Long per partition — plan-time metadata), broadcast the prefix
+    * offsets back, assign bins in a per-partition map that reuses the
+    * sort's shuffle files (`.rdd` is a lazy val on the Dataset, so the
+    * sort runs once). `idCol` values must be unique for a deterministic
+    * order. The `partitionCol` overload below remains the sharded-writer
+    * form (per-shard bin numbering). Output: idCol, n_tokens, bin. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       capacity: Int): DataFrame = {
     require(capacity >= 1)
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), nTokens(col(textCol)).cast(LongType).as("n_tokens"))
-      .withColumn("_cum", sum(col("n_tokens")).over(w))
-      .select(col(idCol), col("n_tokens"),
-        floor((col("_cum") - col("n_tokens")).cast(DoubleType) /
-          lit(capacity.toDouble)).cast(LongType).as("bin"))
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(idCol), nTokens(col(textCol)).cast(LongType).as("n_tokens"))
+      .repartitionByRange(n, col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val sums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      while (it.hasNext) { val r = it.next(); if (!r.isNullAt(1)) s += r.getLong(1) }
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add("bin", LongType)
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        // null token count (null text) gets a null bin and does not
+        // advance the cursor — matching SQL window-sum null semantics
+        if (r.isNullAt(1)) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val bin = cum / capacity // tokens-before ⇒ nonneg ⇒ floor division
+          cum += r.getLong(1)
+          Row.fromSeq(r.toSeq :+ bin)
+        }
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Partitioned sequence packing — the 100 TB form: documents pack into

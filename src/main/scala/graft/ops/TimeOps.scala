@@ -58,12 +58,25 @@ object TimeOps {
     * bounds are inclusive. */
   def intervalJoin(intervals: DataFrame, points: DataFrame,
       keyCol: String, loCol: String, hiCol: String, tsCol: String,
-      binSeconds: Long, payloadCols: Seq[String]): DataFrame = {
-    require(binSeconds >= 1)
+      binSeconds: Long, payloadCols: Seq[String],
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
+    require(binSeconds >= 1 && maxBinsPerInterval >= 1)
     def secs(c: Column) = c.cast("timestamp").cast("double")
     def bin(c: Column) = floor(secs(c) / lit(binSeconds.toDouble)).cast("long")
-    val li = intervals.withColumn("_ibin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    // fail-fast bin-count guard (same contract as exactNearDups' maxRows):
+    // one corrupt interval (hi in the far future, or lo/hi swapped —
+    // sequence() would silently generate a DESCENDING bin list) must
+    // raise a clear per-row error, not explode the whole job
+    val nb = bin(col(hiCol)) - bin(col(loCol)) + lit(1L)
+    val bins = when(nb.between(lit(1L), lit(maxBinsPerInterval)),
+        sequence(bin(col(loCol)), bin(col(hiCol))))
+      .otherwise(raise_error(format_string(
+        "graft intervalJoin: interval [%s, %s] spans %s bins (allowed 1..%s)" +
+          " — corrupt bounds or binSeconds too small",
+        col(loCol).cast("string"), col(hiCol).cast("string"),
+        nb.cast("string"), lit(maxBinsPerInterval.toString)))
+        .cast("array<bigint>"))
+    val li = intervals.withColumn("_ibin", explode(bins))
     val pts = points.select(
       (col(keyCol).as("_k") +: col(tsCol).as("_pts") +:
         payloadCols.map(c => col(c).as(s"pt_$c"))): _*)
@@ -108,7 +121,11 @@ object TimeOps {
     val wf = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"), col(tieCol))
       .rowsBetween(0, Window.unboundedFollowing)
-    def secs(c: Column) = c.cast("timestamp").cast("double")
+    // distances compare in EXACT integer microseconds — a double
+    // epoch-seconds cast quantizes at ~0.45 µs at current epoch
+    // magnitudes, which could flip the "equal distance prefers earlier"
+    // tie rule nondeterministically on µs-resolution data
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
     l.unionByName(r)
       .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wb))
       .withColumn("_next", first(col("_r"), ignoreNulls = true).over(wf))
@@ -116,8 +133,8 @@ object TimeOps {
       .withColumn("_pick",
         when(col("_prev").isNull, col("_next"))
           .when(col("_next").isNull, col("_prev"))
-          .when(secs(col(tsCol)) - secs(col("_prev")("_ts")) <=
-            secs(col("_next")("_ts")) - secs(col(tsCol)), col("_prev"))
+          .when(micros(col(tsCol)) - micros(col("_prev")("_ts")) <=
+            micros(col("_next")("_ts")) - micros(col(tsCol)), col("_prev"))
           .otherwise(col("_next")))
       .select(leftCols.map(col) ++
         (col("_pick")("_ts").as("near_ts") +:

@@ -514,9 +514,33 @@ class OpsSpec extends AnyFunSuite {
       s"sharded packing still uses a global window:\n$plan")
     assert(plan.contains("hashpartitioning(source"),
       s"expected window partitioned by source:\n$plan")
-    val global = TextOps.packSequences(df, "doc_id", "text", capacity = 8)
-    assert(global.queryExecution.executedPlan.toString
-      .contains("SinglePartition"))
+  }
+
+  test("global packSequences: no global window, no single-partition " +
+      "funnel — range-partition + broadcast prefix offsets") {
+    val docs = (1L to 100L).map(i => (i, (1L to (i % 7 + 1)).map("w" + _).mkString(" ")))
+    val df = docs.toDF("doc_id", "text").repartition(8)
+    val out = TextOps.packSequences(df, "doc_id", "text", capacity = 10)
+    // correctness vs a driver-computed cumulative packing
+    val expected = {
+      var cum = 0L
+      docs.map { case (id, t) =>
+        val n = t.split(" ").length.toLong
+        val bin = cum / 10; cum += n; id -> ((n, bin))
+      }.toMap
+    }
+    val got = out.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expected)
+    // plan shape: the old Window.orderBy form planned a SinglePartition
+    // exchange; the rewrite must plan NEITHER a window nor a one-task
+    // funnel, and the result must actually live on many partitions
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global packing uses a window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global packing funnels through one task:\n$plan")
+    assert(out.rdd.getNumPartitions > 1,
+      s"global packing collapsed to ${out.rdd.getNumPartitions} partition(s)")
   }
 
   test("text-ranking plan shapes: per-doc/per-group windows, TakeOrdered " +
@@ -660,6 +684,39 @@ class OpsSpec extends AnyFunSuite {
     // click 12 (t=300): nearest is 22 at 230 (70 back) vs nothing ahead
     assert(out === Map(10L -> Some(1.5), 11L -> Some(2.5),
       12L -> Some(3.5), 13L -> None))
+  }
+
+  test("intervalJoin fail-fasts on corrupt intervals instead of exploding") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000)
+    // hi far in the future: would explode to ~315k bins at width 100
+    val corrupt = Seq((1L, 7L, t(0), t(31536000L)))
+      .toDF("iid", "k", "lo", "hi")
+    val pts = Seq((30L, 7L, t(5))).toDF("pid", "k", "ts")
+    val e = intercept[Exception] {
+      graft.ops.TimeOps.intervalJoin(corrupt, pts, "k", "lo", "hi", "ts",
+        binSeconds = 100, payloadCols = Seq("pid"),
+        maxBinsPerInterval = 1000).count()
+    }
+    assert(e.getMessage.contains("intervalJoin") ||
+      Option(e.getCause).exists(_.getMessage.contains("intervalJoin")))
+    // swapped bounds (lo > hi) fail-fast too — sequence() would silently
+    // generate a descending bin list otherwise
+    val swapped = Seq((1L, 7L, t(205), t(95))).toDF("iid", "k", "lo", "hi")
+    intercept[Exception] {
+      graft.ops.TimeOps.intervalJoin(swapped, pts, "k", "lo", "hi", "ts",
+        binSeconds = 100, payloadCols = Seq("pid")).count()
+    }
+  }
+
+  test("minhash signatures drop docs with empty or null shingle arrays") {
+    val sh = Seq(
+      (1L, Seq("a b c")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("doc_id", "_sh")
+    val out = Dedup.minhashSignaturesSh(sh, "doc_id", k = 4)
+    assert(out.select($"doc_id").as[Long].collect().toSet === Set(1L))
   }
 
   test("LSH bucket join candidates are a subset of all pairs with dups found") {
