@@ -1192,6 +1192,27 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
 
+    // incremental NEAR-dup against a PERSISTED LSH band index — the
+    // daily-ingest shape for near duplicates (q75 is the exact-hash
+    // sibling): the corpus (doc_id % 10 != 0) is shingled, MinHashed and
+    // banded ONCE into two bucketed tables; the batch (doc_id % 10 = 0)
+    // bands its own signatures, joins against only the matching _bh
+    // buckets (the scan bucket-prunes to the batch's band-hash IN-list —
+    // LayoutSpec asserts SelectedBucketsCount), then exact-Jaccard
+    // verifies against the corpus_id-bucketed shingle table. Same
+    // banding as q21 (64 hashes, 32 bands × 2 rows: recall ≈ 0.9999 at
+    // j = 0.5), so the exact batch×corpus oracle and the LSH path agree.
+    "q102_incr_neardup" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val table = s"q102idx_${dirTag(dir)}"
+      graft.ops.Dedup.buildLshIndex(
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        table, scratch("q102idx", dir), k = 64, bands = 32, rowsPerBand = 2)
+      graft.ops.Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 10 === 0), table, "doc_id", "text",
+        threshold = 0.5, k = 64, bands = 32, rowsPerBand = 2)
+    }),
+
     // the CLI pipeline surface end-to-end: `chunk` verb over the raw
     // parquet → JSONL artifact → read-back; must equal the q72 oracle —
     // the CLI is a thin shell over the same operator, and this proves it
@@ -2234,6 +2255,20 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5""".stripMargin,
+    // exact batch×corpus Jaccard — the all-pairs formulation of the
+    // bucket-pruned incremental path (split keys disjoint by mod 10)
+    "q102_incr_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w)
+        |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_cat(b.sh, c.sh))), 4) AS jaccard
+        |FROM s b JOIN s c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(b.sh, c.sh))) >= 0.5""".stripMargin,
     "q23_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
         |s AS (SELECT doc_id, source, list_distinct(

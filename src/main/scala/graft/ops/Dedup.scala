@@ -71,6 +71,111 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** PERSISTED LSH band-bucket index — the incremental NEAR-dup analogue
+    * of [[incrementalExact]]: shingle + MinHash + band the corpus ONCE and
+    * write two bucketed tables, so each arriving batch dedups against a
+    * 100 TB corpus WITHOUT recomputing corpus signatures or shuffling the
+    * corpus (the [[nearDupPairs]]-from-scratch-per-batch anti-pattern this
+    * exists to kill):
+    *  - `table`      — one row per (doc, band): corpus_id, _band, _bh;
+    *    bucketed+sorted by `_bh` (a SINGLE bucket column, because Spark
+    *    bucket-prunes only single-column bucket specs);
+    *  - `table_sh`   — corpus_id, _sh (sorted shingles), _n; bucketed by
+    *    corpus_id for the shuffle-free verification join.
+    * Same write-once-join-often contract and session-catalog caveat as
+    * Layout.saveBucketed / Similarity.buildIvfIndex (a new session
+    * re-registers via Layout.registerBucketed; no data rewrite). */
+  def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, k: Int = 32, bands: Int = 16,
+      rowsPerBand: Int = 2, buckets: Int = 16): Unit = {
+    require(bands * rowsPerBand <= k,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) must be <= k ($k)")
+    val sh = corpus.select(col(idCol).as("corpus_id"),
+        sort_array(shingles(col(textCol))).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = minhashSignaturesSh(sh, "corpus_id", k)
+      val bandRows = sigs.select(col("corpus_id"),
+          explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
+        .select(col("corpus_id"), col("bk")("band").as("_band"),
+          col("bk")("bh").as("_bh"))
+      Layout.saveBucketed(bandRows, table, path, buckets, Seq("_bh"))
+      Layout.saveBucketed(
+        sh.select(col("corpus_id"), col("_sh"), size(col("_sh")).as("_n")),
+        table + "_sh", path + "_sh", buckets, Seq("corpus_id"))
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Incremental near-dup dedup against a [[buildLshIndex]] corpus: band
+    * the BATCH's signatures (identical seeds/banding to the build), join
+    * them against only the matching corpus buckets, then exact-Jaccard
+    * verify against the persisted shingle table. The corpus is never
+    * re-shingled, re-hashed, collected, or shuffled: the bucket join reads
+    * the `_bh`-bucketed table in place (and when the batch's distinct
+    * band-hash set is ≤ `maxPruneLiterals` it rides into the scan as an
+    * IN-list, so the read BUCKET-PRUNES — at 100 TB a small batch touches
+    * a handful of buckets, not the corpus; asserted by LayoutSpec), and
+    * the verification join reads the corpus_id-bucketed shingle table with
+    * no corpus-side Exchange. Recall is the LSH banding curve
+    * (1-(1-j^r)^b per pair), exactness above `threshold` is restored by
+    * the verify step — same contract as [[nearDupPairs]].
+    * Output: (new_id, corpus_id, jaccard) for every batch doc whose
+    * Jaccard with a corpus doc is ≥ threshold. */
+  def incrementalNearDups(batch: DataFrame, table: String, idCol: String,
+      textCol: String, threshold: Double = 0.5, k: Int = 32,
+      bands: Int = 16, rowsPerBand: Int = 2,
+      maxPruneLiterals: Int = 4096): DataFrame = {
+    val bsh = batch.select(col(idCol).as("new_id"),
+        sort_array(shingles(col(textCol))).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releasing(bsh) {
+      incrementalNearDupsLazy(bsh, table, threshold, k, bands,
+        rowsPerBand, maxPruneLiterals)
+    }
+  }
+
+  /** The un-checkpointed plan behind [[incrementalNearDups]], over an
+    * already-persisted (new_id, _sh sorted-shingles) frame — separate so
+    * LayoutSpec can assert the bucket pruning on the live plan (the
+    * public surface returns a checkpointed frame, whose executed plan is
+    * just the materialized-RDD scan). */
+  private[graft] def incrementalNearDupsLazy(bsh: DataFrame, table: String,
+      threshold: Double, k: Int, bands: Int, rowsPerBand: Int,
+      maxPruneLiterals: Int): DataFrame = {
+    val spark = bsh.sparkSession
+    val sigs = minhashSignaturesSh(bsh, "new_id", k)
+    val bb = sigs.select(col("new_id"),
+        explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
+      .select(col("new_id"), col("bk")("band").as("_band"),
+        col("bk")("bh").as("_bh"))
+    // distinct batch band-hashes as scan literals: plan-time metadata
+    // (the batch is the small side by definition); past the cap, skip
+    // pruning rather than build a pathological IN-list
+    val bhs = bb.select(col("_bh")).distinct()
+      .limit(maxPruneLiterals + 1).collect().map(_.getLong(0))
+    val corpusBuckets =
+      if (bhs.length <= maxPruneLiterals)
+        spark.table(table).where(col("_bh").isin(bhs.map(Long.box): _*))
+      else spark.table(table)
+    val cand = corpusBuckets.join(bb, Seq("_bh", "_band"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val b = bsh.select(col("new_id"), col("_sh").as("_sh1"),
+      size(col("_sh")).as("_n1"))
+    val c = spark.table(table + "_sh").select(col("corpus_id"),
+      col("_sh").as("_sh2"), col("_n").as("_n2"))
+    cand.join(b, Seq("new_id")).join(c, Seq("corpus_id"))
+      // exactness-preserving size prefilter (see jaccardVerifySh)
+      .where(least(col("_n1"), col("_n2")).cast(DoubleType) >=
+        greatest(col("_n1"), col("_n2")) * threshold)
+      .withColumn("_inter", graft.functions.VectorFunctions
+        .sortedIntersectSize(col("_sh1"), col("_sh2")).cast(DoubleType))
+      .withColumn("_j", col("_inter") /
+        ((col("_n1") + col("_n2")).cast(DoubleType) - col("_inter")))
+      .where(col("_j") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("_j"), 4).as("jaccard"))
+  }
+
   /** Word 3-gram shingle set. Docs shorter than n words yield one
     * shingle = the whole text (so every doc has ≥1 shingle). */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -111,17 +216,23 @@ object Dedup {
       .select(col(idCol) +:
         (0 until k).map(j => element_at(col("_sig"), j + 1).as(s"h$j")): _*)
 
+  /** (band, bandHash) structs over the h0..h{k-1} signature columns —
+    * the banding shared by [[lshCandidates]], [[buildLshIndex]] and
+    * [[incrementalNearDups]] (batch and corpus MUST band identically or
+    * cross-run buckets never match). */
+  private def bandStructs(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
+    }
+
   /** LSH candidate pairs: band the signature (bands × rowsPerBand = k),
     * hash each band, equi-join docs sharing any (band, bandHash) bucket.
     * Returns distinct (id1, id2) with id1 < id2. */
   def lshCandidates(sigs: DataFrame, idCol: String,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(rows: _*).as("bh"))
-    }
     val buckets = sigs.select(col(idCol),
-      explode(array(bandCols: _*)).as("bk"))
+      explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
     val l = buckets.select(col(idCol).as("id1"), col("bk"))
     val r = buckets.select(col(idCol).as("id2"), col("bk"))
     // join on the bucket COLUMN NAME (not l("bk")===r("bk"), which Spark

@@ -92,6 +92,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(!plan.contains("split(text"), s"query re-tokenized the corpus:\n$plan")
   }
 
+  test("persisted LSH index: incrementalNearDups finds planted near-dups " +
+      "and bucket-prunes the corpus band scan to the batch's hashes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    // 30 corpus docs with disjoint vocabularies (no natural near-dups)
+    def text(i: Long) = (1 to 12).map(j => s"c${i}w$j").mkString(" ")
+    val corpus = (1L to 30L).map(i => (i, text(i))).toDF("doc_id", "text")
+    graft.ops.Dedup.buildLshIndex(corpus, "doc_id", "text",
+      "lsh_idx_test", s"$dir/idx", buckets = 64)
+    // batch: a near-copy (one appended word, j = 10/11), an exact copy
+    // (j = 1), and a doc sharing nothing with the corpus
+    val batch = Seq(
+      (101L, text(5) + " extra"),
+      (102L, text(9)),
+      (103L, (1 to 12).map(j => s"z$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalNearDups(
+      batch, "lsh_idx_test", "doc_id", "text", threshold = 0.5)
+    val got = out.select($"new_id", $"corpus_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got === Set((101L, 5L), (102L, 9L)))
+    // the band-table scan must bucket-prune: ≤ 3×16 batch band hashes
+    // can touch at most 48 of the 64 buckets. The public surface returns
+    // a checkpointed frame (plan = materialized-RDD scan), so assert on
+    // the lazy formulation it wraps (the _sh verification scan carries no
+    // IN-list, so require that SOME scan pruned strictly)
+    val bsh = batch.select($"doc_id".as("new_id"),
+      sort_array(graft.ops.Dedup.shingles($"text")).as("_sh"))
+    val lazyPlan = graft.ops.Dedup.incrementalNearDupsLazy(bsh,
+        "lsh_idx_test", 0.5, 32, 16, 2, 4096)
+      .queryExecution.executedPlan.toString
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(lazyPlan).toList
+    assert(sels.nonEmpty, s"no bucketed scan in plan:\n$lazyPlan")
+    assert(sels.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"no scan bucket-pruned:\n$lazyPlan")
+  }
+
   test("persisted IVF index: ivfQuery skips assignment and bucket-prunes " +
       "the corpus scan to the probed cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
