@@ -1279,6 +1279,70 @@ object SparkEntry {
       } finally q.stop()
       drainSink(s, name)(_.select(col("doc_id"), col("batch")))
     }),
+
+    // streaming NEAR-dup first-seen (SimHash 4×16-bit bands,
+    // flatMapGroupsWithState keyed by band value, exact-popcount verify
+    // within bucket, foreachBatch combine): batch 1 streams synthetic
+    // disjoint-vocabulary docs (one per distinct doc_id — simhash
+    // outcomes depend only on the id-derived token strings, and distinct
+    // 12-token vocabularies land within Hamming 3 of each other with
+    // probability ~2^-44 per pair, so all of batch 1 survives); batch 2
+    // streams EXACT copies (Hamming 0 → planted near-dups, dropped) of
+    // the %3==0 docs under shifted ids plus genuinely fresh docs for
+    // %3==1 (survive). A copy that wrongly survived would surface with
+    // batch = -1 and fail the row compare. foreachBatch emits survivors
+    // in their arrival batch, so no sentinel flush is needed.
+    "q103_stream_neardup" -> ((s, dir) => {
+      val in = scratch("q103in", dir)
+      val outp = scratch("q103out", dir)
+      for (d <- Seq(in, outp)) {
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val ids = Tpch.raw(s, dir, "documents").select(col("doc_id")).distinct()
+      val off = ids.agg(max(col("doc_id"))).head.getLong(0) + 1
+      def synth(prefix: String) = concat_ws(" ",
+        (0 until 12).map(j => concat(lit(prefix),
+          col("doc_id").cast("string"), lit(s"_$j"))): _*)
+      def writeBatch(df: DataFrame, ts: String): Unit =
+        df.select(col("doc_id"), col("text"),
+            lit(ts).cast("timestamp").as("ts"))
+          .write.mode("append").parquet(in)
+      writeBatch(ids.select(col("doc_id"), synth("t").as("text")),
+        "2024-01-01 00:00:00")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, ts TIMESTAMP")
+      val stream = s.readStream.schema(schema).parquet(in)
+      val verdicts = graft.streaming.StreamingDedup.firstSeenNearVerdicts(
+        stream, "doc_id", "text", "ts", watermarkDelaySeconds = 600)
+      val q = verdicts.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.StreamingDedup
+            .combineNearVerdicts(b, "doc_id", "ts")
+            .write.mode("append").parquet(outp)
+        }
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // the copy text evaluates synth over the INPUT doc_id, so the
+        // shifted output id carries the ORIGINAL doc's token stream
+        val copies = ids.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + off).as("doc_id"), synth("t").as("text"))
+        val fresh = ids.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2 * off).as("doc_id"),
+            synth("f").as("text"))
+        writeBatch(copies.unionAll(fresh), "2024-01-01 00:01:00")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outp).select(col("doc_id"),
+        when(col("doc_id") < off, 1L)
+          .when(col("doc_id") < 2 * off, -1L)
+          .otherwise(2L).as("batch"))
+    }),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -1926,6 +1990,16 @@ object SparkEntry {
         |SELECT CAST(-1 AS BIGINT), CAST(2 AS BIGINT)
         |UNION ALL
         |SELECT doc_id, CAST(3 AS BIGINT) AS batch FROM f""".stripMargin,
+    // survivors are fully id-derived: all synthetic batch-1 docs pass
+    // (disjoint vocabularies → no Hamming-3 collisions), planted exact
+    // copies are dropped, fresh %3==1 docs under id+2*off pass
+    "q103_stream_neardup" ->
+      """WITH d AS (SELECT DISTINCT doc_id FROM documents),
+        |o AS (SELECT max(doc_id) + 1 AS off FROM d)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM d
+        |UNION ALL
+        |SELECT d.doc_id + 2 * o.off AS doc_id, CAST(2 AS BIGINT) AS batch
+        |FROM d, o WHERE d.doc_id % 3 = 1""".stripMargin,
     "q80_datalog_strata" ->
       """SELECT DISTINCT n_name AS cname, r_name AS tname
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,

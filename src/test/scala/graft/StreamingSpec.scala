@@ -127,6 +127,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions() === List((1L, 3L)))
   }
 
+  test("streaming near-dup first-seen: exact and hamming<=3 dups dropped, " +
+      "far docs pass, band state expires past the watermark") {
+    implicit val sql = spark.sqlContext
+    def tsl(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    def mkText(p: String) = (1 to 100).map(j => s"$p$j").mkString(" ")
+    val a = mkText("a")
+    // find a one-token variant with hamming in [1, 3] from the COMPUTED
+    // simhashes (one token of 100 changed flips ~2-3 of 64 bits; the test
+    // adapts to the actual hashes instead of hardcoding an assumption)
+    val variants = (1 to 30).map(j =>
+      a.split(" ").updated(j, s"chg$j").mkString(" "))
+    val sims = graft.ops.Dedup.simhash(
+      (a +: variants).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val near = variants.zipWithIndex.collectFirst {
+      case (t, i) if {
+        val h = java.lang.Long.bitCount(sims(0L) ^ sims(i + 1L))
+        h >= 1 && h <= 3
+      } => t
+    }
+    assert(near.isDefined, "no 1..3-hamming one-token variant found")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val verdicts = graft.streaming.StreamingDedup.firstSeenNearVerdicts(
+      docs, "id", "text", "ts", watermarkDelaySeconds = 30)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsn").toString
+    val q = verdicts.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingDedup.combineNearVerdicts(b, "id", "ts")
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append").start()
+    try {
+      // batch 1: two far docs + an exact within-batch dup (id 3 of id 1)
+      input.addData((1L, a, tsl(1)), (2L, mkText("b"), tsl(2)),
+        (3L, a, tsl(3)))
+      q.processAllAvailable()
+      // batch 2: the hamming<=3 near-dup of id 1 (dropped) + a far doc
+      input.addData((4L, near.get, tsl(5)), (5L, mkText("c"), tsl(6)))
+      q.processAllAvailable()
+      // sentinel: watermark → 60, which EXPIRES the band state of
+      // batches 1-2 (bucket timeout = last arrival + 30s < 60)
+      input.addData((90L, mkText("s"), tsl(90)))
+      q.processAllAvailable()
+      // post-expiry re-arrival of id 1's exact text must RE-emit —
+      // bounded-state semantics, not once-per-stream-lifetime
+      input.addData((6L, a, tsl(95)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).select($"id")
+        .as[Long].collect().toList.sorted
+      assert(got === List(1L, 2L, 5L, 6L, 90L))
+    } finally q.stop()
+  }
+
   test("streaming windowed aggregation over events") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
