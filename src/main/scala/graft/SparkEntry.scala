@@ -218,6 +218,23 @@ object SparkEntry {
       q.run(geoStore(s, dir))
     }),
 
+    // Datalog DISJUNCTION (Datomic-style or / and branches) through the
+    // CLI JSON grammar: orders that are status P, OR (status F AND
+    // 1-URGENT) — a heterogeneous-attribute disjunction no IN-list can
+    // express. Branches compile to a UNION of per-branch joins projected
+    // onto the (enforced-identical) branch variable set, then join the
+    // positive body on ?o.
+    "q104_datalog_or" -> ((s, dir) => {
+      val q = graft.tools.Cli.parseDatalogQuery(
+        """{"find": ["?orderkey"],
+          |"where": [["?o", "orders:orderkey", "?orderkey"],
+          |          {"or": [["?o", "orders:orderstatus", "P"],
+          |                  [["?o", "orders:orderstatus", "F"],
+          |                   ["?o", "orders:orderpriority", "1-URGENT"]]]}]}"""
+          .stripMargin)
+      q.run(Tpch.store(s, dir, "orders"))
+    }),
+
     // §2.6 relational agg over pull output (TPC-H Q1-lite via triples)
     // Datomic-style find-AGGREGATES over the datalog surface: per
     // customer, order count + max total price. Aggregation is over the
@@ -273,6 +290,35 @@ object SparkEntry {
         .orderBy(col("acctbal").desc, col("custkey").asc)
         .limit(10)
         .drop("e")),
+
+    // pull TOP-K PUSHDOWN (the reference's own TODO, tripl.py:730-732):
+    // sort+limit on a root attr prune the matched eids BEFORE the pull
+    // join tree — the nested nation pull here joins 10 entities' triples,
+    // not all customers' (plan shape asserted by TripleStoreSpec).
+    // custkey is unique, so the boundary is tie-free and deterministic.
+    "q105_pull_topk" -> ((s, dir) =>
+      Tpch.store(s, dir, "customer", "nation")
+        .pullMany(
+          Seq(Triples.TypeAttr -> MEq("customer")),
+          Seq(PAttr("customer:custkey"), PAttr("customer:acctbal"),
+            PNest("customer:nation", Seq(PAttr("nation:name")))),
+          sortBy = Some("custkey"), limit = Some(10))
+        .select(col("custkey"), col("acctbal"),
+          explode(col("nation")).as("nn"))
+        .select(col("custkey"), col("acctbal"),
+          col("nn.name").as("nation_name"))),
+
+    // ROOT-BATCHED reachable (the dense-graph form of q13: per-root BFS
+    // state bounded by rootBatchSize per sequential batch, shared
+    // persisted edge projection, union == the unbatched closure) — same
+    // depth histogram, same oracle as q13
+    "q106_reachable_batched" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer", "nation", "region")
+      val roots = ts.matchEntities(Seq(Triples.TypeAttr -> MEq("customer")))
+      ts.reachableBatched(roots,
+          Some(Seq("customer:nation", "nation:region")), rootBatchSize = 4096)
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+    }),
 
     // Q7e '...' recursion: BFS fixpoint over ref edges, depth histogram
     "q13_reachable" -> ((s, dir) => {
@@ -2016,6 +2062,16 @@ object SparkEntry {
         |       max(o_totalprice) AS max_price
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "q105_pull_topk" ->
+      """SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+        |       n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey LIMIT 10""".stripMargin,
+    "q104_datalog_or" ->
+      """SELECT DISTINCT o_orderkey AS orderkey FROM orders
+        |WHERE o_orderstatus = 'P'
+        |   OR (o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')"""
+        .stripMargin,
     "q71_datalog_not" ->
       """SELECT c_custkey AS custkey FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -2172,6 +2228,10 @@ object SparkEntry {
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
     "q13_reachable" ->
+      """SELECT 0 AS depth, count(*) AS n FROM customer
+        |UNION ALL SELECT 1 AS depth, count(*) AS n FROM customer
+        |UNION ALL SELECT 2 AS depth, count(*) AS n FROM customer""".stripMargin,
+    "q106_reachable_batched" ->
       """SELECT 0 AS depth, count(*) AS n FROM customer
         |UNION ALL SELECT 1 AS depth, count(*) AS n FROM customer
         |UNION ALL SELECT 2 AS depth, count(*) AS n FROM customer""".stripMargin,

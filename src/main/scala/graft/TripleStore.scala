@@ -517,10 +517,44 @@ class TripleStore(
       sortBy: Option[String] = None,
       desc: Boolean = false,
       limit: Option[Int] = None): DataFrame = {
-    // matchEntities output is distinct by construction
-    val base = fusedPullMany(pattern, specs).getOrElse(
-      pull(matchEntities(pattern), specs, entitiesDistinct = true))
-    sortLimit(base, sortBy, desc, limit)
+    fusedPullMany(pattern, specs) match {
+      case Some(f) => sortLimit(f, sortBy, desc, limit)
+      case None =>
+        // matchEntities output is distinct by construction
+        val ents = matchEntities(pattern)
+        // top-k pushdown (the reference's own TODO, tripl.py:730-732):
+        // when sort+limit name a flat cardinality-one attr among the
+        // pulled specs, rank the MATCHED EIDS by a mini-pull of just
+        // that attr and take k BEFORE the full pull join tree — a top-k
+        // pull over a 100 TB store then joins k entities' triples, not
+        // every match's. The outer sortLimit still runs to order the k
+        // pulled rows (and is what callers observe; boundary ties are
+        // sort-nondeterministic in both paths, exactly as before).
+        val pruned = (sortBy, limit) match {
+          case (Some(k), Some(n)) =>
+            specs.collectFirst {
+              case p: PAttr if p.name == k && schemaOf(p.attr).cardOne =>
+                topKEids(ents, p.attr, desc, n)
+            }.getOrElse(ents)
+          case _ => ents
+        }
+        sortLimit(pull(pruned, specs, entitiesDistinct = true),
+          sortBy, desc, limit)
+    }
+  }
+
+  /** The `limit`-sized eid subset that a sort on `attr` selects: one
+    * attr-pruned scan + per-entity aggregate + TakeOrderedAndProject —
+    * entities missing the attr sort as SQL nulls (first asc / last
+    * desc), matching the post-pull column sort they replace. */
+  private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
+      limit: Int): DataFrame = {
+    val vc = col(valueCol(attr))
+    val vals = scanFor(Seq(attr)).join(ents, Seq("e"), "left_semi")
+      .groupBy($"e").agg(max(when($"a" === attr, vc)).as("_sortv"))
+    ents.join(vals, Seq("e"), "left")
+      .orderBy(if (desc) col("_sortv").desc else col("_sortv").asc)
+      .limit(limit).select($"e")
   }
 
   /** Q8 — pull_many over an EXPLICIT eid list (tripl.py:729: pull_many
@@ -559,10 +593,11 @@ class TripleStore(
       take: Option[Int] = None,
       notWhere: Seq[(String, String, Any)] = Nil,
       aggregates: Seq[DatalogAgg] = Nil,
-      withVars: Seq[String] = Nil): DataFrame =
+      withVars: Seq[String] = Nil,
+      orWhere: Seq[DatalogOr] = Nil): DataFrame =
     datalogRules(find, where, Nil, sortBy = sortBy, desc = desc,
       take = take, notWhere = notWhere, aggregates = aggregates,
-      withVars = withVars)
+      withVars = withVars, orWhere = orWhere)
 
   private def isVar(t: Any): Boolean = t match {
     case s: String => s.startsWith("?"); case _ => false }
@@ -670,8 +705,14 @@ class TripleStore(
         * `sum ?price` over docs must carry `:with ?doc`, or two docs with
         * the same price collapse to one contribution under set
         * semantics. */
-      withVars: Seq[String] = Nil): DataFrame = {
-    require(where.nonEmpty, "empty where")
+      withVars: Seq[String] = Nil,
+      /** Disjunctive groups (Datomic's `or`): each group contributes ONE
+        * relation — the union of its branches' clause joins — joined into
+        * the positive body on shared variables. All branches of a group
+        * must bind the same variable set (see [[graft.query.DatalogOr]]);
+        * IDB predicates from `rules` may appear inside branches. */
+      orWhere: Seq[DatalogOr] = Nil): DataFrame = {
+    require(where.nonEmpty || orWhere.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
 
@@ -781,7 +822,30 @@ class TripleStore(
           "raise maxIters (deep recursion) or check the rules for divergence")
       totalAll ++= total
     }
-    val positive = joinClauses(where.map(clauseDf(_, totalAll)))
+    // or-groups: one relation per group — union of per-branch conjunctive
+    // joins projected onto the (identical, enforced) branch variable set.
+    // Branches may reference IDB predicates; the group then joins into
+    // the positive body on shared variables like any other clause.
+    val orDfs = orWhere.map { og =>
+      require(og.branches.nonEmpty, "or group with no branches")
+      def varsOf(cl: (String, String, Any)): Set[String] = {
+        val (s, _, o) = cl
+        (if (isVar(s)) Set(s) else Set.empty[String]) ++
+          (o match {
+            case v: String if isVar(v) => Set(v)
+            case _ => Set.empty[String]
+          })
+      }
+      val varSets = og.branches.map(_.flatMap(varsOf).toSet)
+      require(varSets.head.nonEmpty && varSets.forall(_ == varSets.head),
+        "or branches must bind the same non-empty variable set, got " +
+          varSets.map(_.toSeq.sorted.mkString("{", " ", "}")).mkString(", "))
+      val vars = varSets.head.toSeq.sorted
+      og.branches.map { b =>
+        joinClauses(b.map(clauseDf(_, totalAll))).select(vars.map(col): _*)
+      }.reduce(_ unionByName _).distinct()
+    }
+    val positive = joinClauses(where.map(clauseDf(_, totalAll)) ++ orDfs)
     val negated = notWhere.foldLeft(positive) { (acc, cl) =>
       val clDf = clauseDf(cl, totalAll)
       val shared = clDf.columns.filter(acc.columns.contains).toSeq
@@ -884,9 +948,55 @@ class TripleStore(
       roots: DataFrame,
       attrs: Option[Seq[String]] = None,
       maxIters: Int = 20,
+      maxFrontier: Option[Long] = None): DataFrame =
+    bfsFrom(roots,
+      edgesFor(attrs).select($"e".as("_src"), $"vref".as("_dst")),
+      maxIters, maxFrontier)
+
+  /** ROOT-BATCHED [[reachable]] — the dense-graph form: per-root visited
+    * state is O(|V|·|roots|) (see the scale note above), so instead of
+    * failing at `maxFrontier`, partition the ROOT SET into
+    * ⌈|roots|/rootBatchSize⌉ deterministic hash-batches and run the BFS
+    * once per batch against ONE shared persisted edge projection — peak
+    * frontier state is bounded by O(|V|·rootBatchSize) regardless of how
+    * many roots the caller passes, turning the valve into a scheduling
+    * knob. Batches run sequentially from the driver (each materializes
+    * via the BFS's own per-iteration checkpoints), so peak cluster state
+    * is one batch's, and the union of batch results is exactly the
+    * unbatched answer: per-root traversals are independent — batching
+    * cannot change any root's closure, only when it is computed
+    * (property-tested against [[reachable]] on random dense graphs). */
+  def reachableBatched(
+      roots: DataFrame,
+      attrs: Option[Seq[String]] = None,
+      maxIters: Int = 20,
+      rootBatchSize: Int = 1024,
       maxFrontier: Option[Long] = None): DataFrame = {
-    val es = edgesFor(attrs)
-      .select($"e".as("_src"), $"vref".as("_dst"))
+    require(rootBatchSize >= 1)
+    val r = roots.select($"e").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val es = edgesFor(attrs).select($"e".as("_src"), $"vref".as("_dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = r.count()
+      val nBatches = math.max(1L, (n + rootBatchSize - 1) / rootBatchSize).toInt
+      (0 until nBatches).map { b =>
+        bfsFrom(r.where(pmod(xxhash64($"e"), lit(nBatches)) === b),
+          es, maxIters, maxFrontier)
+      }.reduce(_ unionByName _)
+    } finally {
+      r.unpersist(blocking = false)
+      es.unpersist(blocking = false)
+    }
+  }
+
+  /** The BFS fixpoint shared by [[reachable]] / [[reachableBatched]]:
+    * frontier expansion over a prepared (_src, _dst) edge frame. */
+  private def bfsFrom(
+      roots: DataFrame,
+      es: DataFrame,
+      maxIters: Int,
+      maxFrontier: Option[Long]): DataFrame = {
     var visited = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
       .localCheckpoint(eager = true)
     var frontier = visited

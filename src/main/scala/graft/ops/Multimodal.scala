@@ -78,18 +78,54 @@ object Multimodal {
           lit(frameLen)).as("frame"))
   }
 
-  /** Partition-local batch featurization of (idCol, binCol) rows. */
-  def featurize(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  /** The decode/featurize seam: implementations wrap a real image/audio
+    * codec or feature model. The contract IS the 100 TB shape:
+    *  - constructed ON THE EXECUTOR once per partition (via the factory
+    *    passed to [[featurize]]) — model weights / codec contexts load
+    *    once per task, never per row;
+    *  - fed BATCHES of payloads (vectorization-friendly — a real
+    *    implementation hands the whole batch to the native library in
+    *    one call, the Scala analogue of a pandas-batched UDF);
+    *  - closed when the partition is exhausted (native buffers freed
+    *    even mid-stream, because close also runs on task completion). */
+  trait BatchCodec {
+    /** One feature vector per payload, same order/length as the input. */
+    def featurizeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]]
+    def close(): Unit = ()
+  }
+
+  /** Default codec: the deterministic [[stubFeaturize]] fake, batched. */
+  final class StubCodec extends BatchCodec {
+    def featurizeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map(stubFeaturize)
+  }
+
+  /** Partition-local batch featurization of (idCol, binCol) rows:
+    * `codecFactory` runs ONCE per partition (asserted by OpsSpec with an
+    * accumulator), payloads flow to the codec in `batchSize` groups, and
+    * the codec is closed on partition completion — swap the factory for
+    * a real decoder and the plan/shuffle/lifecycle shape is already the
+    * one a production pipeline needs. Narrow map, no shuffle. */
+  def featurize(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64,
+      codecFactory: () => BatchCodec = () => new StubCodec): DataFrame = {
+    require(batchSize >= 1)
     val in = df.select(col(idCol).cast(LongType), col(binCol))
     val enc = ExpressionEncoder(featSchema)
     in.mapPartitions { rows =>
-      // per-partition init of a real codec would happen HERE, once
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val feat = stubFeaturize(payload)
-        Row(id, payload.length.toLong,
-          if (payload.nonEmpty) payload(0) & 0xff else -1, feat)
+      val codec = codecFactory() // once per PARTITION, not per row
+      org.apache.spark.TaskContext.get() match {
+        case null => () // driver-local testing path
+        case tc => tc.addTaskCompletionListener[Unit](_ => codec.close())
+      }
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map(_.getAs[Array[Byte]](1)).toArray
+        val feats = codec.featurizeBatch(payloads)
+        batch.iterator.zipWithIndex.map { case (r, i) =>
+          val payload = payloads(i)
+          Row(r.getLong(0), payload.length.toLong,
+            if (payload.nonEmpty) payload(0) & 0xff else -1, feats(i))
+        }
       }
     }(enc)
   }

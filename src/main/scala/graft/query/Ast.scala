@@ -78,6 +78,17 @@ final case class DatalogRule(
     body: Seq[(String, String, Any)],
     negBody: Seq[(String, String, Any)] = Nil)
 
+/** A Datalog OR group (Datomic's `or` / `or-join`): a DISJUNCTION of
+  * branches, each branch a conjunction of clauses. Every branch must
+  * bind the SAME non-empty variable set (Datomic's or-clause rule —
+  * anything else would make the group's relation schema depend on which
+  * branch matched); a mismatch is rejected at compile time. Compiled to
+  * a UNION of the per-branch clause joins projected onto the common
+  * variables, de-duplicated (set semantics, like every relation here),
+  * then joined into the positive body on shared variables — one extra
+  * union + distinct, no driver-side evaluation. */
+final case class DatalogOr(branches: Seq[Seq[(String, String, Any)]])
+
 /** A Datalog find-aggregate (Datomic-style `(count ?x)` forms): apply
   * `fn` (count | sum | min | max | avg) to variable `v`, output column
   * `as`. With aggregates present, the query's plain `find` variables

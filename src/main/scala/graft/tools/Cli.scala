@@ -310,18 +310,24 @@ object Cli {
   }
 
   /** The reference's planned datalog query dict (tripl.py:571-584),
-    * extended with stratified negation under the `not` key and Datomic-
+    * extended with stratified negation under the `not` key, Datomic-
     * style find-aggregates under the `agg` key
-    * (`"agg": [["count", "?o", "n_orders"]]` — find vars group). */
+    * (`"agg": [["count", "?o", "n_orders"]]` — find vars group), and
+    * disjunction: a `where` entry may be `{"or": [branch, ...]}` where a
+    * branch is one `[s a o]` clause or an and-group `[[s a o], ...]`
+    * (Datomic's `or`/`and` forms; all branches must bind the same
+    * variables). */
   final case class DatalogQuery(
       find: Seq[String], where: Seq[(String, String, Any)],
       rules: Seq[DatalogRule], sortBy: Option[String], take: Option[Int],
       notWhere: Seq[(String, String, Any)] = Nil,
       agg: Seq[DatalogAgg] = Nil,
-      withVars: Seq[String] = Nil) {
+      withVars: Seq[String] = Nil,
+      orWhere: Seq[graft.query.DatalogOr] = Nil) {
     def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
       ts.datalogRules(find, where, rules, sortBy = sortBy, take = take,
-          notWhere = notWhere, aggregates = agg, withVars = withVars)
+          notWhere = notWhere, aggregates = agg, withVars = withVars,
+          orWhere = orWhere)
         .toDF(find.map(_.stripPrefix("?")) ++ agg.map(_.as): _*)
   }
 
@@ -347,8 +353,23 @@ object Cli {
     val find = asArray("find", required("find"))
       .elements().asScala.map(_.asText).toSeq
     require(find.nonEmpty, s"'find' must name at least one variable")
-    val where = asArray("where", required("where"))
-      .elements().asScala.map(triple).toSeq
+    // `where` entries: plain [s a o] clauses, or {"or": [branch...]}
+    // disjunction groups (branch = one clause or an and-group of clauses)
+    val (orEls, whereEls) = asArray("where", required("where"))
+      .elements().asScala.toSeq
+      .partition(e => e.isObject && e.has("or"))
+    orEls.foreach(e => require(e.size() == 1,
+      s"""disjunction must be exactly {"or": [branch...]}, got $e"""))
+    val where = whereEls.map(triple)
+    val orWhere = orEls.map { e =>
+      val branches = asArray("or", e.get("or")).elements().asScala.map { b =>
+        require(b.isArray && b.size() > 0,
+          s"or branch must be [s a o] or [[s a o]...], got $b")
+        if (b.get(0).isArray) b.elements().asScala.map(triple).toSeq
+        else Seq(triple(b))
+      }.toSeq
+      graft.query.DatalogOr(branches)
+    }
     val rules = Option(q.get("rules")).map(asArray("rules", _))
       .map(_.elements().asScala.map { r =>
         val els = r.elements().asScala.toSeq
@@ -394,7 +415,8 @@ object Cli {
     // Datomic's :with — extra distinct-basis vars for the aggregates
     val withV = Option(q.get("with")).map(asArray("with", _))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
-    DatalogQuery(find, where, rules, sortBy, take, notW, aggs, withV)
+    DatalogQuery(find, where, rules, sortBy, take, notW, aggs, withV,
+      orWhere)
   }
 
   def main(argv: Array[String]): Unit = {

@@ -91,6 +91,39 @@ class OpsSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("multimodal codec lifecycle: ONE init per partition, batched " +
+      "calls, closed on completion") {
+    val inits = spark.sparkContext.longAccumulator("codec_inits")
+    val calls = spark.sparkContext.longAccumulator("codec_batches")
+    val closes = spark.sparkContext.longAccumulator("codec_closes")
+    val df = (1L to 40L).map(i => (i, s"payload$i")).toDF("doc_id", "text")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .repartition(4)
+    val factory = () => {
+      inits.add(1)
+      new Multimodal.BatchCodec {
+        def featurizeBatch(ps: Array[Array[Byte]]): Array[Array[Float]] = {
+          calls.add(1); ps.map(Multimodal.stubFeaturize)
+        }
+        override def close(): Unit = closes.add(1)
+      }
+    }
+    val out = Multimodal.featurize(df, "doc_id", "payload",
+      batchSize = 5, codecFactory = factory)
+    assert(out.count() === 40)
+    assert(inits.value === 4, s"expected one codec init per partition")
+    // 40 rows / batchSize 5 → ~8 batch calls (±partition-size skew),
+    // i.e. BATCHED — nowhere near one call per row
+    assert(calls.value >= 4 && calls.value <= 12,
+      s"expected batched codec calls, got ${calls.value}")
+    assert(closes.value === 4, s"expected one close per partition")
+    // batching must not change results vs the default per-stub path
+    val base = Multimodal.featurize(df, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    val batched = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(batched === base)
+  }
+
   test("ppJoin prefix candidates + verify match brute-force exact Jaccard") {
     // mixed corpus: two planted near-dup clusters + noise docs sharing a
     // popular token (stresses the frequency-ordered prefix: the popular

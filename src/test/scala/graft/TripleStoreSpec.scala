@@ -301,6 +301,63 @@ class TripleStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("datalog or: branch union incl. and-groups and IDB predicates, " +
+      "var-scope mismatch rejected") {
+    val ts = tinyStore(Seq(
+      ("p1", "p:city", "london", 0L), ("p1", "p:name", "ada", 0L),
+      ("p2", "p:city", "paris", 0L), ("p2", "p:name", "bob", 0L),
+      ("p2", "p:vip", "true", 0L),
+      ("p3", "p:city", "rome", 0L), ("p3", "p:name", "eve", 0L),
+      ("p3", "p:vip", "true", 0L)))
+    // london OR (vip AND rome): p1 by branch 1, p3 by the and-group;
+    // p2 is vip but in paris — matches neither branch
+    val out = ts.datalog(Seq("?n"),
+        where = Seq(("?p", "p:name", "?n")),
+        orWhere = Seq(graft.query.DatalogOr(Seq(
+          Seq(("?p", "p:city", "london")),
+          Seq(("?p", "p:vip", "true"), ("?p", "p:city", "rome"))))))
+      .as[String].collect().toList.sorted
+    assert(out === List("ada", "eve"))
+    // branches may reference rule-derived (IDB) predicates
+    val rules = Seq(graft.query.DatalogRule(("?a", "loc", "?c"),
+      Seq(("?a", "p:city", "?c"))))
+    val out2 = ts.datalogRules(Seq("?n"),
+        where = Seq(("?p", "p:name", "?n")), rules = rules,
+        orWhere = Seq(graft.query.DatalogOr(Seq(
+          Seq(("?p", "loc", "london")), Seq(("?p", "loc", "rome"))))))
+      .as[String].collect().toList.sorted
+    assert(out2 === List("ada", "eve"))
+    // var-scope mismatch: {?p} vs {?p, ?x} must be rejected, not given
+    // accidental semantics by a lucky unionByName
+    intercept[IllegalArgumentException] {
+      ts.datalog(Seq("?n"), Seq(("?p", "p:name", "?n")),
+        orWhere = Seq(graft.query.DatalogOr(Seq(
+          Seq(("?p", "p:city", "london")),
+          Seq(("?p", "p:city", "?x"))))))
+        .collect()
+    }
+  }
+
+  test("pullMany top-k pushdown: sort+limit rank the matched eids before " +
+      "the pull joins (tripl.py:730-732)") {
+    val ts = tinyStore(
+      (1 to 20).flatMap(i => Seq(
+        (s"e$i", "p:rank", f"r$i%02d", 0L),
+        (s"e$i", "p:tag", s"t${i % 3}", 0L))),
+      cardOne = Set("p:rank"))
+    val out = ts.pullMany(Seq("p:rank" -> MAny),
+      Seq(PAttr("p:rank"), PWild),
+      sortBy = Some("rank"), desc = true, limit = Some(3))
+    assert(out.select($"rank").as[String].collect().toList ===
+      List("r20", "r19", "r18"))
+    // TWO TakeOrderedAndProject nodes: the eid pre-selection (below the
+    // pull joins — the pushdown) and the final output ordering. Without
+    // the pushdown the plan has exactly one, above everything.
+    val plan = out.queryExecution.executedPlan.toString
+    val n = "TakeOrderedAndProject".r.findAllMatchIn(plan).size
+    assert(n >= 2, s"expected pushed-down TakeOrderedAndProject, got $n:\n$plan")
+  }
+
   test("W8 bootstrap precedence: kwargs > in-band schema > defaults") {
     // in-band: k:one declared cardinality-one; db.refs:lazy = false
     val base = tinyStore(Seq(
@@ -709,6 +766,50 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxFrontier"))
     // without the valve the same traversal completes
     assert(ts.reachable(roots).count() === 16) // 4 roots × 4 reachable each
+  }
+
+  test("reachableBatched == reachable on dense graphs, and turns the " +
+      "maxFrontier valve into a scheduling knob") {
+    def refStore(edges: Seq[(String, String)]): TripleStore = {
+      val triples = edges.map { case (x, y) => (x, "r:next", y) }
+        .toDF("e", "a", "vref")
+        .withColumn("vtype", lit(Triples.VRef))
+        .withColumn("vstr", lit(null).cast("string"))
+        .withColumn("vlong", lit(null).cast("long"))
+        .withColumn("vdbl", lit(null).cast("double"))
+        .withColumn("vbool", lit(null).cast("boolean"))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .withColumn("txId", lit(0L))
+        .select(Triples.columns.map(col): _*)
+      new TripleStore(spark, triples, Map(
+        "r:next" -> AttrSchema("r:next", cardOne = false, isRef = true,
+          Triples.VRef)))
+    }
+    // random dense DIRECTED graph (cycles allowed): batching must return
+    // exactly the unbatched closure — per-root traversals are independent
+    val rnd = new scala.util.Random(31)
+    val vs = (0 until 20).map(i => s"n$i")
+    val edges = for { x <- vs; y <- vs if x != y && rnd.nextDouble() < 0.2 }
+      yield (x, y)
+    val ts = refStore(edges)
+    val roots = vs.toDF("e")
+    val want = ts.reachable(roots)
+      .as[(String, String, Int)].collect().toSet
+    val got = ts.reachableBatched(roots, rootBatchSize = 3)
+      .as[(String, String, Int)].collect().toSet
+    assert(got === want)
+    // K4 with all roots: one hop = 12 (entity, root) pairs, so the
+    // unbatched valve trips at 11 — while root batches keep the per-batch
+    // frontier under the SAME cap and the traversal completes
+    val vs4 = Seq("a", "b", "c", "d")
+    val k4 = refStore(for { x <- vs4; y <- vs4 if x != y } yield (x, y))
+    val r4 = vs4.toDF("e")
+    intercept[IllegalStateException] {
+      k4.reachable(r4, maxFrontier = Some(11L)).count()
+    }
+    assert(k4.reachableBatched(r4, rootBatchSize = 1,
+      maxFrontier = Some(11L)).count() === 16)
   }
 
   test("store merge is set union over globally-unique eids (W5)") {
