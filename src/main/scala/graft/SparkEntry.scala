@@ -1002,6 +1002,50 @@ object SparkEntry {
         Seq("spark", "window", "merge"), k = 15)
     }),
 
+    // INCREMENTAL text-index maintenance: build the postings table on
+    // 6/7 of the corpus, APPEND the remaining batch (only the batch is
+    // tokenized; the bucketed table gains its postings, the 1-row stats
+    // sidecar folds in the batch's counts), then query — the result must
+    // equal q85's FULL-corpus BM25 oracle exactly, proving the appended
+    // index is indistinguishable from a fresh build
+    "q107_text_index_append" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val table = s"q107idx_${dirTag(dir)}"
+      graft.ops.TextOps.buildTextIndex(
+        docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        table, scratch("q107idx", dir))
+      graft.ops.TextOps.appendTextIndex(
+        docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
+        table, scratch("q107idx", dir))
+      graft.ops.TextOps.bm25Query(s, table, "doc_id",
+        Seq("spark", "window", "merge"), k = 15)
+    }),
+
+    // INCREMENTAL IVF-index maintenance: build on the natural vectors,
+    // APPEND the scale-2 copies (assigned to their nearest EXISTING cell
+    // — the quantizer is fixed, the corpus never re-read), then query.
+    // Cosine cell assignment is scale-invariant, so each appended copy
+    // lands in its original's cell for ANY centroids and is its exact
+    // cos=1 top-1 — q78's planted-copy argument through the append path.
+    "q108_ivf_index_append" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val copies = emb.select((col("vec_id") + offset).as("vec_id"),
+        transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
+      val table = s"q108idx_${dirTag(dir)}"
+      graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        table, scratch("q108idx", dir),
+        nCells = 16, iters = 3, trainFraction = 0.25)
+      graft.ops.Similarity.appendIvfIndex(copies, "vec_id", "embedding",
+        table)
+      graft.ops.Similarity.ivfQuery(
+          emb.where(col("vec_id") < 20), table,
+          "vec_id", "embedding", k = 1, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     // exact-COUNT deterministic sample: the 25 docs with the smallest
     // md5(doc_id) — same 25 on any engine; lowers to TakeOrdered
     "q96_exact_n" -> ((s, dir) =>
@@ -1257,6 +1301,76 @@ object SparkEntry {
       graft.ops.Dedup.incrementalNearDups(
         docs.where(col("doc_id") % 10 === 0), table, "doc_id", "text",
         threshold = 0.5, k = 64, bands = 32, rowsPerBand = 2)
+    }),
+
+    // INCREMENTAL LSH-index maintenance — the full daily-ingest loop:
+    // build the band index on 8/10 of the corpus, APPEND the %10==9
+    // slice (only that slice is shingled/hashed; its band rows and
+    // shingles land in the two bucketed tables), then dedup the %10==0
+    // batch against it. The result must equal q102's exact batch×corpus
+    // Jaccard over ALL %10!=0 docs — an appended index is
+    // indistinguishable from a fresh build over the union.
+    "q109_lsh_index_append" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val table = s"q109idx_${dirTag(dir)}"
+      graft.ops.Dedup.buildLshIndex(
+        docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 9),
+        "doc_id", "text",
+        table, scratch("q109idx", dir), k = 64, bands = 32, rowsPerBand = 2)
+      graft.ops.Dedup.appendLshIndex(
+        docs.where(col("doc_id") % 10 === 9), "doc_id", "text",
+        table, k = 64, bands = 32, rowsPerBand = 2)
+      graft.ops.Dedup.incrementalNearDups(
+        docs.where(col("doc_id") % 10 === 0), table, "doc_id", "text",
+        threshold = 0.5, k = 64, bands = 32, rowsPerBand = 2)
+    }),
+
+    // the COMPLETE streaming ingest loop (nearDedupIngest): per
+    // microbatch, near-dedup against the persisted LSH index, sink the
+    // match pairs, APPEND the survivors — so batch 2 dedups against
+    // batch 1's survivors as well as the original corpus. Batch 1 = the
+    // %10==0 docs (matches == q102's pairs; survivors appended); batch
+    // 2 = exact copies of batch 1 under shifted ids (each matches its
+    // appended original at j=1.0 — unless the original itself matched
+    // the corpus and was NOT appended, in which case the copy matches
+    // exactly what the original matched). The oracle reproduces all of
+    // that in SQL from the mod-10 split alone.
+    "q110_stream_ingest_loop" -> ((s, dir) => {
+      val in = scratch("q110in", dir)
+      val outp = scratch("q110out", dir)
+      for (d <- Seq(in, outp)) {
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val table = s"q110idx_${dirTag(dir)}"
+      graft.ops.Dedup.buildLshIndex(
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        table, scratch("q110idx", dir), k = 64, bands = 32, rowsPerBand = 2)
+      docs.where(col("doc_id") % 10 === 0)
+        .write.mode("append").parquet(in)
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .parquet(in)
+      val q = graft.streaming.StreamingDedup.nearDedupIngest(
+          stream, "doc_id", "text", table, threshold = 0.5,
+          k = 64, bands = 32, rowsPerBand = 2,
+          onMatches = m => m.write.mode("append").parquet(outp))
+        .start()
+      try {
+        q.processAllAvailable()
+        docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outp)
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
     }),
 
     // the CLI pipeline surface end-to-end: `chunk` verb over the raw
@@ -1798,6 +1912,37 @@ object SparkEntry {
     // mirrors TextOps.bm25Rank term-for-term: rational idf
     // (n−df+0.5)/(df+0.5), tf·2.25/(tf + 1.25·(1−0.75 + 0.75·dl/avgdl)),
     // per-term round(…,4) BEFORE the per-doc sum, sum rounded again
+    // the appended index must reproduce the FULL-corpus BM25 ranking —
+    // same SQL as q85 (and q90, which proves the fresh-build path)
+    "q107_text_index_append" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        |           CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(sum(ts), 4) AS score
+        |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // the appended copies are each original's cos=1 top-1 — q78's
+    // planted-copy oracle through the append path
+    "q108_ivf_index_append" ->
+      """SELECT vec_id AS query_id,
+        |       vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS neighbor_id,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q85_bm25" ->
       """WITH dl AS (SELECT doc_id,
         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -2392,6 +2537,53 @@ object SparkEntry {
     // exact batch×corpus Jaccard — the all-pairs formulation of the
     // bucket-pruned incremental path (split keys disjoint by mod 10)
     "q102_incr_neardup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w)
+        |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_cat(b.sh, c.sh))), 4) AS jaccard
+        |FROM s b JOIN s c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(b.sh, c.sh))) >= 0.5""".stripMargin,
+    // batch 1 == q102's pairs; batch 2 (copies under id+off, identical
+    // shingles) matches the corpus plus the APPENDED batch-1 survivors —
+    // a copy's original is in the index iff it matched nothing in batch 1
+    "q110_stream_ingest_loop" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w),
+        |o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |m0 AS (
+        |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |         round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |               / len(list_distinct(list_cat(b.sh, c.sh))), 4) AS jaccard
+        |  FROM s b JOIN s c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_cat(b.sh, c.sh))) >= 0.5),
+        |appended AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+        |    AND doc_id NOT IN (SELECT new_id FROM m0)),
+        |m1 AS (
+        |  SELECT b.doc_id + (SELECT off FROM o) AS new_id,
+        |         c.doc_id AS corpus_id,
+        |         round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |               / len(list_distinct(list_cat(b.sh, c.sh))), 4) AS jaccard
+        |  FROM s b JOIN s c
+        |    ON b.doc_id % 10 = 0
+        |   AND (c.doc_id % 10 <> 0
+        |        OR c.doc_id IN (SELECT doc_id FROM appended))
+        |  WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_cat(b.sh, c.sh))) >= 0.5)
+        |SELECT new_id, corpus_id, jaccard FROM m0
+        |UNION ALL
+        |SELECT new_id, corpus_id, jaccard FROM m1""".stripMargin,
+    // appended index == fresh build over the union: same oracle as q102
+    "q109_lsh_index_append" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |s AS (SELECT doc_id, list_distinct(
         |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]

@@ -106,6 +106,40 @@ object Dedup {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** INCREMENTAL maintenance of a [[buildLshIndex]] table pair — the
+    * other half of the daily-ingest loop: after a batch has been deduped
+    * against the corpus ([[incrementalNearDups]]) the SURVIVORS join it,
+    * by banding with the same seeds and APPENDING their band rows and
+    * sorted shingles into the two bucketed tables (Spark validates the
+    * bucket specs against the catalog's — `buckets` must equal the
+    * build's). The existing corpus is never read or re-hashed; later
+    * batches immediately see the appended docs because both the bucket
+    * join and the verification join read the tables. Contract: append
+    * only ids not already indexed (run the dedup first) — duplicate ids
+    * would emit duplicate pair rows downstream. */
+  def appendLshIndex(batch: DataFrame, idCol: String, textCol: String,
+      table: String, k: Int = 32, bands: Int = 16, rowsPerBand: Int = 2,
+      buckets: Int = 16): Unit = {
+    require(bands * rowsPerBand <= k,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) must be <= k ($k)")
+    val sh = batch.select(col(idCol).as("corpus_id"),
+        sort_array(shingles(col(textCol))).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = minhashSignaturesSh(sh, "corpus_id", k)
+      sigs.select(col("corpus_id"),
+          explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
+        .select(col("corpus_id"), col("bk")("band").as("_band"),
+          col("bk")("bh").as("_bh"))
+        .write.mode("append").bucketBy(buckets, "_bh").sortBy("_bh")
+        .format("parquet").saveAsTable(table)
+      sh.select(col("corpus_id"), col("_sh"), size(col("_sh")).as("_n"))
+        .write.mode("append")
+        .bucketBy(buckets, "corpus_id").sortBy("corpus_id")
+        .format("parquet").saveAsTable(table + "_sh")
+    } finally sh.unpersist(blocking = false)
+  }
+
   /** Incremental near-dup dedup against a [[buildLshIndex]] corpus: band
     * the BATCH's signatures (identical seeds/banding to the build), join
     * them against only the matching corpus buckets, then exact-Jaccard

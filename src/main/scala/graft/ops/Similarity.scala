@@ -268,6 +268,31 @@ object Similarity {
       .format("parquet").saveAsTable(table + "_centroids")
   }
 
+  /** INCREMENTAL maintenance of a [[buildIvfIndex]] table — the standard
+    * IVF add path: the coarse quantizer is FIXED (centroid sidecar
+    * untouched — retraining would re-cell the whole corpus), arriving
+    * vectors are assigned their nearest existing cell and APPENDED into
+    * the `_cell`-bucketed corpus table (Spark validates the bucket spec
+    * against the catalog's, so `buckets` must equal the build's — same
+    * declared-spec contract as Layout.registerBucketed). The existing
+    * corpus is never read or shuffled; [[ivfQuery]] batches see appended
+    * vectors immediately because cell pruning and scoring read the
+    * bucketed table. Quantization drift is the caller's tuning concern
+    * (rebuild when recall@k — Similarity.recallAtK — degrades), exactly
+    * as with any production IVF index. */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val centroids: Array[Seq[Double]] = spark.table(table + "_centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")))
+    batch.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("_cv"))
+      .withColumn("_cell", cellOf(col("_cv"), centroids))
+      .write.mode("append").bucketBy(buckets, "_cell").sortBy("_cell")
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Query a [[buildIvfIndex]] table: load the centroid sidecar (k·dim
     * doubles — plan-time metadata), probe each query's `nProbe` nearest
     * cells, and score ONLY those cells' rows. The probed cell set rides

@@ -421,15 +421,58 @@ object TextOps {
     * new session re-registers both tables over the existing parquet. */
   def buildTextIndex(df: DataFrame, idCol: String, textCol: String,
       table: String, path: String, buckets: Int = 16): Unit = {
-    val posts = df
-      .select(col(idCol), tokens(col(textCol)).as("_ws"))
+    Layout.saveBucketed(postings(df, idCol, textCol), table, path,
+      buckets, Seq("term"))
+    df.select(nTokens(col(textCol)).cast(LongType).as("_dl"))
+      .agg(count(lit(1)).as("n"), sum(col("_dl")).as("sumdl"))
+      .write.mode("overwrite").option("path", path + "_stats")
+      .format("parquet").saveAsTable(table + "_stats")
+  }
+
+  /** The postings relation `(term, id, dl, tf)` both [[buildTextIndex]]
+    * and [[appendTextIndex]] write — one tokenize pass, map-side
+    * combined groupBy. */
+  private def postings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
       .select(col(idCol), size(col("_ws")).cast(LongType).as("_dl"),
         explode(col("_ws")).as("term"))
       .groupBy(col("term"), col(idCol), col("_dl"))
       .agg(count(lit(1)).as("_tf"))
-    Layout.saveBucketed(posts, table, path, buckets, Seq("term"))
-    df.select(nTokens(col(textCol)).cast(LongType).as("_dl"))
-      .agg(count(lit(1)).as("n"), sum(col("_dl")).as("sumdl"))
+
+  /** INCREMENTAL maintenance of a [[buildTextIndex]] table — indexes are
+    * append-maintained, not rebuild-only: tokenize ONLY the arriving
+    * batch into postings, APPEND them into the term-bucketed table
+    * (Spark validates the bucket spec against the catalog's, so
+    * `buckets` must equal the build's — same declared-spec contract as
+    * Layout.registerBucketed), and fold the batch's (doc count, token
+    * sum) into the 1-row stats sidecar. The existing corpus is never
+    * re-tokenized, re-shuffled, or even read (the sidecar is the only
+    * read — one row). [[bm25Query]] needs no change: per-term df is
+    * derived from the pruned postings scan, which now includes the new
+    * rows, and avgdl comes from the updated sidecar.
+    *
+    * Contract: batch doc ids must be NEW to the index (run
+    * Dedup.incrementalExact first) — appended postings for an existing
+    * id would double-count its terms; checking would cost a corpus-wide
+    * anti-join per batch, so it is the caller's invariant, exactly like
+    * the bucket-spec declaration. */
+  def appendTextIndex(batch: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, buckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    postings(batch, idCol, textCol).write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+    // fold the batch into the 1-row sidecar: both old and new values are
+    // on the driver before the overwrite, so the self-referencing write
+    // is safe
+    val st = spark.table(table + "_stats").head()
+    val bs = batch.select(nTokens(col(textCol)).cast(LongType).as("_dl"))
+      .agg(count(lit(1)).as("n"), sum(col("_dl")).as("sumdl")).head()
+    import spark.implicits._
+    Seq((st.getLong(st.fieldIndex("n")) + bs.getLong(0),
+        st.getLong(st.fieldIndex("sumdl")) + bs.getLong(1)))
+      .toDF("n", "sumdl")
       .write.mode("overwrite").option("path", path + "_stats")
       .format("parquet").saveAsTable(table + "_stats")
   }

@@ -143,6 +143,38 @@ object StreamingDedup {
     verdicts.toDF()
   }
 
+  /** The COMPLETE streaming corpus-ingest loop over a persisted LSH
+    * index (graft.ops.Dedup.buildLshIndex) — the production shape that
+    * ties the dedup matrix together: for every arriving microbatch,
+    * (1) near-dedup it against the index (Dedup.incrementalNearDups —
+    * bucket-pruned join + exact-Jaccard verify, corpus never re-hashed),
+    * (2) hand the (new_id, corpus_id, jaccard) matches to `onMatches`
+    * (write them, quarantine them — caller's policy; the frame is
+    * already checkpoint-materialized, safe to reuse), and (3) APPEND the
+    * non-matched docs into the index (Dedup.appendLshIndex) so LATER
+    * batches dedup against everything that came before. Returns the
+    * DataStreamWriter — caller adds checkpointLocation/trigger and
+    * starts it. State is the index itself: durable, shared, queryable —
+    * nothing lives in stream memory, so the loop survives restarts by
+    * construction (exactly-once hinges on the sink policy in
+    * `onMatches` and idempotent ids, as with any foreachBatch sink). */
+  def nearDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      table: String, threshold: Double = 0.5, k: Int = 32,
+      bands: Int = 16, rowsPerBand: Int = 2, buckets: Int = 16,
+      onMatches: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val matches = graft.ops.Dedup.incrementalNearDups(
+          batch, table, idCol, textCol, threshold, k, bands, rowsPerBand)
+        onMatches(matches)
+        val dupIds = matches.select(col("new_id")).distinct()
+        val keep = batch.join(dupIds,
+          batch(idCol) === dupIds("new_id"), "left_anti")
+        graft.ops.Dedup.appendLshIndex(keep, idCol, textCol, table,
+          k, bands, rowsPerBand, buckets)
+    }
+
   /** Batch-local combine for [[firstSeenNearVerdicts]] output, for use
     * inside `foreachBatch`: a doc survives iff ALL its band verdicts in
     * this microbatch say first-seen. Plain aggregation — every band row

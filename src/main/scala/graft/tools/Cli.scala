@@ -49,6 +49,9 @@ import scala.jdk.CollectionConverters._
   *   Cli scrub  -i docs.parquet --id doc_id --text text -o out
   *   Cli split  -i docs.parquet --group source --folds train:192,val:32,test:32 -o out
   *   Cli stats  -i docs.parquet --group source --text text --pcts 50,90,99 -o out
+  *   Cli indexbuild  -i corpus.parquet --table idx --index-path /data/idx -o receipt
+  *   Cli indexappend -i batch.parquet  --table idx -o receipt
+  *   Cli indexdedup  -i batch.parquet  --table idx --threshold 0.5 -o pairs
   */
 object Cli {
   private val mapper = new ObjectMapper()
@@ -77,11 +80,18 @@ object Cli {
       hi: Int = 256,
       groupCol: String = "source",
       folds: String = "train:192,val:32,test:32",
-      pcts: Seq[Int] = Seq(50, 90, 99))
+      pcts: Seq[Int] = Seq(50, 90, 99),
+      table: Option[String] = None,
+      indexPath: Option[String] = None,
+      threshold: Double = 0.5,
+      hashes: Int = 32,
+      bands: Int = 16,
+      rowsPerBand: Int = 2)
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
-    Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats")
+    Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
+      "indexbuild", "indexappend", "indexdedup")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -133,6 +143,12 @@ object Cli {
         case f @ "--folds" => a = a.copy(folds = value(f))
         case f @ "--pcts" =>
           a = a.copy(pcts = value(f).split(",").toSeq.map(_.toInt))
+        case f @ "--table" => a = a.copy(table = Some(value(f)))
+        case f @ "--index-path" => a = a.copy(indexPath = Some(value(f)))
+        case f @ "--threshold" => a = a.copy(threshold = value(f).toDouble)
+        case f @ "--hashes" => a = a.copy(hashes = value(f).toInt)
+        case f @ "--bands" => a = a.copy(bands = value(f).toInt)
+        case f @ "--rows-per-band" => a = a.copy(rowsPerBand = value(f).toInt)
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -279,6 +295,30 @@ object Cli {
           df, a.groupCol, parseFolds(a.folds))
         case "stats" => graft.ops.TextOps.lengthQuantiles(
           df, a.groupCol, a.textCol, a.pcts)
+        // LSH-index lifecycle on the shell: build the corpus index once,
+        // append arriving (already-deduped) batches, and near-dedup a
+        // batch against it — the q102/q109/q110 loop as CLI verbs. Build
+        // and append emit a 1-row receipt; indexdedup emits the pairs.
+        case "indexbuild" =>
+          val t = a.table.getOrElse(sys.error("indexbuild needs --table"))
+          graft.ops.Dedup.buildLshIndex(df, a.idCol, a.textCol, t,
+            a.indexPath.getOrElse(sys.error("indexbuild needs --index-path")),
+            a.hashes, a.bands, a.rowsPerBand, a.buckets.getOrElse(16))
+          import spark.implicits._
+          Seq((t, spark.table(t + "_sh").count()))
+            .toDF("table", "n_docs")
+        case "indexappend" =>
+          val t = a.table.getOrElse(sys.error("indexappend needs --table"))
+          graft.ops.Dedup.appendLshIndex(df, a.idCol, a.textCol, t,
+            a.hashes, a.bands, a.rowsPerBand, a.buckets.getOrElse(16))
+          import spark.implicits._
+          Seq((t, spark.table(t + "_sh").count()))
+            .toDF("table", "n_docs")
+        case "indexdedup" =>
+          graft.ops.Dedup.incrementalNearDups(df,
+            a.table.getOrElse(sys.error("indexdedup needs --table")),
+            a.idCol, a.textCol, a.threshold,
+            a.hashes, a.bands, a.rowsPerBand)
       }
       writeOut(out, a.output)
       return

@@ -255,6 +255,45 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI index verbs: build, near-dedup against, append, re-dedup") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_idx").toString
+    def docLine(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    def longText(p: String) = (1 to 12).map(j => s"$p$j").mkString(" ")
+    Files.writeString(Paths.get(dir + "/corpus.json"),
+      (1L to 10L).map(i => docLine(i, longText(s"c$i"))).mkString("", "\n", "\n"))
+    // batch: a near-copy of corpus doc 3 (one appended word) + a fresh doc
+    Files.writeString(Paths.get(dir + "/batch.json"),
+      Seq(docLine(101L, longText("c3") + " extra"),
+        docLine(102L, longText("z"))).mkString("", "\n", "\n"))
+    Cli.run(spark, Array("indexbuild", "-i", dir + "/corpus.json",
+      "--table", "cli_idx_test", "--index-path", dir + "/idx",
+      "-o", dir + "/r1"))
+    assert(spark.read.json(dir + "/r1").select($"n_docs")
+      .as[Long].head() === 10L)
+    Cli.run(spark, Array("indexdedup", "-i", dir + "/batch.json",
+      "--table", "cli_idx_test", "-o", dir + "/pairs"))
+    val pairs = spark.read.json(dir + "/pairs")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((101L, 3L)))
+    // append the SURVIVOR, then a copy of it must near-dup on re-dedup
+    Files.writeString(Paths.get(dir + "/keep.json"),
+      docLine(102L, longText("z")) + "\n")
+    Cli.run(spark, Array("indexappend", "-i", dir + "/keep.json",
+      "--table", "cli_idx_test", "-o", dir + "/r2"))
+    assert(spark.read.json(dir + "/r2").select($"n_docs")
+      .as[Long].head() === 11L)
+    Files.writeString(Paths.get(dir + "/batch2.json"),
+      docLine(202L, longText("z")) + "\n")
+    Cli.run(spark, Array("indexdedup", "-i", dir + "/batch2.json",
+      "--table", "cli_idx_test", "-o", dir + "/pairs2"))
+    val pairs2 = spark.read.json(dir + "/pairs2")
+      .select($"new_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs2 === Set((202L, 102L, 1.0)))
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===

@@ -92,6 +92,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(!plan.contains("split(text"), s"query re-tokenized the corpus:\n$plan")
   }
 
+  test("index append == fresh build: text postings + stats fold in, IVF " +
+      "vectors land in their original's cell, bucket pruning intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_app").toString
+    val docs = (1L to 40L).map { i =>
+      val extra = if (i % 5 == 0) " spark spark" else ""
+      (i, s"filler w$i common common$extra")
+    }.toDF("doc_id", "text")
+    // text: build on 30 docs, append 10 — query must equal the direct
+    // full-corpus ranking (same math, same sidecar stats)
+    graft.ops.TextOps.buildTextIndex(docs.where($"doc_id" <= 30),
+      "doc_id", "text", "txt_app_test", s"$dir/txt", buckets = 8)
+    graft.ops.TextOps.appendTextIndex(docs.where($"doc_id" > 30),
+      "doc_id", "text", "txt_app_test", s"$dir/txt", buckets = 8)
+    val viaIndex = graft.ops.TextOps.bm25Query(spark, "txt_app_test",
+      "doc_id", Seq("spark", "common"), k = 10)
+    val direct = graft.ops.TextOps.bm25Rank(docs, "doc_id", "text",
+      Seq("spark", "common"), k = 10)
+    assert(viaIndex.as[(Long, Long, Double)].collect().toList ===
+      direct.as[(Long, Long, Double)].collect().toList)
+    // appended postings must still bucket-prune with the term IN-list
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"appended index lost bucket pruning:\n$plan")
+    // IVF: build without copies, append scale-2 copies, query finds them
+    val base = (0 until 24).map { i =>
+      val th = i * 0.26
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      "ivf_app_test", s"$dir/ivf", nCells = 8, iters = 2, buckets = 8)
+    val copies = base.map { case (i, v) => (i + 100L, v.map(_ * 2)) }
+      .toDF("vec_id", "embedding")
+    graft.ops.Similarity.appendIvfIndex(copies, "vec_id", "embedding",
+      "ivf_app_test", buckets = 8)
+    val got = graft.ops.Similarity.ivfQuery(
+        base.take(4).toDF("vec_id", "embedding"), "ivf_app_test",
+        "vec_id", "embedding", k = 1, nProbe = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === (0 until 4).map(i => (i.toLong, i + 100L, 1)).toSet)
+  }
+
   test("persisted LSH index: incrementalNearDups finds planted near-dups " +
       "and bucket-prunes the corpus band scan to the batch's hashes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
