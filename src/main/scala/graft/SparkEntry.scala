@@ -153,6 +153,28 @@ object SparkEntry {
         .drop("e")
     }),
 
+    // AS-OF time travel: after a txId-1 upsert batch (+100 on every
+    // acctbal), the CURRENT view resolves to the new values while
+    // asOf(0) replays the store as it stood before the ingest — the
+    // dataset-versioning primitive (pin a snapshot txId, reproduce a
+    // training corpus exactly). One row per customer with both views.
+    "q111_asof" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer")
+      val updated = ts.triples
+        .where(col("a") === "customer:acctbal")
+        .withColumn("vdbl", col("vdbl") + lit(100.0))
+        .withColumn("txId", lit(1L))
+      val ts1 = ts.assertTriples(updated)
+      val specs = Seq(PAttr("customer:custkey"), PAttr("customer:acctbal"))
+      val now = ts1
+        .pullMany(Seq(Triples.TypeAttr -> MEq("customer")), specs)
+        .drop("e").withColumnRenamed("acctbal", "acctbal_now")
+      val was = ts1.asOf(0L)
+        .pullMany(Seq(Triples.TypeAttr -> MEq("customer")), specs)
+        .drop("e").withColumnRenamed("acctbal", "acctbal_was")
+      now.join(was, "custkey")
+    }),
+
     // W6 retraction (clean semantics; broken in reference, SURVEY §1.4)
     "q08_retract" -> ((s, dir) =>
       Tpch.store(s, dir, "customer")
@@ -1810,6 +1832,10 @@ object SparkEntry {
         |FROM region""".stripMargin,
     "q07_upsert" ->
       """SELECT c_custkey AS custkey, c_acctbal + 100.0 AS acctbal
+        |FROM customer""".stripMargin,
+    "q111_asof" ->
+      """SELECT c_custkey AS custkey, c_acctbal + 100.0 AS acctbal_now,
+        |       c_acctbal AS acctbal_was
         |FROM customer""".stripMargin,
     "q47_pull_wildcard_excl" ->
       """SELECT r_name AS name, CAST(3 AS BIGINT) AS n_attrs

@@ -185,6 +185,22 @@ class TripleStore(
       // card-many attrs — only default to one when BOTH sides did
       defaultCardOne = defaultCardOne && other.defaultCardOne)
 
+  /** AS-OF (time-travel) view: the store as it stood after transaction
+    * `tx` — only facts with txId ≤ tx exist, and cardinality-one
+    * resolution picks the latest SURVIVING assertion per (e, a), so an
+    * upsert made after `tx` un-happens and the prior value is visible
+    * again. The dataset-versioning primitive for reproducible training
+    * runs: pin the txId a corpus snapshot was built at and every query
+    * over the view replays identically, regardless of later ingests.
+    * Purely a plan-level filter on the txId column — no data is copied,
+    * and a persisted layout partitioned by txId range prunes the scan.
+    * Retractions are physical deletes (W6's clean semantics) and are
+    * NOT replayed: as-of sees the current physical fact set restricted
+    * to ≤ tx — same contract as `resolved`. */
+  def asOf(tx: Long): TripleStore =
+    new TripleStore(spark, triples.where($"txId" <= tx), schemas,
+      preResolved, lazyRefs = lazyRefs, defaultCardOne = defaultCardOne)
+
   /** Retraction (W6) with clean semantics: anti-join on the fact identity
     * columns. `pattern` columns must be a subset of factCols. */
   def retract(pattern: DataFrame): TripleStore = {

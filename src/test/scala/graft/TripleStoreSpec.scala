@@ -358,6 +358,33 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(n >= 2, s"expected pushed-down TakeOrderedAndProject, got $n:\n$plan")
   }
 
+  test("asOf time travel: later upserts un-happen; views are full stores") {
+    val ts = tinyStore(Seq(
+      ("e1", "k:v", "a", 0L), ("e1", "k:v", "b", 1L), ("e1", "k:v", "c", 2L),
+      ("e2", "k:v", "x", 1L)),
+      cardOne = Set("k:v"))
+    def v(t: TripleStore) = t.pullManyIds(Seq("e1"), Seq(PAttr("k:v")))
+      .select($"v").as[String].head()
+    assert(v(ts) === "c")
+    assert(v(ts.asOf(1L)) === "b")
+    assert(v(ts.asOf(0L)) === "a")
+    // entities born after the pinned tx do not exist in the view
+    assert(ts.asOf(0L).pullManyIds(Seq("e2"), Seq(PAttr("k:v")))
+      .select($"v").as[String].collect().toList === List(null))
+    // a view is a full store: writes on top of it resolve normally
+    val forked = ts.asOf(1L).assertTriples(
+      Seq(("e1", "k:v", "z", 5L)).toDF("e", "a", "vstr", "txId")
+        .withColumn("vtype", lit(Triples.VStr))
+        .withColumn("vlong", lit(null).cast("long"))
+        .withColumn("vdbl", lit(null).cast("double"))
+        .withColumn("vbool", lit(null).cast("boolean"))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vref", lit(null).cast("string"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .select(Triples.columns.map(col): _*))
+    assert(v(forked) === "z")
+  }
+
   test("W8 bootstrap precedence: kwargs > in-band schema > defaults") {
     // in-band: k:one declared cardinality-one; db.refs:lazy = false
     val base = tinyStore(Seq(
