@@ -1694,6 +1694,12 @@ object SparkEntry {
     // terminates the final line)
     "q55_file_contents" -> ((s, dir) => {
       val out = scratch("q55", dir)
+      // repartition(1) is the OPERATOR'S semantics, not a plan smell:
+      // nestly writes ONE sorted text artifact whose whole contents
+      // become a single triple value (nestly.py:98-110) — a file's bytes
+      // are single-machine by definition, so the artifact size is
+      // bounded by what one task (and one string fact) can hold; shard
+      // the corpus into multiple artifacts when it isn't
       Tpch.raw(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(1).sortWithinPartitions("doc_id")
         .select(col("text")).write.mode("overwrite").text(out)
