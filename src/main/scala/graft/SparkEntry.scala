@@ -1043,6 +1043,26 @@ object SparkEntry {
         Seq("spark", "window", "merge"), k = 15)
     }),
 
+    // COMPACTION closes the loop the append paths open: build + append
+    // leaves multiple files per bucket; compactBucketed rewrites to one
+    // file per bucket at a new location and re-points the catalog — and
+    // the BM25 ranking through the compacted index must still equal the
+    // full-corpus oracle (q85's SQL), with pruning intact.
+    "q112_index_compact" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val table = s"q112idx_${dirTag(dir)}"
+      graft.ops.TextOps.buildTextIndex(
+        docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        table, scratch("q112idx", dir))
+      graft.ops.TextOps.appendTextIndex(
+        docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
+        table, scratch("q112idx", dir))
+      graft.ops.Layout.compactBucketed(s, table,
+        scratch("q112idxc", dir), 16, Seq("term"))
+      graft.ops.TextOps.bm25Query(s, table, "doc_id",
+        Seq("spark", "window", "merge"), k = 15)
+    }),
+
     // INCREMENTAL IVF-index maintenance: build on the natural vectors,
     // APPEND the scale-2 copies (assigned to their nearest EXISTING cell
     // — the quantizer is fixed, the corpus never re-read), then query.
@@ -1947,6 +1967,30 @@ object SparkEntry {
     // the appended index must reproduce the FULL-corpus BM25 ranking —
     // same SQL as q85 (and q90, which proves the fresh-build path)
     "q107_text_index_append" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        |           CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(sum(ts), 4) AS score
+        |FROM p GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // the compacted index must still reproduce the full-corpus BM25
+    // ranking — q85's SQL through build + append + compact
+    "q112_index_compact" ->
       """WITH dl AS (SELECT doc_id,
         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
         |            FROM documents),

@@ -51,6 +51,31 @@ object Layout {
         s"LOCATION '$path'")
   }
 
+  /** COMPACT an append-maintained bucketed table — the operational
+    * counterpart of the index append paths (TextOps.appendTextIndex,
+    * Similarity.appendIvfIndex, Dedup.appendLshIndex): every append adds
+    * one file per bucket, and at 100 TB thousands of appends turn each
+    * bucket into thousands of small files (scan-open overhead, footer
+    * reads, task-per-file scheduling). This rewrites the table ONCE into
+    * `newPath` with the SAME bucket/sort spec — one file per bucket —
+    * and re-points the catalog entry at the new location; the old files
+    * stay on disk for the caller to delete once readers drain (the
+    * swap is catalog-atomic per statement, not transactional — run it
+    * in the ingest pipeline's maintenance window, like any compaction).
+    * Queries, pruning, and shuffle-free joins behave identically before
+    * and after (asserted by LayoutSpec). */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, newPath: String, buckets: Int,
+      keyCols: Seq[String]): Unit = {
+    val tmp = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    saveBucketed(spark.table(table), tmp, newPath, buckets, keyCols)
+    // external tables: DROP removes only the catalog entry, files stay
+    spark.sql(s"DROP TABLE $tmp")
+    spark.sql(s"DROP TABLE $table")
+    registerBucketed(spark, table, newPath, buckets, keyCols)
+  }
+
   /** Contiguous global row ids 0..n−1 in `orderCol` order WITHOUT a
     * global window — the 100 TB replacement for
     * `row_number() OVER (ORDER BY …)`, whose empty PARTITION BY funnels

@@ -117,6 +117,26 @@ class LayoutSpec extends AnyFunSuite {
       .findFirstMatchIn(plan)
     assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
       s"appended index lost bucket pruning:\n$plan")
+    // compaction: the append left extra per-bucket files; compact to one
+    // file per bucket at a new location — fewer files, same results,
+    // pruning intact
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val filesBefore = parquetFiles(s"$dir/txt")
+    graft.ops.Layout.compactBucketed(spark, "txt_app_test",
+      s"$dir/txt_c", 8, Seq("term"))
+    val filesAfter = parquetFiles(s"$dir/txt_c")
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    val viaCompacted = graft.ops.TextOps.bm25Query(spark, "txt_app_test",
+      "doc_id", Seq("spark", "common"), k = 10)
+    assert(viaCompacted.as[(Long, Long, Double)].collect().toList ===
+      direct.as[(Long, Long, Double)].collect().toList)
+    val cplan = viaCompacted.queryExecution.executedPlan.toString
+    val csel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(cplan)
+    assert(csel.isDefined && csel.get.group(1).toInt < csel.get.group(2).toInt,
+      s"compacted index lost bucket pruning:\n$cplan")
     // IVF: build without copies, append scale-2 copies, query finds them
     val base = (0 until 24).map { i =>
       val th = i * 0.26
