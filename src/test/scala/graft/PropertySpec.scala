@@ -39,6 +39,48 @@ class PropertySpec extends AnyFunSuite {
       DocIngest.schemasFor(df, "cft"))
   }
 
+  test("property: incrementalNearDups == from-scratch nearDupPairs " +
+      "restricted to batch x corpus") {
+    // synthetic corpora with PLANTED overlap: some batch docs are
+    // token-level mutations of corpus docs, the rest disjoint-vocab.
+    // The persisted-index incremental path must emit exactly the
+    // (batch, corpus) subset of the from-scratch pair set.
+    val rnd = new scala.util.Random(91)
+    (0 until 2).foreach { trial =>
+      def words(p: String, n: Int) = (1 to n).map(j => s"$p$j")
+      val corpus = (1L to 15L).map(i => (i, words(s"c${trial}_$i", 20).mkString(" ")))
+      val batch = (101L to 110L).map { i =>
+        if (i % 2 == 0) {
+          // mutate 0-6 tokens of a corpus doc → jaccard spans the threshold
+          val src = words(s"c${trial}_${(i % 15) + 1}", 20).toArray
+          val nMut = rnd.nextInt(7)
+          (1 to nMut).foreach(_ => src(rnd.nextInt(20)) = s"m${rnd.nextInt(1000)}")
+          (i, src.mkString(" "))
+        } else (i, words(s"b${trial}_$i", 20).mkString(" "))
+      }
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val batchDf = batch.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_pincr").toString
+      val table = s"prop_incr_${trial}"
+      graft.ops.Dedup.buildLshIndex(corpusDf, "doc_id", "text",
+        table, s"$dir/idx", k = 64, bands = 32, rowsPerBand = 2)
+      val got = graft.ops.Dedup.incrementalNearDups(batchDf, table,
+          "doc_id", "text", threshold = 0.5,
+          k = 64, bands = 32, rowsPerBand = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      // truth: from-scratch pairs over the UNION, restricted to
+      // (batch, corpus) — nearDupPairs emits id1 < id2 and corpus ids
+      // are all below batch ids, so (corpus_id, batch_id) flips
+      val want = graft.ops.Dedup.nearDupPairs(
+          corpusDf.unionAll(batchDf), "doc_id", "text", threshold = 0.5,
+          k = 64, bands = 32, rowsPerBand = 2)
+        .as[(Long, Long, Double)].collect()
+        .filter { case (a, b, _) => a <= 15L && b >= 101L }
+        .map { case (a, b, j) => (b, a, j) }.toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("property: re-asserting a batch is a no-op (set semantics)") {
     cases(3).foreach { docs =>
       val once = storeOf(docs).resolved.count()
