@@ -982,6 +982,18 @@ object SparkEntry {
         Tpch.raw(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "merge"), k = 15)),
 
+    // weighted-lexicon quality scoring (the fastText-filter shape with a
+    // reproducible model): signed INTEGER points per lexicon term, long
+    // sums (order-free ⇒ engine-exact), zero-scored docs kept via the
+    // left join — a filterable score for every document
+    "q113_lexicon_score" -> ((s, dir) => {
+      import s.implicits._
+      val lex = Seq(("spark", 5L), ("window", 2L), ("merge", 3L),
+        ("the", -1L)).toDF("term", "weight")
+      graft.ops.TextOps.lexiconScore(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", lex)
+    }),
+
     // per-source token-length quantiles (nearest-rank p50/p90/p99) —
     // all-integer arithmetic over the per-source length HISTOGRAM; the
     // window input is the histogram, never the corpus
@@ -1964,6 +1976,22 @@ object SparkEntry {
     // mirrors TextOps.bm25Rank term-for-term: rational idf
     // (n−df+0.5)/(df+0.5), tf·2.25/(tf + 1.25·(1−0.75 + 0.75·dl/avgdl)),
     // per-term round(…,4) BEFORE the per-doc sum, sum rounded again
+    // COALESCE keeps integer types; points are exact long sums both sides
+    "q113_lexicon_score" ->
+      """WITH lex(term, weight) AS (VALUES ('spark', 5), ('window', 2),
+        |                                  ('merge', 3), ('the', -1)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |h AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |             CAST(sum(weight) AS BIGINT) AS points
+        |      FROM t JOIN lex USING (term) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       COALESCE(h.n_hits, 0) AS n_hits,
+        |       COALESCE(h.points, 0) AS points,
+        |       round(CAST(COALESCE(h.points, 0) AS DOUBLE)
+        |             / len(string_split(d.text, ' ')), 4) AS per_token
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
     // the appended index must reproduce the FULL-corpus BM25 ranking —
     // same SQL as q85 (and q90, which proves the fresh-build path)
     "q107_text_index_append" ->

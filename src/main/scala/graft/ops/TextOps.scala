@@ -512,6 +512,42 @@ object TextOps {
       .limit(k)
   }
 
+  /** Weighted-LEXICON quality scoring — the shape of a fastText-style
+    * classifier filter without the non-reproducible model: each document
+    * scores Σ count(term)·weight(term) over a weighted lexicon
+    * (curated quality/spam/toxicity term lists with signed points).
+    * Weights are INTEGER points on purpose: long sums are
+    * association-order-free, so the score is bit-identical on any
+    * engine/partitioning (a float-weighted sum would vary with shuffle
+    * order — the cross-engine float-sum trap). The normalized
+    * `per_token` ratio is one final rational division of two exact
+    * integers, rounded only in the output.
+    *
+    * Plan: tokens explode, equi-join against the lexicon (a dimension
+    * table — broadcast by AQE when small, a plain shuffle join when a
+    * 100k-term lexicon is genuinely big), one groupBy per doc. Docs with
+    * NO lexicon hit come back with zero score via the left join against
+    * the input ids — filters need every doc scored, not just matches.
+    * Output: idCol, n_tokens, n_hits, points, per_token. */
+  def lexiconScore(df: DataFrame, idCol: String, textCol: String,
+      lexicon: DataFrame, termCol: String = "term",
+      weightCol: String = "weight"): DataFrame = {
+    val lex = lexicon.select(col(termCol).as("_t"),
+      col(weightCol).cast(LongType).as("_w"))
+    val hits = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+      .join(lex, Seq("_t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), sum(col("_w")).as("points"))
+    df.select(col(idCol), nTokens(col(textCol)).cast(LongType).as("n_tokens"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("points"), lit(0L)).as("points"),
+        round(coalesce(col("points"), lit(0L)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 4).as("per_token"))
+  }
+
   /** Top-k bigram collocations by LIFT — the association-mining side of
     * corpus analysis (multi-word expressions, template detection, tokenizer
     * merge candidates). Lift is PMI's exponent kept un-logged:

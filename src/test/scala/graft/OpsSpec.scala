@@ -124,6 +124,22 @@ class OpsSpec extends AnyFunSuite {
     assert(batched === base)
   }
 
+  test("lexiconScore: signed integer points, zero-hit docs kept at 0") {
+    val docs = Seq(
+      (1L, "spark the spark engine"),   // 5 + (-1) + 5 = 9 over 4 tokens
+      (2L, "nothing matches here"),     // zero hits, still a row
+      (3L, "the the the")               // -3 (negative scores work)
+    ).toDF("doc_id", "text")
+    val lex = Seq(("spark", 5L), ("the", -1L)).toDF("term", "weight")
+    val out = graft.ops.TextOps.lexiconScore(docs, "doc_id", "text", lex)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      1L -> ((4L, 3L, 9L, 2.25)),
+      2L -> ((3L, 0L, 0L, 0.0)),
+      3L -> ((3L, 3L, -3L, -1.0))))
+  }
+
   test("ppJoin prefix candidates + verify match brute-force exact Jaccard") {
     // mixed corpus: two planted near-dup clusters + noise docs sharing a
     // popular token (stresses the frequency-ordered prefix: the popular
