@@ -52,6 +52,7 @@ import scala.jdk.CollectionConverters._
   *   Cli indexbuild  -i corpus.parquet --table idx --index-path /data/idx -o receipt
   *   Cli indexappend -i batch.parquet  --table idx -o receipt
   *   Cli indexdedup  -i batch.parquet  --table idx --threshold 0.5 -o pairs
+  *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
   */
 object Cli {
   private val mapper = new ObjectMapper()
@@ -83,6 +84,7 @@ object Cli {
       pcts: Seq[Int] = Seq(50, 90, 99),
       table: Option[String] = None,
       indexPath: Option[String] = None,
+      lexicon: Option[String] = None,
       threshold: Double = 0.5,
       hashes: Int = 32,
       bands: Int = 16,
@@ -91,7 +93,7 @@ object Cli {
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
-      "indexbuild", "indexappend", "indexdedup")
+      "indexbuild", "indexappend", "indexdedup", "score")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -144,6 +146,7 @@ object Cli {
         case f @ "--pcts" =>
           a = a.copy(pcts = value(f).split(",").toSeq.map(_.toInt))
         case f @ "--table" => a = a.copy(table = Some(value(f)))
+        case f @ "--lexicon" => a = a.copy(lexicon = Some(value(f)))
         case f @ "--index-path" => a = a.copy(indexPath = Some(value(f)))
         case f @ "--threshold" => a = a.copy(threshold = value(f).toDouble)
         case f @ "--hashes" => a = a.copy(hashes = value(f).toInt)
@@ -319,6 +322,23 @@ object Cli {
             a.table.getOrElse(sys.error("indexdedup needs --table")),
             a.idCol, a.textCol, a.threshold,
             a.hashes, a.bands, a.rowsPerBand)
+        // weighted-lexicon scoring: --lexicon is either an inline
+        // term:points,term:points list or a file path readable by the
+        // same tabular reader (columns term, weight)
+        case "score" =>
+          val spec = a.lexicon.getOrElse(sys.error("score needs --lexicon"))
+          import spark.implicits._
+          val lex =
+            if (spec.contains(":"))
+              spec.split(",").toSeq.map { p =>
+                p.split(":") match {
+                  case Array(t, w) if t.nonEmpty => (t, w.toLong)
+                  case _ => sys.error(s"bad lexicon entry '$p' (want term:points)")
+                }
+              }.toDF("term", "weight")
+            else if (spec.endsWith(".parquet")) spark.read.parquet(spec)
+            else spark.read.json(spec)
+          graft.ops.TextOps.lexiconScore(df, a.idCol, a.textCol, lex)
       }
       writeOut(out, a.output)
       return

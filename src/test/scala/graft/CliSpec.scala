@@ -294,6 +294,20 @@ class CliSpec extends AnyFunSuite {
     assert(pairs2 === Set((202L, 102L, 1.0)))
   }
 
+  test("CLI score verb: inline lexicon, signed points, zero-hit docs kept") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_score").toString
+    Files.writeString(Paths.get(dir + "/docs.json"),
+      """{"doc_id": 1, "text": "spark the spark engine"}
+        |{"doc_id": 2, "text": "nothing matches here"}
+        |""".stripMargin)
+    Cli.run(spark, Array("score", "-i", dir + "/docs.json",
+      "--lexicon", "spark:5,the:-1", "-o", dir + "/sc"))
+    val sc = spark.read.json(dir + "/sc")
+      .select($"doc_id", $"points").as[(Long, Long)].collect().toMap
+    assert(sc === Map(1L -> 9L, 2L -> 0L))
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===
