@@ -35,21 +35,56 @@ class Entity(val store: TripleStore, val eid: String,
     key.substring(0, i + 1) + key.substring(i + 2)
   }
 
+  /** One-shot attribute PREFETCH — the N+1 fix for scripted access:
+    * without it every [[apply]] is one point-lookup job, so a few dozen
+    * accesses become a few dozen scans; with it the given attrs load in
+    * ONE job and subsequent [[apply]]/[[one]] calls for them are served
+    * from the driver-side cache (EntitySpec asserts zero further jobs).
+    * Forward attrs only (reverse lookups stay live — they scan a
+    * different access path); attrs with NO values cache as empty, so a
+    * prefetched miss never falls through to a live scan. Returns `this`
+    * for chaining. The cache is a snapshot, exactly like the Entity
+    * itself (the reference's Entity wraps an immutable store too,
+    * tripl.py:141-271). */
+  def prefetch(keys: Seq[String]): this.type = {
+    val attrs = keys.map(attrOf).filterNot(isReverse).distinct
+    if (attrs.nonEmpty) {
+      val valColOf = attrs.map(at => at -> Triples.valueColFor(
+        store.schemas.get(at).map(_.vtype).getOrElse(Triples.VStr))).toMap
+      val valCols = valColOf.values.toSeq.distinct
+      val rows = store.resolved
+        .where($"e" === eid && $"a".isin(attrs.map(x => x: Any): _*))
+        .select(($"a" +: valCols.map(col)): _*).collect().toSeq
+      cache = cache ++ attrs.map { at =>
+        at -> rows.filter(_.getString(0) == at)
+          .map(_.getAs[Any](valColOf(at))).filter(_ != null)
+      }.toMap
+    }
+    this
+  }
+
+  @volatile private var cache: Map[String, Seq[Any]] = Map.empty
+
   /** All values for an attribute (strings for refs = child eids);
-    * reverse attrs 'ns:_attr' give the eids pointing at me. */
+    * reverse attrs 'ns:_attr' give the eids pointing at me. Served from
+    * the [[prefetch]] cache when present, else one point-lookup job. */
   def apply(key: String): Seq[Any] = {
     val a = attrOf(key)
-    if (isReverse(a))
-      // refEdges: declared-ref VAE probe, or the lazy AEV scan for
-      // undeclared attrs (tripl.py:175-181)
-      store.refEdges(forwardAttr(a)).where($"vref" === eid)
-        .select($"e").as[String].collect().toSeq.sorted
-    else {
-      val rows = store.resolved.where($"e" === eid && $"a" === a)
-        .select(col(Triples.valueColFor(
-          store.schemas.get(a).map(_.vtype).getOrElse(Triples.VStr))))
-        .collect().toSeq.map(_.get(0)).filter(_ != null)
-      rows
+    cache.get(a) match {
+      case Some(vs) => vs
+      case None =>
+        if (isReverse(a))
+          // refEdges: declared-ref VAE probe, or the lazy AEV scan for
+          // undeclared attrs (tripl.py:175-181)
+          store.refEdges(forwardAttr(a)).where($"vref" === eid)
+            .select($"e").as[String].collect().toSeq.sorted
+        else {
+          val rows = store.resolved.where($"e" === eid && $"a" === a)
+            .select(col(Triples.valueColFor(
+              store.schemas.get(a).map(_.vtype).getOrElse(Triples.VStr))))
+            .collect().toSeq.map(_.get(0)).filter(_ != null)
+          rows
+        }
     }
   }
 

@@ -1069,8 +1069,12 @@ object SparkEntry {
       graft.ops.TextOps.appendTextIndex(
         docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
         table, scratch("q112idx", dir))
-      graft.ops.Layout.compactBucketed(s, table,
+      val oldPath = graft.ops.Layout.compactBucketed(s, table,
         scratch("q112idxc", dir), 16, Seq("term"))
+      // complete the compaction lifecycle: the superseded copy is
+      // vacuumed BEFORE the query, which must still answer identically
+      // from the compacted location alone
+      graft.ops.Layout.vacuum(s, oldPath)
       graft.ops.TextOps.bm25Query(s, table, "doc_id",
         Seq("spark", "window", "merge"), k = 15)
     }),
@@ -1411,10 +1415,15 @@ object SparkEntry {
         .write.mode("append").parquet(in)
       val stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .parquet(in)
+      // intraBatch = false: this query's oracle models the loop's
+      // ORIGINAL cross-batch contract (batch 2's copies match appended
+      // batch-1 survivors); the intra-batch step is covered by q114.
+      // The batchId-keyed sink exercises the replay-idempotent path.
       val q = graft.streaming.StreamingDedup.nearDedupIngest(
           stream, "doc_id", "text", table, threshold = 0.5,
           k = 64, bands = 32, rowsPerBand = 2,
-          onMatches = m => m.write.mode("append").parquet(outp))
+          onMatches = graft.streaming.StreamingDedup.parquetMatchSink(outp),
+          intraBatch = false)
         .start()
       try {
         q.processAllAvailable()
@@ -1423,7 +1432,42 @@ object SparkEntry {
           .write.mode("append").parquet(in)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(outp)
+      s.read.parquet(outp + "/batch_*")
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    }),
+
+    // the intra-batch half of the ingest loop (ingestBatch with
+    // intraBatch = true), batch-callable: ONE batch holding each
+    // %10==0 doc AND an exact copy of it under id+off — every copy has
+    // a smaller-id near-dup (its original) in the same batch, so the
+    // intra-batch step drops all copies (plus any natural smaller-id
+    // in-batch near-dup) BEFORE the index join; matches are then
+    // survivors × corpus only. The oracle reproduces the pairwise
+    // smaller-id drop rule and the cross join in SQL.
+    "q114_ingest_intrabatch" -> ((s, dir) => {
+      val outp = scratch("q114out", dir)
+      val p = java.nio.file.Paths.get(outp)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val table = s"q114idx_${dirTag(dir)}"
+      graft.ops.Dedup.buildLshIndex(
+        docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        table, scratch("q114idx", dir), k = 64, bands = 32, rowsPerBand = 2)
+      val originals = docs.where(col("doc_id") % 10 === 0)
+      val batch = originals.unionAll(originals
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+      graft.streaming.StreamingDedup.ingestBatch(
+        batch, 0L, "doc_id", "text", table, threshold = 0.5,
+        k = 64, bands = 32, rowsPerBand = 2,
+        onMatches = graft.streaming.StreamingDedup.parquetMatchSink(outp),
+        intraBatch = true)
+      s.read.parquet(outp + "/batch_*")
         .select(col("new_id"), col("corpus_id"), col("jaccard"))
     }),
 
@@ -2686,6 +2730,32 @@ object SparkEntry {
         |SELECT new_id, corpus_id, jaccard FROM m0
         |UNION ALL
         |SELECT new_id, corpus_id, jaccard FROM m1""".stripMargin,
+    // pairwise smaller-id intra-batch drop, then survivors × corpus:
+    // exactly ingestBatch(intraBatch = true) over originals ∪ copies
+    "q114_ingest_intrabatch" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w),
+        |o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |batch AS (
+        |  SELECT doc_id, sh FROM s WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT off FROM o), sh FROM s WHERE doc_id % 10 = 0),
+        |drops AS (
+        |  SELECT DISTINCT b.doc_id FROM batch a JOIN batch b
+        |    ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5),
+        |surv AS (SELECT * FROM batch
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |             / len(list_distinct(list_cat(b.sh, c.sh))), 4) AS jaccard
+        |FROM surv b JOIN s c ON c.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_cat(b.sh, c.sh))) >= 0.5""".stripMargin,
     // appended index == fresh build over the union: same oracle as q102
     "q109_lsh_index_append" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

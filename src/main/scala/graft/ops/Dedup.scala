@@ -116,12 +116,26 @@ object Dedup {
     * batches immediately see the appended docs because both the bucket
     * join and the verification join read the tables. Contract: append
     * only ids not already indexed (run the dedup first) — duplicate ids
-    * would emit duplicate pair rows downstream. */
+    * would emit duplicate pair rows downstream. With `checkIds` (the
+    * default) that contract is ENFORCED, not documented-and-hoped: the
+    * batch's ids probe the corpus_id-bucketed shingle table
+    * ([[indexedIds]] — a bucket-pruned read, never a corpus scan) and a
+    * collision throws before anything is written. Pass false only when
+    * the caller just ran the probe itself (the ingest loop). */
   def appendLshIndex(batch: DataFrame, idCol: String, textCol: String,
       table: String, k: Int = 32, bands: Int = 16, rowsPerBand: Int = 2,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16, checkIds: Boolean = true): Unit = {
     require(bands * rowsPerBand <= k,
       s"bands*rowsPerBand (${bands * rowsPerBand}) must be <= k ($k)")
+    if (checkIds) {
+      val dups = indexedIds(batch, idCol, table).limit(5).collect()
+        .map(_.get(0))
+      if (dups.nonEmpty) throw new IllegalStateException(
+        s"appendLshIndex($table): batch contains ids already indexed " +
+          s"(e.g. ${dups.mkString(", ")}) — appending would emit " +
+          "duplicate pair rows from every later query; dedup the batch " +
+          "first (incrementalNearDups + anti-join) or pass checkIds=false")
+    }
     val sh = batch.select(col(idCol).as("corpus_id"),
         sort_array(shingles(col(textCol))).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -208,6 +222,28 @@ object Dedup {
       .where(col("_j") >= threshold)
       .select(col("new_id"), col("corpus_id"),
         round(col("_j"), 4).as("jaccard"))
+  }
+
+  /** Ids from `batch` ALREADY PRESENT in a [[buildLshIndex]] table pair —
+    * the near-free duplicate-append probe behind [[appendLshIndex]]'s
+    * `checkIds` guard and the ingest loop's replay skip
+    * (StreamingDedup.ingestBatch). Probes the corpus_id-BUCKETED shingle
+    * table, so a small batch's id set rides into the scan as an IN-list
+    * and the read bucket-prunes to the batch's buckets (the same
+    * mechanism [[incrementalNearDupsLazy]] uses for band hashes — never
+    * a corpus scan); past `maxPruneLiterals` distinct ids it degrades to
+    * a semi-join (the batch side stays the small broadcast side).
+    * Output: one `corpus_id` row per batch id already indexed. */
+  private[graft] def indexedIds(batch: DataFrame, idCol: String,
+      table: String, maxPruneLiterals: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val ids = batch.select(col(idCol).as("corpus_id")).distinct()
+    val vals = ids.limit(maxPruneLiterals + 1).collect().map(_.get(0))
+    val shTable = spark.table(table + "_sh").select(col("corpus_id"))
+    if (vals.length <= maxPruneLiterals)
+      shTable.where(col("corpus_id").isin(vals: _*)).distinct()
+    else
+      shTable.join(ids, Seq("corpus_id"), "left_semi").distinct()
   }
 
   /** Word 3-gram shingle set. Docs shorter than n words yield one

@@ -41,8 +41,18 @@ object Layout {
     * the caller's contract to honor, same as any external-table DDL). */
   def registerBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, buckets: Int,
-      keyCols: Seq[String]): Unit = {
-    val schema = spark.read.parquet(path).schema
+      keyCols: Seq[String]): Unit =
+    registerBucketedWithSchema(spark, table, path, buckets, keyCols,
+      spark.read.parquet(path).schema)
+
+  /** [[registerBucketed]] with a pre-read schema — lets
+    * [[compactBucketed]] validate the new location BEFORE dropping the
+    * live catalog entry, so the only step after the drop is a CREATE
+    * whose inputs are already known-good. */
+  private def registerBucketedWithSchema(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String, buckets: Int, keyCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(
       s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
@@ -59,21 +69,61 @@ object Layout {
     * reads, task-per-file scheduling). This rewrites the table ONCE into
     * `newPath` with the SAME bucket/sort spec — one file per bucket —
     * and re-points the catalog entry at the new location; the old files
-    * stay on disk for the caller to delete once readers drain (the
+    * stay on disk until [[vacuum]] deletes them once readers drain (the
     * swap is catalog-atomic per statement, not transactional — run it
     * in the ingest pipeline's maintenance window, like any compaction).
-    * Queries, pruning, and shuffle-free joins behave identically before
-    * and after (asserted by LayoutSpec). */
+    * The new location is validated (schema read) BEFORE the live entry
+    * is dropped, and a failed re-register restores the OLD location —
+    * the table never stays dropped. Queries, pruning, and shuffle-free
+    * joins behave identically before and after (asserted by LayoutSpec).
+    * Returns the old location, ready to pass to [[vacuum]]. */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String, newPath: String, buckets: Int,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String]): String = {
+    val oldPath = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
     val tmp = table + "_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     saveBucketed(spark.table(table), tmp, newPath, buckets, keyCols)
     // external tables: DROP removes only the catalog entry, files stay
     spark.sql(s"DROP TABLE $tmp")
+    // pre-validate the new location while the live table still serves
+    val newSchema = spark.read.parquet(newPath).schema
     spark.sql(s"DROP TABLE $table")
-    registerBucketed(spark, table, newPath, buckets, keyCols)
+    try registerBucketedWithSchema(spark, table, newPath, buckets,
+      keyCols, newSchema)
+    catch { case e: Throwable =>
+      // never lose the catalog entry: restore the old location
+      registerBucketed(spark, table, oldPath, buckets, keyCols)
+      throw e
+    }
+    oldPath
+  }
+
+  /** Delete a superseded table location — the completing half of
+    * [[compactBucketed]] (which otherwise leaks one full table copy per
+    * compaction: at 100 TB a real storage bill). Call once readers of
+    * the old files have drained (same maintenance-window discipline as
+    * the compaction itself). Refuses to delete a path that is STILL the
+    * location of any catalog table — the guard against vacuuming the
+    * live copy instead of the superseded one. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+      oldPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(oldPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(p).toUri
+    val catalog = spark.sessionState.catalog
+    val live = catalog.listTables(catalog.getCurrentDatabase)
+      .flatMap(t => scala.util.Try(catalog.getTableMetadata(t)).toOption)
+      .filter(m => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(m.location)).toUri == target)
+      .map(_.identifier.table)
+    require(live.isEmpty,
+      s"vacuum($oldPath): still the live location of catalog table(s) " +
+        s"${live.mkString(", ")} — compact (or drop) them first")
+    fs.delete(p, true)
   }
 
   /** Contiguous global row ids 0..n−1 in `orderCol` order WITHOUT a

@@ -8,9 +8,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
   * with decode / feature-extraction as partition-local batch transforms.
   *
-  * The image/audio codecs are NOT in this environment, so the decode step
-  * is a clearly-marked deterministic STUB (`stubFeaturize`) — but the
-  * Spark-side plumbing is real and what matters at scale:
+  * External image/audio codec LIBRARIES are not in this environment, so
+  * the default decode step is a clearly-marked deterministic STUB
+  * (`stubFeaturize`) — but [[Multimodal.ImageIoCodec]] is a REAL decoder
+  * over the JDK's built-in `javax.imageio` (PNG/BMP/GIF), proving the
+  * seam with genuine decoding, and the Spark-side plumbing is real and
+  * what matters at scale:
   *  - payloads travel as `BinaryType` columns (columnar, no row-object
   *    blowup), metadata as plain typed columns next to them;
   *  - feature extraction runs via `mapPartitions` so a real codec would
@@ -98,6 +101,50 @@ object Multimodal {
   final class StubCodec extends BatchCodec {
     def featurizeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
       payloads.map(stubFeaturize)
+  }
+
+  /** A REAL decoder behind the [[BatchCodec]] seam using only the JDK's
+    * built-in `javax.imageio` (PNG/BMP/GIF everywhere; JPEG per-JRE) —
+    * no external deps, so the seam is proven with a genuine codec while
+    * [[StubCodec]] stays the default for byte-deterministic tests.
+    * Feature (8-dim): [width, height, nComponents, meanR, meanG, meanB,
+    * meanLuma, aspect]. Means are integer-summed then divided once, so
+    * they are bit-identical across partitionings. Undecodable payloads
+    * yield all -1 (schema-stable failure capture, the JsonSource
+    * failable-parse idiom applied to binaries: `feature[0] < 0` isolates
+    * the failures downstream — a throw here would kill the whole task
+    * for one bad file). Decoder instances are NOT thread-safe in
+    * general; the [[featurize]] contract of one codec per partition is
+    * exactly the right lifecycle. */
+  final class ImageIoCodec extends BatchCodec {
+    private val failed = Array.fill(8)(-1.0f)
+    def featurizeBatch(payloads: Array[Array[Byte]]): Array[Array[Float]] =
+      payloads.map { bytes =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) failed.clone()
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var r = 0L; var g = 0L; var b = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toFloat
+            val mr = r / n; val mg = g / n; val mb = b / n
+            Array(w.toFloat, h.toFloat,
+              img.getColorModel.getNumComponents.toFloat, mr, mg, mb,
+              0.299f * mr + 0.587f * mg + 0.114f * mb, w.toFloat / h)
+          }
+        } catch { case _: Exception => failed.clone() }
+      }
   }
 
   /** Partition-local batch featurization of (idCol, binCol) rows:

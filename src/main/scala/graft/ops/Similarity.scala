@@ -279,16 +279,48 @@ object Similarity {
     * vectors immediately because cell pruning and scoring read the
     * bucketed table. Quantization drift is the caller's tuning concern
     * (rebuild when recall@k — Similarity.recallAtK — degrades), exactly
-    * as with any production IVF index. */
+    * as with any production IVF index.
+    *
+    * Contract: batch ids must be NEW to the index — a re-appended id
+    * would surface twice in every later top-k. With `checkIds` (the
+    * default) the contract is ENFORCED by a near-free probe: the batch's
+    * assigned cells prune the `_cell`-bucketed scan and the batch's ids
+    * filter inside them — a replayed vector lands in the SAME cell
+    * (fixed quantizer), so the replay/double-run failure mode is always
+    * caught (a same-id DIFFERENT vector could land in another cell and
+    * evade the pruned probe; that remains the caller's contract). A
+    * collision throws before anything is written. */
   def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
-      table: String, buckets: Int = 16): Unit = {
+      table: String, buckets: Int = 16, checkIds: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val centroids: Array[Seq[Double]] = spark.table(table + "_centroids")
       .orderBy(col("cell")).collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid")))
-    batch.select(col(idCol).as("neighbor_id"),
+    val assigned = batch.select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("_cv"))
       .withColumn("_cell", cellOf(col("_cv"), centroids))
+    if (checkIds) {
+      val cap = 4096
+      val keys = assigned.select(col("neighbor_id"), col("_cell"))
+        .distinct().limit(cap + 1).collect()
+      val scan0 = spark.table(table)
+      val probe = if (keys.length <= cap) {
+        val cells = keys.map(_.get(1)).distinct
+        val ids = keys.map(_.get(0)).distinct
+        scan0.where(col("_cell").isin(cells: _*) &&
+          col("neighbor_id").isin(ids: _*))
+      } else scan0.join(
+        assigned.select(col("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi")
+      val dups = probe.select(col("neighbor_id")).distinct()
+        .limit(5).collect().map(_.get(0))
+      if (dups.nonEmpty) throw new IllegalStateException(
+        s"appendIvfIndex($table): batch contains ids already indexed " +
+          s"(e.g. ${dups.mkString(", ")}) — appending would surface them " +
+          "twice in every top-k; dedup the batch first or pass " +
+          "checkIds=false")
+    }
+    assigned
       .write.mode("append").bucketBy(buckets, "_cell").sortBy("_cell")
       .format("parquet").saveAsTable(table)
   }

@@ -454,12 +454,41 @@ object TextOps {
     *
     * Contract: batch doc ids must be NEW to the index (run
     * Dedup.incrementalExact first) — appended postings for an existing
-    * id would double-count its terms; checking would cost a corpus-wide
-    * anti-join per batch, so it is the caller's invariant, exactly like
-    * the bucket-spec declaration. */
+    * id would silently double-count its terms in every BM25 score. With
+    * `checkIds` (the default) the contract is ENFORCED by a near-free
+    * probe: the batch's TERMS prune the term-bucketed postings scan to
+    * the batch's buckets, and the batch's ids filter inside them — a
+    * re-appended document's old postings all carry terms the batch also
+    * carries, so the replay/double-run failure mode is always caught
+    * (an id collision between two documents with fully DISJOINT term
+    * sets can evade the pruned probe; that shape double-counts nothing
+    * that the pruned scan would have read and remains the caller's
+    * contract). A collision throws before anything is written. */
   def appendTextIndex(batch: DataFrame, idCol: String, textCol: String,
-      table: String, path: String, buckets: Int = 16): Unit = {
+      table: String, path: String, buckets: Int = 16,
+      checkIds: Boolean = true): Unit = {
     val spark = batch.sparkSession
+    if (checkIds) {
+      val cap = 4096
+      val ids = batch.select(col(idCol)).distinct()
+      val idVals = ids.limit(cap + 1).collect().map(_.get(0))
+      val termVals = batch
+        .select(explode(tokens(col(textCol))).as("term")).distinct()
+        .limit(cap + 1).collect().map(_.get(0))
+      val scan0 = spark.table(table)
+      val scan = if (termVals.length <= cap)
+        scan0.where(col("term").isin(termVals: _*)) else scan0
+      val probe = if (idVals.length <= cap)
+        scan.where(col(idCol).isin(idVals: _*))
+      else scan.join(ids, Seq(idCol), "left_semi")
+      val dups = probe.select(col(idCol)).distinct().limit(5).collect()
+        .map(_.get(0))
+      if (dups.nonEmpty) throw new IllegalStateException(
+        s"appendTextIndex($table): batch contains ids already indexed " +
+          s"(e.g. ${dups.mkString(", ")}) — appending would double-count " +
+          "their terms in every BM25 score; dedup the batch first or " +
+          "pass checkIds=false")
+    }
     postings(batch, idCol, textCol).write.mode("append")
       .bucketBy(buckets, "term").sortBy("term")
       .format("parquet").saveAsTable(table)

@@ -70,11 +70,14 @@ object StreamingDedup {
     * bits) agree EXACTLY on at least one band, so band value is a
     * complete candidate key — state keyed by (band, bandValue) via
     * `flatMapGroupsWithState` holds the full 64-bit fingerprints seen in
-    * that bucket (verify-within-group computes the exact popcount, so
-    * false bucket collisions never drop a doc), with event-time timeout
-    * expiring buckets one horizon past their last arrival — state is
-    * bounded by distinct-fingerprints-per-horizon × nBands, never stream
-    * lifetime. Within a microbatch, each bucket processes rows in
+    * that bucket with their last-arrival time (verify-within-group
+    * computes the exact popcount, so false bucket collisions never drop
+    * a doc). Expiry is TWO-LEVEL: the event-time timeout removes a whole
+    * bucket one horizon past its last arrival, and each invocation
+    * prunes individual fingerprints one horizon past THEIR last arrival
+    * — so a continuously-hot bucket cannot retain old fingerprints
+    * forever, and state is bounded by distinct-fingerprints-per-horizon
+    * × nBands, never stream lifetime. Within a microbatch, each bucket processes rows in
     * (ts, id) order, so of two near-dup arrivals in one batch exactly
     * the (ts, id)-least survives — deterministic, matching
     * incrementalExact's min-id-wins.
@@ -120,17 +123,27 @@ object StreamingDedup {
       .as[BandIn]
     val verdicts = bandRows
       .groupByKey(r => (r.band, r.bval))
-      .flatMapGroupsWithState[List[Long], BandVerdict](
+      .flatMapGroupsWithState[List[(Long, Long)], BandVerdict](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val rows = it.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            // per-ENTRY expiry, not just per-bucket: a continuously-hot
+            // bucket stays alive through its timeout, so without this
+            // the fingerprint list would grow with stream lifetime and
+            // suppress docs arriving many horizons after their near-dup.
+            // An entry expires one horizon after its LAST arrival — the
+            // same rule as the bucket timeout below, applied per
+            // fingerprint (state truly bounded by
+            // distinct-fingerprints-per-horizon).
+            val horizon = state.getCurrentWatermarkMs() - delayMs
             var seen = state.getOption.getOrElse(Nil)
+              .filter { case (_, lastMs) => lastMs >= horizon }
             val out = rows.map { r =>
-              val dup = seen.exists(h =>
-                java.lang.Long.bitCount(h ^ r.sim) <= maxHamming)
-              seen = r.sim :: seen
+              val dup = seen.exists { case (h, _) =>
+                java.lang.Long.bitCount(h ^ r.sim) <= maxHamming }
+              seen = (r.sim, r.ts.getTime) :: seen.filterNot(_._1 == r.sim)
               BandVerdict(r.id, r.ts, if (dup) 0 else 1)
             }
             state.update(seen)
@@ -143,36 +156,102 @@ object StreamingDedup {
     verdicts.toDF()
   }
 
+  /** Drop every batch doc that has a SMALLER-id near-dup within the same
+    * batch — the intra-batch half of the ingest loop's dedup guarantee
+    * (the index join only sees docs that arrived in EARLIER batches, so
+    * without this two near-dup docs landing in one microbatch both
+    * survive). Pairwise rule, not cluster-min: doc b is dropped iff some
+    * batch doc a < b has jaccard(a, b) ≥ threshold — every dropped doc
+    * has a concrete surviving near-dup witness, and docs merely
+    * TRANSITIVELY connected (a~b~c with a≁c) are judged on their own
+    * pairs. Deterministic (min-id-wins, as incrementalExact). */
+  private[graft] def intraBatchSurvivors(batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, k: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val losers = graft.ops.Dedup
+      .nearDupPairs(batch, idCol, textCol, threshold, k, bands, rowsPerBand)
+      .select(col("id2").as(idCol)).distinct()
+    batch.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One microbatch of the [[nearDedupIngest]] loop, REPLAY-IDEMPOTENT —
+    * callable directly for batch-mode ingest and for testing the replay
+    * path without a stream. Steps:
+    *  1. intra-batch near-dedup ([[intraBatchSurvivors]], when
+    *     `intraBatch`) — dedup within the batch before the index sees it;
+    *  2. near-dedup vs the index (Dedup.incrementalNearDups), DROPPING
+    *     self-matches (new_id == corpus_id): on a replayed batch the
+    *     docs this run already appended match THEMSELVES at j=1.0, and
+    *     filtering them (ids are unique, so a self-match can only mean
+    *     replay) restores the original run's match set bit-for-bit;
+    *  3. `onMatches(matches, batchId)` — give the sink the batchId so it
+    *     can write to a batch-deterministic location
+    *     ([[parquetMatchSink]]) and a replay OVERWRITES instead of
+    *     duplicating;
+    *  4. append survivors whose ids are NOT already indexed
+    *     (Dedup.indexedIds — bucket-pruned probe, never a corpus scan):
+    *     on replay every survivor is already there, so the append is a
+    *     no-op instead of the silent index corruption the unguarded form
+    *     allowed.
+    * With `intraBatch` on, a replayed batch therefore reproduces its
+    * match output exactly and appends nothing — idempotent end to end.
+    * (With it off, two same-batch near-dups are both appended, and on
+    * replay each matches the other: exact replay-stability additionally
+    * needs the intra-batch step.) */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, table: String, threshold: Double = 0.5,
+      k: Int = 32, bands: Int = 16, rowsPerBand: Int = 2,
+      buckets: Int = 16, onMatches: (DataFrame, Long) => Unit,
+      intraBatch: Boolean = true): Unit = {
+    val b = if (intraBatch)
+      intraBatchSurvivors(batch, idCol, textCol, threshold, k, bands,
+        rowsPerBand)
+    else batch
+    val matches = graft.ops.Dedup.incrementalNearDups(
+        b, table, idCol, textCol, threshold, k, bands, rowsPerBand)
+      .where(col("new_id") =!= col("corpus_id"))
+    onMatches(matches, batchId)
+    val dupIds = matches.select(col("new_id")).distinct()
+    val survivors = b.join(dupIds, b(idCol) === dupIds("new_id"),
+      "left_anti")
+    val already = graft.ops.Dedup.indexedIds(survivors, idCol, table)
+    val fresh = survivors.join(already,
+      survivors(idCol) === already("corpus_id"), "left_anti")
+    graft.ops.Dedup.appendLshIndex(fresh, idCol, textCol, table,
+      k, bands, rowsPerBand, buckets, checkIds = false)
+  }
+
+  /** batchId-deterministic parquet sink for [[nearDedupIngest]] match
+    * output: overwrite into `<dir>/batch_<id>`, so a replayed microbatch
+    * REWRITES its own files instead of appending duplicates — the
+    * standard idempotent-foreachBatch-sink recipe. Read the accumulated
+    * matches back with `spark.read.parquet(s"$dir/batch_*")`. */
+  def parquetMatchSink(dir: String): (DataFrame, Long) => Unit =
+    (m, batchId) => m.write.mode("overwrite").parquet(s"$dir/batch_$batchId")
+
   /** The COMPLETE streaming corpus-ingest loop over a persisted LSH
     * index (graft.ops.Dedup.buildLshIndex) — the production shape that
-    * ties the dedup matrix together: for every arriving microbatch,
-    * (1) near-dedup it against the index (Dedup.incrementalNearDups —
-    * bucket-pruned join + exact-Jaccard verify, corpus never re-hashed),
-    * (2) hand the (new_id, corpus_id, jaccard) matches to `onMatches`
-    * (write them, quarantine them — caller's policy; the frame is
-    * already checkpoint-materialized, safe to reuse), and (3) APPEND the
-    * non-matched docs into the index (Dedup.appendLshIndex) so LATER
-    * batches dedup against everything that came before. Returns the
-    * DataStreamWriter — caller adds checkpointLocation/trigger and
-    * starts it. State is the index itself: durable, shared, queryable —
-    * nothing lives in stream memory, so the loop survives restarts by
-    * construction (exactly-once hinges on the sink policy in
-    * `onMatches` and idempotent ids, as with any foreachBatch sink). */
+    * ties the dedup matrix together: every arriving microbatch runs
+    * [[ingestBatch]] (intra-batch dedup → index dedup → match sink →
+    * guarded append), so LATER batches dedup against everything that
+    * came before. Returns the DataStreamWriter — caller adds
+    * checkpointLocation/trigger and starts it. State is the index
+    * itself: durable, shared, queryable — nothing lives in stream
+    * memory, so the loop survives restarts by construction, and because
+    * [[ingestBatch]] is replay-idempotent (self-match filter + indexed-id
+    * skip) a microbatch re-delivered after a crash neither duplicates
+    * match rows (use [[parquetMatchSink]] or any batchId-keyed sink) nor
+    * double-appends the index. */
   def nearDedupIngest(stream: DataFrame, idCol: String, textCol: String,
       table: String, threshold: Double = 0.5, k: Int = 32,
       bands: Int = 16, rowsPerBand: Int = 2, buckets: Int = 16,
-      onMatches: DataFrame => Unit)
+      onMatches: (DataFrame, Long) => Unit,
+      intraBatch: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val matches = graft.ops.Dedup.incrementalNearDups(
-          batch, table, idCol, textCol, threshold, k, bands, rowsPerBand)
-        onMatches(matches)
-        val dupIds = matches.select(col("new_id")).distinct()
-        val keep = batch.join(dupIds,
-          batch(idCol) === dupIds("new_id"), "left_anti")
-        graft.ops.Dedup.appendLshIndex(keep, idCol, textCol, table,
-          k, bands, rowsPerBand, buckets)
+      (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, idCol, textCol, table, threshold,
+          k, bands, rowsPerBand, buckets, onMatches, intraBatch)
     }
 
   /** Batch-local combine for [[firstSeenNearVerdicts]] output, for use

@@ -328,8 +328,13 @@ object Cli {
         case "score" =>
           val spec = a.lexicon.getOrElse(sys.error("score needs --lexicon"))
           import spark.implicits._
+          // inline iff the WHOLE spec is a term:points list — a URI-
+          // scheme path (s3://bucket/lex.parquet, hdfs://…) contains ':'
+          // too and must route to the file reader, not die as a "bad
+          // lexicon entry"
+          val inline = spec.matches("[^/,:\\s]+:-?\\d+(,[^/,:\\s]+:-?\\d+)*")
           val lex =
-            if (spec.contains(":"))
+            if (inline)
               spec.split(",").toSeq.map { p =>
                 p.split(":") match {
                   case Array(t, w) if t.nonEmpty => (t, w.toLong)

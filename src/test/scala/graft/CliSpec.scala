@@ -306,6 +306,15 @@ class CliSpec extends AnyFunSuite {
     val sc = spark.read.json(dir + "/sc")
       .select($"doc_id", $"points").as[(Long, Long)].collect().toMap
     assert(sc === Map(1L -> 9L, 2L -> 0L))
+    // a lexicon FILE whose path contains ':' (any URI scheme) must route
+    // to the file reader, not the inline parser — file: works in-test
+    Seq(("spark", 5L), ("the", -1L)).toDF("term", "weight")
+      .write.parquet(dir + "/lex.parquet")
+    Cli.run(spark, Array("score", "-i", dir + "/docs.json",
+      "--lexicon", "file://" + dir + "/lex.parquet", "-o", dir + "/sc2"))
+    val sc2 = spark.read.json(dir + "/sc2")
+      .select($"doc_id", $"points").as[(Long, Long)].collect().toMap
+    assert(sc2 === Map(1L -> 9L, 2L -> 0L))
   }
 
   test("CLI pull-expr / pattern / schema JSON parsers") {

@@ -58,6 +58,37 @@ class EntitySpec extends AnyFunSuite {
     assert(e.someIn(Seq("city", "c:name")) === Some("london"))
   }
 
+  test("prefetch: N attribute accesses after ONE pull run zero further " +
+      "jobs and return the live-path answers") {
+    val ts = store()
+    val live = new Entity(ts, "p1", namespace = Some("p"))
+    val expected = Seq("name", "city", "knows").map(k => k -> live(k))
+    val e = new Entity(ts, "p1", namespace = Some("p"))
+      .prefetch(Seq("name", "city", "knows", "p:absent"))
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Seq("name", "city", "knows").map(k => k -> e(k))
+      assert(e.one("name") === Some("ada"))
+      assert(e("p:absent") === Seq(), "prefetched miss must cache as empty")
+      // the bus is async but FIFO: run one FENCE job — once its start
+      // event is visible, every job the accesses might have run would
+      // already have been counted, so the total must be exactly 1
+      spark.sparkContext.parallelize(1 to 1).count()
+      val deadline = System.currentTimeMillis + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() === 1L,
+        s"prefetched accesses ran ${jobs.get() - 1} jobs, want 0")
+      assert(got === expected)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("Entity.find takes first match of a pattern (Q4)") {
     val ts = store()
     val e = Entity.find(ts, Seq("p:city" -> MEq("c1")))

@@ -123,7 +123,7 @@ class LayoutSpec extends AnyFunSuite {
     def parquetFiles(p: String) = new java.io.File(p).listFiles()
       .count(_.getName.endsWith(".parquet"))
     val filesBefore = parquetFiles(s"$dir/txt")
-    graft.ops.Layout.compactBucketed(spark, "txt_app_test",
+    val oldPath = graft.ops.Layout.compactBucketed(spark, "txt_app_test",
       s"$dir/txt_c", 8, Seq("term"))
     val filesAfter = parquetFiles(s"$dir/txt_c")
     assert(filesAfter < filesBefore,
@@ -137,6 +137,20 @@ class LayoutSpec extends AnyFunSuite {
       .findFirstMatchIn(cplan)
     assert(csel.isDefined && csel.get.group(1).toInt < csel.get.group(2).toInt,
       s"compacted index lost bucket pruning:\n$cplan")
+    // vacuum: the superseded copy is deleted, queries stay green — and
+    // the LIVE location is refused (the wrong-argument guard)
+    assert(new java.io.File(s"$dir/txt").exists)
+    graft.ops.Layout.vacuum(spark, oldPath)
+    assert(!new java.io.File(s"$dir/txt").exists,
+      "vacuum left the superseded files behind")
+    val liveGuard = intercept[IllegalArgumentException] {
+      graft.ops.Layout.vacuum(spark, s"$dir/txt_c")
+    }
+    assert(liveGuard.getMessage.contains("live location"))
+    val afterVacuum = graft.ops.TextOps.bm25Query(spark, "txt_app_test",
+      "doc_id", Seq("spark", "common"), k = 10)
+    assert(afterVacuum.as[(Long, Long, Double)].collect().toList ===
+      direct.as[(Long, Long, Double)].collect().toList)
     // IVF: build without copies, append scale-2 copies, query finds them
     val base = (0 until 24).map { i =>
       val th = i * 0.26
@@ -223,5 +237,64 @@ class LayoutSpec extends AnyFunSuite {
     // and no Lloyd's/assignment stage: the only corpus source is the table
     assert(!plan.toLowerCase.contains("posexplode"),
       s"ivfQuery re-ran the trainer:\n$plan")
+  }
+
+  test("checked append contracts: a duplicate-id append throws before " +
+      "writing (text, LSH, IVF) and the guard probes bucket-prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    // text index: re-appending already-indexed docs must throw, not
+    // silently double their term counts
+    val docs = (1L to 30L).map(i => (i, s"filler w$i common"))
+      .toDF("doc_id", "text")
+    graft.ops.TextOps.buildTextIndex(docs, "doc_id", "text",
+      "chk_txt", s"$dir/txt", buckets = 8)
+    val txtRows = spark.table("chk_txt").count()
+    val e1 = intercept[IllegalStateException] {
+      graft.ops.TextOps.appendTextIndex(docs.where($"doc_id" <= 3),
+        "doc_id", "text", "chk_txt", s"$dir/txt", buckets = 8)
+    }
+    assert(e1.getMessage.contains("already indexed"))
+    assert(spark.table("chk_txt").count() === txtRows,
+      "guard failed to throw BEFORE writing")
+    // a genuinely-new append still passes with the guard on
+    graft.ops.TextOps.appendTextIndex(
+      Seq((31L, "filler w31 common")).toDF("doc_id", "text"),
+      "doc_id", "text", "chk_txt", s"$dir/txt", buckets = 8)
+    assert(spark.table("chk_txt").count() > txtRows)
+    // LSH index: duplicate append throws; indexedIds probe bucket-prunes
+    def text(i: Long) = (1 to 12).map(j => s"c${i}w$j").mkString(" ")
+    val corpus = (1L to 30L).map(i => (i, text(i))).toDF("doc_id", "text")
+    graft.ops.Dedup.buildLshIndex(corpus, "doc_id", "text",
+      "chk_lsh", s"$dir/lsh", buckets = 16)
+    val lshRows = spark.table("chk_lsh").count()
+    val e2 = intercept[IllegalStateException] {
+      graft.ops.Dedup.appendLshIndex(corpus.where($"doc_id" === 7L),
+        "doc_id", "text", "chk_lsh", buckets = 16)
+    }
+    assert(e2.getMessage.contains("already indexed"))
+    assert(spark.table("chk_lsh").count() === lshRows)
+    val probePlan = graft.ops.Dedup.indexedIds(
+        corpus.where($"doc_id" === 7L), "doc_id", "chk_lsh")
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(probePlan)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"duplicate-id probe did not bucket-prune:\n$probePlan")
+    // IVF index: replayed vectors land in their original cell → caught
+    val base = (0 until 24).map { i =>
+      val th = i * 0.26
+      (i.toLong, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    graft.ops.Similarity.buildIvfIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "chk_ivf", s"$dir/ivf", nCells = 8,
+      iters = 2, buckets = 8)
+    val ivfRows = spark.table("chk_ivf").count()
+    val e3 = intercept[IllegalStateException] {
+      graft.ops.Similarity.appendIvfIndex(
+        base.take(3).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "chk_ivf", buckets = 8)
+    }
+    assert(e3.getMessage.contains("already indexed"))
+    assert(spark.table("chk_ivf").count() === ivfRows)
   }
 }

@@ -124,6 +124,35 @@ class OpsSpec extends AnyFunSuite {
     assert(batched === base)
   }
 
+  test("ImageIoCodec: real PNG decode through the featurize seam — " +
+      "dims + channel means extracted, undecodable bytes fail-captured") {
+    // generate two tiny PNGs in memory: 4x2 solid red, 3x3 solid
+    // (10, 20, 30) — javax.imageio round-trips PNG losslessly, so the
+    // channel means are exact
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(4, 2, 0xff0000)),
+      (2L, png(3, 3, (10 << 16) | (20 << 8) | 30)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.featurize(df, "doc_id", "payload",
+        codecFactory = () => new Multimodal.ImageIoCodec)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(out(1L).take(2) === Seq(4.0f, 2.0f))
+    assert(out(1L).slice(3, 6) === Seq(255.0f, 0.0f, 0.0f))
+    assert(out(2L).take(2) === Seq(3.0f, 3.0f))
+    assert(out(2L).slice(3, 6) === Seq(10.0f, 20.0f, 30.0f))
+    assert(out(2L)(7) === 1.0f) // aspect
+    assert(out(3L)(0) === -1.0f, "undecodable payload must fail-capture")
+  }
+
   test("lexiconScore: signed integer points, zero-hit docs kept at 0") {
     val docs = Seq(
       (1L, "spark the spark engine"),   // 5 + (-1) + 5 = 9 over 4 tokens

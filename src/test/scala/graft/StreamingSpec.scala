@@ -182,6 +182,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest loop replay: re-running a microbatch reproduces its match " +
+      "output bit-for-bit and appends nothing to the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpl").toString
+    def text(i: Long) = (1 to 12).map(j => s"c${i}w$j").mkString(" ")
+    val corpus = (1L to 20L).map(i => (i, text(i))).toDF("doc_id", "text")
+    graft.ops.Dedup.buildLshIndex(corpus, "doc_id", "text",
+      "rpl_idx", s"$dir/idx", buckets = 16)
+    // 101 near-dups corpus doc 5; 103 is an intra-batch exact copy of
+    // 102 (dropped by the smaller-id rule BEFORE the index join); 104
+    // is fresh — so survivors {102, 104} get appended
+    val batch = Seq(
+      (101L, text(5) + " extra"),
+      (102L, (1 to 12).map(j => s"n$j").mkString(" ")),
+      (103L, (1 to 12).map(j => s"n$j").mkString(" ")),
+      (104L, (1 to 12).map(j => s"q$j").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = s"$dir/matches"
+    def run(): Unit = graft.streaming.StreamingDedup.ingestBatch(
+      batch, 7L, "doc_id", "text", "rpl_idx",
+      onMatches = graft.streaming.StreamingDedup.parquetMatchSink(out))
+    run()
+    def matches() = spark.read.parquet(s"$out/batch_*")
+      .as[(Long, Long, Double)].collect().toSet
+    val m1 = matches()
+    assert(m1.map(t => (t._1, t._2)) === Set((101L, 5L)))
+    val bandRows = spark.table("rpl_idx").count()
+    val shRows = spark.table("rpl_idx_sh").count()
+    assert(spark.table("rpl_idx_sh").where($"corpus_id".isin(102L, 104L))
+      .select($"corpus_id").distinct().count() === 2,
+      "survivors were not appended")
+    // REPLAY the same batch under the same batchId — the crashed-
+    // foreachBatch scenario: the self-match filter restores the original
+    // match set, the batchId-keyed sink overwrites instead of appending,
+    // and the indexed-id skip makes the index append a no-op
+    run()
+    assert(matches() === m1, "replay changed the match output")
+    assert(spark.table("rpl_idx").count() === bandRows,
+      "replay double-appended band rows")
+    assert(spark.table("rpl_idx_sh").count() === shRows,
+      "replay double-appended shingle rows")
+  }
+
+  test("ingest loop survives a checkpoint restart and dedups against " +
+      "docs appended before the stop") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ing").toString
+    val data = s"$base/in"; val ckpt = s"$base/ckpt"
+    val mdir = s"$base/matches"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    def text(p: String) = (1 to 12).map(j => s"$p$j").mkString(" ")
+    val corpus = (1L to 10L).map(i => (i, text(s"c${i}w")))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.buildLshIndex(corpus, "doc_id", "text",
+      "ing_idx", s"$base/idx", buckets = 16)
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(data)
+    def start() = graft.streaming.StreamingDedup.nearDedupIngest(
+        spark.readStream.schema("doc_id BIGINT, text STRING").parquet(data),
+        "doc_id", "text", "ing_idx",
+        onMatches = graft.streaming.StreamingDedup.parquetMatchSink(mdir))
+      .option("checkpointLocation", ckpt).start()
+    // run 1: a fresh doc — no matches, appended to the index
+    write(Seq((201L, text("x"))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 from the SAME checkpoint: a near-copy of 201 must match the
+    // doc APPENDED BEFORE THE STOP — the index IS the recovered state
+    write(Seq((301L, text("x") + " extra")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$mdir/batch_*")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((301L, 201L)))
+  }
+
   test("streaming windowed aggregation over events") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
