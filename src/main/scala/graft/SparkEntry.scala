@@ -468,8 +468,30 @@ object SparkEntry {
 
     // recursive Datalog rules (reference PLANNED grammar, implemented
     // here): transitive ancestry over the self-referential geo graph —
-    // every customer's ancestors are its nation AND its region
+    // every customer's ancestors are its nation AND its region. Runs
+    // through the WITH RECURSIVE lowering (one UnionLoop execution, no
+    // per-iteration driver round-trips — the geo hierarchy is a tree,
+    // exactly the shape the CTE path is for); q115 is the identical
+    // program through the semi-naive loop, same oracle.
     "q48_datalog_rules" -> ((s, dir) =>
+      geoStore(s, dir).datalogRules(
+        Seq("?k", "?n"),
+        Seq(("?x", "tripl:type", "geocustomer"),
+          ("?x", "geo:key", "?k"),
+          ("?x", "ancestor", "?y"),
+          ("?y", "geo:name", "?n")),
+        Seq(
+          DatalogRule(("?a", "ancestor", "?b"),
+            Seq(("?a", "geo:parent", "?b"))),
+          DatalogRule(("?a", "ancestor", "?c"),
+            Seq(("?a", "geo:parent", "?b"), ("?b", "ancestor", "?c")))),
+        useRecursiveCte = true)
+        .toDF("key", "ancestor_name")),
+
+    // the SAME ancestor program through the general semi-naive fixpoint
+    // loop (the default path — mutual/non-linear/cyclic programs can
+    // only run here): both evaluation strategies stay under one oracle
+    "q115_datalog_seminaive" -> ((s, dir) =>
       geoStore(s, dir).datalogRules(
         Seq("?k", "?n"),
         Seq(("?x", "tripl:type", "geocustomer"),
@@ -2495,6 +2517,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') f
         |  ON c.user_id = f.user_id AND c.ts <= f.ts""".stripMargin,
     "q48_datalog_rules" ->
+      """SELECT c_custkey AS key, n_name AS ancestor_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION
+        |SELECT c_custkey, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    // identical program, semi-naive loop path — same closure, same oracle
+    "q115_datalog_seminaive" ->
       """SELECT c_custkey AS key, n_name AS ancestor_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION

@@ -661,6 +661,66 @@ class TripleStore(
       if (shared.nonEmpty) l.join(r, shared) else l.crossJoin(r)
     }
 
+  /** Lower a LINEAR single-predicate Datalog program to `WITH RECURSIVE`
+    * (see the `useRecursiveCte` doc on [[datalogRules]] for when this is
+    * the right plan). Qualifying shape: exactly one IDB predicate, no
+    * rule-level negation, ≥1 base rule (no IDB literal in the body) and
+    * EXACTLY one recursive rule containing exactly one IDB literal with
+    * two distinct variable positions. The base bodies become the CTE
+    * anchor (a plain clause-join DataFrame registered as a temp view);
+    * the recursive rule's EDB clauses become a second view joined to the
+    * recursive reference on the variables they share with the IDB
+    * literal. Variable-named columns are `?x`-style, hence the
+    * backtick-quoting. Returns None when the program doesn't qualify —
+    * the caller falls back to the semi-naive loop. The temp views are
+    * per-call (UUID-tagged) and live for the session, like any
+    * registered view. */
+  private def lowerLinearCte(rules: Seq[DatalogRule],
+      preds: Seq[String]): Option[Map[String, DataFrame]] = {
+    if (preds.size != 1 || rules.exists(_.negBody.nonEmpty)) return None
+    val p = preds.head
+    val (recR, baseR) = rules.partition(_.body.exists(_._2 == p))
+    if (baseR.isEmpty || recR.size != 1) return None
+    val r = recR.head
+    if (r.body.count(_._2 == p) != 1) return None
+    val (is, _, ioAny) = r.body.find(_._2 == p).get
+    val io = ioAny match {
+      case v: String if isVar(v) => v
+      case _ => return None
+    }
+    if (!isVar(is) || is == io) return None
+    val tag = "graft_cte_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val baseDf = baseR.map { b =>
+      joinClauses(b.body.map(clauseDf(_, Map.empty)))
+        .select(col(b.head._1).as("s"), col(b.head._3).as("o"))
+    }.reduce(_ unionByName _)
+    baseDf.createOrReplaceTempView(s"${tag}_base")
+    val idbBind = Seq(is -> "r.s", io -> "r.o")
+    val edbClauses = r.body.filterNot(_._2 == p)
+    val (fromSql, bind) =
+      if (edbClauses.isEmpty) (s"${tag}_rec r", idbBind.toMap)
+      else {
+        val edbDf = joinClauses(edbClauses.map(clauseDf(_, Map.empty)))
+        edbDf.createOrReplaceTempView(s"${tag}_edb")
+        val edbVars = edbDf.columns.toSet
+        val conds = idbBind.collect {
+          case (v, rc) if edbVars.contains(v) => s"e.`$v` = $rc" }
+        if (conds.isEmpty) return None // EDB part ⋈ IDB literal is a cross
+        (s"${tag}_edb e JOIN ${tag}_rec r ON ${conds.mkString(" AND ")}",
+          idbBind.toMap ++ edbVars.map(v => v -> s"e.`$v`").toMap)
+      }
+    val proj = Seq(r.head._1, r.head._3).map(bind.get)
+    if (proj.exists(_.isEmpty)) return None // head var unbound (unsafe)
+    Some(Map(p -> spark.sql(
+      s"""WITH RECURSIVE ${tag}_rec(s, o) AS (
+         |  SELECT s, o FROM ${tag}_base
+         |  UNION ALL
+         |  SELECT ${proj(0).get} AS s, ${proj(1).get} AS o FROM $fromSql
+         |)
+         |SELECT DISTINCT s, o FROM ${tag}_rec""".stripMargin)))
+  }
+
   /** Q10+ — Datalog with RECURSIVE rules (the reference's PLANNED `rules`
     * grammar, tripl.py:571-584 — spec'd there, never implemented; this
     * engine implements it). Each rule defines a binary IDB predicate
@@ -727,7 +787,25 @@ class TripleStore(
         * the positive body on shared variables. All branches of a group
         * must bind the same variable set (see [[graft.query.DatalogOr]]);
         * IDB predicates from `rules` may appear inside branches. */
-      orWhere: Seq[DatalogOr] = Nil): DataFrame = {
+      orWhere: Seq[DatalogOr] = Nil,
+      /** OPT-IN lowering of a LINEAR single-predicate program to Spark
+        * SQL's `WITH RECURSIVE` (SPARK-24497, executed as ONE UnionLoop
+        * operator): the whole fixpoint runs inside a single query
+        * execution, removing the semi-naive loop's per-iteration driver
+        * round-trips (a delta count + localCheckpoint per round). Opt-in
+        * — NOT the default — because Spark supports only UNION ALL in
+        * recursive CTEs, which enumerates derivation PATHS: correct and
+        * fast on tree/hierarchy-shaped edges (each closure pair has one
+        * path — the ancestor/org-chart case this exists for), but CYCLIC
+        * input fails at spark.sql.cteRecursionLevelLimit instead of
+        * converging, and diamond-heavy DAGs amplify work by path
+        * multiplicity. The loop (the default) dedups every round and
+        * handles all of those. Programs the lowering can't express —
+        * multiple predicates, non-linear or negated rules — silently use
+        * the loop even when this flag is set; `onIteration` never fires
+        * on the CTE path (there are no driver-visible iterations — the
+        * point). */
+      useRecursiveCte: Boolean = false): DataFrame = {
     require(where.nonEmpty || orWhere.nonEmpty, "empty where")
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
@@ -784,8 +862,11 @@ class TripleStore(
     // semi-naive delta iteration runs within each stratum, delta-binding
     // only same-stratum IDB literals (lower-stratum relations are fixed,
     // so re-deriving against their deltas would derive nothing new).
-    var totalAll: Map[String, DataFrame] = Map.empty
+    var totalAll: Map[String, DataFrame] =
+      if (useRecursiveCte) lowerLinearCte(rules, preds).getOrElse(Map.empty)
+      else Map.empty
     var iterNo = 0
+    if (totalAll.isEmpty)
     for (s <- stratum.values.toSeq.distinct.sorted) {
       val predsS = preds.filter(stratum(_) == s)
       val rulesS = rules.filter(r => stratum(r.head._2) == s)

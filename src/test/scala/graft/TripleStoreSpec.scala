@@ -453,6 +453,65 @@ class TripleStoreSpec extends AnyFunSuite {
       yield (x, y)))
   }
 
+  test("recursive-CTE lowering: linear program runs as ONE UnionLoop " +
+      "(no per-iteration driver loop), matches the semi-naive answer") {
+    val n = 8
+    val ts = tinyStore((0 until n - 1).map(i =>
+      (s"a$i", "r:next", s"a${i + 1}", 0L)))
+    val rules = Seq(
+      DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+      DatalogRule(("?x", "reach", "?z"),
+        Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z"))))
+    val cte = ts.datalogRules(Seq("?x", "?y"),
+      Seq(("?x", "reach", "?y")), rules, useRecursiveCte = true)
+    // plan: the whole fixpoint is one UnionLoop operator inside this
+    // query — no job chain was driven from here (the loop path would
+    // have already run count+checkpoint jobs before returning)
+    assert(cte.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      s"CTE path not taken:\n${cte.queryExecution.optimizedPlan}")
+    val loop = ts.datalogRules(Seq("?x", "?y"),
+      Seq(("?x", "reach", "?y")), rules)
+    assert(cte.as[(String, String)].collect().toSet ===
+      loop.as[(String, String)].collect().toSet)
+    assert(cte.count() === (n - 1) * n / 2)
+  }
+
+  test("recursive-CTE lowering: non-qualifying programs silently fall " +
+      "back to the loop, cyclic input fails fast at the level limit") {
+    // mutual recursion (2 predicates) — must fall back even when asked
+    val ts = tinyStore((0 until 3).map(i => (s"a$i", "r:next", s"a${i + 1}", 0L)))
+    val rules = Seq(
+      DatalogRule(("?x", "oddp", "?y"), Seq(("?x", "r:next", "?y"))),
+      DatalogRule(("?x", "oddp", "?y"),
+        Seq(("?x", "r:next", "?z"), ("?z", "evenp", "?y"))),
+      DatalogRule(("?x", "evenp", "?y"),
+        Seq(("?x", "r:next", "?z"), ("?z", "oddp", "?y"))))
+    val odd = ts.datalogRules(Seq("?x", "?y"), Seq(("?x", "oddp", "?y")),
+      rules, useRecursiveCte = true)
+    assert(!odd.queryExecution.optimizedPlan.toString.contains("UnionLoop"))
+    assert(odd.as[(String, String)].collect().toSet ===
+      Set(("a0", "a1"), ("a1", "a2"), ("a2", "a3"), ("a0", "a3")))
+    // cyclic edges under UNION ALL cannot converge: Spark must raise its
+    // recursion-level error, not return a truncated closure
+    val cyc = tinyStore(Seq(
+      ("a", "r:next", "b", 0L), ("b", "r:next", "c", 0L),
+      ("c", "r:next", "a", 0L)))
+    val reach = Seq(
+      DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+      DatalogRule(("?x", "reach", "?z"),
+        Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z"))))
+    val prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "8")
+    try {
+      val e = intercept[Exception] {
+        cyc.datalogRules(Seq("?x", "?y"), Seq(("?x", "reach", "?y")),
+          reach, useRecursiveCte = true).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("recursion"),
+        s"unexpected error: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+  }
+
   test("semi-naive datalog: mutually recursive predicates converge") {
     // odd/even path-length predicates defined in terms of EACH OTHER —
     // the delta iteration must propagate new facts across predicates
