@@ -1,0 +1,209 @@
+package graft.tools
+
+import graft.sources.Tpch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale SOAK: measures how the expensive operator plans actually GROW
+  * with input size, instead of arguing it from plan shape. Every scale
+  * claim in this codebase ("banded LSH, never all-pairs", "bucket-pruned
+  * probe, never a corpus scan", "range-partition prefix sums, no global
+  * window") predicts ≤~linear growth; this main generates a
+  * deterministic `factor`× replica of the documents/embeddings corpus,
+  * times the core workloads at 1× and factor×, and reports the measured
+  * scaling exponent per workload:
+  *
+  *   exponent = log(t_fx / t_1x) / log(factor)
+  *
+  * ≈1 is linear, ≪1 is the fixed-cost/bucket-pruned regime, and >1
+  * flags superlinear growth — the cheapest possible place to catch a
+  * quadratic before it meets 100 TB. Startup/JIT noise is amortized by
+  * per-workload medians over `--reps` runs (same discipline as Bench;
+  * this box shows 2-5× single-run spreads).
+  *
+  * Corpus replication is deterministic and STRUCTURE-PRESERVING:
+  *  - documents: replica k offsets ids by k·(max+1) and prefixes every
+  *    token with `rk` — replicas have pairwise-disjoint vocabularies, so
+  *    each replica reproduces the original's near-dup/join structure
+  *    internally and contributes NOTHING across replicas: true pair
+  *    counts scale ×factor (linear), never ×factor² — growth measured on
+  *    the OUTPUT side stays honest;
+  *  - embeddings: ids offset the same way, vectors element-wise
+  *    perturbed by a small index-dependent delta (breaks exact-copy
+  *    alignment so ANN top-k isn't trivially saturated by clones).
+  *
+  * Usage: runMain graft.tools.ScaleBench [sfDir] [factor] [--reps N]
+  * (defaults: $SPARK_GRAFT_SF_DIR, 10, 3). Emits one JSON line to
+  * stdout and BENCH_SCALE.json.
+  */
+object ScaleBench {
+
+  /** factor× documents: offset ids, per-replica token prefix. */
+  def scaleDocs(docs: DataFrame, factor: Int): DataFrame = {
+    val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * off)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit(s"r$k"), t))).as("text"),
+        col("source"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** factor× embeddings: offset ids, small index-dependent perturbation
+    * (deterministic; keeps vectors near — but not equal to — their
+    * originals). */
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => (x + lit(0.003f * k) * ((i % 5) - 2).cast("float"))
+            .cast("float")).as("embedding"))
+    }.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var positional = List.empty[String]
+    var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case p => positional :+= p; i += 1
+      }
+    }
+    val sfDir = positional.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val factor = positional.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scratch = Files.createTempDirectory("graft_scale").toString
+
+    val docs1 = Tpch.raw(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val emb1 = Tpch.raw(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // materialize both corpora once (untimed): the soak times the
+    // OPERATORS, not the replica generator
+    val docsF = scaleDocs(docs1, factor)
+      .repartition(cpus.toInt).persist()
+    val embF = scaleEmbeddings(emb1, factor)
+      .repartition(cpus.toInt).persist()
+    val d1 = docs1.persist(); val e1 = emb1.persist()
+    d1.count(); e1.count(); docsF.count(); embF.count()
+    val queries1 = e1.limit(20)
+
+    // each workload: (name, docs, emb, scaleTag) => forced action.
+    // Index builds write under a per-(workload, scale, rep) path; rep
+    // r>0 overwrites r-1's table entry, so reps stay independent.
+    var runSeq = 0
+    def workloads(d: DataFrame, e: DataFrame, q: DataFrame,
+        tag: String): Seq[(String, () => Unit)] = Seq(
+      "exact_dedup" -> (() =>
+        { graft.ops.Dedup.exact(d, "doc_id", "text").count(); () }),
+      "neardup_lsh" -> (() =>
+        { graft.ops.Dedup.nearDupPairs(d, "doc_id", "text", 0.5).count(); () }),
+      "ppjoin_jaccard" -> (() => {
+        val sh = d.select(col("doc_id"), col("source"),
+          sort_array(graft.ops.Dedup.shingles(col("text"))).as("_sh"))
+        graft.ops.Dedup.ppJoin(sh, "doc_id", "_sh", 0.3, Seq("source"))
+          .count(); ()
+      }),
+      "lsh_index_build" -> (() => {
+        runSeq += 1
+        graft.ops.Dedup.buildLshIndex(d, "doc_id", "text",
+          s"scale_lsh_$tag", s"$scratch/lsh_${tag}_$runSeq"); ()
+      }),
+      "incr_neardup" -> (() =>
+        // probe rides the index the PREVIOUS workload just built over
+        // the full corpus; the batch is a fixed-size slice of the 1×
+        // docs (present in both corpora), so what scales is the INDEX
+        // side — the claim under test is "probe cost tracks the batch,
+        // not the corpus" (bucket pruning)
+        { graft.ops.Dedup.incrementalNearDups(
+            d1.where(col("doc_id") % 10 === 0)
+              .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+                col("text")),
+            s"scale_lsh_$tag", "doc_id", "text", 0.5).count(); () }),
+      "text_index_build" -> (() => {
+        runSeq += 1
+        graft.ops.TextOps.buildTextIndex(d, "doc_id", "text",
+          s"scale_txt_$tag", s"$scratch/txt_${tag}_$runSeq"); ()
+      }),
+      "bm25_query" -> (() =>
+        // fixed 3-term query against whatever index the previous
+        // workload built: the bucket-pruned, should-be-~flat path
+        { graft.ops.TextOps.bm25Query(spark, s"scale_txt_$tag",
+            "doc_id", Seq("spark", "window", "merge"), 15).count(); () }),
+      "ivf_index_build" -> (() => {
+        runSeq += 1
+        graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding",
+          s"scale_ivf_$tag", s"$scratch/ivf_${tag}_$runSeq",
+          nCells = 16, iters = 3, trainFraction = 0.25); ()
+      }),
+      "ivf_query" -> (() =>
+        { graft.ops.Similarity.ivfQuery(q, s"scale_ivf_$tag",
+            "vec_id", "embedding", k = 5, nProbe = 4).count(); () }),
+      "ann_brute" -> (() =>
+        { graft.ops.Similarity.bruteTopK(e, q, "vec_id", "embedding",
+            k = 5).count(); () }),
+      "pack_global" -> (() =>
+        { graft.ops.TextOps.packSequences(d, "doc_id", "text", 256)
+            .count(); () }),
+      "contiguous_ids" -> (() =>
+        { graft.ops.Layout.contiguousIds(d, "doc_id").count(); () })
+    )
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // one warm-up pass at 1× (untimed): JIT + codegen + parquet footers
+    workloads(d1, e1, queries1, "warm").foreach { case (_, fn) => fn() }
+    def timeAll(d: DataFrame, e: DataFrame, q: DataFrame,
+        tag: String): Map[String, Double] = {
+      val acc = scala.collection.mutable.Map
+        .empty[String, List[Double]].withDefaultValue(Nil)
+      for (_ <- 0 until reps;
+           (name, fn) <- workloads(d, e, q, tag)) {
+        val t0 = System.nanoTime()
+        fn()
+        acc(name) = ((System.nanoTime() - t0) / 1e9) :: acc(name)
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      acc.toMap.map { case (k, ts) => k -> median(ts) }
+    }
+    val t1 = timeAll(d1, e1, queries1, "x1")
+    val tf = timeAll(docsF, embF, queries1, s"x$factor")
+
+    val names = workloads(d1, e1, queries1, "x1").map(_._1)
+    def num(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = names.map { n =>
+      val exp = math.log(tf(n) / t1(n)) / math.log(factor.toDouble)
+      "\"" + n + "\":{\"t1\":" + num(t1(n)) +
+        ",\"t" + factor + "\":" + num(tf(n)) +
+        ",\"exponent\":" + num(exp) + "}"
+    }
+    val line = s"""{"sf":"$sfDir","factor":$factor,"reps":$reps,""" +
+      s""""docs_1x":${d1.count()},"docs_fx":${docsF.count()},""" +
+      s""""workloads":${rows.mkString("{", ",", "}")}}"""
+    println(line)
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE.json")),
+      line + "\n")
+    spark.stop()
+  }
+}
