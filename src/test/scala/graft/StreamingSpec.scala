@@ -182,6 +182,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: a HOT band bucket still expires individual " +
+      "fingerprints — a doc arriving horizons after its near-dup re-emits " +
+      "even when unrelated traffic keeps the bucket alive") {
+    implicit val sql = spark.sqlContext
+    def tsl(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    def mkText(p: String) = (1 to 100).map(j => s"$p$j").mkString(" ")
+    val a = mkText("a")
+    def bandsOf(h: Long) = (0 until 4).map(b => (h >>> (b * 16)) & 0xffffL)
+    // find variants that SHARE ≥1 of a's 4 SimHash bands but sit at
+    // hamming ≥ 4 (so they are NOT near-dups at maxHamming=3): their
+    // arrivals keep a's bucket ALIVE without legitimately suppressing
+    // anything — the exact hot-bucket scenario. Searched from computed
+    // hashes, not assumed.
+    val cands = (1 to 80).map { j =>
+      a.split(" ").patch(j % 60, Seq(s"q${j}x", s"q${j}y", s"q${j}z"), 3)
+        .mkString(" ") }
+    val sims = graft.ops.Dedup.simhash(
+      (a +: cands).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val aBands = bandsOf(sims(0L)).toSet
+    var traffic = List.empty[String]
+    for ((t, i) <- cands.zipWithIndex
+         if traffic.size < 4) {
+      val h = sims(i + 1L)
+      val far = java.lang.Long.bitCount(sims(0L) ^ h) >= 4 &&
+        traffic.forall { u =>
+          java.lang.Long.bitCount(sims(cands.indexOf(u) + 1L) ^ h) >= 4 }
+      if (far && bandsOf(h).exists(aBands.contains)) traffic :+= t
+    }
+    assert(traffic.size == 4, s"found only ${traffic.size} hot-bucket docs")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val verdicts = graft.streaming.StreamingDedup.firstSeenNearVerdicts(
+      docs, "id", "text", "ts", watermarkDelaySeconds = 30)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val q = verdicts.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamingDedup.combineNearVerdicts(b, "id", "ts")
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append").start()
+    try {
+      // t=1: the original; t=5: a copy INSIDE the horizon — suppressed
+      input.addData((1L, a, tsl(1)), (2L, a, tsl(5)))
+      q.processAllAvailable()
+      // sustained far-but-bucket-sharing traffic keeps a's bucket alive
+      // across several watermark horizons (delay = 30s)
+      for ((t, i) <- traffic.zipWithIndex) {
+        input.addData((10L + i, t, tsl(20 + i * 25)))
+        q.processAllAvailable()
+      }
+      // t=120: watermark is now ~65 (95-30), many horizons past t=1 —
+      // the fingerprint stored at t=1 must have EXPIRED even though its
+      // bucket never did: the copy re-emits (bounded-memory semantics)
+      input.addData((99L, a, tsl(120)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).select($"id")
+        .as[Long].collect().toList.sorted
+      assert(got === List(1L, 10L, 11L, 12L, 13L, 99L),
+        s"got $got — 99 missing means the hot bucket never pruned entries")
+    } finally q.stop()
+  }
+
   test("ingest loop replay: re-running a microbatch reproduces its match " +
       "output bit-for-bit and appends nothing to the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rpl").toString
