@@ -343,7 +343,23 @@ object SparkEntry {
     }),
 
     // Q7e '...' recursion: BFS fixpoint over ref edges, depth histogram
+    // ref-graph reachability through the WITH RECURSIVE lowering (one
+    // UnionLoop execution, no per-depth driver loop — the customer→
+    // nation→region graph is a strict hierarchy, the CTE path's home
+    // turf); q116 is the identical traversal on the BFS fixpoint loop,
+    // same oracle
     "q13_reachable" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer", "nation", "region")
+      val roots = ts.matchEntities(Seq(Triples.TypeAttr -> MEq("customer")))
+      ts.reachableCte(roots, Some(Seq("customer:nation", "nation:region")))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+        .orderBy(col("depth"))
+    }),
+
+    // the SAME traversal through the per-level BFS loop (the default
+    // path — dense/cyclic graphs run here): both strategies under one
+    // oracle, mirroring the q48/q115 pair
+    "q116_reachable_bfs" -> ((s, dir) => {
       val ts = Tpch.store(s, dir, "customer", "nation", "region")
       val roots = ts.matchEntities(Seq(Triples.TypeAttr -> MEq("customer")))
       ts.reachable(roots, Some(Seq("customer:nation", "nation:region")))
@@ -2551,6 +2567,11 @@ object SparkEntry {
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
         |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
     "q13_reachable" ->
+      """SELECT 0 AS depth, count(*) AS n FROM customer
+        |UNION ALL SELECT 1 AS depth, count(*) AS n FROM customer
+        |UNION ALL SELECT 2 AS depth, count(*) AS n FROM customer""".stripMargin,
+    // identical traversal, BFS loop path — same closure, same oracle
+    "q116_reachable_bfs" ->
       """SELECT 0 AS depth, count(*) AS n FROM customer
         |UNION ALL SELECT 1 AS depth, count(*) AS n FROM customer
         |UNION ALL SELECT 2 AS depth, count(*) AS n FROM customer""".stripMargin,

@@ -1050,6 +1050,41 @@ class TripleStore(
       edgesFor(attrs).select($"e".as("_src"), $"vref".as("_dst")),
       maxIters, maxFrontier)
 
+  /** [[reachable]] lowered to `WITH RECURSIVE` (one UnionLoop execution —
+    * the graph sibling of datalogRules' `useRecursiveCte`): the whole
+    * traversal runs inside a single query, no per-depth driver loop
+    * (count + localCheckpoint per level in [[bfsFrom]]). The recursion is
+    * DEPTH-BOUNDED in the recursive term (`depth < maxDepth`), so it
+    * terminates on ANY graph — cycles included — and the final
+    * min-depth aggregation reproduces exactly [[reachable]]'s
+    * shortest-hop answer (min over enumerated paths ≡ BFS first-visit
+    * depth; property of min). The trade: UNION ALL enumerates PATHS, so
+    * on dense cyclic graphs work grows with path counts where the BFS's
+    * per-level anti-join dedups visits — use this for hierarchy/DAG-ish
+    * ref graphs (the common lineage/org-chart shape) and the BFS
+    * elsewhere; same output schema (e, root, depth). */
+  def reachableCte(
+      roots: DataFrame,
+      attrs: Option[Seq[String]] = None,
+      maxDepth: Int = 20): DataFrame = {
+    val tag = "graft_bfs_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    roots.select($"e").distinct()
+      .createOrReplaceTempView(s"${tag}_roots")
+    edgesFor(attrs).select($"e".as("_src"), $"vref".as("_dst"))
+      .createOrReplaceTempView(s"${tag}_edges")
+    spark.sql(
+      s"""WITH RECURSIVE ${tag}_r(root, e, depth) AS (
+         |  SELECT e AS root, e, 0 FROM ${tag}_roots
+         |  UNION ALL
+         |  SELECT r.root, ed._dst, r.depth + 1
+         |  FROM ${tag}_r r JOIN ${tag}_edges ed ON ed._src = r.e
+         |  WHERE r.depth < $maxDepth
+         |)
+         |SELECT e, root, CAST(min(depth) AS INT) AS depth
+         |FROM ${tag}_r GROUP BY e, root""".stripMargin)
+  }
+
   /** ROOT-BATCHED [[reachable]] — the dense-graph form: per-root visited
     * state is O(|V|·|roots|) (see the scale note above), so instead of
     * failing at `maxFrontier`, partition the ROOT SET into

@@ -854,6 +854,43 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(ts.reachable(roots).count() === 16) // 4 roots × 4 reachable each
   }
 
+  test("reachableCte == reachable (diamond DAG and cycle), runs as ONE " +
+      "UnionLoop, and the depth bound makes cycles terminate") {
+    def refStore(edges: Seq[(String, String)]): TripleStore = {
+      val triples = edges.map { case (x, y) => (x, "r:next", y) }
+        .toDF("e", "a", "vref")
+        .withColumn("vtype", lit(Triples.VRef))
+        .withColumn("vstr", lit(null).cast("string"))
+        .withColumn("vlong", lit(null).cast("long"))
+        .withColumn("vdbl", lit(null).cast("double"))
+        .withColumn("vbool", lit(null).cast("boolean"))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .withColumn("txId", lit(0L))
+        .select(Triples.columns.map(col): _*)
+      new TripleStore(spark, triples, Map(
+        "r:next" -> AttrSchema("r:next", cardOne = false, isRef = true,
+          Triples.VRef)))
+    }
+    // diamond a→{b,c}→d→e: two paths to d — min-depth dedup must agree
+    // with BFS first-visit depth
+    val dia = refStore(Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e")))
+    val roots = Seq("a").toDF("e")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select($"e", $"root", $"depth").as[(String, String, Int)]
+        .collect().toSet
+    val cte = dia.reachableCte(roots, maxDepth = 10)
+    assert(cte.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "reachableCte did not plan a UnionLoop")
+    assert(sorted(cte) === sorted(dia.reachable(roots)))
+    // 3-cycle: the depth bound terminates the UNION ALL enumeration and
+    // min-depth still equals the BFS answer
+    val cyc = refStore(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    assert(sorted(cyc.reachableCte(roots, maxDepth = 6)) ===
+      sorted(cyc.reachable(roots)))
+  }
+
   test("reachableBatched == reachable on dense graphs, and turns the " +
       "maxFrontier valve into a scheduling knob") {
     def refStore(edges: Seq[(String, String)]): TripleStore = {
