@@ -52,6 +52,9 @@ import scala.jdk.CollectionConverters._
   *   Cli indexbuild  -i corpus.parquet --table idx --index-path /data/idx -o receipt
   *   Cli indexappend -i batch.parquet  --table idx -o receipt
   *   Cli indexdedup  -i batch.parquet  --table idx --threshold 0.5 -o pairs
+  *   Cli indexingest -i batch.parquet  --table idx --matches /data/m \
+  *                   --batch-id 7 [--no-intra-batch] -o receipt
+  *   Cli indexcompact --table idx --index-path /data/idx2 [--vacuum] -o receipt
   *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
   */
 object Cli {
@@ -84,6 +87,10 @@ object Cli {
       pcts: Seq[Int] = Seq(50, 90, 99),
       table: Option[String] = None,
       indexPath: Option[String] = None,
+      matchesDir: Option[String] = None,
+      batchId: Long = 0L,
+      doVacuum: Boolean = false,
+      intraBatch: Boolean = true,
       lexicon: Option[String] = None,
       threshold: Double = 0.5,
       hashes: Int = 32,
@@ -93,7 +100,8 @@ object Cli {
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
-      "indexbuild", "indexappend", "indexdedup", "score")
+      "indexbuild", "indexappend", "indexdedup", "indexingest",
+      "indexcompact", "score")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -148,6 +156,10 @@ object Cli {
         case f @ "--table" => a = a.copy(table = Some(value(f)))
         case f @ "--lexicon" => a = a.copy(lexicon = Some(value(f)))
         case f @ "--index-path" => a = a.copy(indexPath = Some(value(f)))
+        case f @ "--matches" => a = a.copy(matchesDir = Some(value(f)))
+        case f @ "--batch-id" => a = a.copy(batchId = value(f).toLong)
+        case "--vacuum" => a = a.copy(doVacuum = true); i += 1
+        case "--no-intra-batch" => a = a.copy(intraBatch = false); i += 1
         case f @ "--threshold" => a = a.copy(threshold = value(f).toDouble)
         case f @ "--hashes" => a = a.copy(hashes = value(f).toInt)
         case f @ "--bands" => a = a.copy(bands = value(f).toInt)
@@ -155,7 +167,8 @@ object Cli {
         case other => sys.error(s"unknown argument: $other")
       }
     }
-    require(a.inputs.nonEmpty, "no -i inputs given")
+    require(a.inputs.nonEmpty || a.sub == "indexcompact",
+      "no -i inputs given")
     a
   }
 
@@ -278,7 +291,8 @@ object Cli {
     // gets a CLI surface) operate on tabular input directly — no triple
     // round-trip for corpus transforms
     if (PipelineSubs.contains(a.sub)) {
-      val df = readTable(spark, a)
+      val df = if (a.inputs.nonEmpty) readTable(spark, a)
+        else spark.emptyDataFrame // indexcompact takes no input
       val out = a.sub match {
         case "dedup" => graft.ops.Dedup.exact(df, a.idCol, a.textCol)
         case "sample" => a.buckets match {
@@ -322,6 +336,44 @@ object Cli {
             a.table.getOrElse(sys.error("indexdedup needs --table")),
             a.idCol, a.textCol, a.threshold,
             a.hashes, a.bands, a.rowsPerBand)
+        // the full replay-idempotent ingest step as a shell verb: dedup
+        // the batch (intra-batch + vs index), write matches under a
+        // batchId-keyed dir, append survivors — re-running the SAME
+        // --batch-id is a no-op that rewrites identical matches
+        case "indexingest" =>
+          val t = a.table.getOrElse(sys.error("indexingest needs --table"))
+          val m = a.matchesDir
+            .getOrElse(sys.error("indexingest needs --matches"))
+          graft.streaming.StreamingDedup.ingestBatch(
+            df, a.batchId, a.idCol, a.textCol, t, a.threshold,
+            a.hashes, a.bands, a.rowsPerBand, a.buckets.getOrElse(16),
+            onMatches = graft.streaming.StreamingDedup.parquetMatchSink(m),
+            intraBatch = a.intraBatch)
+          import spark.implicits._
+          Seq((t, a.batchId,
+              spark.read.parquet(s"$m/batch_${a.batchId}").count(),
+              spark.table(t + "_sh").select("corpus_id").distinct().count()))
+            .toDF("table", "batch_id", "n_matches", "n_docs")
+        // compact BOTH tables of the LSH pair into --index-path (and
+        // optionally vacuum the superseded copies): the maintenance verb
+        // that bounds small-file growth from repeated indexappend/ingest
+        case "indexcompact" =>
+          val t = a.table.getOrElse(sys.error("indexcompact needs --table"))
+          val p = a.indexPath
+            .getOrElse(sys.error("indexcompact needs --index-path"))
+          val b = a.buckets.getOrElse(16)
+          val old1 = graft.ops.Layout.compactBucketed(
+            spark, t, p, b, Seq("_bh"))
+          val old2 = graft.ops.Layout.compactBucketed(
+            spark, t + "_sh", p + "_sh", b, Seq("corpus_id"))
+          if (a.doVacuum) {
+            graft.ops.Layout.vacuum(spark, old1)
+            graft.ops.Layout.vacuum(spark, old2)
+          }
+          import spark.implicits._
+          Seq((t, spark.table(t + "_sh").select("corpus_id")
+              .distinct().count()))
+            .toDF("table", "n_docs")
         // weighted-lexicon scoring: --lexicon is either an inline
         // term:points,term:points list or a file path readable by the
         // same tabular reader (columns term, weight)

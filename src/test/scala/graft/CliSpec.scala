@@ -294,6 +294,59 @@ class CliSpec extends AnyFunSuite {
     assert(pairs2 === Set((202L, 102L, 1.0)))
   }
 
+  test("CLI indexingest + indexcompact: replay-idempotent ingest from the " +
+      "shell, then compact + vacuum keeps the index answering") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_ing").toString
+    def docLine(id: Long, text: String) =
+      s"""{"doc_id": $id, "text": "$text"}"""
+    def longText(p: String) = (1 to 12).map(j => s"$p$j").mkString(" ")
+    Files.writeString(Paths.get(dir + "/corpus.json"),
+      (1L to 10L).map(i => docLine(i, longText(s"c$i"))).mkString("", "\n", "\n"))
+    Cli.run(spark, Array("indexbuild", "-i", dir + "/corpus.json",
+      "--table", "cli_ing_test", "--index-path", dir + "/idx",
+      "-o", dir + "/r0"))
+    // batch: a corpus near-dup (101~3), an intra-batch copy pair
+    // (103 copies 102 — dropped before the index join), a fresh doc
+    Files.writeString(Paths.get(dir + "/batch.json"),
+      Seq(docLine(101L, longText("c3") + " extra"),
+        docLine(102L, longText("z")), docLine(103L, longText("z")),
+        docLine(104L, longText("q"))).mkString("", "\n", "\n"))
+    def ingest(): Unit = Cli.run(spark, Array("indexingest",
+      "-i", dir + "/batch.json", "--table", "cli_ing_test",
+      "--matches", dir + "/m", "--batch-id", "7", "-o", dir + "/r1"))
+    ingest()
+    val r1 = spark.read.json(dir + "/r1")
+      .select($"n_matches", $"n_docs").as[(Long, Long)].head()
+    // one match (101~3); survivors 102, 104 appended → 12 indexed docs
+    assert(r1 === ((1L, 12L)))
+    val m1 = spark.read.parquet(dir + "/m/batch_7")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(m1 === Set((101L, 3L)))
+    // REPLAY the same --batch-id: identical matches, nothing re-appended
+    ingest()
+    assert(spark.read.json(dir + "/r1")
+      .select($"n_matches", $"n_docs").as[(Long, Long)].head() === ((1L, 12L)))
+    assert(spark.read.parquet(dir + "/m/batch_7")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet === m1)
+    // compact the pair + vacuum the superseded copies; the index still
+    // answers (the appended doc 102's copy must near-dup) and old files
+    // are gone
+    Cli.run(spark, Array("indexcompact", "--table", "cli_ing_test",
+      "--index-path", dir + "/idx2", "--vacuum", "-o", dir + "/r2"))
+    assert(spark.read.json(dir + "/r2").select($"n_docs")
+      .as[Long].head() === 12L)
+    assert(!new java.io.File(dir + "/idx").exists)
+    assert(!new java.io.File(dir + "/idx_sh").exists)
+    Files.writeString(Paths.get(dir + "/batch2.json"),
+      docLine(202L, longText("z")) + "\n")
+    Cli.run(spark, Array("indexdedup", "-i", dir + "/batch2.json",
+      "--table", "cli_ing_test", "-o", dir + "/pairs"))
+    assert(spark.read.json(dir + "/pairs")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet ===
+      Set((202L, 102L)))
+  }
+
   test("CLI score verb: inline lexicon, signed points, zero-hit docs kept") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cli_score").toString
