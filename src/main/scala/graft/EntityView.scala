@@ -93,12 +93,20 @@ class Entity(val store: TripleStore, val eid: String,
   def one(key: String): Option[Any] = apply(key).headOption
 
   /** Referenced child entities through a (declared or lazy) ref attr
-    * (tripl.py:184-188). */
+    * (tripl.py:184-188). For a DECLARED ref attr the [[prefetch]] cache
+    * serves here too (the cached values ARE the child eids); lazy-ref
+    * attrs always query live — whether their string values are eids is
+    * refEdges' heuristic to decide, not the cache's. */
   def refs(key: String): Seq[Entity] = {
     val a = attrOf(key)
-    store.refEdges(a).where($"e" === eid)
-      .select($"vref").as[String].collect().toSeq.sorted
-      .map(new Entity(store, _, namespace))
+    cache.get(a).filter(_ => store.schemas.get(a).exists(_.isRef)) match {
+      case Some(vs) => vs.map(_.toString).sorted
+        .map(new Entity(store, _, namespace))
+      case None =>
+        store.refEdges(a).where($"e" === eid)
+          .select($"vref").as[String].collect().toSeq.sorted
+          .map(new Entity(store, _, namespace))
+    }
   }
 
   /** Multi-hop walk (`get_in`, tripl.py:203-241): follow ref attrs for

@@ -76,6 +76,9 @@ class EntitySpec extends AnyFunSuite {
       val got = Seq("name", "city", "knows").map(k => k -> e(k))
       assert(e.one("name") === Some("ada"))
       assert(e("p:absent") === Seq(), "prefetched miss must cache as empty")
+      // declared-ref attrs serve refs() from the same cache: the cached
+      // values ARE the child eids — still zero jobs
+      assert(e.refs("knows").map(_.eid) === Seq("p2"))
       // the bus is async but FIFO: run one FENCE job — once its start
       // event is visible, every job the accesses might have run would
       // already have been counted, so the total must be exactly 1
