@@ -170,14 +170,22 @@ class PropertySpec extends AnyFunSuite {
         new TripleStore(spark, df, Map.empty)
       }
       if (edges.nonEmpty) {
-        val got = store.datalogRules(Seq("?x", "?y"), Seq(("?x", "reach", "?y")),
-          Seq(
-            DatalogRule(("?x", "reach", "?y"), Seq(("?x", "g:edge", "?y"))),
-            DatalogRule(("?x", "reach", "?z"),
-              Seq(("?x", "g:edge", "?y"), ("?y", "reach", "?z")))))
+        val rules = Seq(
+          DatalogRule(("?x", "reach", "?y"), Seq(("?x", "g:edge", "?y"))),
+          DatalogRule(("?x", "reach", "?z"),
+            Seq(("?x", "g:edge", "?y"), ("?y", "reach", "?z"))))
+        val got = store.datalogRules(Seq("?x", "?y"),
+            Seq(("?x", "reach", "?y")), rules)
           .as[(String, String)].collect().toSet
         val want = closure.map { case (a, b) => (s"v$a", s"v$b") }.toSet
         assert(got === want, s"block $block edges=$edges")
+        // the WITH RECURSIVE lowering must produce the identical closure
+        // on every random DAG (diamonds included — UNION ALL enumerates
+        // paths, the final distinct collapses them)
+        val gotCte = store.datalogRules(Seq("?x", "?y"),
+            Seq(("?x", "reach", "?y")), rules, useRecursiveCte = true)
+          .as[(String, String)].collect().toSet
+        assert(gotCte === want, s"CTE path diverged, block $block edges=$edges")
       }
     }
   }
