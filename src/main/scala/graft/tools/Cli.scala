@@ -440,11 +440,12 @@ object Cli {
       notWhere: Seq[(String, String, Any)] = Nil,
       agg: Seq[DatalogAgg] = Nil,
       withVars: Seq[String] = Nil,
-      orWhere: Seq[graft.query.DatalogOr] = Nil) {
+      orWhere: Seq[graft.query.DatalogOr] = Nil,
+      recursiveCte: Boolean = false) {
     def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
       ts.datalogRules(find, where, rules, sortBy = sortBy, take = take,
           notWhere = notWhere, aggregates = agg, withVars = withVars,
-          orWhere = orWhere)
+          orWhere = orWhere, useRecursiveCte = recursiveCte)
         .toDF(find.map(_.stripPrefix("?")) ++ agg.map(_.as): _*)
   }
 
@@ -532,8 +533,15 @@ object Cli {
     // Datomic's :with — extra distinct-basis vars for the aggregates
     val withV = Option(q.get("with")).map(asArray("with", _))
       .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+    // engine EXTENSION beyond the reference grammar: opt into the
+    // WITH RECURSIVE lowering for linear programs (see datalogRules'
+    // useRecursiveCte doc — non-qualifying shapes fall back silently)
+    val cte = Option(q.get("recursive_cte")).exists { n =>
+      require(n.isBoolean, s"'recursive_cte' must be a boolean, got $n")
+      n.asBoolean
+    }
     DatalogQuery(find, where, rules, sortBy, take, notW, aggs, withV,
-      orWhere)
+      orWhere, cte)
   }
 
   def main(argv: Array[String]): Unit = {

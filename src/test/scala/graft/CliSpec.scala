@@ -88,6 +88,30 @@ class CliSpec extends AnyFunSuite {
     assert(q.rules === Seq(query.DatalogRule(("?s", "anc", "?o"),
       Seq(("?s", "p:q", "?o")))))
     assert(q.sortBy === Some("?x") && q.take === Some(5))
+    assert(!q.recursiveCte)
+    // the engine-extension key routes the SAME program through the
+    // WITH RECURSIVE lowering — identical answer from the shell grammar
+    val out2 = dir + "/ancestors_cte"
+    Cli.run(spark, Array("datalog", "-i", in, "-I", "person:id",
+      "-s", """{"person:parent": {"db:valueType": "db.type:ref"}}""",
+      "-q",
+      """{"find": ["?x", "?y"],
+         "where": [["?a", "person:id", "?x"], ["?a", "ancestor", "?b"],
+                   ["?b", "person:id", "?y"]],
+         "rules": [[["ancestor", "?s", "?o"], ["?s", "person:parent", "?o"]],
+                   [["ancestor", "?s", "?o"], ["?s", "person:parent", "?m"],
+                    ["?m", "ancestor", "?o"]]],
+         "recursive_cte": true}""",
+      "-o", out2))
+    import spark.implicits._
+    assert(spark.read.json(out2).select($"x", $"y")
+      .as[(String, String)].collect().toSet ===
+      Set(("ada", "bob"), ("ada", "cyn"), ("bob", "cyn")))
+    intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery(
+        """{"find": ["?x"], "where": [["?e", "a:b", 3]],
+           "recursive_cte": "yes"}""")
+    }
   }
 
   test("CLI datalog 'agg' key: find-aggregates group and run end-to-end") {
