@@ -1509,6 +1509,51 @@ object SparkEntry {
         .select(col("new_id"), col("corpus_id"), col("jaccard"))
     }),
 
+    // SemDeDup-style semantic dedup (Similarity.semanticDedup) in its
+    // oracle-reproducible mode: seed centroids = the 8 smallest-id
+    // embeddings, no Lloyd refinement, drop-threshold 0.45 (the sf0.01
+    // within-cluster cosine distribution puts the nearest pair 1.5e-3
+    // from the threshold and the nearest assignment margin at 4e-4 —
+    // both far above double rounding, so the SQL oracle lands on the
+    // identical answer). The trained-quantizer path (iters > 0) is
+    // covered by OpsSpec invariants instead — Lloyd rounds are not
+    // expressible in portable SQL.
+    "q117_semantic_dedup" -> ((s, dir) =>
+      graft.ops.Similarity.semanticDedup(
+        Tpch.raw(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, threshold = 0.45, iters = 0)),
+
+    // exact-substring dedup, detection half (Dedup.duplicateSpans):
+    // maximal token spans whose every 8-token window repeats somewhere
+    // in the corpus — the document-INTERNAL duplication whole-doc dedup
+    // can't see. The oracle rebuilds the same windows/occurrence-counts/
+    // island-merge in SQL over the token strings; the Spark side groups
+    // on the 64-bit window hash (the narrow-shuffle scale form), so a
+    // green row also certifies hash grouping ≡ string grouping on this
+    // corpus (2101 duplicated windows at sf0.01).
+    "q118_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.duplicateSpans(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // exact-substring dedup, removal half (Dedup.stripDuplicateSpans):
+    // every doc rewritten with its duplicated-span tokens deleted;
+    // docs without spans must round-trip byte-identical through the
+    // split/rejoin, which the hash compare enforces corpus-wide
+    "q119_strip_spans" -> ((s, dir) =>
+      graft.ops.Dedup.stripDuplicateSpans(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", n = 8)),
+
+    // deterministic global shuffle (Sampling.shuffleDeterministic):
+    // md5-keyed training order with a contiguous position from the
+    // two-pass range-partitioned rank (Layout.contiguousIds) — the
+    // oracle's single row_number() OVER (ORDER BY …) is exactly the
+    // single-task shape the operator exists to avoid, and the hash
+    // compare proves the two produce the identical permutation
+    "q120_det_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleDeterministic(
+          Tpch.raw(s, dir, "documents"), "doc_id", seed = 42L)
+        .select(col("doc_id"), col("source"), col("shuffle_pos"))),
+
     // the CLI pipeline surface end-to-end: `chunk` verb over the raw
     // parquet → JSONL artifact → read-back; must equal the q72 oracle —
     // the CLI is a thin shell over the same operator, and this proves it
@@ -2074,6 +2119,113 @@ object SparkEntry {
         |       round(CAST(COALESCE(h.points, 0) AS DOUBLE)
         |             / len(string_split(d.text, ' ')), 4) AS per_token
         |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
+    // semanticDedup's oracle mode replayed step-for-step: seed centroids
+    // = 8 smallest ids, argmax-cosine assignment (ties → lower cell,
+    // matching the struct-sort tie rule), drop = some smaller-id
+    // same-cluster member with cos ≥ 0.45. DOUBLE[] casts force the
+    // same double-precision math as the Spark side (q36's idiom).
+    "q117_semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                 v AS cv
+        |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 8)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY list_cosine_similarity(c.v, s.cv) DESC,
+        |                      s.cell) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |dropped AS (SELECT DISTINCT y.vec_id
+        |  FROM assign x JOIN assign y
+        |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  JOIN c a ON a.vec_id = x.vec_id
+        |  JOIN c b ON b.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cluster,
+        |       d.vec_id IS NULL AS kept
+        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin,
+    // duplicateSpans replayed over the token STRINGS (the Spark side
+    // groups on xxhash64 of the window — same answer, narrower shuffle):
+    // length-8 windows, occurrence count over the window text, windows
+    // with occ > 1 merged per doc by gaps-and-islands (a window starting
+    // ≤ prev_start + 8 overlaps or touches the previous span)
+    "q118_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |             array_to_string(toks[i : i + 7], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |      WHERE len(toks) >= 8),
+        |d AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               count(*) OVER (PARTITION BY gram) AS occ FROM g)
+        |      WHERE occ > 1),
+        |f AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) + 8
+        |             THEN 0 ELSE 1 END AS newflag
+        |      FROM d),
+        |i AS (SELECT doc_id, pos,
+        |        sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM f)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       max(pos) + 7 - min(pos) + 1 AS span_tokens
+        |FROM i GROUP BY doc_id, island""".stripMargin,
+    // stripDuplicateSpans: q118's spans deleted from the token stream,
+    // remainder rejoined with single spaces; docs with no spans must
+    // round-trip identically (split/rejoin is the identity on this
+    // corpus), fully-duplicated docs become the empty string
+    "q119_strip_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |             array_to_string(toks[i : i + 7], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |      WHERE len(toks) >= 8),
+        |d AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               count(*) OVER (PARTITION BY gram) AS occ FROM g)
+        |      WHERE occ > 1),
+        |f AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) + 8
+        |             THEN 0 ELSE 1 END AS newflag
+        |      FROM d),
+        |i AS (SELECT doc_id, pos,
+        |        sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM f),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |          FROM i GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |        FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        |keep AS (SELECT tp.doc_id,
+        |           string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text2
+        |         FROM tok tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = tp.doc_id
+        |             AND tp.pos BETWEEN s.s AND s.e)
+        |         GROUP BY tp.doc_id),
+        |rem AS (SELECT doc_id,
+        |          CAST(sum(e - s + 1) AS BIGINT) AS removed
+        |        FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(k.text2, '') AS text,
+        |       COALESCE(r.removed, 0) AS removed_tokens
+        |FROM documents d
+        |LEFT JOIN keep k ON d.doc_id = k.doc_id
+        |LEFT JOIN rem r ON d.doc_id = r.doc_id""".stripMargin,
+    // shuffleDeterministic's permutation as the single-task form the
+    // operator replaces: row_number over the identical md5 ∥ padded-id
+    // key — both engines' md5 emit lowercase hex, compared binary
+    "q120_det_shuffle" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY
+        |    md5('42:' || CAST(doc_id AS VARCHAR))
+        |      || lpad(CAST(doc_id AS VARCHAR), 20, '0')) - 1
+        |    AS shuffle_pos
+        |FROM documents""".stripMargin,
     // the appended index must reproduce the FULL-corpus BM25 ranking —
     // same SQL as q85 (and q90, which proves the fresh-build path)
     "q107_text_index_append" ->

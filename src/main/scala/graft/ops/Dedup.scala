@@ -526,4 +526,104 @@ object Dedup {
       .where(col(idCol) === col("cluster")).select(col(idCol))
     df.join(canonical, Seq(idCol), "left_semi")
   }
+
+  /** EXACT SUBSTRING dedup, span detection — the document-internal
+    * complement of whole-document dedup, after Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a span is duplicated when every length-`n`
+    * token window inside it occurs MORE THAN ONCE in the corpus
+    * (including twice within one document — boilerplate headers,
+    * license blocks, templated paragraphs). Whole-doc dedup
+    * ([[exact]], [[nearDupPairs]]) never sees these: the documents
+    * differ, only passages repeat.
+    *
+    * The paper builds a corpus-wide suffix array — inherently
+    * single-machine. The Spark-first equivalent: (1) one NARROW pass
+    * expands each doc into its n-gram windows (position + xxhash64 of
+    * the window — 8 bytes ride the shuffle, never the token strings);
+    * (2) ONE hash-partitioned shuffle on the gram groups occurrences
+    * (a window count over the gram partition — no join back); (3)
+    * per-doc gaps-and-islands merges overlapping/adjacent duplicated
+    * windows into maximal spans (a second shuffle, on doc id). Cost is
+    * two shuffles of ~tokens·8-byte rows — linear in corpus size, the
+    * shape a 100 TB run needs; the suffix array's output is recovered
+    * for every duplication of length ≥ n (shorter repeats are below
+    * the n-gram floor by construction, the same `n` knob as the
+    * paper's minimum match length).
+    *
+    * Grouping on the 64-bit gram hash instead of the token string is
+    * what keeps the shuffle narrow; a collision would fabricate a
+    * false duplicated window. With d distinct grams the expected
+    * fabricated-pair count is d²/2⁶⁵ — at 10¹⁰ grams (≈ 100 TB of
+    * text) that is ~0.005 windows corpus-wide, and a fabricated
+    * window still needs its island to survive merging. Accepted and
+    * documented rather than guarded: the string-group alternative
+    * ships the full n-token window through the shuffle, n× the bytes.
+    *
+    * Tokenization is the engine-wide single-space split
+    * (TextOps.tokens); docs with fewer than `n` tokens have no
+    * windows and emit nothing. Output: (idCol, span_start, span_end,
+    * span_tokens) — token positions 0-based inclusive, maximal spans
+    * (overlapping and back-to-back windows merged). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "window length n must be >= 1")
+    val toks = df
+      .select(col(idCol).as("_id"), TextOps.tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= n)
+    // narrow n-gram expansion: per doc, positions 0..size-n, window
+    // hash of the n tokens starting there — no join, no shuffle yet
+    val grams = toks.select(col("_id"), posexplode(
+        transform(sequence(lit(0), size(col("_t")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(n))))))
+      .as(Seq("_pos", "_gh")))
+    // ONE shuffle on the gram hash: windows whose gram occurs > 1 time
+    // corpus-wide (count over the hash partition — no groupBy+join)
+    val dup = grams
+      .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("_gh"))))
+      .where(col("_occ") > 1)
+      .select(col("_id"), col("_pos"))
+    // gaps-and-islands per doc: a window starting ≤ prev_start + n
+    // overlaps or touches the previous window's span — merge
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    dup
+      .withColumn("_new",
+        when(col("_pos") <= lag(col("_pos"), 1).over(w) + n, 0)
+          .otherwise(1))
+      .withColumn("_island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_id"), col("_island"))
+      .agg(min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + n - 1).cast("long").as("span_end"))
+      .select(col("_id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** EXACT SUBSTRING dedup, removal — rewrite each document with its
+    * [[duplicateSpans]] token ranges deleted (the paper's ExactSubstr
+    * treatment: cut the duplicated text, keep the remainder). The
+    * span set rides back to the docs as ONE per-doc array (a groupBy
+    * on doc id + a join on doc id — both hash-partitioned on the same
+    * key), and the rewrite is a narrow filter-by-position over the
+    * token array; docs with no duplicated spans pass through intact.
+    *
+    * Output: (idCol, textCol, removed_tokens) — textCol holds the
+    * cleaned text (empty string when every token was duplicated),
+    * removed_tokens the count of deleted positions. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("_spans"))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(TextOps.tokens(col(textCol)),
+          (_, i) => !exists(coalesce(col("_spans"),
+              array().cast("array<struct<s:long,e:long>>")),
+            sp => i >= sp("s") && i <= sp("e"))), " ").as(textCol),
+        coalesce(aggregate(col("_spans"),
+            lit(0L), (acc, sp) => acc + sp("e") - sp("s") + 1),
+          lit(0L)).as("removed_tokens"))
+  }
 }

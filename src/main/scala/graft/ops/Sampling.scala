@@ -140,4 +140,34 @@ object Sampling {
       .where(col("_cum") - col("n_tokens") < budget)
       .drop("_cum")
   }
+
+  /** DETERMINISTIC GLOBAL SHUFFLE — the training-order primitive: a
+    * reproducible permutation of the corpus with a contiguous position
+    * column, so epoch order is a pure function of (data, seed) — stable
+    * across re-ingests, partition layouts, and engines (any SQL engine's
+    * md5 reproduces the identical order), the same portability contract
+    * as [[deterministicRange]]. `orderBy(rand(seed))` gives none of
+    * that, and `row_number() OVER (ORDER BY …)` funnels the corpus
+    * through one task.
+    *
+    * Sort key: md5 of "seed:id" with the zero-padded id appended —
+    * strictly unique whenever ids are (the hex prefix alone already
+    * collides only at ~2⁻⁶⁴ per pair), satisfying
+    * Layout.contiguousIds's unique-orderCol contract. The position
+    * comes from contiguousIds' two-pass range-partitioned rank: the
+    * sort shuffle runs once and no global window exists anywhere.
+    * Negative ids would break the zero-pad tie-break's ordering; ids
+    * are required non-negative (train corpora number docs, they don't
+    * sign them).
+    *
+    * Output: input columns + `shuffle_pos` (long, 0-based, contiguous). */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      seed: Long = 42L): DataFrame = {
+    val key = concat(
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+      lpad(col(idCol).cast("string"), 20, "0"))
+    Layout.contiguousIds(df.withColumn("_shufkey", key), "_shufkey")
+      .withColumnRenamed("row_id", "shuffle_pos")
+      .drop("_shufkey")
+  }
 }

@@ -427,6 +427,73 @@ object Similarity {
       .select(col("id1"), col("id2"), round(col("_c"), 4).as("cos"))
   }
 
+  /** SEMANTIC dedup over an embedding column — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with a
+    * coarse quantizer, then WITHIN each cluster drop every vector that
+    * has a lower-id member with cosine ≥ `threshold`. Near-dup LSH
+    * ([[cosineNearDups]]) catches lexical twins; this catches semantic
+    * twins — paraphrases and templated rewrites whose token overlap is
+    * low but whose embeddings coincide — and is the missing "semantic"
+    * row of the dedup matrix (exact / MinHash / SimHash / embedding).
+    *
+    * Policy: survivors are the per-group MINIMUM ids (deterministic and
+    * engine-reproducible; the paper keeps the member farthest from the
+    * centroid — any fixed representative works, determinism is what
+    * matters for a data pipeline). The drop rule is single-hop, not
+    * transitive closure: x is dropped iff SOME smaller-id y in its
+    * cluster has cos(x,y) ≥ threshold — y itself may also be dropped.
+    * Chained semi-dup runs (a~b~c, a≁c) therefore keep only a, exactly
+    * the greedy scan order the single-node reference implementation
+    * produces.
+    *
+    * Scale shape: assignment is one narrow codegen'd pass over literal
+    * centroids (the [[ivfTopK]] machinery); the pair scan shuffles ONCE
+    * on `_cell` and is quadratic only within a cluster — Σ|cell|², the
+    * cost SemDeDup is designed around. Size `nClusters` so the largest
+    * cluster's pair count is tractable (the paper uses ~√n clusters);
+    * a skewed mega-cluster is a quantizer-quality problem, not a plan
+    * problem.
+    *
+    * `iters = 0` selects the ORACLE-REPRODUCIBLE quantizer: centroids
+    * are the embeddings of the `nClusters` smallest ids, no Lloyd
+    * refinement — every step is expressible in portable SQL, so an
+    * external engine can verify the full output. `iters > 0` trains the
+    * standard quantizer ([[trainCentroids]]: xxhash64-seeded + Lloyd
+    * rounds), the production path.
+    *
+    * Output: idCol, `cluster` (long), `kept` (boolean) — one row per
+    * input vector, so downstream can either filter survivors or audit
+    * drops. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, iters: Int = 3,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(nClusters >= 1)
+    val c = df.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
+    val centroids: Array[Seq[Double]] =
+      if (iters == 0)
+        c.orderBy(col("_id")).limit(nClusters)
+          .select(col("_v")).collect().map(_.getSeq[Double](0))
+      else trainCentroids(
+        c.select(col("_id").as("neighbor_id"), col("_v").as("_cv")),
+        nClusters, iters, trainFraction)
+    val assigned = c.withColumn("_cell", cellOf(col("_v"), centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ids dropped: some smaller-id same-cluster member within threshold.
+    // One equi-join on _cell; the a.id < b.id predicate halves the pair
+    // scan and filter-on-raw-value matches what a SQL oracle computes.
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a._cell") === col("b._cell") && col("a._id") < col("b._id"))
+      .where(cosine(col("a._v"), col("b._v")) >= threshold)
+      .select(col("b._id").as("_id")).distinct()
+      .withColumn("_dup", lit(true))
+    CacheScope.releasing(assigned) {
+      assigned.join(dropped, Seq("_id"), "left")
+        .select(col("_id").as(idCol),
+          col("_cell").cast("long").as("cluster"),
+          col("_dup").isNull.as("kept"))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ thresh):
     * banded multi-probe LSH candidates, then EXACT cosine verification —
     * the embedding analogue of MinHash+LSH+exact-Jaccard near-dup

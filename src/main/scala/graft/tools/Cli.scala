@@ -56,6 +56,10 @@ import scala.jdk.CollectionConverters._
   *                   --batch-id 7 [--no-intra-batch] -o receipt
   *   Cli indexcompact --table idx --index-path /data/idx2 [--vacuum] -o receipt
   *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
+  *   Cli spandedup -i docs.parquet --ngram 8 [--spans-only] -o clean
+  *   Cli shuffle   -i docs.parquet --seed 42 -o ordered
+  *   Cli semdedup  -i embs.parquet --id vec_id --vec embedding \
+  *                 --clusters 16 --threshold 0.9 [--iters 0] -o survivors
   */
 object Cli {
   private val mapper = new ObjectMapper()
@@ -95,13 +99,19 @@ object Cli {
       threshold: Double = 0.5,
       hashes: Int = 32,
       bands: Int = 16,
-      rowsPerBand: Int = 2)
+      rowsPerBand: Int = 2,
+      ngram: Int = 8,
+      seed: Long = 42L,
+      clusters: Int = 16,
+      iters: Int = 3,
+      spansOnly: Boolean = false,
+      vecCol: String = "embedding")
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
-      "indexcompact", "score")
+      "indexcompact", "score", "spandedup", "shuffle", "semdedup")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -164,6 +174,12 @@ object Cli {
         case f @ "--hashes" => a = a.copy(hashes = value(f).toInt)
         case f @ "--bands" => a = a.copy(bands = value(f).toInt)
         case f @ "--rows-per-band" => a = a.copy(rowsPerBand = value(f).toInt)
+        case f @ "--ngram" => a = a.copy(ngram = value(f).toInt)
+        case f @ "--seed" => a = a.copy(seed = value(f).toLong)
+        case f @ "--clusters" => a = a.copy(clusters = value(f).toInt)
+        case f @ "--iters" => a = a.copy(iters = value(f).toInt)
+        case "--spans-only" => a = a.copy(spansOnly = true); i += 1
+        case f @ "--vec" => a = a.copy(vecCol = value(f))
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -308,6 +324,21 @@ object Cli {
             df, a.idCol, a.textCol, a.capacity)
         }
         case "scrub" => graft.ops.TextOps.scrubPii(df, a.idCol, a.textCol)
+        // exact-substring dedup (Lee et al. 2021): default emits the
+        // rewritten corpus; --spans-only emits the span evidence instead
+        case "spandedup" =>
+          if (a.spansOnly)
+            graft.ops.Dedup.duplicateSpans(df, a.idCol, a.textCol, a.ngram)
+          else
+            graft.ops.Dedup.stripDuplicateSpans(df, a.idCol, a.textCol, a.ngram)
+        // deterministic training-order shuffle: input + shuffle_pos
+        case "shuffle" =>
+          graft.ops.Sampling.shuffleDeterministic(df, a.idCol, a.seed)
+        // SemDeDup semantic dedup over an embedding column (--vec);
+        // --iters 0 = the oracle-reproducible seed quantizer
+        case "semdedup" =>
+          graft.ops.Similarity.semanticDedup(df, a.idCol, a.vecCol,
+            a.clusters, a.threshold, a.iters)
         case "split" => graft.ops.Sampling.groupSplit(
           df, a.groupCol, parseFolds(a.folds))
         case "stats" => graft.ops.TextOps.lengthQuantiles(

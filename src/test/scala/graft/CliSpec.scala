@@ -394,6 +394,38 @@ class CliSpec extends AnyFunSuite {
     assert(sc2 === Map(1L -> 9L, 2L -> 0L))
   }
 
+  test("CLI spandedup / shuffle / semdedup verbs end-to-end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_r8").toString
+    Files.writeString(Paths.get(dir + "/docs.json"),
+      """{"doc_id": 1, "text": "a b c d e f g h"}
+        |{"doc_id": 2, "text": "x y a b c d e z"}
+        |{"doc_id": 3, "text": "u v w"}
+        |""".stripMargin)
+    Cli.run(spark, Array("spandedup", "-i", dir + "/docs.json",
+      "--ngram", "3", "-o", dir + "/clean"))
+    val clean = spark.read.json(dir + "/clean")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(clean === Map(1L -> "f g h", 2L -> "x y z", 3L -> "u v w"))
+    Cli.run(spark, Array("spandedup", "-i", dir + "/docs.json",
+      "--ngram", "3", "--spans-only", "-o", dir + "/spans"))
+    assert(spark.read.json(dir + "/spans").count() === 2)
+    Cli.run(spark, Array("shuffle", "-i", dir + "/docs.json",
+      "--seed", "7", "-o", dir + "/shuf"))
+    val pos = spark.read.json(dir + "/shuf")
+      .select($"shuffle_pos").as[Long].collect().sorted
+    assert(pos === Seq(0L, 1L, 2L))
+    // semdedup over a tiny embedding table: twin of id 1 drops
+    Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.999f, 0.01f)))
+      .toDF("vec_id", "embedding").write.parquet(dir + "/embs.parquet")
+    Cli.run(spark, Array("semdedup", "-i", dir + "/embs.parquet",
+      "--id", "vec_id", "--clusters", "2", "--threshold", "0.9",
+      "--iters", "0", "-o", dir + "/sem"))
+    val kept = spark.read.json(dir + "/sem").where($"kept")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===

@@ -807,4 +807,91 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.contains((98L, 99L)))
     assert(cands.size < 22 * 21 / 2) // pruning really happened
   }
+
+  private val semVecs = Seq(
+    1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f), 3L -> Seq(0f, 0f, 1f),
+    11L -> Seq(0.99f, 0.1f, 0f), 12L -> Seq(0.98f, 0.15f, 0f),
+    21L -> Seq(0.1f, 0.99f, 0f), 31L -> Seq(0f, 0.1f, 0.995f))
+
+  test("semanticDedup (oracle mode): planted semantic twins drop, " +
+      "seeds survive") {
+    val df = semVecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        nClusters = 3, threshold = 0.9, iters = 0)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, cl, k) => id -> ((cl, k)) }.toMap
+    assert(out.keySet === semVecs.map(_._1).toSet)
+    assert(out.filter(_._2._2).keySet === Set(1L, 2L, 3L))
+    // twins land in their seed's cluster
+    assert(out(11L)._1 === out(1L)._1 && out(12L)._1 === out(1L)._1)
+    assert(out(21L)._1 === out(2L)._1 && out(31L)._1 === out(3L)._1)
+  }
+
+  test("semanticDedup (trained): kept/dropped satisfy the drop rule " +
+      "exactly, whatever the quantizer did") {
+    val df = semVecs.toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+        nClusters = 3, threshold = 0.9, iters = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.map(_._1).toSet === semVecs.map(_._1).toSet)
+    val vec = semVecs.toMap.map { case (id, v) => id -> v.map(_.toDouble) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    for ((id, cl, kept) <- out) {
+      val smallerSameCell = out.filter(o => o._2 == cl && o._1 < id)
+      val hasDup = smallerSameCell.exists(o => cos(vec(o._1), vec(id)) >= 0.9)
+      assert(kept === !hasDup, s"drop rule violated for id $id")
+    }
+  }
+
+  test("duplicateSpans: cross-doc and within-doc repeats merge to " +
+      "maximal spans; unique docs emit nothing") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s p q r s"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set(
+      (1L, 0L, 4L, 5L),   // shared "a b c d e" run with doc 2
+      (2L, 2L, 6L, 5L),
+      (3L, 0L, 7L, 8L)))  // self-repeat: adjacent islands merge whole-doc
+  }
+
+  test("stripDuplicateSpans: duplicated tokens deleted, clean docs " +
+      "round-trip, fully-duplicated docs empty") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s p q r s"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("f g h", 5L)))
+    assert(out(2L) === (("x y z", 5L)))
+    assert(out(3L) === (("", 8L)))
+    assert(out(4L) === (("u v w", 0L)))
+  }
+
+  test("shuffleDeterministic: contiguous permutation, stable across " +
+      "partitionings, equal to the single-task rank") {
+    val df = (0L until 500L).toDF("doc_id")
+    val a = graft.ops.Sampling.shuffleDeterministic(df, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted === (0L until 500L))
+    val b = graft.ops.Sampling.shuffleDeterministic(
+      df.repartition(7), "doc_id").as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // the permutation the operator promises: md5 rank order
+    val expected = df.select($"doc_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat_ws(":", lit("42"), $"doc_id".cast("string"))),
+          $"doc_id")) - 1).cast("long").as("pos"))
+      .as[(Long, Long)].collect().toMap
+    assert(a === expected)
+  }
 }
