@@ -67,6 +67,27 @@ object ScaleBench {
     }.reduce(_ unionAll _)
   }
 
+  /** factor× embeddings for the SEMANTIC workloads: replica k circularly
+    * shifts every vector's indices by k. A permutation preserves inner
+    * products WITHIN a replica exactly (each replica reproduces the
+    * original's semantic-dup structure) while shifted copies of
+    * isotropic vectors are near-orthogonal ACROSS replicas — the
+    * embedding analogue of scaleDocs' disjoint vocabularies, so true
+    * pair counts scale ×factor. [[scaleEmbeddings]]' small perturbation
+    * is the opposite regime (replicas pile into the SAME neighborhoods)
+    * — right for ANN recall realism, wrong for measuring a
+    * neighborhood-local operator's growth. */
+  def scaleEmbeddingsShifted(emb: DataFrame, factor: Int): DataFrame = {
+    val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * off)).as("vec_id"),
+        transform(col("embedding"), (_, i) => element_at(col("embedding"),
+          pmod(i + lit(k), size(col("embedding"))) + 1)).as("embedding"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     var positional = List.empty[String]
     var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
@@ -100,15 +121,22 @@ object ScaleBench {
     val embF = scaleEmbeddings(emb1, factor)
       .repartition(cpus.toInt).persist()
     val d1 = docs1.persist(); val e1 = emb1.persist()
-    d1.count(); e1.count(); docsF.count(); embF.count()
+    val embS = scaleEmbeddingsShifted(emb1, factor)
+      .repartition(cpus.toInt).persist()
+    d1.count(); e1.count(); docsF.count(); embF.count(); embS.count()
     val queries1 = e1.limit(20)
+    // k ∝ √n sizing for the semantic workload (see its comment)
+    val semK1 = 24
+    val semKf = math.min(256,
+      math.round(24 * math.sqrt(factor.toDouble)).toInt)
 
     // each workload: (name, docs, emb, scaleTag) => forced action.
     // Index builds write under a per-(workload, scale, rep) path; rep
     // r>0 overwrites r-1's table entry, so reps stay independent.
     var runSeq = 0
     def workloads(d: DataFrame, e: DataFrame, q: DataFrame,
-        tag: String): Seq[(String, () => Unit)] = Seq(
+        tag: String, es: DataFrame = null,
+        semClusters: Int = 24): Seq[(String, () => Unit)] = Seq(
       "exact_dedup" -> (() =>
         { graft.ops.Dedup.exact(d, "doc_id", "text").count(); () }),
       "neardup_lsh" -> (() =>
@@ -161,7 +189,24 @@ object ScaleBench {
         { graft.ops.TextOps.packSequences(d, "doc_id", "text", 256)
             .count(); () }),
       "contiguous_ids" -> (() =>
-        { graft.ops.Layout.contiguousIds(d, "doc_id").count(); () })
+        { graft.ops.Layout.contiguousIds(d, "doc_id").count(); () }),
+      // two shuffles of (id, pos, hash64) rows — predicted ~linear
+      "dup_spans" -> (() =>
+        { graft.ops.Dedup.duplicateSpans(d, "doc_id", "text", 8)
+            .count(); () }),
+      // contiguousIds + an md5 key — predicted ~linear
+      "det_shuffle" -> (() =>
+        { graft.ops.Sampling.shuffleDeterministic(d, "doc_id")
+            .count(); () }),
+      // semanticDedup is Θ(n·k) assignment + Σ|cell|² pairs; run with
+      // the documented k ∝ √n sizing, under which BOTH terms — and so
+      // the whole operator — predict exponent ~1.5, NOT ≤1 (SemDeDup's
+      // true complexity; the paper's regime). Judged against that bar.
+      "semantic_dedup" -> (() =>
+        { graft.ops.Similarity.semanticDedup(
+            if (es == null) e else es, "vec_id", "embedding",
+            semClusters, 0.6, iters = 1, trainFraction = 0.25)
+            .count(); () })
     )
 
     def median(xs: Seq[Double]): Double = {
@@ -172,11 +217,11 @@ object ScaleBench {
     // one warm-up pass at 1× (untimed): JIT + codegen + parquet footers
     workloads(d1, e1, queries1, "warm").foreach { case (_, fn) => fn() }
     def timeAll(d: DataFrame, e: DataFrame, q: DataFrame,
-        tag: String): Map[String, Double] = {
+        tag: String, es: DataFrame, semK: Int): Map[String, Double] = {
       val acc = scala.collection.mutable.Map
         .empty[String, List[Double]].withDefaultValue(Nil)
       for (_ <- 0 until reps;
-           (name, fn) <- workloads(d, e, q, tag)) {
+           (name, fn) <- workloads(d, e, q, tag, es, semK)) {
         val t0 = System.nanoTime()
         fn()
         acc(name) = ((System.nanoTime() - t0) / 1e9) :: acc(name)
@@ -185,8 +230,8 @@ object ScaleBench {
       }
       acc.toMap.map { case (k, ts) => k -> median(ts) }
     }
-    val t1 = timeAll(d1, e1, queries1, "x1")
-    val tf = timeAll(docsF, embF, queries1, s"x$factor")
+    val t1 = timeAll(d1, e1, queries1, "x1", e1, semK1)
+    val tf = timeAll(docsF, embF, queries1, s"x$factor", embS, semKf)
 
     val names = workloads(d1, e1, queries1, "x1").map(_._1)
     def num(v: Double): String =

@@ -453,4 +453,91 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("property: duplicateSpans == naive window-count + island merge " +
+      "on random small-vocab corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val n = 3
+    (0 until 3).foreach { _ =>
+      val docs = (1 to 6).map(i => (i.toLong,
+        Seq.fill(5 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val got = graft.ops.Dedup.duplicateSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // naive: every window string, corpus-wide occurrence counts,
+      // duplicated starts merged per doc when start ≤ prev + n
+      val wins = docs.flatMap { case (id, t) =>
+        val tk = t.split(" ", -1)
+        (0 to tk.length - n).map(p =>
+          (id, p, tk.slice(p, p + n).mkString(" ")))
+      }
+      val occ = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = wins.filter(w => occ(w._3) > 1).groupBy(_._1)
+        .flatMap { case (id, ws) =>
+          val islands = ws.map(_._2).sorted
+            .foldLeft(List.empty[List[Int]]) {
+              case (acc @ (cur :: rest), p) =>
+                if (p <= cur.head + n) (p :: cur) :: rest
+                else List(p) :: acc
+              case (Nil, p) => List(List(p))
+            }
+          islands.map { isl =>
+            val s = isl.min.toLong; val e = isl.max.toLong + n - 1
+            (id, s, e, e - s + 1)
+          }
+        }.toSet
+      assert(got === want)
+      // strip consistency: cleaned text == tokens minus covered
+      // positions, removed_tokens == covered-position count
+      val covered = want.groupBy(_._1).view.mapValues(_.flatMap(sp =>
+        sp._2 to sp._3).toSet).toMap.withDefaultValue(Set.empty[Long])
+      val stripped = graft.ops.Dedup.stripDuplicateSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, String, Long)].collect()
+      for ((id, clean, removed) <- stripped) {
+        val tk = docs.toMap.apply(id).split(" ", -1)
+        val keep = tk.zipWithIndex
+          .filterNot { case (_, i) => covered(id)(i.toLong) }.map(_._1)
+        assert(clean === keep.mkString(" "), s"doc $id")
+        assert(removed === covered(id).size.toLong, s"doc $id")
+      }
+    }
+  }
+
+  test("property: semanticDedup (oracle mode) == naive seed-quantizer " +
+      "greedy dedup on random grid vectors") {
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { _ =>
+      // quarter-grid floats are exact in binary, so driver doubles and
+      // Spark's float→double cast see identical values
+      val vecs = (1 to 14).map { i =>
+        val v = Seq.fill(4)(rnd.nextInt(9).toFloat / 4f - 1f)
+        (i.toLong, if (v.forall(_ == 0f)) v.updated(0, 1f) else v)
+      }
+      val k = 3; val t = 0.7
+      val got = graft.ops.Similarity.semanticDedup(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          nClusters = k, threshold = t, iters = 0)
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      }
+      val dv = vecs.map { case (id, v) => id -> v.map(_.toDouble) }
+      val seeds = dv.sortBy(_._1).take(k).map(_._2)
+      val cell = dv.map { case (id, v) =>
+        id -> seeds.zipWithIndex.maxBy { case (c, i) => (cos(v, c), -i) }._2
+      }.toMap
+      val want = dv.map { case (id, v) =>
+        val dup = dv.exists { case (id2, v2) =>
+          id2 < id && cell(id2) == cell(id) && cos(v2, v) >= t }
+        id -> ((cell(id).toLong, !dup))
+      }.toMap
+      assert(got === want)
+    }
+  }
 }
