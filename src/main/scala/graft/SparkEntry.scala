@@ -1543,6 +1543,27 @@ object SparkEntry {
       graft.ops.Dedup.stripDuplicateSpans(
         Tpch.raw(s, dir, "documents"), "doc_id", "text", n = 8)),
 
+    // test-set decontamination at SPAN granularity (the surgical form
+    // of q58's per-doc contamination counts): train = doc_id % 10 != 0,
+    // test = the rest; spans of train docs whose every 8-token window
+    // appears in the test corpus (6 spans at sf0.01)
+    "q121_contam_spans" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      graft.ops.Dedup.contaminatedSpans(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text", n = 8)
+    }),
+
+    // the removal half over the SAME split: the train corpus rewritten
+    // with its test-overlapping spans deleted (uncontaminated docs must
+    // round-trip byte-identical through the split/rejoin)
+    "q122_strip_contam" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      graft.ops.Dedup.stripContamination(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0), "doc_id", "text", n = 8)
+    }),
+
     // deterministic global shuffle (Sampling.shuffleDeterministic):
     // md5-keyed training order with a contiguous position from the
     // two-pass range-partitioned rank (Layout.contiguousIds) — the
@@ -2214,6 +2235,80 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(k.text2, '') AS text,
         |       COALESCE(r.removed, 0) AS removed_tokens
         |FROM documents d
+        |LEFT JOIN keep k ON d.doc_id = k.doc_id
+        |LEFT JOIN rem r ON d.doc_id = r.doc_id""".stripMargin,
+    // contaminatedSpans replayed over the token strings: train windows
+    // hitting the DISTINCT test window set, merged per doc by the same
+    // gaps-and-islands rule as q118
+    "q121_contam_spans" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 10 <> 0),
+        |te AS (SELECT string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |gtr AS (SELECT doc_id, i - 1 AS pos,
+        |               array_to_string(toks[i : i + 7], ' ') AS gram
+        |        FROM tr, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |        WHERE len(toks) >= 8),
+        |gte AS (SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS gram
+        |        FROM te, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |        WHERE len(toks) >= 8),
+        |d AS (SELECT doc_id, pos FROM gtr
+        |      WHERE gram IN (SELECT gram FROM gte)),
+        |f AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) + 8
+        |             THEN 0 ELSE 1 END AS newflag
+        |      FROM d),
+        |i AS (SELECT doc_id, pos,
+        |        sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM f)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       max(pos) + 7 - min(pos) + 1 AS span_tokens
+        |FROM i GROUP BY doc_id, island""".stripMargin,
+    // q121's spans deleted from the train docs (q119's removal shape
+    // over the contamination split)
+    "q122_strip_contam" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents WHERE doc_id % 10 <> 0),
+        |te AS (SELECT string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |gtr AS (SELECT doc_id, i - 1 AS pos,
+        |               array_to_string(toks[i : i + 7], ' ') AS gram
+        |        FROM tr, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |        WHERE len(toks) >= 8),
+        |gte AS (SELECT DISTINCT array_to_string(toks[i : i + 7], ' ') AS gram
+        |        FROM te, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |        WHERE len(toks) >= 8),
+        |d AS (SELECT doc_id, pos FROM gtr
+        |      WHERE gram IN (SELECT gram FROM gte)),
+        |f AS (SELECT doc_id, pos,
+        |        CASE WHEN pos <= lag(pos) OVER
+        |               (PARTITION BY doc_id ORDER BY pos) + 8
+        |             THEN 0 ELSE 1 END AS newflag
+        |      FROM d),
+        |i AS (SELECT doc_id, pos,
+        |        sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM f),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |          FROM i GROUP BY doc_id, island),
+        |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        |        FROM tr, UNNEST(range(1, len(toks) + 1)) AS r(i)),
+        |keep AS (SELECT tp.doc_id,
+        |           string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text2
+        |         FROM tok tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = tp.doc_id
+        |             AND tp.pos BETWEEN s.s AND s.e)
+        |         GROUP BY tp.doc_id),
+        |rem AS (SELECT doc_id,
+        |          CAST(sum(e - s + 1) AS BIGINT) AS removed
+        |        FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(k.text2, '') AS text,
+        |       COALESCE(r.removed, 0) AS removed_tokens
+        |FROM (SELECT doc_id, text FROM documents
+        |      WHERE doc_id % 10 <> 0) d
         |LEFT JOIN keep k ON d.doc_id = k.doc_id
         |LEFT JOIN rem r ON d.doc_id = r.doc_id""".stripMargin,
     // shuffleDeterministic's permutation as the single-task form the

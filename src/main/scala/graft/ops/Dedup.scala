@@ -565,26 +565,25 @@ object Dedup {
     * windows and emit nothing. Output: (idCol, span_start, span_end,
     * span_tokens) — token positions 0-based inclusive, maximal spans
     * (overlapping and back-to-back windows merged). */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
+  /** (_id, _pos, _gh) rows: every length-`n` token window of every doc,
+    * as its position and the xxhash64 of its tokens — the NARROW
+    * expansion both span operators start from (no join, no shuffle). */
+  private def gramWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     require(n >= 1, "window length n must be >= 1")
-    val toks = df
-      .select(col(idCol).as("_id"), TextOps.tokens(col(textCol)).as("_t"))
+    df.select(col(idCol).as("_id"), TextOps.tokens(col(textCol)).as("_t"))
       .where(size(col("_t")) >= n)
-    // narrow n-gram expansion: per doc, positions 0..size-n, window
-    // hash of the n tokens starting there — no join, no shuffle yet
-    val grams = toks.select(col("_id"), posexplode(
-        transform(sequence(lit(0), size(col("_t")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(n))))))
-      .as(Seq("_pos", "_gh")))
-    // ONE shuffle on the gram hash: windows whose gram occurs > 1 time
-    // corpus-wide (count over the hash partition — no groupBy+join)
-    val dup = grams
-      .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("_gh"))))
-      .where(col("_occ") > 1)
-      .select(col("_id"), col("_pos"))
-    // gaps-and-islands per doc: a window starting ≤ prev_start + n
-    // overlaps or touches the previous window's span — merge
+      .select(col("_id"), posexplode(
+          transform(sequence(lit(0), size(col("_t")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1, lit(n))))))
+        .as(Seq("_pos", "_gh")))
+  }
+
+  /** Merge flagged window starts (_id, _pos) into maximal spans:
+    * gaps-and-islands per doc — a window starting ≤ prev_start + n
+    * overlaps or touches the previous window's span. ONE shuffle, on
+    * the doc id. Output: idCol, span_start, span_end, span_tokens. */
+  private def mergeIslands(dup: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     dup
       .withColumn("_new",
@@ -599,6 +598,17 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    // ONE shuffle on the gram hash: windows whose gram occurs > 1 time
+    // corpus-wide (count over the hash partition — no groupBy+join)
+    val dup = gramWindows(df, idCol, textCol, n)
+      .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("_gh"))))
+      .where(col("_occ") > 1)
+      .select(col("_id"), col("_pos"))
+    mergeIslands(dup, idCol, n)
+  }
+
   /** EXACT SUBSTRING dedup, removal — rewrite each document with its
     * [[duplicateSpans]] token ranges deleted (the paper's ExactSubstr
     * treatment: cut the duplicated text, keep the remainder). The
@@ -611,12 +621,29 @@ object Dedup {
     * cleaned text (empty string when every token was duplicated),
     * removed_tokens the count of deleted positions. */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, n)
+      n: Int = 8): DataFrame =
+    stripSpans(df, idCol, textCol, duplicateSpans(df, idCol, textCol, n))
+
+  /** Rewrite each document with the given token ranges deleted — the
+    * shared removal half of [[stripDuplicateSpans]] (spans from
+    * [[duplicateSpans]]) and [[stripContamination]] (spans from
+    * [[contaminatedSpans]]); any (idCol, span_start, span_end) frame
+    * works. The span set rides back to the docs as ONE per-doc array (a
+    * groupBy on doc id + a join on doc id — both hash-partitioned on
+    * the same key), and the rewrite is a narrow filter-by-position over
+    * the token array; docs with no spans pass through intact.
+    *
+    * Output: (idCol, textCol, removed_tokens) — textCol holds the
+    * cleaned text (empty string when every token was covered),
+    * removed_tokens the count of deleted positions (spans are assumed
+    * disjoint per doc, as both producers guarantee). */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("_spans"))
-    df.join(spans, Seq(idCol), "left")
+    df.join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         array_join(filter(TextOps.tokens(col(textCol)),
           (_, i) => !exists(coalesce(col("_spans"),
@@ -626,4 +653,38 @@ object Dedup {
             lit(0L), (acc, sp) => acc + sp("e") - sp("s") + 1),
           lit(0L)).as("removed_tokens"))
   }
+
+  /** TEST-SET DECONTAMINATION, span detection — the surgical form of
+    * [[contamination]] (which only counts shared shingles per doc):
+    * every maximal train-doc token span whose length-`n` windows ALL
+    * appear somewhere in the test corpus. Dropping whole contaminated
+    * documents throws away the 99% of a long doc that never touched
+    * the benchmark; deleting exactly these spans keeps it.
+    *
+    * Same machinery as [[duplicateSpans]] — narrow window expansion on
+    * BOTH corpora, then a semi-join of train windows against the
+    * distinct test window hashes (8-byte keys; at 100 TB the test side
+    * is a benchmark suite, millions of windows at most, so AQE
+    * broadcasts it and the train corpus never shuffles), then the
+    * per-doc island merge. The train side is never compared against
+    * itself — run [[duplicateSpans]] for that.
+    *
+    * Output: (idCol, span_start, span_end, span_tokens) over train
+    * docs, same shape as [[duplicateSpans]] — feed to [[stripSpans]]. */
+  def contaminatedSpans(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val testGrams = gramWindows(test, idCol, textCol, n)
+      .select(col("_gh")).distinct()
+    val hit = gramWindows(train, idCol, textCol, n)
+      .join(testGrams, Seq("_gh"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    mergeIslands(hit, idCol, n)
+  }
+
+  /** [[contaminatedSpans]] + [[stripSpans]]: the train corpus rewritten
+    * with every test-overlapping token span deleted. */
+  def stripContamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame =
+    stripSpans(train, idCol, textCol,
+      contaminatedSpans(train, test, idCol, textCol, n))
 }

@@ -57,6 +57,7 @@ import scala.jdk.CollectionConverters._
   *   Cli indexcompact --table idx --index-path /data/idx2 [--vacuum] -o receipt
   *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
   *   Cli spandedup -i docs.parquet --ngram 8 [--spans-only] -o clean
+  *   Cli decontam  -i train.parquet --test test.parquet [--spans-only] -o clean
   *   Cli shuffle   -i docs.parquet --seed 42 -o ordered
   *   Cli semdedup  -i embs.parquet --id vec_id --vec embedding \
   *                 --clusters 16 --threshold 0.9 [--iters 0] -o survivors
@@ -105,13 +106,15 @@ object Cli {
       clusters: Int = 16,
       iters: Int = 3,
       spansOnly: Boolean = false,
-      vecCol: String = "embedding")
+      vecCol: String = "embedding",
+      testInput: Option[String] = None)
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
-      "indexcompact", "score", "spandedup", "shuffle", "semdedup")
+      "indexcompact", "score", "spandedup", "shuffle", "semdedup",
+      "decontam")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -180,6 +183,7 @@ object Cli {
         case f @ "--iters" => a = a.copy(iters = value(f).toInt)
         case "--spans-only" => a = a.copy(spansOnly = true); i += 1
         case f @ "--vec" => a = a.copy(vecCol = value(f))
+        case f @ "--test" => a = a.copy(testInput = Some(value(f)))
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -334,6 +338,17 @@ object Cli {
         // deterministic training-order shuffle: input + shuffle_pos
         case "shuffle" =>
           graft.ops.Sampling.shuffleDeterministic(df, a.idCol, a.seed)
+        // test-set decontamination: cut every train span whose n-token
+        // windows all appear in --test; --spans-only emits the evidence
+        case "decontam" =>
+          val testDf = readTable(spark, a.copy(inputs = Seq(
+            a.testInput.getOrElse(sys.error("decontam needs --test")))))
+          if (a.spansOnly)
+            graft.ops.Dedup.contaminatedSpans(df, testDf, a.idCol,
+              a.textCol, a.ngram)
+          else
+            graft.ops.Dedup.stripContamination(df, testDf, a.idCol,
+              a.textCol, a.ngram)
         // SemDeDup semantic dedup over an embedding column (--vec);
         // --iters 0 = the oracle-reproducible seed quantizer
         case "semdedup" =>

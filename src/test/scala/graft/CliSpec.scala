@@ -415,6 +415,16 @@ class CliSpec extends AnyFunSuite {
     val pos = spark.read.json(dir + "/shuf")
       .select($"shuffle_pos").as[Long].collect().sorted
     assert(pos === Seq(0L, 1L, 2L))
+    // decontam: only the test-overlapping run is cut from doc 1
+    Files.writeString(Paths.get(dir + "/test.json"),
+      """{"doc_id": 90, "text": "q q a b c d e w"}
+        |""".stripMargin)
+    Cli.run(spark, Array("decontam", "-i", dir + "/docs.json",
+      "--test", dir + "/test.json", "--ngram", "3", "-o", dir + "/dc"))
+    val dc = spark.read.json(dir + "/dc")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // docs 1 AND 2 carry the test run "a b c d e"; doc 3 is clean
+    assert(dc === Map(1L -> "f g h", 2L -> "x y z", 3L -> "u v w"))
     // semdedup over a tiny embedding table: twin of id 1 drops
     Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(0.999f, 0.01f)))
       .toDF("vec_id", "embedding").write.parquet(dir + "/embs.parquet")

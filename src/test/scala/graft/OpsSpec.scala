@@ -877,6 +877,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) === (("u v w", 0L)))
   }
 
+  test("contaminatedSpans / stripContamination: only test-overlapping " +
+      "spans cut, train-internal duplication untouched") {
+    val train = Seq(
+      (1L, "a b c d e f g h"),   // "a b c d e" appears in test doc 90
+      (2L, "p q r s t u"),       // train-internal dup with doc 3 only
+      (3L, "p q r s x y")).toDF("doc_id", "text")
+    val test = Seq((90L, "z z a b c d e w")).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(train, test, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1 pos 0-4 overlaps test; docs 2/3 share "p q r s" with EACH
+    // OTHER but never with test — decontamination must not touch them
+    assert(spans === Set((1L, 0L, 4L, 5L)))
+    val out = Dedup.stripContamination(train, test, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1L -> (("f g h", 5L)),
+      2L -> (("p q r s t u", 0L)),
+      3L -> (("p q r s x y", 0L))))
+  }
+
   test("shuffleDeterministic: contiguous permutation, stable across " +
       "partitionings, equal to the single-task rank") {
     val df = (0L until 500L).toDF("doc_id")
