@@ -1543,6 +1543,26 @@ object SparkEntry {
       graft.ops.Dedup.stripDuplicateSpans(
         Tpch.raw(s, dir, "documents"), "doc_id", "text", n = 8)),
 
+    // incremental semantic dedup against a persisted IVF index — the
+    // semantic column's batch→incremental cell: corpus = vec_id % 10
+    // != 0 indexed ONCE (oracle-reproducible minid/iters=0 quantizer,
+    // 8 cells), batch = the rest deduped against it (corpus witnesses +
+    // the intra-batch smaller-id rule) with the corpus scan bucket-
+    // pruned to the batch's cells. Margins at sf0.01: nearest pair
+    // 8.8e-3 from the 0.45 threshold, nearest assignment gap 4.3e-4.
+    "q123_incr_semdedup" -> ((s, dir) => {
+      val emb = Tpch.raw(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val table = s"q123idx_${dirTag(dir)}"
+      graft.ops.Similarity.buildIvfIndex(
+        emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        table, scratch("q123idx", dir),
+        nCells = 8, iters = 0, centroidInit = "minid")
+      graft.ops.Similarity.incrementalSemanticDedup(
+        emb.where(col("vec_id") % 10 === 0), table,
+        "vec_id", "embedding", threshold = 0.45)
+    }),
+
     // test-set decontamination at SPAN granularity (the surgical form
     // of q58's per-doc contamination counts): train = doc_id % 10 != 0,
     // test = the rest; spans of train docs whose every 8-token window
@@ -2237,6 +2257,44 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN keep k ON d.doc_id = k.doc_id
         |LEFT JOIN rem r ON d.doc_id = r.doc_id""".stripMargin,
+    // incrementalSemanticDedup replayed: corpus-seeded quantizer (8
+    // smallest corpus ids), both sides assigned by argmax cosine, batch
+    // verdicts from corpus witnesses OR smaller-id batch witnesses
+    "q123_incr_semdedup" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 <> 0),
+        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 10 = 0),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                 v AS cv
+        |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 8)),
+        |ca AS (SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY list_cosine_similarity(c.v, s.cv) DESC,
+        |                      s.cell) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |ba AS (SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY b.vec_id
+        |             ORDER BY list_cosine_similarity(b.v, s.cv) DESC,
+        |                      s.cell) AS rn
+        |    FROM b CROSS JOIN seeds s) WHERE rn = 1),
+        |cd AS (SELECT DISTINCT ba.vec_id
+        |  FROM ba JOIN ca ON ba.cell = ca.cell
+        |  JOIN b bb ON bb.vec_id = ba.vec_id
+        |  JOIN c cc ON cc.vec_id = ca.vec_id
+        |  WHERE list_cosine_similarity(bb.v, cc.v) >= 0.45),
+        |idp AS (SELECT DISTINCT y.vec_id
+        |  FROM ba x JOIN ba y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  JOIN b xv ON xv.vec_id = x.vec_id
+        |  JOIN b yv ON yv.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(xv.v, yv.v) >= 0.45)
+        |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cluster,
+        |       (cd.vec_id IS NULL AND idp.vec_id IS NULL) AS kept
+        |FROM ba a
+        |LEFT JOIN cd ON a.vec_id = cd.vec_id
+        |LEFT JOIN idp ON a.vec_id = idp.vec_id""".stripMargin,
     // contaminatedSpans replayed over the token strings: train windows
     // hitting the DISTINCT test window set, merged per doc by the same
     // gaps-and-islands rule as q118

@@ -253,12 +253,26 @@ object Similarity {
     * (the data itself needs no rewrite). */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       table: String, path: String, nCells: Int = 16, iters: Int = 3,
-      trainFraction: Double = 1.0, buckets: Int = 16): Unit = {
+      trainFraction: Double = 1.0, buckets: Int = 16,
+      centroidInit: String = "hash"): Unit = {
     require(nCells >= 1)
+    require(centroidInit == "hash" || centroidInit == "minid",
+      s"centroidInit must be hash or minid, got $centroidInit")
+    require(centroidInit == "hash" || iters == 0,
+      "centroidInit=minid is the oracle-reproducible mode and requires " +
+        "iters = 0 (Lloyd refinement is not SQL-portable)")
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("_cv"))
-    val centroids = trainCentroids(c, nCells, iters, trainFraction)
+    // "minid" + iters = 0 is the ORACLE-REPRODUCIBLE quantizer (the
+    // [[semanticDedup]] iters = 0 contract: centroids = the nCells
+    // smallest-id vectors, every step portable SQL); "hash" is the
+    // production xxhash64-seeded init
+    val centroids =
+      if (centroidInit == "minid" && iters == 0)
+        c.orderBy(col("neighbor_id")).limit(nCells)
+          .select(col("_cv")).collect().map(_.getSeq[Double](0))
+      else trainCentroids(c, nCells, iters, trainFraction)
     Layout.saveBucketed(c.withColumn("_cell", cellOf(col("_cv"), centroids)),
       table, path, buckets, Seq("_cell"))
     import spark.implicits._
@@ -492,6 +506,82 @@ object Similarity {
           col("_cell").cast("long").as("cluster"),
           col("_dup").isNull.as("kept"))
     }
+  }
+
+  /** INCREMENTAL [[semanticDedup]] against a persisted [[buildIvfIndex]]
+    * table — the semantic column's batch→incremental step, completing
+    * the same matrix row the LSH index closed for lexical near-dup
+    * (Dedup.incrementalNearDups): an arriving batch is deduped against
+    * an already-indexed corpus WITHOUT re-reading or re-shuffling it.
+    *
+    * A batch vector is dropped when (a) ANY same-cell corpus vector, or
+    * (b) a smaller-id same-cell batch vector, sits within `threshold`
+    * cosine — (b) is the intra-batch half, same pairwise smaller-id
+    * rule as StreamingDedup.intraBatchSurvivors, so two semantic twins
+    * arriving together can't both survive. Cells come from the index's
+    * FIXED quantizer (centroid sidecar — plan-time metadata), matching
+    * the corpus rows' stored `_cell` by construction.
+    *
+    * Scale shape: batch assignment is one narrow pass; the batch's
+    * distinct cells ride into the corpus scan as an IN-list of
+    * literals, so the `_cell`-bucketed table bucket-prunes the read
+    * (the ivfQuery idiom — a batch touching 3 cells reads 3 cells'
+    * buckets, never the corpus); both dup joins shuffle only the
+    * batch. Survivors are appendable via [[appendIvfIndex]], which
+    * is exactly the ingest loop for a 100 TB semantic-dedup corpus.
+    *
+    * Output: (idCol, cluster, kept) — [[semanticDedup]]'s shape, one
+    * row per batch vector. */
+  def incrementalSemanticDedup(batch: DataFrame, table: String,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val b = assignToIndexCells(batch, table, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.releasing(b) {
+      incrementalSemanticDedupLazy(b, table, idCol, threshold)
+    }
+  }
+
+  /** The batch assigned to its index cells: (_id, _v, _cell) under the
+    * `table`'s FIXED quantizer (centroid sidecar). */
+  private[graft] def assignToIndexCells(batch: DataFrame, table: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids: Array[Seq[Double]] = spark.table(table + "_centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")))
+    batch.select(col(idCol).as("_id"), toDouble(col(vecCol)).as("_v"))
+      .withColumn("_cell", cellOf(col("_v"), centroids))
+  }
+
+  /** The lazy formulation [[incrementalSemanticDedup]] checkpoints (the
+    * public surface returns a materialized frame so the batch cache can
+    * be released — same split as Dedup.incrementalNearDupsLazy); plan
+    * tests assert bucket pruning here. `b` must be an
+    * [[assignToIndexCells]] frame, ideally persisted. */
+  private[graft] def incrementalSemanticDedupLazy(b: DataFrame,
+      table: String, idCol: String, threshold: Double): DataFrame = {
+    val spark = b.sparkSession
+    // the batch's cells as literals: the batch is small by construction
+    // (the ingest contract), and this is what lets the scan bucket-prune
+    val cells = b.select(col("_cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = spark.table(table)
+      .where(col("_cell").isin(cells.map(Int.box): _*))
+    val corpusDup = b.as("b").join(corpus.as("c"),
+        col("b._cell") === col("c._cell"))
+      .where(cosine(col("b._v"), col("c._cv")) >= threshold)
+      .select(col("b._id").as("_id")).distinct()
+      .withColumn("_cdup", lit(true))
+    val intraDup = b.as("x").join(b.as("y"),
+        col("x._cell") === col("y._cell") && col("x._id") < col("y._id"))
+      .where(cosine(col("x._v"), col("y._v")) >= threshold)
+      .select(col("y._id").as("_id")).distinct()
+      .withColumn("_idup", lit(true))
+    b.join(corpusDup, Seq("_id"), "left")
+      .join(intraDup, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        col("_cell").cast("long").as("cluster"),
+        (col("_cdup").isNull && col("_idup").isNull).as("kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ thresh):

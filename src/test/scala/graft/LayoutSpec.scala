@@ -297,4 +297,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("already indexed"))
     assert(spark.table("chk_ivf").count() === ivfRows)
   }
+
+  test("incrementalSemanticDedup: corpus witnesses and intra-batch " +
+      "smaller-id twins drop; the corpus scan bucket-prunes to the " +
+      "batch's cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_isem").toString
+    // 4 axis prototypes (the minid seeds) + one extra cell-0 member
+    val corpus = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f), 4L -> Seq(0f, 0f, 0f, 1f),
+      5L -> Seq(0.99f, 0.1f, 0f, 0f)).toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      "isem_idx", s"$dir/idx", nCells = 4, iters = 0,
+      centroidInit = "minid", buckets = 8)
+    val batch = Seq(
+      101L -> Seq(0.995f, 0.05f, 0f, 0f), // twin of corpus 1/5 → drops
+      102L -> Seq(0.6f, 0.8f, 0f, 0f),    // cell 1, no witness → kept
+      103L -> Seq(0.59f, 0.805f, 0f, 0f)  // twin of 102 → intra drop
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.incrementalSemanticDedup(
+      batch, "isem_idx", "vec_id", "embedding", threshold = 0.9)
+    val got = out.as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(101L -> ((0L, false)), 102L -> ((1L, true)),
+      103L -> ((1L, false))))
+    // batch touches cells {0, 1} of 4 — the bucketed corpus scan must
+    // select strictly fewer buckets than the table has. The public
+    // surface returns a checkpointed frame (materialized-RDD scan), so
+    // assert on the lazy formulation it wraps.
+    val b = graft.ops.Similarity.assignToIndexCells(
+      batch, "isem_idx", "vec_id", "embedding").persist()
+    val lazyOut = graft.ops.Similarity.incrementalSemanticDedupLazy(
+      b, "isem_idx", "vec_id", threshold = 0.9)
+    lazyOut.collect()
+    val plan = lazyOut.queryExecution.executedPlan.toString
+    b.unpersist(blocking = false)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"incremental semantic dedup lost bucket pruning:\n$plan")
+  }
 }
