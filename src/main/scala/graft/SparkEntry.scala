@@ -1563,6 +1563,55 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.45)
     }),
 
+    // the COMPLETE streaming SEMANTIC ingest loop (semanticDedupIngest)
+    // — the IVF analogue of q110's LSH loop: per microbatch, same-cell
+    // cosine dedup against the persisted index, sink the match pairs,
+    // append the survivors. Batch 1 = the %10==0 vectors; batch 2 =
+    // exact copies under shifted ids (each copy matches its appended
+    // original at cosine ~1 — or, if the original was dropped, exactly
+    // the witnesses the original matched, PLUS any batch-1 survivor
+    // within threshold: intraBatch=false, the q110 contract). The
+    // oracle replays both batches from the mod-10 split alone; pair
+    // margins are q123's (same vectors, same 0.45 threshold).
+    "q124_sem_ingest_loop" -> ((s, dir) => {
+      val in = scratch("q124in", dir)
+      val outp = scratch("q124out", dir)
+      for (d <- Seq(in, outp)) {
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
+      }
+      val emb = Tpch.raw(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+      val table = s"q124idx_${dirTag(dir)}"
+      graft.ops.Similarity.buildIvfIndex(
+        emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        table, scratch("q124idx", dir),
+        nCells = 8, iters = 0, centroidInit = "minid")
+      emb.where(col("vec_id") % 10 === 0)
+        .write.mode("append").parquet(in)
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(in)
+      val q = graft.streaming.StreamingDedup.semanticDedupIngest(
+          stream, "vec_id", "embedding", table, threshold = 0.45,
+          onMatches = graft.streaming.StreamingDedup.parquetMatchSink(outp),
+          intraBatch = false)
+        .start()
+      try {
+        q.processAllAvailable()
+        emb.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(outp + "/batch_*")
+        .select(col("new_id"), col("corpus_id"))
+    }),
+
     // test-set decontamination at SPAN granularity (the surgical form
     // of q58's per-doc contamination counts): train = doc_id % 10 != 0,
     // test = the rest; spans of train docs whose every 8-token window
@@ -2295,6 +2344,50 @@ object SparkEntry {
         |FROM ba a
         |LEFT JOIN cd ON a.vec_id = cd.vec_id
         |LEFT JOIN idp ON a.vec_id = idp.vec_id""".stripMargin,
+    // semanticDedupIngest replayed batch by batch: m1 = batch1 × corpus
+    // same-cell pairs ≥ 0.45; s1 = batch-1 survivors (appended); m2 =
+    // batch-2 copies (same vectors, same cells, ids + off) against
+    // corpus ∪ s1
+    "q124_sem_ingest_loop" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |b1 AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |off AS (SELECT max(vec_id) + 1 AS o FROM e),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                 v AS cv
+        |          FROM (SELECT * FROM c ORDER BY vec_id LIMIT 8)),
+        |ca AS (SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY c.vec_id
+        |             ORDER BY list_cosine_similarity(c.v, s.cv) DESC,
+        |                      s.cell) AS rn
+        |    FROM c CROSS JOIN seeds s) WHERE rn = 1),
+        |b1a AS (SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, s.cell,
+        |           row_number() OVER (PARTITION BY b.vec_id
+        |             ORDER BY list_cosine_similarity(b.v, s.cv) DESC,
+        |                      s.cell) AS rn
+        |    FROM b1 b CROSS JOIN seeds s) WHERE rn = 1),
+        |m1 AS (SELECT b1a.vec_id AS new_id, ca.vec_id AS corpus_id
+        |  FROM b1a JOIN ca ON b1a.cell = ca.cell
+        |  JOIN b1 bv ON bv.vec_id = b1a.vec_id
+        |  JOIN c cv2 ON cv2.vec_id = ca.vec_id
+        |  WHERE list_cosine_similarity(bv.v, cv2.v) >= 0.45),
+        |idx2 AS (SELECT vec_id, cell FROM ca
+        |  UNION ALL
+        |  SELECT vec_id, cell FROM b1a
+        |  WHERE vec_id NOT IN (SELECT new_id FROM m1)),
+        |b2a AS (SELECT b1a.vec_id + (SELECT o FROM off) AS vec_id,
+        |               b1a.vec_id AS orig, b1a.cell
+        |        FROM b1a),
+        |m2 AS (SELECT b2a.vec_id AS new_id, idx2.vec_id AS corpus_id
+        |  FROM b2a JOIN idx2 ON b2a.cell = idx2.cell
+        |  JOIN e bv ON bv.vec_id = b2a.orig
+        |  JOIN e iv ON iv.vec_id = idx2.vec_id
+        |  WHERE list_cosine_similarity(bv.v, iv.v) >= 0.45)
+        |SELECT new_id, corpus_id FROM m1
+        |UNION ALL SELECT new_id, corpus_id FROM m2""".stripMargin,
     // contaminatedSpans replayed over the token strings: train windows
     // hitting the DISTINCT test window set, merged per doc by the same
     // gaps-and-islands rule as q118

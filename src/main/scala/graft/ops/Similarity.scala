@@ -314,19 +314,7 @@ object Similarity {
         toDouble(col(vecCol)).as("_cv"))
       .withColumn("_cell", cellOf(col("_cv"), centroids))
     if (checkIds) {
-      val cap = 4096
-      val keys = assigned.select(col("neighbor_id"), col("_cell"))
-        .distinct().limit(cap + 1).collect()
-      val scan0 = spark.table(table)
-      val probe = if (keys.length <= cap) {
-        val cells = keys.map(_.get(1)).distinct
-        val ids = keys.map(_.get(0)).distinct
-        scan0.where(col("_cell").isin(cells: _*) &&
-          col("neighbor_id").isin(ids: _*))
-      } else scan0.join(
-        assigned.select(col("neighbor_id")).distinct(),
-        Seq("neighbor_id"), "left_semi")
-      val dups = probe.select(col("neighbor_id")).distinct()
+      val dups = indexedVecIds(assigned, "neighbor_id", table)
         .limit(5).collect().map(_.get(0))
       if (dups.nonEmpty) throw new IllegalStateException(
         s"appendIvfIndex($table): batch contains ids already indexed " +
@@ -560,17 +548,8 @@ object Similarity {
     * [[assignToIndexCells]] frame, ideally persisted. */
   private[graft] def incrementalSemanticDedupLazy(b: DataFrame,
       table: String, idCol: String, threshold: Double): DataFrame = {
-    val spark = b.sparkSession
-    // the batch's cells as literals: the batch is small by construction
-    // (the ingest contract), and this is what lets the scan bucket-prune
-    val cells = b.select(col("_cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val corpus = spark.table(table)
-      .where(col("_cell").isin(cells.map(Int.box): _*))
-    val corpusDup = b.as("b").join(corpus.as("c"),
-        col("b._cell") === col("c._cell"))
-      .where(cosine(col("b._v"), col("c._cv")) >= threshold)
-      .select(col("b._id").as("_id")).distinct()
+    val corpusDup = indexCellMatches(b, table, threshold)
+      .select(col("new_id").as("_id")).distinct()
       .withColumn("_cdup", lit(true))
     val intraDup = b.as("x").join(b.as("y"),
         col("x._cell") === col("y._cell") && col("x._id") < col("y._id"))
@@ -582,6 +561,57 @@ object Similarity {
       .select(col("_id").as(idCol),
         col("_cell").cast("long").as("cluster"),
         (col("_cdup").isNull && col("_idup").isNull).as("kept"))
+  }
+
+  /** Same-cell matches of an [[assignToIndexCells]] batch against a
+    * [[buildIvfIndex]] table: (new_id, corpus_id, cosine), cosine ≥
+    * `threshold`. The batch's distinct cells ride into the corpus scan
+    * as an IN-list of literals so the `_cell`-bucketed table
+    * bucket-prunes the read; past `maxPruneLiterals` distinct cells the
+    * list is skipped rather than build a pathological IN (the
+    * Dedup.incrementalNearDupsLazy cap rule — cells are ≤ nCells ≤ 256
+    * in practice, so the cap exists for API symmetry, not expectation). */
+  private[graft] def indexCellMatches(b: DataFrame, table: String,
+      threshold: Double, maxPruneLiterals: Int = 4096): DataFrame = {
+    val spark = b.sparkSession
+    val cells = b.select(col("_cell")).distinct()
+      .limit(maxPruneLiterals + 1).collect().map(_.getInt(0)).sorted
+    val corpus =
+      if (cells.length <= maxPruneLiterals)
+        spark.table(table).where(col("_cell").isin(cells.map(Int.box): _*))
+      else spark.table(table)
+    b.as("b").join(corpus.as("c"), col("b._cell") === col("c._cell"))
+      .where(cosine(col("b._v"), col("c._cv")) >= threshold)
+      .select(col("b._id").as("new_id"),
+        col("c.neighbor_id").as("corpus_id"),
+        cosine(col("b._v"), col("c._cv")).as("cosine"))
+  }
+
+  /** The ids among `assigned`'s rows that are ALREADY in the IVF table —
+    * the replay/skip probe of the semantic ingest loop (the IVF
+    * analogue of Dedup.indexedIds). A replayed vector lands in the SAME
+    * cell (fixed quantizer), so probing the batch's (cell, id) pairs
+    * through the `_cell`-bucketed scan is complete for replays and never
+    * a corpus scan; past `maxPruneLiterals` keys it degrades to a
+    * left-semi join on id. Output: one `neighbor_id` column. */
+  private[graft] def indexedVecIds(assigned: DataFrame, idField: String,
+      table: String, maxPruneLiterals: Int = 4096): DataFrame = {
+    val spark = assigned.sparkSession
+    val keys = assigned.select(col(idField), col("_cell")).distinct()
+      .limit(maxPruneLiterals + 1).collect()
+    val scan0 = spark.table(table)
+    if (keys.length <= maxPruneLiterals) {
+      if (keys.isEmpty) return scan0.select(col("neighbor_id")).limit(0)
+      val cells = keys.map(_.get(1)).distinct
+      val ids = keys.map(_.get(0)).distinct
+      scan0.where(col("_cell").isin(cells: _*) &&
+          col("neighbor_id").isin(ids: _*))
+        .select(col("neighbor_id")).distinct()
+    } else
+      scan0.join(
+        assigned.select(col(idField).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi")
+        .select(col("neighbor_id")).distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ thresh):

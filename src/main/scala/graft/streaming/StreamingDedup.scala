@@ -254,6 +254,88 @@ object StreamingDedup {
           k, bands, rowsPerBand, buckets, onMatches, intraBatch)
     }
 
+  /** One microbatch of the [[semanticDedupIngest]] loop — the SEMANTIC
+    * (embedding-cosine / SemDeDup) analogue of [[ingestBatch]], against
+    * a persisted Similarity.buildIvfIndex table instead of an LSH band
+    * index. Replay-idempotent by the same three guards:
+    *  1. intra-batch semantic dedup (when `intraBatch`): drop every
+    *     vector with a SMALLER-id same-cell twin at cosine ≥ `threshold`
+    *     — the pairwise min-id-wins rule of [[intraBatchSurvivors]], so
+    *     two semantic twins arriving together can't both be appended;
+    *  2. same-cell index matches (Similarity.indexCellMatches — the
+    *     batch's cells bucket-prune the corpus scan), DROPPING
+    *     self-matches (new_id == corpus_id): a replayed vector lands in
+    *     its own cell and matches itself at cosine ~1, and ids are
+    *     unique, so a self-match can only mean replay;
+    *  3. `onMatches(matches, batchId)` — batchId-keyed sink
+    *     ([[parquetMatchSink]]) so a replay overwrites;
+    *  4. append survivors NOT already indexed (Similarity.indexedVecIds
+    *     — a (cell, id)-pruned probe, never a corpus scan) via
+    *     appendIvfIndex.
+    * With `intraBatch` on, surviving-appended pairs all sit below
+    * `threshold` (a twin of a survivor was either dropped intra-batch or
+    * matched the same witnesses), so a replayed batch reproduces its
+    * match output exactly and appends nothing — the [[ingestBatch]]
+    * replay argument, verbatim, with cosine-in-cell for Jaccard.
+    *
+    * Matches are SAME-CELL only (the IVF contract, as
+    * Similarity.semanticDedup): a twin straddling a cell boundary is
+    * missed — recall is the quantizer's nProbe=1 recall, monitored via
+    * Similarity.recallAtK and repaired by rebuilding the index. */
+  def semanticIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, table: String, threshold: Double,
+      buckets: Int = 16, onMatches: (DataFrame, Long) => Unit,
+      intraBatch: Boolean = true): Unit = {
+    val b0 = graft.ops.Similarity
+      .assignToIndexCells(batch, table, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = if (intraBatch) {
+        val losers = b0.as("x").join(b0.as("y"),
+            col("x._cell") === col("y._cell") &&
+              col("x._id") < col("y._id"))
+          .where(graft.ops.Similarity.cosine(
+            col("x._v"), col("y._v")) >= threshold)
+          .select(col("y._id").as("_id")).distinct()
+        b0.join(losers, Seq("_id"), "left_anti")
+      } else b0
+      val matches = graft.ops.Similarity
+        .indexCellMatches(b, table, threshold)
+        .where(col("new_id") =!= col("corpus_id"))
+      onMatches(matches, batchId)
+      val dupIds = matches.select(col("new_id").as("_id")).distinct()
+      val survivors = b.join(dupIds, Seq("_id"), "left_anti")
+      val already = graft.ops.Similarity.indexedVecIds(
+        survivors, "_id", table)
+      val fresh = survivors.join(already,
+        survivors("_id") === already("neighbor_id"), "left_anti")
+      graft.ops.Similarity.appendIvfIndex(
+        fresh.select(col("_id").as(idCol), col("_v").as(vecCol)),
+        idCol, vecCol, table, buckets, checkIds = false)
+    } finally b0.unpersist(blocking = false)
+  }
+
+  /** The COMPLETE streaming SEMANTIC-dedup ingest loop over a persisted
+    * IVF index — [[nearDedupIngest]] with embeddings in place of text:
+    * every microbatch runs [[semanticIngestBatch]] (intra-batch dedup →
+    * same-cell index dedup → match sink → guarded append), so later
+    * batches dedup against every earlier batch's survivors. State is
+    * the index itself — durable, queryable (Similarity.ivfQuery sees
+    * appended vectors immediately), nothing in stream memory — and the
+    * batch step's replay idempotence makes crash-redelivery safe.
+    * Returns the DataStreamWriter; caller adds checkpointLocation and
+    * starts it. */
+  def semanticDedupIngest(stream: DataFrame, idCol: String,
+      vecCol: String, table: String, threshold: Double,
+      buckets: Int = 16, onMatches: (DataFrame, Long) => Unit,
+      intraBatch: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        semanticIngestBatch(batch, batchId, idCol, vecCol, table,
+          threshold, buckets, onMatches, intraBatch)
+    }
+
   /** Batch-local combine for [[firstSeenNearVerdicts]] output, for use
     * inside `foreachBatch`: a doc survives iff ALL its band verdicts in
     * this microbatch say first-seen. Plain aggregation — every band row

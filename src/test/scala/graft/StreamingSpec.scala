@@ -321,6 +321,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((301L, 201L)))
   }
 
+  test("semantic ingest loop replay: re-running a microbatch reproduces " +
+      "its match output and appends nothing to the IVF index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srpl").toString
+    // 4 axis prototypes (minid seeds) — one cell per axis
+    val corpus = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f), 4L -> Seq(0f, 0f, 0f, 1f)
+    ).toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      "srpl_idx", s"$dir/idx", nCells = 4, iters = 0,
+      centroidInit = "minid", buckets = 8)
+    val batch = Seq(
+      101L -> Seq(0.995f, 0.05f, 0f, 0f), // twin of corpus 1 → match
+      102L -> Seq(0.6f, 0.8f, 0f, 0f),    // cell 1, fresh → appended
+      103L -> Seq(0.59f, 0.805f, 0f, 0f), // twin of 102 → intra drop
+      104L -> Seq(0f, 0.5f, 0.85f, 0f)    // cell 2 at cos .86 → fresh
+    ).toDF("vec_id", "embedding")
+    val out = s"$dir/matches"
+    def run(): Unit = graft.streaming.StreamingDedup.semanticIngestBatch(
+      batch, 3L, "vec_id", "embedding", "srpl_idx", threshold = 0.9,
+      buckets = 8,
+      onMatches = graft.streaming.StreamingDedup.parquetMatchSink(out))
+    run()
+    def matches() = spark.read.parquet(s"$out/batch_*")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val m1 = matches()
+    assert(m1 === Set((101L, 1L)))
+    val idxRows = spark.table("srpl_idx").count()
+    assert(idxRows === 6, "survivors 102 and 104 were not appended")
+    // REPLAY under the same batchId: the self-match filter restores the
+    // original match set (102/104 now match THEMSELVES at cosine 1),
+    // the sink overwrites, and the indexed-id probe skips the append
+    run()
+    assert(matches() === m1, "replay changed the match output")
+    assert(spark.table("srpl_idx").count() === idxRows,
+      "replay double-appended index rows")
+  }
+
+  test("semantic ingest loop survives a checkpoint restart and dedups " +
+      "against vectors appended before the stop") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sing").toString
+    val data = s"$base/in"; val ckpt = s"$base/ckpt"
+    val mdir = s"$base/matches"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    val corpus = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f), 4L -> Seq(0f, 0f, 0f, 1f)
+    ).toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      "sing_idx", s"$base/idx", nCells = 4, iters = 0,
+      centroidInit = "minid", buckets = 8)
+    def write(rows: Seq[(Long, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(data)
+    def start() = graft.streaming.StreamingDedup.semanticDedupIngest(
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .parquet(data),
+        "vec_id", "embedding", "sing_idx", threshold = 0.9, buckets = 8,
+        onMatches = graft.streaming.StreamingDedup.parquetMatchSink(mdir))
+      .option("checkpointLocation", ckpt).start()
+    // run 1: a fresh vector — no matches, appended to the index
+    write(Seq(201L -> Seq(0.6f, 0.8f, 0f, 0f)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2 from the SAME checkpoint: a near-copy of 201 must match the
+    // vector APPENDED BEFORE THE STOP — the index IS the recovered state
+    write(Seq(301L -> Seq(0.59f, 0.805f, 0f, 0f)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$mdir/batch_*")
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((301L, 201L)))
+  }
+
   test("streaming windowed aggregation over events") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
