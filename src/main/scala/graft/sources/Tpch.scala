@@ -64,20 +64,64 @@ object Tpch {
       }
     }
 
-  /** Raw parquet table. `events.ts` is written as TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects — read it as a nanos long (legacy
-    * conf) and convert exactly via integer division to micros. */
+  /** Raw parquet table. `events.ts` has been written by the driver both as
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader can only surface as
+    * a nanos long via the legacy conf) and, in newer testdata, as
+    * TIMESTAMP_MICROS/NTZ. Branch on the dtype Spark actually read so one
+    * reader absorbs either generation of the files — every events consumer
+    * must route through here rather than re-deriving the conversion. */
   def raw(spark: SparkSession, sfDir: String, table: String): DataFrame =
     sessionCache(spark).getOrElseUpdate((sfDir, "raw:" + table), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$table.parquet")
-      if (table == "events")
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
-      else df
+      if (table == "events") normalizeEventsTs(df) else df
     })
+
+  /** Normalize an events frame's `ts` to TIMESTAMP_NTZ regardless of how
+    * the parquet writer encoded it (nanos-as-long vs native micros). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as a long: exact div to micros
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _: TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
+
+  /** Streaming file-source read of the events table with `ts` normalized
+    * to TIMESTAMP (identity to NTZ under the engine's fixed UTC session
+    * timezone — watermarks/windows then behave exactly as in batch). A
+    * stream must DECLARE its schema, so a cheap batch probe reads the
+    * physical `ts` type first: legacy nanos files surface as BIGINT (via
+    * the nanosAsLong conf) and get the exact div-1000 conversion; newer
+    * micros files surface as TIMESTAMP_NTZ and just cast. Glob form:
+    * the streaming file source requires a directory or glob and the
+    * driver testdata ships events as a single parquet FILE. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val tsDdl = physical match {
+      case LongType => "BIGINT"
+      case _: TimestampNTZType => "TIMESTAMP_NTZ"
+      case _ => "TIMESTAMP"
+    }
+    val schema = StructType.fromDDL(
+      s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    val stream = spark.readStream.schema(schema)
+      .parquet(sfDir + "/events.parque*")
+    physical match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Triple encoding of a table. Deliberately NOT persisted: the triples
     * view is a 10-20× blow-up of the base table, and the narrow flatten

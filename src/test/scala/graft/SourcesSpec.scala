@@ -154,6 +154,56 @@ class SourcesSpec extends AnyFunSuite {
     assert(b.count() === a.count())
   }
 
+  // Schema-drift guard: the driver has shipped events.ts BOTH as
+  // TIMESTAMP(NANOS) (reads as a plain long under nanosAsLong) and as
+  // TIMESTAMP_MICROS/NTZ. Every generation must normalize through the ONE
+  // reader in Tpch — this test breaks loudly if a future regeneration
+  // (or a reader edit) drops a branch.
+  test("events ts drift guard: nanos-long and micros-ntz fixtures both read (Tpch)") {
+    import org.apache.spark.sql.types._
+    // 1704164645123456789 ns = 2024-01-02 03:04:05.123456789 UTC
+    val nanos = 1704164645123456789L
+    val wantMicros = "2024-01-02 03:04:05.123456"
+
+    // branch 1: nanos-as-long → exact div-1000 conversion to micros NTZ
+    val longDf = Seq((1L, nanos)).toDF("event_id", "ts")
+    val n1 = graft.sources.Tpch.normalizeEventsTs(longDf)
+    assert(n1.schema("ts").dataType === TimestampNTZType)
+    assert(n1.select(col("ts").cast("string")).head.getString(0) === wantMicros)
+
+    // branch 2: micros NTZ passes through untouched
+    val ntzDf = longDf.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val n2 = graft.sources.Tpch.normalizeEventsTs(ntzDf)
+    assert(n2.schema("ts").dataType === TimestampNTZType)
+    assert(n2.select(col("ts").cast("string")).head.getString(0) === wantMicros)
+
+    // end-to-end through real parquet fixtures: one sfDir per physical
+    // encoding, each routed through Tpch.raw AND the eventsStream probe
+    def fixture(tsCol: org.apache.spark.sql.Column, tag: String): String = {
+      val d = Files.createTempDirectory(s"evdrift_$tag")
+      Seq((1L, nanos, 7L, "click", 1.5, "{}"))
+        .toDF("event_id", "ts_raw", "user_id", "event_type", "value", "props")
+        .withColumn("ts", tsCol).drop("ts_raw")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(d.resolve("events.parquet").toString)
+      d.toString
+    }
+    val longDir = fixture(col("ts_raw"), "long") // INT64, no logical type
+    val ntzDir = fixture(
+      timestamp_micros(expr("ts_raw div 1000")).cast("timestamp_ntz"), "ntz")
+    for (dir <- Seq(longDir, ntzDir)) {
+      val raw = graft.sources.Tpch.raw(spark, dir, "events")
+      assert(raw.schema("ts").dataType === TimestampNTZType)
+      assert(raw.select(col("ts").cast("string")).head.getString(0)
+        === wantMicros)
+      val st = graft.sources.Tpch.eventsStream(spark, dir)
+      assert(st.isStreaming)
+      // stream side normalizes to TIMESTAMP (UTC tz ⇒ NTZ-identical)
+      assert(st.schema("ts").dataType === TimestampType)
+    }
+  }
+
   test("entity constructors build namespaced docs (W9)") {
     val doc = Constructors.entityCons("cft.type:seq", "cft.seq")(
       "id" -> "s1", "cft:description" -> "x")
