@@ -1900,6 +1900,29 @@ object SparkEntry {
         .select(col("key"), col("n.nname").as("nation_name"))
     }),
 
+    // the Q4-Q6 Entity surface as a CORRECTNESS row: scripted find →
+    // prefetch → namespace-completed access (`one`) → multi-hop getIn
+    // (`someIn` through the declared ref) → reverse lookup, reduced to a
+    // flat DF. Driver-side point lookups BY DESIGN (the reference's
+    // Entity is an interactive dict wrapper, tripl.py:141-271) and
+    // bounded to 5 entities — bulk access goes through pull().
+    "q125_entity_walk" -> ((s, dir) => {
+      import s.implicits._
+      val store = Tpch.store(s, dir, "region", "nation", "customer")
+      val rows = (0L until 5L).flatMap { k =>
+        Entity.find(store, Seq("nation:nationkey" -> MEq(k)),
+            namespace = Some("nation")).map { e =>
+          e.prefetch(Seq("name", "nationkey"))
+          val name = e.one("name").map(_.toString).getOrElse("")
+          val region = e.someIn(Seq("region", "region:name"))
+            .map(_.toString).getOrElse("")
+          val nCust = e("customer:_nation").size.toLong
+          (k, name, region, nCust)
+        }
+      }
+      rows.toDF("nationkey", "name", "region_name", "n_customers")
+    }),
+
     // engine-native persisted triple layout: save a doc-ingested store as
     // namespace-partitioned Parquet triples (resolution runs on write),
     // reopen it — schema bootstraps back from the in-band facts, scans go
@@ -2070,6 +2093,15 @@ object SparkEntry {
       """SELECT c_custkey AS key, n_name AS nation_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_name = 'GERMANY'""".stripMargin,
+    "q125_entity_walk" ->
+      """SELECT n_nationkey AS nationkey, n_name AS name,
+        |       r_name AS region_name,
+        |       CAST(count(c_custkey) AS BIGINT) AS n_customers
+        |FROM nation
+        |JOIN region ON r_regionkey = n_regionkey
+        |LEFT JOIN customer ON c_nationkey = n_nationkey
+        |WHERE n_nationkey < 5
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q45_newick" ->
       """SELECT name, length, parent FROM (VALUES
         |  ('A',    CAST(0.1 AS DOUBLE), 'AB'),
