@@ -116,12 +116,19 @@ object SparkEntry {
       mutates: Boolean = true): Unit = {
     val pristine = scratch(tag + "_pristine", dir)
     val marker = java.nio.file.Paths.get(pristine + "_OK")
-    if (!java.nio.file.Files.exists(marker)) {
+    // the marker RECORDS the build params + format version: /tmp outlives
+    // code changes (driver rounds reuse the box), and a stale pristine
+    // built by older hashing code must be rebuilt, not silently reused
+    val stamp = s"lshv1 k=$k bands=$bands rpb=$rowsPerBand"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
       for (suffix <- Seq("", "_sh"))
         deleteRec(java.nio.file.Paths.get(pristine + suffix))
       graft.ops.Dedup.buildLshIndex(corpus, "doc_id", "text",
         table + "_pristine", pristine, k, bands, rowsPerBand)
-      java.nio.file.Files.createFile(marker)
+      java.nio.file.Files.writeString(marker, stamp)
     }
     for (suffix <- Seq("", "_sh")) {
       val src = pristine + suffix
