@@ -1812,6 +1812,47 @@ object SparkEntry {
           .when(col("doc_id") < 2 * off, -1L)
           .otherwise(2L).as("batch"))
     }),
+
+    // single-pass quality funnel (Funnel.report): each doc attributed
+    // to the FIRST gate that drops it — one narrow when-chain over the
+    // scan + a |stages|-row aggregate, instead of one corpus pass per
+    // gate. Gates: length band, English language-ID, stopword floor —
+    // all reusing the SQL-reproducible TextOps scorers (q26/q27).
+    "q126_quality_funnel" -> ((s, dir) => {
+      import graft.ops.TextOps._
+      graft.ops.Funnel.report(Tpch.raw(s, dir, "documents"), Seq(
+        "len" -> col("n_chars").between(200, 8000),
+        "lang" -> (langId(col("text")) === "en"),
+        "stopwords" -> (stopwordRatio(col("text")) >= 0.05)))
+    }),
+
+    // Bloom-pruned semi-join (Joins.bloomSemiJoin): lineitem ⋉ the
+    // small-size parts. The bloom builds DISTRIBUTED (partials OR-merge,
+    // only the fixed-size bitmap reaches the driver) and the probe is
+    // the engine's codegen'd BloomFilterMightContain at the fact scan —
+    // non-matching rows never enter the shuffle; the exact semi-join
+    // removes the ~1% false positives, so the result is exactly the
+    // IN-subquery. Rolled up per returnflag for a compact oracle row.
+    "q127_bloom_semijoin" -> ((s, dir) => {
+      val parts = Tpch.raw(s, dir, "part").where(col("p_size") <= 5)
+      graft.ops.Joins.bloomSemiJoin(
+          Tpch.raw(s, dir, "lineitem"), Seq("l_partkey"),
+          parts, Seq("p_partkey"), expectedKeys = 4096)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // curriculum phases (Sampling.curriculumBins): corpus ordered by
+    // quality score ascending (ties broken by doc_id), cut into 4
+    // contiguous bins via the two-pass range-partitioned rank — the
+    // NTILE shape with no single-task global window anywhere.
+    "q128_curriculum" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents").select(col("doc_id"),
+        graft.ops.TextOps.qualityScore(col("text")).as("q"))
+      graft.ops.Sampling.curriculumBins(docs, "doc_id", "q", nBins = 4)
+        .select(col("doc_id"), col("curriculum_pos"), col("curriculum_bin"))
+    }),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -3376,5 +3417,65 @@ object SparkEntry {
         |       CAST(NULL AS VARCHAR) AS missing,
         |       CAST(c_nationkey AS BIGINT) AS natkey
         |FROM customer""".stripMargin,
+    // funnel: per-doc gate predicates once, then each stage's dropped =
+    // passed all earlier AND failed this one — first-failure attribution
+    "q126_quality_funnel" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (n_chars BETWEEN 200 AND 8000) AS p1,
+        |    (CASE WHEN best = 0 THEN 'unk'
+        |          WHEN en = best THEN 'en' WHEN de = best THEN 'de'
+        |          WHEN fr = best THEN 'fr' ELSE 'es' END = 'en') AS p2,
+        |    (CAST(len(list_filter(ws,
+        |        t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) AS DOUBLE)
+        |      / len(ws) >= 0.05) AS p3
+        |  FROM (
+        |    SELECT doc_id, n_chars, ws,
+        |      len(list_filter(ws, t -> t IN ('the','and','of','to','in','is'))) AS en,
+        |      len(list_filter(ws, t -> t IN ('der','die','das','und','ist','zu'))) AS de,
+        |      len(list_filter(ws, t -> t IN ('le','la','les','et','est','que'))) AS fr,
+        |      len(list_filter(ws, t -> t IN ('el','los','las','es','y','que'))) AS es,
+        |      greatest(
+        |        len(list_filter(ws, t -> t IN ('the','and','of','to','in','is'))),
+        |        len(list_filter(ws, t -> t IN ('der','die','das','und','ist','zu'))),
+        |        len(list_filter(ws, t -> t IN ('le','la','les','et','est','que'))),
+        |        len(list_filter(ws, t -> t IN ('el','los','las','es','y','que')))) AS best
+        |    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents)))
+        |SELECT 0 AS stage_idx, 'ingest' AS stage,
+        |       CAST(0 AS BIGINT) AS dropped, count(*) AS remaining FROM g
+        |UNION ALL SELECT 1, 'len',
+        |       count(*) FILTER (WHERE NOT p1), count(*) FILTER (WHERE p1) FROM g
+        |UNION ALL SELECT 2, 'lang',
+        |       count(*) FILTER (WHERE p1 AND NOT p2),
+        |       count(*) FILTER (WHERE p1 AND p2) FROM g
+        |UNION ALL SELECT 3, 'stopwords',
+        |       count(*) FILTER (WHERE p1 AND p2 AND NOT p3),
+        |       count(*) FILTER (WHERE p1 AND p2 AND p3) FROM g""".stripMargin,
+    "q127_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY l_returnflag""".stripMargin,
+    // same quality expr as q27; rank ascending with doc_id tiebreak,
+    // bin = pos * 4 integer-divided by the corpus size
+    "q128_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    round((
+        |      (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END)
+        |      + (CASE WHEN CAST(len(list_filter(string_split(text,' '),
+        |           t -> t IN ('the','a','an','and','of','to','in','is','it','for'))) AS DOUBLE)
+        |           / len(string_split(text,' ')) >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |      + least(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |              / len(string_split(text,' ')) * 2, 1.0)
+        |    ) / 3.0, 4) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY q, doc_id) - 1 AS BIGINT) AS curriculum_pos
+        |  FROM s)
+        |SELECT doc_id, curriculum_pos,
+        |       curriculum_pos * 4 // (SELECT count(*) FROM s) AS curriculum_bin
+        |FROM r""".stripMargin,
   )
 }

@@ -141,6 +141,38 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Curriculum binning — order the corpus by a difficulty/quality
+    * score and cut it into `nBins` contiguous phases (bin 0 = lowest
+    * score first; negate the score column upstream for easiest-first
+    * curricula). The schedule is a pure function of (score, id):
+    * reproducible across runs and engines, ties broken by id so the
+    * assignment never depends on physical layout.
+    *
+    * `NTILE(n) OVER (ORDER BY …)` computes this through ONE task (a
+    * global window). Here the global rank comes from
+    * [[Layout.contiguousIds]]'s two-pass range-partitioned sort — the
+    * sort shuffle runs once, in parallel — and the bin is arithmetic
+    * on the rank: `bin = pos * nBins / total` (integer division; bin
+    * sizes differ by at most one, like NTILE's, cut at different
+    * boundaries). One extra count() action sizes the division.
+    *
+    * Output: input columns + `curriculum_pos` (0-based global rank) +
+    * `curriculum_bin` (0-based). */
+  def curriculumBins(df: DataFrame, idCol: String, scoreCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val total = df.count()
+    val key = struct(col(scoreCol), col(idCol))
+    Layout.contiguousIds(df.withColumn("_currkey", key), "_currkey")
+      .withColumnRenamed("row_id", "curriculum_pos")
+      .withColumn("curriculum_bin",
+        // `div` = exact integer division — pos * nBins stays a long
+        // (no double rounding at 1e12-row ranks)
+        if (total == 0L) lit(0L)
+        else expr(s"curriculum_pos * $nBins div ${total}L"))
+      .drop("_currkey")
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE — the training-order primitive: a
     * reproducible permutation of the corpus with a contiguous position
     * column, so epoch order is a pure function of (data, seed) — stable
