@@ -203,22 +203,31 @@ object StreamingDedup {
       k: Int = 32, bands: Int = 16, rowsPerBand: Int = 2,
       buckets: Int = 16, onMatches: (DataFrame, Long) => Unit,
       intraBatch: Boolean = true): Unit = {
-    val b = if (intraBatch)
+    // both intermediates feed MULTIPLE actions (match sink, survivor
+    // anti-join, indexed-id probe, index append) — without the scoped
+    // persists the whole intra-batch near-dup + index-join chain
+    // re-executes per action (~3x the microbatch's real work)
+    val b = (if (intraBatch)
       intraBatchSurvivors(batch, idCol, textCol, threshold, k, bands,
         rowsPerBand)
-    else batch
-    val matches = graft.ops.Dedup.incrementalNearDups(
-        b, table, idCol, textCol, threshold, k, bands, rowsPerBand)
-      .where(col("new_id") =!= col("corpus_id"))
-    onMatches(matches, batchId)
-    val dupIds = matches.select(col("new_id")).distinct()
-    val survivors = b.join(dupIds, b(idCol) === dupIds("new_id"),
-      "left_anti")
-    val already = graft.ops.Dedup.indexedIds(survivors, idCol, table)
-    val fresh = survivors.join(already,
-      survivors(idCol) === already("corpus_id"), "left_anti")
-    graft.ops.Dedup.appendLshIndex(fresh, idCol, textCol, table,
-      k, bands, rowsPerBand, buckets, checkIds = false)
+    else batch).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matches = graft.ops.Dedup.incrementalNearDups(
+          b, table, idCol, textCol, threshold, k, bands, rowsPerBand)
+        .where(col("new_id") =!= col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        onMatches(matches, batchId)
+        val dupIds = matches.select(col("new_id")).distinct()
+        val survivors = b.join(dupIds, b(idCol) === dupIds("new_id"),
+          "left_anti")
+        val already = graft.ops.Dedup.indexedIds(survivors, idCol, table)
+        val fresh = survivors.join(already,
+          survivors(idCol) === already("corpus_id"), "left_anti")
+        graft.ops.Dedup.appendLshIndex(fresh, idCol, textCol, table,
+          k, bands, rowsPerBand, buckets, checkIds = false)
+      } finally matches.unpersist(blocking = false)
+    } finally b.unpersist(blocking = false)
   }
 
   /** batchId-deterministic parquet sink for [[nearDedupIngest]] match
@@ -299,19 +308,24 @@ object StreamingDedup {
           .select(col("y._id").as("_id")).distinct()
         b0.join(losers, Seq("_id"), "left_anti")
       } else b0
+      // matches feeds both the sink and the survivor anti-join — persist
+      // so the cell-match join runs once, not per consuming action
       val matches = graft.ops.Similarity
         .indexCellMatches(b, table, threshold)
         .where(col("new_id") =!= col("corpus_id"))
-      onMatches(matches, batchId)
-      val dupIds = matches.select(col("new_id").as("_id")).distinct()
-      val survivors = b.join(dupIds, Seq("_id"), "left_anti")
-      val already = graft.ops.Similarity.indexedVecIds(
-        survivors, "_id", table)
-      val fresh = survivors.join(already,
-        survivors("_id") === already("neighbor_id"), "left_anti")
-      graft.ops.Similarity.appendIvfIndex(
-        fresh.select(col("_id").as(idCol), col("_v").as(vecCol)),
-        idCol, vecCol, table, buckets, checkIds = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        onMatches(matches, batchId)
+        val dupIds = matches.select(col("new_id").as("_id")).distinct()
+        val survivors = b.join(dupIds, Seq("_id"), "left_anti")
+        val already = graft.ops.Similarity.indexedVecIds(
+          survivors, "_id", table)
+        val fresh = survivors.join(already,
+          survivors("_id") === already("neighbor_id"), "left_anti")
+        graft.ops.Similarity.appendIvfIndex(
+          fresh.select(col("_id").as(idCol), col("_v").as(vecCol)),
+          idCol, vecCol, table, buckets, checkIds = false)
+      } finally matches.unpersist(blocking = false)
     } finally b0.unpersist(blocking = false)
   }
 
