@@ -1843,6 +1843,20 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // exact heavy hitters through the bounded-state path
+    // (Skew.heavyHitters): per-partition Misra-Gries candidate summaries
+    // + an exact candidate-only count — top-15 corpus tokens,
+    // guarantee-CHECKED (the k-th count must clear n/(m+1), so the
+    // ranking is certified exact, never sketch-approximate). On this
+    // 31-term synthetic vocabulary the summaries hold every key (m is
+    // the 100 TB state knob); the MG eviction path itself is covered by
+    // OpsSpec's skewed-corpus tests.
+    "q129_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Skew.heavyHitters(
+        Tpch.raw(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("term")),
+        "term", k = 15, m = 2048, checkGuarantee = true)),
+
     // curriculum phases (Sampling.curriculumBins): corpus ordered by
     // quality score ascending (ties broken by doc_id), cut into 4
     // contiguous bins via the two-pass range-partitioned rank — the
@@ -3456,6 +3470,10 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
         |GROUP BY l_returnflag""".stripMargin,
+    "q129_heavy_hitters" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 15""".stripMargin,
     // same quality expr as q27; rank ascending with doc_id tiebreak,
     // bin = pos * 4 integer-divided by the corpus size
     "q128_curriculum" ->

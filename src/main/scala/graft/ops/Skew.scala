@@ -30,6 +30,73 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_distinct"))
 
+  /** EXACT top-k heavy hitters with bounded aggregation state — the
+    * hot-key diagnosis primitive (feed its output to [[salted]] or AQE
+    * skew hints). A plain `GROUP BY key ORDER BY n DESC LIMIT k` keeps
+    * every distinct key alive through the partial-aggregate hash tables
+    * and the shuffle; at 100 TB with ~all-unique keys (tokens, URLs,
+    * session ids) that is a distinct-cardinality shuffle to find 20
+    * rows. Here each partition instead keeps a Misra-Gries summary of
+    * `m` counters (amortized O(1) per row: every decrement round pays
+    * for m arrivals), and only the ≤ m-per-partition CANDIDATE keys
+    * enter the exact pass — a semi-join-pruned count + TakeOrdered.
+    *
+    * Exactness: a key absent from EVERY partition's summary has true
+    * count ≤ n/(m+1) (its MG undercount per partition is at most
+    * n_p/(m+1); sum over partitions). So candidates ⊇ every key with
+    * count > n/(m+1), and the exact top-k is correct whenever the k-th
+    * result's count clears that bar — `checkGuarantee = true` verifies
+    * it at the cost of one count() and throws instead of returning a
+    * silently-unverifiable ranking. Ties broken by key — fully
+    * deterministic output: (key, n), n descending. */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int, m: Int = 4096,
+      checkGuarantee: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= k, s"m ($m) must be >= k ($k) — the summary must be " +
+      "able to hold every answer row")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string").as("_k"))
+      .where(col("_k").isNotNull)
+    val cands = keys.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { s =>
+        counts.get(s) match {
+          case Some(v) => counts(s) = v + 1
+          case None if counts.size < m => counts(s) = 1L
+          case None => // decrement-all round; drop exhausted counters
+            counts.mapValuesInPlace((_, v) => v - 1)
+            counts.filterInPlace((_, v) => v > 0)
+        }
+      }
+      counts.keysIterator
+    }.toDF("_k").distinct()
+    val exact = df
+      .join(cands, df(keyCol).cast("string") === cands("_k"), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+    if (checkGuarantee) {
+      val n = keys.count()
+      val bar = n.toDouble / (m + 1)
+      val rows = exact.collect()
+      if (rows.length == k)
+        require(rows.last.getAs[Long]("n") > bar,
+          f"heavyHitters($keyCol, k=$k, m=$m): k-th count " +
+            f"${rows.last.getAs[Long]("n")} does not clear the MG bar " +
+            f"n/(m+1) = $bar%.1f — raise m to certify this ranking")
+      else
+        // underfull result is certified only when the candidates really
+        // were ALL the keys (otherwise a ≤-bar key could belong in it)
+        require(keys.distinct().count() == rows.length,
+          s"heavyHitters($keyCol, k=$k, m=$m): fewer than k certified " +
+            "rows but more distinct keys exist — raise m")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), exact.schema)
+    } else exact
+  }
+
   /** Explicitly salted two-stage aggregation for associative aggregates
     * whose intermediate state is too wide to funnel per-key (e.g. large
     * collect_set states bounded per salt, or as a belt-and-braces spread

@@ -198,6 +198,31 @@ object ScaleBench {
       "det_shuffle" -> (() =>
         { graft.ops.Sampling.shuffleDeterministic(d, "doc_id")
             .count(); () }),
+      // one narrow when-chain pass + a |stages|-row agg — predicted ~linear
+      "quality_funnel" -> (() =>
+        { graft.ops.Funnel.report(d, Seq(
+            "len" -> (length(col("text")) >= 50),
+            "lang" -> (graft.ops.TextOps.langId(col("text")) === "en"),
+            "stop" -> (graft.ops.TextOps.stopwordRatio(col("text")) >= 0.05)))
+            .count(); () }),
+      // fixed dim side (a 1x id slice), fact side scales: the bloom build
+      // is constant and the probe is a scan filter — predicted ~linear in
+      // the fact scan, with the post-probe shuffle carrying only matches
+      "bloom_semijoin" -> (() =>
+        { graft.ops.Joins.bloomSemiJoin(d, Seq("doc_id"),
+            d1.where(col("doc_id") % 7 === 0).select(col("doc_id")),
+            Seq("doc_id"), expectedKeys = 10000).count(); () }),
+      // MG summaries are per-partition constants; the exact pass counts
+      // candidates only — predicted ~linear in the token scan
+      "heavy_hitters" -> (() =>
+        { graft.ops.Skew.heavyHitters(
+            d.select(explode(split(col("text"), " ")).as("term")),
+            "term", k = 15, m = 2048).count(); () }),
+      // score + the contiguousIds two-pass rank — predicted ~linear
+      "curriculum_bins" -> (() =>
+        { graft.ops.Sampling.curriculumBins(
+            d.withColumn("_q", graft.ops.TextOps.qualityScore(col("text"))),
+            "doc_id", "_q", 4).count(); () }),
       // semanticDedup is Θ(n·k) assignment + Σ|cell|² pairs; run with
       // the documented k ∝ √n sizing, under which BOTH terms — and so
       // the whole operator — predict exponent ~1.5, NOT ≤1 (SemDeDup's

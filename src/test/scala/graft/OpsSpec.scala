@@ -486,6 +486,39 @@ class OpsSpec extends AnyFunSuite {
     assert(s === Map("a" -> ((6L, 3L)), "b" -> ((10L, 1L))))
   }
 
+  test("heavyHitters: exact top-k under MG eviction, matches plain agg") {
+    // skewed corpus with m far below distinct cardinality, so the
+    // per-partition summaries actually evict: a=60, b=40, c=25, plus
+    // 100 singletons
+    val rows = Seq.fill(60)("a") ++ Seq.fill(40)("b") ++ Seq.fill(25)("c") ++
+      (0 until 100).map(i => s"u$i")
+    val df = rows.toDF("k").repartition(4)
+    val got = graft.ops.Skew.heavyHitters(df, "k", k = 3, m = 16,
+        checkGuarantee = true)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 60L), ("b", 40L), ("c", 25L)))
+    val naive = df.groupBy($"k").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"k").limit(3).as[(String, Long)].collect().toSeq
+    assert(got === naive)
+  }
+
+  test("heavyHitters: guarantee check throws on an uncertifiable ranking") {
+    // 50 uniform singletons with a tiny summary: nothing clears n/(m+1)
+    val df = (0 until 50).map(i => s"u$i").toDF("k").repartition(4)
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.heavyHitters(df, "k", k = 2, m = 4,
+        checkGuarantee = true).collect()
+    }
+  }
+
+  test("heavyHitters: underfull result certified only when keys exhaust") {
+    val df = Seq("a", "a", "b", "c").toDF("k")
+    val got = graft.ops.Skew.heavyHitters(df, "k", k = 10, m = 16,
+        checkGuarantee = true)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
   test("frameSample: uniform integer strides, short-payload edge") {
     val bytes = Array.tabulate(100)(_.toByte)
     val df = Seq((1L, bytes), (2L, Array[Byte](1, 2, 3))).toDF("id", "b")
