@@ -1843,6 +1843,15 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // bigram-LM fluency scoring (TextOps.lmScore) — the perplexity-
+    // filter shape with corpus-trained counts and no libm: avg
+    // conditional bigram probability + OOV-transition tally per doc.
+    // The float sum is order-pinned (per-doc fold in position order),
+    // so DuckDB's list_reduce reproduces it bit-for-bit.
+    "q130_lm_score" -> ((s, dir) =>
+      graft.ops.TextOps.lmScore(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text", minCount = 3)),
+
     // exact heavy hitters through the bounded-state path
     // (Skew.heavyHitters): per-partition Misra-Gries candidate summaries
     // + an exact candidate-only count — top-15 corpus tokens,
@@ -3474,6 +3483,30 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 15""".stripMargin,
+    // per-doc probabilities folded in POSITION order on both engines
+    // (list_reduce = left fold; Spark aggregate over the pos-sorted
+    // list) — identical association, bit-identical sums
+    "q130_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, i AS pos, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM w, unnest(range(1, len(ws))) AS r(i)
+        |      WHERE len(ws) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+        |s AS (SELECT p.doc_id, p.pos,
+        |             CAST(c2.c2 AS DOUBLE) / c1.c1 AS pr, c2.c2 AS c2n
+        |      FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+        |d AS (SELECT doc_id,
+        |        CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        round(list_reduce(list(pr ORDER BY pos), (x, y) -> x + y)
+        |              / count(*), 6) AS avg_cond_p,
+        |        CAST(count(*) FILTER (WHERE c2n < 3) AS BIGINT) AS n_rare
+        |      FROM s GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |       coalesce(d.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |       coalesce(d.avg_cond_p, 0.0) AS avg_cond_p,
+        |       coalesce(d.n_rare, CAST(0 AS BIGINT)) AS n_rare
+        |FROM w LEFT JOIN d USING (doc_id)""".stripMargin,
     // same quality expr as q27; rank ascending with doc_id tiebreak,
     // bin = pos * 4 integer-divided by the corpus size
     "q128_curriculum" ->

@@ -651,6 +651,63 @@ object TextOps {
       .agg(min(col("_len")).as("n_tokens"))
   }
 
+  /** Bigram-LM fluency score — the KenLM-perplexity-filter shape with a
+    * corpus-trained model and NO libm: each document scores the average
+    * conditional probability of its adjacent token pairs,
+    * `avg_i c(w_i w_{i+1}) / c(w_i ·)`, under counts trained on the
+    * corpus itself. Incoherent/shuffled text pairs rare bigrams and
+    * scores low; fluent text rides the corpus's own transitions. True
+    * perplexity exponentiates a log-prob sum — libm territory no
+    * external engine reproduces bit-for-bit; the probability AVERAGE
+    * ranks the same failure mode with every operand an exact integer
+    * ratio.
+    *
+    * Cross-engine determinism of the float sum is ORDER-PINNED: the
+    * per-doc probabilities are folded in token-position order (a
+    * sort_array of (pos, p) structs + a left `aggregate` fold — one
+    * association, reproducible by any engine's left fold/list_reduce in
+    * the same order), never a groupBy sum whose association order is
+    * partition-dependent.
+    *
+    * Scale shape: two count aggregations (bigram, left-context) +
+    * broadcast-friendly joins back to the pair stream + one per-doc
+    * groupBy — all key-partitioned; per-doc state is the doc's own
+    * (pos, p) list, bounded by doc length. Output: idCol, n_bigrams,
+    * avg_cond_p (rounded 6), n_rare (pairs with corpus count <
+    * `minCount` — the OOV-transition tally; docs under 2 tokens score
+    * 0 with 0 bigrams). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+    val pairs = toks.where(size(col("_ws")) >= 2).select(col(idCol),
+        posexplode(zip_with(
+          slice(col("_ws"), lit(1), size(col("_ws")) - 1),
+          slice(col("_ws"), lit(2), size(col("_ws")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col(idCol), col("pos"),
+        col("col")("w1").as("_w1"), col("col")("w2").as("_w2"))
+    val c2 = pairs.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c2"))
+    val c1 = pairs.groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    val scored = pairs.join(c2, Seq("_w1", "_w2")).join(c1, Seq("_w1"))
+      .withColumn("_p", col("_c2").cast(DoubleType) / col("_c1"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("_p"))))
+          .as("_ps"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c2") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_bigrams"),
+        round(aggregate(col("_ps"), lit(0.0),
+          (acc, x) => acc + x("_p")) / col("n_bigrams"), 6)
+          .as("avg_cond_p"),
+        col("n_rare"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_cond_p"), lit(0.0)).as("avg_cond_p"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * repetition penalty. Deterministic, SQL-expressible. */
   def qualityScore(text: Column): Column = {

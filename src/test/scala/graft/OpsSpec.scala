@@ -486,6 +486,31 @@ class OpsSpec extends AnyFunSuite {
     assert(s === Map("a" -> ((6L, 3L)), "b" -> ((10L, 1L))))
   }
 
+  test("lmScore: common transitions outscore rare ones; short docs zero") {
+    // corpus: ten docs "a b", one doc "a z" — left context `a` seen 11
+    // times, so P(b|a) = 10/11, P(z|a) = 1/11
+    val df = ((1L to 10L).map(i => (i, "a b")) :+ ((11L, "a z")) :+
+      ((12L, "solo"))).toDF("doc_id", "text")
+    val out = TextOps.lmScore(df, "doc_id", "text", minCount = 2)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(12L) === ((12L, 0L, 0.0, 0L)))        // no bigrams
+    assert(out(1L)._2 === 1L)
+    assert(out(1L)._3 === math.rint(10.0 / 11 * 1e6) / 1e6)
+    assert(out(11L)._3 === math.rint(1.0 / 11 * 1e6) / 1e6)
+    assert(out(1L)._4 === 0L)                        // a->b count 10 >= 2
+    assert(out(11L)._4 === 1L)                       // a->z count 1 < 2
+  }
+
+  test("lmScore: fold order is position order (deterministic sum)") {
+    val df = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    // pairs: (x,y)x2 of c1(x)=2 -> 1.0? c2(x,y)=2, c1(x)=2 -> p=1.0;
+    // (y,x): c2=1, c1(y)=2 -> 0.5; (y,z): c2=1, c1(y)=2 -> 0.5
+    // sum in pos order: 1.0 + 0.5 + 1.0 + 0.5 = 3.0; avg = 0.75
+    val out = TextOps.lmScore(df, "doc_id", "text")
+      .as[(Long, Long, Double, Long)].collect().head
+    assert(out._2 === 4L && out._3 === 0.75)
+  }
+
   test("heavyHitters: exact top-k under MG eviction, matches plain agg") {
     // skewed corpus with m far below distinct cardinality, so the
     // per-partition summaries actually evict: a=60, b=40, c=25, plus
