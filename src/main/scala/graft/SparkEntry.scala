@@ -1843,6 +1843,31 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // α=1/2 temperature mixing over sources (Sampling.temperatureMix):
+    // keep rate √(c_min/c_g) per group — sampled sizes ∝ √count, the
+    // standard multilingual rebalancing; √ is IEEE-correctly-rounded,
+    // so the oracle recomputes the identical bucket cuts.
+    // the corpus's own sources are near-uniform (cuts would all be
+    // keep-all), so the demo derives a skewed 9:1 domain split — the
+    // head keeps √(1/9) = 1/3 of its md5 buckets (85/256), the tail
+    // keeps all
+    "q131_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        Tpch.raw(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, lit("tail"))
+            .otherwise(lit("head")).as("domain")),
+        "domain", "doc_id")),
+
+    // corpus drift report (TextOps.vocabDrift): top-drifted terms
+    // between the even- and odd-id halves — integer-exact
+    // cross-multiplied |c_a·n_b − c_b·n_a| ranking, no floats anywhere.
+    "q132_vocab_drift" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      graft.ops.TextOps.vocabDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "text", topK = 10)
+    }),
+
     // bigram-LM fluency scoring (TextOps.lmScore) — the perplexity-
     // filter shape with corpus-trained counts and no libm: avg
     // conditional bigram probability + OOV-transition tally per doc.
@@ -3483,6 +3508,39 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 15""".stripMargin,
+    "q131_temperature_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 0 THEN 'tail' ELSE 'head' END AS domain
+        |      FROM documents),
+        |c AS (SELECT domain, count(*) AS c FROM d GROUP BY domain),
+        |m AS (SELECT min(c) AS mc FROM c),
+        |b AS (SELECT domain,
+        |        least(256, greatest(1,
+        |          CAST(floor(256.0 * sqrt(mc / CAST(c AS DOUBLE))) AS INT)))
+        |          AS buckets
+        |      FROM c, m)
+        |SELECT d.doc_id, d.domain
+        |FROM d JOIN b USING (domain)
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) <
+        |      (CASE WHEN buckets >= 256 THEN 'zz'
+        |            ELSE printf('%02x', buckets) END)""".stripMargin,
+    "q132_vocab_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split(text, ' ')) AS term
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY term),
+        |cb AS (SELECT term, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY term),
+        |n AS (SELECT (SELECT count(*) FROM ta) AS na,
+        |             (SELECT count(*) FROM tb) AS nb),
+        |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+        |             coalesce(c_a, CAST(0 AS BIGINT)) AS c_a,
+        |             coalesce(c_b, CAST(0 AS BIGINT)) AS c_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term)
+        |SELECT term, c_a, c_b,
+        |       CAST(abs(c_a * nb - c_b * na) AS BIGINT) AS drift_num
+        |FROM j, n
+        |ORDER BY drift_num DESC, term LIMIT 10""".stripMargin,
     // per-doc probabilities folded in POSITION order on both engines
     // (list_reduce = left fold; Spark aggregate over the pos-sorted
     // list) — identical association, bit-identical sums

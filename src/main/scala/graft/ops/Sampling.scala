@@ -141,6 +141,39 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Temperature-smoothed source mixing at α = 1/2 — the standard
+    * multilingual/multi-domain rebalancing recipe (sample share ∝
+    * count^α flattens the head, keeps the tail): per group, the keep
+    * rate is √(c_min / c_g), so the SMALLEST group keeps everything and
+    * a group 100× larger keeps ~1/10 — sampled sizes ∝ √c_g, the α = ½
+    * mix. Rates quantize to md5 buckets-of-256 (floor, but never below
+    * 1 bucket), then apply as the same deterministic hash cut as
+    * [[weightedMix]]: reproducible across runs, engines, and layouts.
+    *
+    * α is fixed at 1/2 deliberately: √ is IEEE-correctly-rounded, so an
+    * external SQL engine recomputes the identical bucket counts —
+    * general `pow(c, α)` is libm territory where engines differ by ulps
+    * and a boundary bucket flips. Scale shape: one count aggregation
+    * (map-side combined) broadcast back over the scan; the filter
+    * itself is a narrow map. Output: input columns (rows kept). */
+  def temperatureMix(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_c"))
+    val minC = counts.agg(min(col("_c"))).head.getLong(0)
+    // buckets = floor(256·√(c_min/c)) clamped to [1, 256]; the hex-cut
+    // comparison is the shared md5 predicate of weightedMix
+    val buckets = counts.select(col(groupCol),
+      least(lit(256), greatest(lit(1L),
+        floor(lit(256.0) * sqrt(lit(minC.toDouble) / col("_c")))))
+        .cast("int").as("_buckets"))
+    val h = substring(md5(col(idCol).cast("string")), 1, 2)
+    val cut = when(col("_buckets") >= 256, lit("zz"))
+      .otherwise(lpad(hex(col("_buckets")), 2, "0"))
+    df.join(broadcast(buckets), Seq(groupCol))
+      .where(h < lower(cut))
+      .drop("_buckets")
+  }
+
   /** Curriculum binning — order the corpus by a difficulty/quality
     * score and cut it into `nBins` contiguous phases (bin 0 = lowest
     * score first; negate the score column upstream for easiest-first

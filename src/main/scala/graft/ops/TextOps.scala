@@ -651,6 +651,47 @@ object TextOps {
       .agg(min(col("_len")).as("n_tokens"))
   }
 
+  /** Corpus drift report — which terms' frequencies moved most between
+    * two corpora (crawl-to-crawl drift, train/serve skew, pre/post-
+    * filter shift). Per term the drift is the cross-multiplied
+    * numerator of |c_a/n_a − c_b/n_b|:
+    *
+    *   drift_num(t) = |c_a(t)·n_b − c_b(t)·n_a|
+    *
+    * an EXACT integer (order-free sums, no float anywhere — divide by
+    * n_a·n_b only if you want the probability-scale L1 contribution),
+    * so rankings are reproducible bit-for-bit by any engine.
+    * Long arithmetic bounds the corpora at ~3·10⁹ tokens a side
+    * (c·n < 2⁶³); past that, switch the products to DECIMAL(38,0) —
+    * same plan shape. One count aggregation per side (map-side
+    * combined), a full-outer join on term (absent → 0), TakeOrdered
+    * top-k. Output: (term, c_a, c_b, drift_num), drift descending,
+    * term-tiebroken. */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    def termCounts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ca = termCounts(a)
+    val cb = termCounts(b)
+    def total(c: DataFrame): Long =
+      Option(c.agg(sum(col("c"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val na = total(ca)
+    val nb = total(cb)
+    require(na > 0 && nb > 0,
+      s"vocabDrift needs non-empty corpora (n_a=$na, n_b=$nb)")
+    ca.withColumnRenamed("c", "c_a")
+      .join(cb.withColumnRenamed("c", "c_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .withColumn("drift_num",
+        abs(col("c_a") * lit(nb) - col("c_b") * lit(na)))
+      .orderBy(col("drift_num").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Bigram-LM fluency score — the KenLM-perplexity-filter shape with a
     * corpus-trained model and NO libm: each document scores the average
     * conditional probability of its adjacent token pairs,

@@ -99,6 +99,38 @@ class FunnelJoinsSpec extends AnyFunSuite {
     assert(got === Set(Some(1L), Some(2L)))
   }
 
+  test("bloom probe filters the fact side BELOW any exchange (scan-side)") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // spark.range, not a LocalRelation: ConvertToLocalRelation would
+    // fold the probe filter into the local data at optimize time and
+    // leave nothing to assert on
+    val fact = spark.range(1, 1001).toDF("k")
+    val keys = Seq(1L, 5L, 900L).toDF("key")
+    val out = graft.ops.Joins.bloomSemiJoin(fact, Seq("k"), keys, Seq("key"),
+      expectedKeys = 3)
+    out.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    val probes = flatten(out.queryExecution.executedPlan).collect {
+      case f: FilterExec if f.condition.find(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
+        .isDefined => f
+    }
+    assert(probes.nonEmpty, "bloom probe filter missing from the plan")
+    // nothing shuffles beneath the probe: it prunes AT the scan, so
+    // rows failing the bloom never enter an exchange
+    assert(probes.forall(f =>
+      flatten(f).drop(1).collect { case e: Exchange => e }.isEmpty))
+  }
+
   test("curriculumBins: contiguous positions, near-equal bins, score order") {
     val df = (0L until 10L).map(i => (i, (9 - i).toDouble)).toDF("id", "score")
     val out = Sampling.curriculumBins(df, "id", "score", nBins = 4)

@@ -486,6 +486,33 @@ class OpsSpec extends AnyFunSuite {
     assert(s === Map("a" -> ((6L, 3L)), "b" -> ((10L, 1L))))
   }
 
+  test("temperatureMix: smallest group keeps all, big groups thin ~√-prop") {
+    val df = ((1L to 4L).map(i => (i, "tail")) ++
+      (101L to 500L).map(i => (i, "head"))).toDF("doc_id", "source")
+    val kept = graft.ops.Sampling.temperatureMix(df, "source", "doc_id")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("tail") === 4) // min group keeps 100%
+    // head buckets = floor(256·√(4/400)) = 25 → expect ≈ 400·25/256 ≈ 39
+    assert(bySrc("head") > 15 && bySrc("head") < 70)
+    // deterministic under relayout
+    val again = graft.ops.Sampling
+      .temperatureMix(df.repartition(7), "source", "doc_id")
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    assert(kept.toSet === again.toSet)
+  }
+
+  test("vocabDrift: integer cross-multiplied ranking, absent terms → 0") {
+    val a = Seq((1L, "x x x y z")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y y y")).toDF("doc_id", "text")
+    // n_a = 5, n_b = 5; drift: x |3·5−1·5| = 10, y |1·5−4·5| = 15,
+    // z |1·5−0·5| = 5
+    val out = TextOps.vocabDrift(a, b, "text", topK = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("y", 1L, 4L, 15L), ("x", 3L, 1L, 10L),
+      ("z", 1L, 0L, 5L)))
+  }
+
   test("lmScore: common transitions outscore rare ones; short docs zero") {
     // corpus: ten docs "a b", one doc "a z" — left context `a` seen 11
     // times, so P(b|a) = 10/11, P(z|a) = 1/11
