@@ -6,6 +6,7 @@ import graft.model.AttrSchema
 import graft.query._
 import graft.sources.{DocIngest, JsonSource}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import scala.jdk.CollectionConverters._
 
 /** The `tripl` CLI surface (cli.py:72-115) on the Spark engine:
@@ -107,14 +108,22 @@ object Cli {
       iters: Int = 3,
       spansOnly: Boolean = false,
       vecCol: String = "embedding",
-      testInput: Option[String] = None)
+      testInput: Option[String] = None,
+      gates: Option[String] = None,
+      keepRows: Boolean = false,
+      topK: Int = 20,
+      summaryM: Int = 4096,
+      minCount: Long = 2L,
+      scoreCol: Option[String] = None,
+      bins: Int = 4)
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
-      "decontam")
+      "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
+      "curriculum")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -184,12 +193,49 @@ object Cli {
         case "--spans-only" => a = a.copy(spansOnly = true); i += 1
         case f @ "--vec" => a = a.copy(vecCol = value(f))
         case f @ "--test" => a = a.copy(testInput = Some(value(f)))
+        case f @ "--gates" => a = a.copy(gates = Some(value(f)))
+        case "--keep" => a = a.copy(keepRows = true); i += 1
+        case f @ "--top" => a = a.copy(topK = value(f).toInt)
+        case f @ "--summary" => a = a.copy(summaryM = value(f).toInt)
+        case f @ "--min-count" => a = a.copy(minCount = value(f).toLong)
+        case f @ "--score-col" => a = a.copy(scoreCol = Some(value(f)))
+        case f @ "--bins" => a = a.copy(bins = value(f).toInt)
         case other => sys.error(s"unknown argument: $other")
       }
     }
     require(a.inputs.nonEmpty || a.sub == "indexcompact",
       "no -i inputs given")
     a
+  }
+
+  /** `--gates` grammar for the funnel verb: comma-separated entries,
+    * each becoming one named predicate stage over the text column —
+    * `chars:LO:HI` (character-length band), `tokens:LO:HI`
+    * (token-count band), `lang:CODE` (language-ID equality),
+    * `stop:MIN` (stopword-ratio floor), `quality:MIN` (composite
+    * quality-score floor). Stage order is the spec order — first
+    * failing gate wins the drop attribution. */
+  private[tools] def parseGates(spec: String, textCol: String)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    import graft.ops.TextOps
+    val t = col(textCol)
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      _.split(":").toSeq match {
+        case Seq("chars", lo, hi) =>
+          "chars" -> org.apache.spark.sql.functions.length(t)
+            .between(lo.toInt, hi.toInt)
+        case Seq("tokens", lo, hi) =>
+          "tokens" -> TextOps.nTokens(t).between(lo.toInt, hi.toInt)
+        case Seq("lang", code) => "lang" -> (TextOps.langId(t) === code)
+        case Seq("stop", min) =>
+          "stop" -> (TextOps.stopwordRatio(t) >= min.toDouble)
+        case Seq("quality", min) =>
+          "quality" -> (TextOps.qualityScore(t) >= min.toDouble)
+        case other => sys.error(
+          s"bad gate '${other.mkString(":")}' (want chars:LO:HI | " +
+            "tokens:LO:HI | lang:CODE | stop:MIN | quality:MIN)")
+      }
+    }
   }
 
   // ---- JSON → query ASTs (the reference's python-literal shapes) ----
@@ -420,6 +466,39 @@ object Cli {
           Seq((t, spark.table(t + "_sh").select("corpus_id")
               .distinct().count()))
             .toDF("table", "n_docs")
+        // quality funnel: --gates "tokens:20:1000,lang:en,stop:0.05" →
+        // per-gate drop report (default) or the surviving rows (--keep)
+        case "funnel" =>
+          val gates = parseGates(a.gates.getOrElse(
+            sys.error("funnel needs --gates")), a.textCol)
+          if (a.keepRows) graft.ops.Funnel.keep(df, gates)
+          else graft.ops.Funnel.report(df, gates)
+        // exact bounded-state heavy hitters over --group (certified:
+        // the k-th count must clear the Misra-Gries bound or this throws)
+        case "hitters" =>
+          graft.ops.Skew.heavyHitters(df, a.groupCol, a.topK, a.summaryM,
+            checkGuarantee = true)
+        // α=1/2 temperature mixing over --group
+        case "mix" =>
+          graft.ops.Sampling.temperatureMix(df, a.groupCol, a.idCol)
+        // corpus drift vs --test: top --top terms by |c_a·n_b − c_b·n_a|
+        case "drift" =>
+          val other = readTable(spark, a.copy(inputs = Seq(
+            a.testInput.getOrElse(sys.error("drift needs --test")))))
+          graft.ops.TextOps.vocabDrift(df, other, a.textCol, a.topK)
+        // bigram-LM fluency scoring (corpus-trained counts)
+        case "lmscore" =>
+          graft.ops.TextOps.lmScore(df, a.idCol, a.textCol, a.minCount)
+        // curriculum phases by --score-col (or the built-in quality
+        // score over --text), --bins contiguous bins
+        case "curriculum" =>
+          val scored = a.scoreCol match {
+            case Some(c) => df.withColumn("_curr_q", col(c))
+            case None => df.withColumn("_curr_q",
+              graft.ops.TextOps.qualityScore(col(a.textCol)))
+          }
+          graft.ops.Sampling.curriculumBins(scored, a.idCol, "_curr_q",
+            a.bins).drop("_curr_q")
         // weighted-lexicon scoring: --lexicon is either an inline
         // term:points,term:points list or a file path readable by the
         // same tabular reader (columns term, weight)

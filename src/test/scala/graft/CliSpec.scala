@@ -279,6 +279,69 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI analysis verbs: funnel / hitters / mix / drift / lmscore / " +
+      "curriculum end-to-end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_an").toString
+    val in = dir + "/docs.json"
+    Files.writeString(Paths.get(in),
+      """{"doc_id": 1, "source": "s0", "text": "the cat and the dog and the bird"}
+        |{"doc_id": 2, "source": "s0", "text": "the cat and the dog and the fish"}
+        |{"doc_id": 3, "source": "s1", "text": "x"}
+        |{"doc_id": 4, "source": "s1", "text": "der hund und die katze und das tier"}
+        |""".stripMargin)
+    // funnel: token band drops doc 3, lang gate drops doc 4
+    Cli.run(spark, Array("funnel", "-i", in,
+      "--gates", "tokens:2:100,lang:en", "-o", dir + "/fu"))
+    val fu = spark.read.json(dir + "/fu")
+      .select($"stage", $"dropped", $"remaining")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, r) => s -> ((d, r)) }.toMap
+    assert(fu("ingest") === ((0L, 4L)))
+    assert(fu("tokens") === ((1L, 3L)))
+    assert(fu("lang") === ((1L, 2L)))
+    // --keep emits the survivors instead
+    Cli.run(spark, Array("funnel", "-i", in,
+      "--gates", "tokens:2:100,lang:en", "--keep", "-o", dir + "/fk"))
+    assert(spark.read.json(dir + "/fk").select($"doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    // bad gate spec fails fast
+    intercept[RuntimeException] {
+      Cli.run(spark, Array("funnel", "-i", in, "--gates", "oops:1",
+        "-o", dir + "/fb"))
+    }
+    // hitters over a derived term table (certified exact top-k)
+    spark.read.json(in)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("term"))
+      .write.json(dir + "/terms.json")
+    Cli.run(spark, Array("hitters", "-i", dir + "/terms.json",
+      "--group", "term", "--top", "2", "-o", dir + "/hh"))
+    val hh = spark.read.json(dir + "/hh").select($"term", $"n")
+      .as[(String, Long)].collect().toSet
+    assert(hh === Set(("the", 6L), ("and", 4L)))
+    // mix keeps the whole min group (both sources equal here → all kept)
+    Cli.run(spark, Array("mix", "-i", in, "--group", "source",
+      "-o", dir + "/mx"))
+    assert(spark.read.json(dir + "/mx").count() === 4)
+    // drift vs a copy of itself: all drift_num 0
+    Cli.run(spark, Array("drift", "-i", in, "--test", in, "--top", "3",
+      "-o", dir + "/dr"))
+    assert(spark.read.json(dir + "/dr")
+      .select($"drift_num").as[Long].collect().forall(_ === 0L))
+    // lmscore: repeated "the cat" transitions score high for docs 1-2
+    Cli.run(spark, Array("lmscore", "-i", in, "-o", dir + "/lm"))
+    val lm = spark.read.json(dir + "/lm")
+      .select($"doc_id", $"n_bigrams").as[(Long, Long)].collect().toMap
+    assert(lm(1L) === 7L && lm(3L) === 0L)
+    // curriculum: 2 bins over the quality score, all docs binned
+    Cli.run(spark, Array("curriculum", "-i", in, "--bins", "2",
+      "-o", dir + "/cu"))
+    val cu = spark.read.json(dir + "/cu")
+      .select($"curriculum_bin").as[Long].collect().sorted.toSeq
+    assert(cu === Seq(0L, 0L, 1L, 1L))
+  }
+
   test("CLI index verbs: build, near-dedup against, append, re-dedup") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cli_idx").toString
