@@ -326,21 +326,54 @@ class TripleStore(
         .select($"e")
   }
 
-  /** Q2 — conjunctive match: intersection of per-pair lookups
-    * (tripl.py:604-609) as a left-semi join chain; Catalyst/AQE pick
-    * broadcast vs shuffle per conjunct (a genuine upgrade over the
-    * reference's fixed-order full intersections, SURVEY.md §4). */
+  /** Q2 — conjunctive match (tripl.py:604-609). Two compilations:
+    *
+    *  - ALL-SCALAR patterns with ≥ 2 conjuncts take the MATCH-COLLAPSE
+    *    path (the optional optimization SURVEY.md §4 names): ONE
+    *    attribute-pruned scan of the conjuncts' union, an OR-prefilter
+    *    (rows satisfying no conjunct never enter the exchange — the
+    *    same rows the join chain would shuffle in total, shuffled
+    *    once), then ONE groupBy(e) with a per-conjunct satisfied flag
+    *    (`max(when(cond, 1))` — any-value semantics for multi-valued
+    *    attrs) kept only when every flag is set. k scans + k−1
+    *    semi-join shuffles become 1 scan + 1 shuffle, and the groupBy
+    *    subsumes the distinct.
+    *  - patterns with nested sub-patterns (or a single conjunct) keep
+    *    the left-semi join chain; Catalyst/AQE pick broadcast vs
+    *    shuffle per conjunct (a genuine upgrade over the reference's
+    *    fixed-order full intersections, SURVEY.md §4). */
   def matchEntities(pattern: Seq[(String, MVal)]): DataFrame = {
     require(pattern.nonEmpty, "empty match pattern")
-    val joined = pattern.map { case (a, v) => entityIds(a, v) }
-      .reduce((l, r) => l.join(r, Seq("e"), "left_semi"))
-    // a single non-nested lookup on a cardinality-one attr yields at most
-    // one fact per entity — the distinct (a full shuffle) is a no-op then
-    val alreadyDistinct = pattern match {
-      case Seq((a, MEq(_) | MIn(_) | MAny)) => schemaOf(a).cardOne
-      case _ => false
+    def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
+      case MAny => Some($"a" === a)
+      case MEq(v) =>
+        Some($"a" === a && col(valueCol(a)).isInCollection(Seq(v)))
+      case MIn(vs) =>
+        Some($"a" === a && col(valueCol(a)).isInCollection(vs))
+      case MSub(_) => None
     }
-    if (alreadyDistinct) joined else joined.distinct()
+    val conds = pattern.map { case (a, mv) => scalarCond(a, mv) }
+    if (pattern.size >= 2 && conds.forall(_.isDefined)) {
+      val cs = conds.flatten
+      val flags = cs.zipWithIndex.map { case (c, i) =>
+        max(when(c, 1).otherwise(0)).as(s"_m$i") }
+      scanFor(pattern.map(_._1).distinct)
+        .where(cs.reduce(_ || _))
+        .groupBy($"e").agg(flags.head, flags.tail: _*)
+        .where(cs.indices.map(i => col(s"_m$i") === 1).reduce(_ && _))
+        .select($"e")
+    } else {
+      val joined = pattern.map { case (a, v) => entityIds(a, v) }
+        .reduce((l, r) => l.join(r, Seq("e"), "left_semi"))
+      // a single non-nested lookup on a cardinality-one attr yields at
+      // most one fact per entity — the distinct (a full shuffle) is a
+      // no-op then
+      val alreadyDistinct = pattern match {
+        case Seq((a, MEq(_) | MIn(_) | MAny)) => schemaOf(a).cardOne
+        case _ => false
+      }
+      if (alreadyDistinct) joined else joined.distinct()
+    }
   }
 
   /** Q3 — deprecated alias kept for API parity (match_pattern,

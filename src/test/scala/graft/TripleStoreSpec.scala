@@ -129,6 +129,30 @@ class TripleStoreSpec extends AnyFunSuite {
       Seq("t:c" -> MEq("red"), "t:s" -> MEq("big"))).count() === 1)
   }
 
+  test("match-collapse: all-scalar conjunctions compile to one aggregate " +
+      "pass, no join, same answer as the chain (SURVEY §4)") {
+    val ts = tinyStore(Seq(
+      ("e1", "t:c", "red", 0L), ("e1", "t:s", "big", 0L),
+      ("e2", "t:c", "red", 0L), ("e2", "t:s", "small", 0L),
+      ("e3", "t:c", "blue", 0L), ("e3", "t:s", "big", 0L),
+      // multi-valued t:c on e4: ANY value matching satisfies the conjunct
+      ("e4", "t:c", "red", 0L), ("e4", "t:c", "blue", 0L),
+      ("e4", "t:s", "big", 0L)))
+    val m = ts.matchEntities(Seq(
+      "t:c" -> MEq("red"), "t:s" -> MIn(Seq("big", "huge"))))
+    assert(m.select("e").as[String].collect().toSet === Set("e1", "e4"))
+    val plan = m.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"collapse path still joins:\n$plan")
+    // three conjuncts incl. MAny
+    val m3 = ts.matchEntities(Seq("t:c" -> MEq("red"),
+      "t:s" -> MAny, "t:c" -> MIn(Seq("blue"))))
+    assert(m3.select("e").as[String].collect().toSet === Set("e4"))
+    // nested sub-pattern still routes through the join chain (and works)
+    val chain = ts.matchEntities(Seq("t:c" -> MEq("red"),
+      "t:s" -> MEq("big")))
+    assert(chain.select("e").as[String].collect().toSet === Set("e1", "e4"))
+  }
+
   test("shortestPaths: multi-source min distance, cycle-safe, reverse") {
     // diamond + cycle: a→b, a→c, b→d, c→d, d→a
     val edges = Seq(("a", "r:next", "b"), ("a", "r:next", "c"),
