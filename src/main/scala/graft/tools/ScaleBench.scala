@@ -212,6 +212,20 @@ object ScaleBench {
         { graft.ops.Joins.bloomSemiJoin(d, Seq("doc_id"),
             d1.where(col("doc_id") % 7 === 0).select(col("doc_id")),
             Seq("doc_id"), expectedKeys = 10000).count(); () }),
+      // two count aggs + joins back over the pair stream + per-doc fold
+      // — predicted ~linear (vocab growth only widens the count tables)
+      "lm_score" -> (() =>
+        { graft.ops.TextOps.lmScore(d, "doc_id", "text").count(); () }),
+      // two count aggs + a full-outer join on term + TakeOrdered —
+      // predicted ~linear in the token scans
+      "vocab_drift" -> (() =>
+        { graft.ops.TextOps.vocabDrift(
+            d.where(col("doc_id") % 2 === 0),
+            d.where(col("doc_id") % 2 === 1), "text").count(); () }),
+      // one count agg broadcast over a narrow filter — predicted ~linear
+      "temperature_mix" -> (() =>
+        { graft.ops.Sampling.temperatureMix(d, "source", "doc_id")
+            .count(); () }),
       // MG summaries are per-partition constants; the exact pass counts
       // candidates only — predicted ~linear in the token scan
       "heavy_hitters" -> (() =>

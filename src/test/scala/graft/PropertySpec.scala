@@ -540,4 +540,54 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("property: funnel labeling == sequential chained filters") {
+    val rnd = new scala.util.Random(83)
+    (0 until 3).foreach { _ =>
+      val rows = (1L to 60L).map(i =>
+        (i, rnd.nextInt(100), rnd.nextInt(4), rnd.nextBoolean()))
+      val df = rows.toDF("id", "n", "g", "f")
+      val stages = Seq(
+        "s1" -> (col("n") >= 20),
+        "s2" -> (col("g") =!= 2),
+        "s3" -> col("f"))
+      // labels: first stage whose predicate fails, driver-computed
+      val want = rows.map { case (id, n, g, f) =>
+        id -> (if (n < 20) "s1" else if (g == 2) "s2"
+          else if (!f) "s3" else "kept")
+      }.toMap
+      val got = graft.ops.Funnel.labeled(df, stages)
+        .select($"id", $"dropped_at").as[(Long, String)].collect().toMap
+      assert(got === want)
+      // keep == chained filters, report remaining == running survivors
+      val kept = graft.ops.Funnel.keep(df, stages)
+        .select($"id").as[Long].collect().toSet
+      assert(kept === want.filter(_._2 == "kept").keySet)
+      val rep = graft.ops.Funnel.report(df, stages)
+        .select($"stage", $"remaining").as[(String, Long)].collect().toMap
+      val after1 = rows.count(_._2 >= 20)
+      val after2 = rows.count(r => r._2 >= 20 && r._3 != 2)
+      assert(rep("ingest") === 60L && rep("s1") === after1.toLong &&
+        rep("s2") === after2.toLong && rep("s3") === kept.size.toLong)
+    }
+  }
+
+  test("property: heavyHitters == naive groupBy top-k on skewed corpora") {
+    val rnd = new scala.util.Random(29)
+    (0 until 3).foreach { trial =>
+      // Zipf-ish: key k drawn with weight ∝ 1/(k+1), plus unique tails
+      val rows = (1 to 800).map { _ =>
+        val u = rnd.nextDouble()
+        if (u < 0.75) s"k${(1 / (rnd.nextDouble() + 0.02)).toInt}"
+        else s"u${rnd.nextInt(1000000)}"
+      }
+      val df = rows.toDF("k").repartition(5)
+      val naive = df.groupBy($"k").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"k").limit(5)
+        .as[(String, Long)].collect().toSeq
+      val got = graft.ops.Skew.heavyHitters(df, "k", k = 5, m = 64)
+        .as[(String, Long)].collect().toSeq
+      assert(got === naive, s"trial $trial")
+    }
+  }
 }
