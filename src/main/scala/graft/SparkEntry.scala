@@ -1843,6 +1843,45 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // real image decode + resize (Multimodal.resizeNearest) under a
+    // STRONG oracle: each doc synthesizes a PNG whose pixel (x, y) is
+    // pure doc_id arithmetic; PNG is lossless, so decode → nearest-
+    // resize reproduces that arithmetic exactly and the rgb checksum
+    // is recomputable in SQL — certifying the ACTUAL javax.imageio
+    // decoder and the integer sampling grid, not a stub.
+    "q133_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tpch.raw(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pngs = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (1 + id % 7).toInt; val h = (1 + id % 5).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id + x) % 256).toInt
+              val g = ((id + y) % 256).toInt
+              val b = ((x * y + id) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+      graft.ops.Multimodal.resizeNearest(pngs, "doc_id", "png", 2, 2)
+        .select(col("id").as("doc_id"), col("in_w"), col("in_h"),
+          col("out_w"), col("out_h"),
+          aggregate(transform(col("pixels"),
+            p => p.cast("long").bitwiseAND(lit(0xFFFFFFL))),
+            lit(0L), (a, p) => a + p).as("rgb_sum"))
+    }),
+
     // α=1/2 temperature mixing over sources (Sampling.temperatureMix):
     // keep rate √(c_min/c_g) per group — sampled sizes ∝ √count, the
     // standard multilingual rebalancing; √ is IEEE-correctly-rounded,
@@ -3508,6 +3547,24 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 15""".stripMargin,
+    // the sampled grid is (x·in)/2 integer division; pixel channels are
+    // the same doc_id arithmetic the PNG was synthesized with
+    "q133_image_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |        CAST(1 + doc_id % 7 AS INT) AS in_w,
+        |        CAST(1 + doc_id % 5 AS INT) AS in_h
+        |      FROM documents),
+        |px AS (SELECT doc_id, in_w, in_h,
+        |         (x * in_w) // 2 AS sx, (y * in_h) // 2 AS sy
+        |       FROM g, (VALUES (0), (1)) AS xs(x), (VALUES (0), (1)) AS ys(y)),
+        |s AS (SELECT doc_id, in_w, in_h,
+        |        CAST(sum(((doc_id + sx) % 256) * 65536
+        |               + ((doc_id + sy) % 256) * 256
+        |               + ((sx * sy + doc_id) % 256)) AS BIGINT) AS rgb_sum
+        |      FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, in_w, in_h,
+        |       CAST(2 AS INT) AS out_w, CAST(2 AS INT) AS out_h, rgb_sum
+        |FROM s""".stripMargin,
     "q131_temperature_mix" ->
       """WITH d AS (SELECT doc_id,
         |        CASE WHEN doc_id % 10 = 0 THEN 'tail' ELSE 'head' END AS domain

@@ -147,6 +147,61 @@ object Multimodal {
       }
   }
 
+  /** Output schema of [[resizeNearest]]: dims in/out + the resized
+    * pixels as packed ARGB ints (row-major). */
+  def resizeSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("in_w", IntegerType), StructField("in_h", IntegerType),
+    StructField("out_w", IntegerType), StructField("out_h", IntegerType),
+    StructField("pixels", ArrayType(IntegerType))))
+
+  /** REAL image resize through the decode seam: decode each binary
+    * payload with the JDK's `javax.imageio` (the [[ImageIoCodec]]
+    * decoder), then nearest-neighbor sample to `outW`×`outH` —
+    * `src = (dst · in) / out` in integer arithmetic, so the sampled
+    * grid is a pure function of the dimensions and an external system
+    * can recompute the expected pixels exactly (PNG being lossless,
+    * encode→decode→resize round-trips known patterns bit-for-bit —
+    * the q133 oracle). Same partition-local lifecycle as [[featurize]]
+    * (decoder state per partition, never per row); undecodable
+    * payloads fail-capture as dims −1 with empty pixels, the
+    * schema-stable idiom of [[ImageIoCodec]]. Narrow map, no shuffle;
+    * output pixel arrays are bounded by outW·outH regardless of input
+    * size — the downsample-at-ingest shape that keeps a 100 TB image
+    * corpus's feature pass IO-bounded, not pixel-bounded. */
+  def resizeNearest(df: DataFrame, idCol: String, binCol: String,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1)
+    val in = df.select(col(idCol).cast(LongType), col(binCol))
+    val enc = ExpressionEncoder(resizeSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null)
+          Row(r.getLong(0), -1, -1, outW, outH, Seq.empty[Int])
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Int](outW * outH)
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              px(y * outW + x) = img.getRGB(x * w / outW, sy)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), w, h, outW, outH, px.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-local batch featurization of (idCol, binCol) rows:
     * `codecFactory` runs ONCE per partition (asserted by OpsSpec with an
     * accumulator), payloads flow to the codec in `batchSize` groups, and

@@ -486,6 +486,30 @@ class OpsSpec extends AnyFunSuite {
     assert(s === Map("a" -> ((6L, 3L)), "b" -> ((10L, 1L))))
   }
 
+  test("resizeNearest: real PNG decode, integer sampling grid, " +
+      "failure capture") {
+    def png(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 4x4 with pixel = x*16 + y in the blue channel
+    val df = Seq(
+      (1L, png(4, 4)((x, y) => x * 16 + y)),
+      (2L, Array[Byte](1, 2, 3)) // not an image
+    ).toDF("id", "png")
+    val out = Multimodal.resizeNearest(df, "id", "png", 2, 2)
+      .select($"id", $"in_w", $"in_h", $"pixels")
+      .as[(Long, Int, Int, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 4 && out(1L)._3 === 4)
+    // sampled at (0,0), (2,0), (0,2), (2,2) → blue = 0, 32, 2, 34
+    assert(out(1L)._4.map(_ & 0xffffff) === Seq(0, 32, 2, 34))
+    assert(out(2L)._2 === -1 && out(2L)._4.isEmpty)
+  }
+
   test("temperatureMix: smallest group keeps all, big groups thin ~√-prop") {
     val df = ((1L to 4L).map(i => (i, "tail")) ++
       (101L to 500L).map(i => (i, "head"))).toDF("doc_id", "source")
