@@ -1843,6 +1843,18 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("qty"))
     }),
 
+    // hybrid retrieval (Similarity.hybridTopK): BM25 lexical pool ⊕
+    // embedding-cosine pool fused by Reciprocal Rank Fusion — integer
+    // ranks, two exact divisions, fixed-association sum, so the fused
+    // scores are bit-reproducible in SQL. Pools are constant-size
+    // (poolK); the fusion join never touches the corpus.
+    "q134_hybrid_search" -> ((s, dir) =>
+      graft.ops.Similarity.hybridTopK(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"),
+        Tpch.raw(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVecId = 7L, k = 10, poolK = 15)),
+
     // real image decode + resize (Multimodal.resizeNearest) under a
     // STRONG oracle: each doc synthesizes a PNG whose pixel (x, y) is
     // pure doc_id arithmetic; PNG is lossless, so decode → nearest-
@@ -3547,6 +3559,49 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 15""".stripMargin,
+    // the lexical leg is q85's BM25 CTE + a rank; the vector leg is
+    // q24's cosine rank for one query; RRF = two exact divisions of
+    // integer ranks summed in fixed order
+    "q134_hybrid_search" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id)
+        |           CROSS JOIN st),
+        |lexs AS (SELECT doc_id, round(sum(ts), 4) AS score
+        |         FROM p GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15),
+        |lex AS (SELECT doc_id AS id,
+        |          CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |            AS BIGINT) AS lex_rank
+        |        FROM lexs),
+        |vec AS (SELECT b.vec_id AS id,
+        |          CAST(row_number() OVER (ORDER BY
+        |            list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |            b.vec_id) AS BIGINT) AS vec_rank
+        |        FROM embeddings a JOIN embeddings b
+        |          ON a.vec_id = 7 AND b.vec_id <> 7
+        |        QUALIFY vec_rank <= 15),
+        |f AS (SELECT coalesce(lex.id, vec.id) AS doc_id,
+        |        coalesce(lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+        |        coalesce(vec_rank, CAST(0 AS BIGINT)) AS vec_rank,
+        |        round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+        |            + coalesce(1.0 / (60 + vec.vec_rank), 0.0), 6) AS rrf
+        |      FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+        |SELECT doc_id, lex_rank, vec_rank, rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // the sampled grid is (x·in)/2 integer division; pixel channels are
     // the same doc_id arithmetic the PNG was synthesized with
     "q133_image_resize" ->

@@ -59,6 +59,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** HYBRID retrieval — fuse a lexical BM25 ranking and an
+    * embedding-cosine ranking by Reciprocal Rank Fusion:
+    * `rrf(d) = Σ_pools 1/(rrfK + rank_pool(d))`, a doc absent from a
+    * pool contributing 0. RRF is the standard zero-tuning fusion (no
+    * score normalization across incomparable scales — only RANKS are
+    * combined), and here it is exactly reproducible: ranks are
+    * integers, each term is one exact IEEE division, and the two-term
+    * sum has a fixed association — an external engine recomputes the
+    * fused scores bit-for-bit (the q134 oracle).
+    *
+    * Scale shape: each pool is its own top-`poolK` (BM25's term-pruned
+    * scan + TakeOrdered; brute/IVF cosine top-k), so the fusion join
+    * touches ≤ 2·poolK rows — the unpartitioned rank window and the
+    * full-outer join are bounded by the CONSTANT pool size, never the
+    * corpus. Ties break by id everywhere. Output: (idCol, lex_rank,
+    * vec_rank — null when absent from that pool — rrf), rrf
+    * descending, top `k`. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], emb: DataFrame, vecIdCol: String,
+      vecCol: String, queryVecId: Long, k: Int, poolK: Int = 15,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && poolK >= k && rrfK >= 1)
+    // rank within the ≤ poolK BM25 rows — window bounded by poolK
+    val lexW = Window.orderBy(col("score").desc, col(idCol))
+    val lex = graft.ops.TextOps
+      .bm25Rank(docs, idCol, textCol, queryTerms, poolK)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select(col(idCol).as("_id"), col("lex_rank"))
+    val vec = bruteTopK(emb,
+        emb.where(col(vecIdCol) === queryVecId), vecIdCol, vecCol, poolK)
+      .select(col("neighbor_id").as("_id"),
+        col("rank").cast("long").as("vec_rank"))
+    lex.join(vec, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        // rank 0 = "absent from this pool": an explicit sentinel keeps
+        // the output null-free (ranks are 1-based, so 0 is unambiguous)
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sign-bucket id from `planes` (≤ 64) pseudo-random hyperplanes
     * starting at plane index `firstPlane` — one codegen'd traversal
     * (graft.functions.HyperplaneSignBits), deterministic across
