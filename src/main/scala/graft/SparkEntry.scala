@@ -938,6 +938,24 @@ object SparkEntry {
         col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value")))
     }),
 
+    // the quality funnel runs UNCHANGED on a stream: Funnel.labeled is
+    // a narrow stateless when-chain, so attaching it to a streaming
+    // source costs nothing extra — the per-gate counts become one
+    // streaming aggregation on the label, and bounded input makes
+    // stream == batch the oracle (q51's equivalence contract).
+    "q135_stream_funnel" -> ((s, dir) => {
+      val stream = Tpch.eventsStream(s, dir)
+      val labeled = graft.ops.Funnel.labeled(stream, Seq(
+        "value" -> (col("value") >= 10.0),
+        "type" -> col("event_type").isin("click", "purchase")))
+      val agg = labeled.groupBy(col("dropped_at")).agg(count(lit(1)).as("n"))
+      val name = "q135_mem_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainSink(s, name)(identity)
+    }),
+
     // SLIDING-window streaming aggregation (1h windows every 30min —
     // each event lands in exactly 2 windows) with a batch-equivalence
     // oracle: DuckDB reproduces the overlap by unnesting each event into
@@ -2309,6 +2327,14 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // first-failing-gate attribution over the bounded stream == the
+    // same CASE chain in batch (no nulls in events.value)
+    "q135_stream_funnel" ->
+      """SELECT CASE WHEN NOT (value >= 10.0) THEN 'value'
+        |            WHEN event_type NOT IN ('click', 'purchase') THEN 'type'
+        |            ELSE 'kept' END AS dropped_at,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     // q49's lag/gap session assignment aggregated per session; gap >=
     // 1800 starts a NEW session (session_window's half-open windows);
     // wend = last event + gap, exactly the session_window end
