@@ -1970,6 +1970,47 @@ object SparkEntry {
       graft.ops.Sampling.curriculumBins(docs, "doc_id", "q", nBins = 4)
         .select(col("doc_id"), col("curriculum_pos"), col("curriculum_bin"))
     }),
+
+    // KMV distinct sketch (Sketches.kmvSketch/kmvEstimate): bounded-
+    // memory cardinality of events.user_id at k=64 next to the exact
+    // count — the estimate is a pure function of the 64th-smallest md5
+    // (first 13 hex digits as a 52-bit numerator), so the oracle
+    // reproduces it digit-for-digit. SketchSpec proves mergeability
+    // (per-half sketches union to the whole-corpus sketch).
+    "q136_kmv_distinct" -> ((s, dir) => {
+      val ev = Tpch.raw(s, dir, "events")
+      val est = graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvSketch(ev, col("user_id"), k = 64), k = 64)
+      val exact = ev.agg(
+        countDistinct(col("user_id")).as("exact_distinct"))
+      est.crossJoin(exact) // 1-row × 1-row
+    }),
+
+    // stratified EXACT split (Sampling.stratifiedSplit): per-language
+    // 80/10/10 with exact ⌊n·f⌋ sizes via the bucketed two-pass rank —
+    // no per-stratum global window anywhere.
+    "q137_stratified_split" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSplit(
+        Tpch.raw(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // time-grid gap-fill (TimeOps.gapFill): hourly resample + forward
+    // fill over a 30-user slice of the event log — grid generated per
+    // key by sequence(), fill by one running last(ignoreNulls) window.
+    "q138_gapfill" -> ((s, dir) =>
+      graft.ops.TimeOps.gapFill(
+        Tpch.raw(s, dir, "events").where(col("user_id") % 5 === 0),
+        "user_id", "ts", "value", stepSeconds = 3600L)
+        .select(col("user_id"), col("ts_bucket"), col("n_events"),
+          col("filled_max"))),
+
+    // BPE merge-pair counting (TextOps.bpePairCounts): iteration-1
+    // merge candidates counted over the vocabulary × word frequency,
+    // never the raw corpus characters.
+    "q139_bpe_pairs" -> ((s, dir) =>
+      graft.ops.TextOps.bpePairCounts(
+        Tpch.raw(s, dir, "documents"), "text", k = 20)),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -3724,5 +3765,69 @@ object SparkEntry {
         |SELECT doc_id, curriculum_pos,
         |       curriculum_pos * 4 // (SELECT count(*) FROM s) AS curriculum_bin
         |FROM r""".stripMargin,
+    // the estimate is (k−1)·16^13 / (first 13 hex digits of the k-th
+    // smallest md5) — hex parsed by positional digit sum, both factors
+    // CAST AS DOUBLE so the division is the identical IEEE op Spark runs
+    "q136_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        |           FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth
+        |      FROM k),
+        |num AS (SELECT k_actual,
+        |         CAST(sum((strpos('0123456789abcdef', substr(kth, i+1, 1)) - 1)
+        |              * (CAST(1 AS BIGINT) << (4*(12 - i)))) AS BIGINT) AS kth_num
+        |        FROM a, unnest(range(0, 13)) AS t(i) GROUP BY k_actual, kth),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h)
+        |SELECT k_actual, kth_num,
+        |  round(CASE WHEN k_actual < 64 THEN CAST(k_actual AS DOUBLE)
+        |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
+        |  exact_distinct
+        |FROM num, e""".stripMargin,
+    // rank within stratum under the seed-42 shuffle key; thresholds are
+    // floor(n · CAST(f AS DOUBLE)) — the same double product Spark's
+    // driver-side math.floor(n * f) evaluates
+    "q137_stratified_split" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |        md5('42:' || CAST(doc_id AS VARCHAR))
+        |          || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k
+        |      FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY k) - 1 AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM d)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk < floor(n * CAST(0.8 AS DOUBLE)) THEN 'train'
+        |       WHEN rk < floor(n * CAST(0.8 AS DOUBLE))
+        |               + floor(n * CAST(0.1 AS DOUBLE)) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+    // hourly buckets are epoch-aligned (floor to 3600 s = date_trunc);
+    // per-bucket max is order-independent, so the carried float is
+    // bit-identical across engines
+    "q138_gapfill" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |         CAST(count(*) AS BIGINT) AS n, round(max(value), 4) AS mx
+        |       FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.h,
+        |        coalesce(b.n, CAST(0 AS BIGINT)) AS n_events, b.mx
+        |      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h)
+        |SELECT user_id, h AS ts_bucket, n_events,
+        |   round(last_value(mx IGNORE NULLS) OVER (
+        |     PARTITION BY user_id ORDER BY h), 4) AS filled_max
+        |FROM j""".stripMargin,
+    "q139_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w
+        |       WHERE len(w) >= 2 GROUP BY w),
+        |p AS (SELECT substr(w, i, 1) || '|' || substr(w, i+1, 1) AS pair, freq
+        |      FROM wf, unnest(range(1, len(w))) AS t(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
   )
 }

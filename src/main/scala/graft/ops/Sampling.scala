@@ -206,6 +206,77 @@ object Sampling {
       .drop("_currkey")
   }
 
+  /** STRATIFIED EXACT SPLIT — per-stratum train/val/test with EXACT
+    * sizes: within every stratum (language, source, domain) exactly
+    * ⌊n·fᵢ⌋ rows land in split i (the last named split absorbs the
+    * remainder), unlike the hash-threshold samplers above whose
+    * achieved fractions are binomial-approximate. Eval protocols and
+    * contamination audits need the exact guarantee ("the zh val set is
+    * precisely 7 docs"), and per-language balance at 100 TB means the
+    * big stratum cannot funnel through one ranking task.
+    *
+    * Rank: each row's position in its stratum under the
+    * [[shuffleDeterministic]] md5 key — unbiased, layout-independent,
+    * engine-portable. The rank is computed WITHOUT a per-stratum
+    * global window: rows bucket by their key's first two hex chars
+    * (256 sub-ranges per stratum), per-(stratum, bucket) counts —
+    * strata × 256 longs, plan-time metadata — prefix-sum into offsets
+    * on the driver, and the window runs per (stratum, bucket), so the
+    * largest sorted partition is ~n_stratum/256 regardless of skew
+    * (same two-pass shape as Layout.contiguousIds, keyed per stratum).
+    *
+    * Split thresholds use the SAME double arithmetic the oracle's
+    * `floor(n * CAST(f AS DOUBLE))` performs, so engines agree even
+    * when n·f is knife-edge. Output: input columns + `split`. */
+  def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
+      fracs: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(fracs.size >= 2, "need at least two splits")
+    require(fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum ≤ 1")
+    val spark = df.sparkSession
+    val key = concat(
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+      lpad(col(idCol).cast("string"), 20, "0"))
+    val keyed = df.withColumn("_sk", key)
+      .withColumn("_bk", substring(col("_sk"), 1, 2))
+    // pass 1: per-(stratum, bucket) counts — bounded driver metadata
+    val counts = keyed.groupBy(col(stratumCol).as("_st"), col("_bk"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val strata = counts.keys.map(_._1).toSeq.distinct
+    val offsets: Map[(String, String), Long] = strata.flatMap { st =>
+      val buckets = counts.keys.filter(_._1 == st).map(_._2).toSeq.sorted
+      buckets.zip(buckets.scanLeft(0L)((acc, b) => acc + counts((st, b)))
+        .init).map { case (b, off) => (st, b) -> off }
+    }.toMap
+    val nPerStratum: Map[String, Long] =
+      counts.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
+    // cumulative ⌊n·f⌋ thresholds per stratum; last split = remainder
+    val thresholds: Map[String, Seq[Long]] = nPerStratum.map {
+      case (st, n) =>
+        st -> fracs.init.map(_._2)
+          .scanLeft(0L)((acc, f) => acc + math.floor(n * f).toLong).tail
+    }
+    val offDf = spark.createDataFrame(offsets.toSeq.map {
+      case ((st, b), off) =>
+        (st, b, off, thresholds(st) :+ Long.MaxValue)
+    }).toDF("_st", "_bk", "_off", "_cuts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("_bk")).orderBy(col("_sk"))
+    val ranked = keyed
+      .join(broadcast(offDf),
+        keyed(stratumCol) === offDf("_st") && keyed("_bk") === offDf("_bk"))
+      .drop("_st").drop(offDf("_bk"))
+      .withColumn("_rk", col("_off") + row_number().over(w) - 1)
+    val names = fracs.map(_._1)
+    val split = names.zipWithIndex.init.foldLeft(Option.empty[Column]) {
+      case (acc, (name, i)) =>
+        val cut = col("_rk") < element_at(col("_cuts"), i + 1)
+        Some(acc.fold(when(cut, name))(_.when(cut, name)))
+    }.fold(lit(names.head): Column)(_.otherwise(names.last))
+    ranked.withColumn("split", split)
+      .drop("_sk", "_bk", "_off", "_cuts", "_rk")
+  }
+
   /** DETERMINISTIC GLOBAL SHUFFLE — the training-order primitive: a
     * reproducible permutation of the corpus with a contiguous position
     * column, so epoch order is a pure function of (data, seed) — stable

@@ -780,6 +780,36 @@ object TextOps {
     }
   }
 
+  /** BPE MERGE-PAIR COUNTING — the inner step of byte-pair-encoding
+    * tokenizer training: the corpus-weighted frequency of every
+    * adjacent symbol pair, whose argmax is the next merge. The classic
+    * scale trick is applied structurally: pairs are counted over the
+    * VOCABULARY (distinct word × its corpus frequency), not over raw
+    * corpus characters — the explode touches Σ|w| characters per
+    * DISTINCT word, so a 100 TB corpus with a 10M-word vocabulary
+    * costs a vocab-sized shuffle per iteration, not a corpus scan
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units", §3: counts indexed by word type). This
+    * computes iteration 1's candidates (symbols = characters); the
+    * driver applies the chosen merge to the vocab and re-calls — each
+    * round is one groupBy over the re-symbolized vocab.
+    *
+    * Output: top `k` rows (pair, n) — pair as "a|b", n the total
+    * corpus occurrence count — ordered by (n desc, pair). */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count("*").as("freq"))
+    vocab
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1), i =>
+          concat(col("w").substr(i, lit(1)), lit("|"),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+  }
+
   /** Document fingerprint: hash of whitespace-normalized lowercase text.
     * (The rolling-hash shingle variant lives in Dedup.shingles; this is
     * the whole-doc exact-dup key.) */

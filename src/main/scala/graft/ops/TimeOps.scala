@@ -169,4 +169,53 @@ object TimeOps {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col("_r")(c).as(s"asof_$c")): _*)
   }
+
+  /** TIME-GRID GAP-FILL (resample + forward-fill): bucket events to a
+    * fixed step, materialize every key's COMPLETE grid from its first
+    * to its last bucket, and carry the last observed aggregate forward
+    * across empty buckets — the densification step feature pipelines
+    * and activity time-series need before windowed models (a missing
+    * hour is "no events, value unchanged", not an absent row).
+    *
+    * The grid is generated per key with `sequence()` + `explode` — a
+    * narrow generator over the one-row-per-key span frame, never a
+    * driver loop or a cross join against a calendar table — and the
+    * fill is one `last(ignoreNulls)` running window per key. Grid size
+    * is span/step rows per key: bound the step to the span scale (an
+    * hourly grid over years of keys is the caller's explosion to own,
+    * same contract as intervalJoin's binSeconds). Per-bucket aggregate
+    * is `max(valCol)` — order-independent, so float-exact across
+    * engines, unlike a sum.
+    *
+    * Output: (keyCol, ts_bucket, n_events, filled_max) — n_events = 0
+    * on gap rows, filled_max = last non-null max at or before the
+    * bucket (null until the key's first observation, which by
+    * construction is its first grid row). */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, stepSeconds: Long = 3600L): DataFrame = {
+    require(stepSeconds >= 1)
+    val step = s"$stepSeconds seconds"
+    val bucketed = df
+      .withColumn("_b",
+        timestamp_seconds(
+          floor(col(tsCol).cast("timestamp").cast("double") /
+            stepSeconds.toDouble) * stepSeconds)
+          .cast(df.schema(tsCol).dataType))
+      .groupBy(col(keyCol), col("_b"))
+      .agg(count("*").as("n_events"),
+        round(max(col(valCol)), 4).as("_mx"))
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("_b")).as("_b0"), max(col("_b")).as("_b1"))
+      .select(col(keyCol),
+        explode(sequence(col("_b0"), col("_b1"),
+          expr(s"INTERVAL $step"))).as("_b"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(bucketed, Seq(keyCol, "_b"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_max",
+        round(last(col("_mx"), ignoreNulls = true).over(w), 4))
+      .withColumnRenamed("_b", "ts_bucket")
+      .drop("_mx")
+  }
 }

@@ -1024,4 +1024,91 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(a === expected)
   }
+
+  test("kmvSketch: k smallest distinct hashes, duplicate-proof, " +
+      "layout-independent, and mergeable") {
+    import graft.ops.Sketches
+    // heavy duplication: every value appears 5×
+    val df = (0L until 1000L).map(_ % 200).toDF("v")
+    val sk = Sketches.kmvSketch(df, $"v", k = 32).as[String].collect()
+    val expected = (0L until 200L).map(v => // reference: full sort
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(v.toString))
+      .distinct.sorted.take(32)
+    assert(sk.toSeq === expected)
+    // layout independence
+    val sk2 = Sketches.kmvSketch(df.repartition(13), $"v", k = 32)
+      .as[String].collect()
+    assert(sk2.toSeq === expected)
+    // merge of per-half sketches == sketch of the union
+    val a = Sketches.kmvSketch(df.where($"v" % 2 === 0), $"v", 32)
+    val b = Sketches.kmvSketch(df.where($"v" % 2 === 1), $"v", 32)
+    val merged = Sketches.kmvMerge(32, a, b).as[String].collect()
+    assert(merged.toSeq === expected)
+  }
+
+  test("kmvEstimate: exact below k, within 3/sqrt(k) above it") {
+    import graft.ops.Sketches
+    val small = (0L until 20L).toDF("v")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, $"v", k = 64), 64)
+      .select($"est").as[Double].head()
+    assert(est === 20.0)
+    val big = (0L until 5000L).toDF("v")
+    val est2 = Sketches.kmvEstimate(
+      Sketches.kmvSketch(big, $"v", k = 256), 256)
+      .select($"est").as[Double].head()
+    assert(math.abs(est2 - 5000.0) / 5000.0 < 3.0 / math.sqrt(256))
+  }
+
+  test("stratifiedSplit: exact floor(n*f) sizes, disjoint-complete, " +
+      "stable across partitionings") {
+    import graft.ops.Sampling
+    val df = ((0L until 330L).map(i => (i, "en")) ++
+        (330L until 401L).map(i => (i, "zh"))).toDF("doc_id", "lang")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.stratifiedSplit(df, "lang", "doc_id", fr)
+    val sizes = out.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    assert(sizes(("en", "train")) === 264) // floor(330*0.8)
+    assert(sizes(("en", "val")) === 33)
+    assert(sizes(("en", "test")) === 33)
+    assert(sizes(("zh", "train")) === 56) // floor(71*0.8)
+    assert(sizes(("zh", "val")) === 7)
+    assert(sizes(("zh", "test")) === 71 - 56 - 7) // remainder
+    assert(out.count() === 401) // complete, no dup/drop
+    val again = Sampling.stratifiedSplit(df.repartition(9), "lang",
+        "doc_id", fr)
+      .as[(Long, String, String)].collect().toSet
+    assert(again === out.as[(Long, String, String)].collect().toSet)
+  }
+
+  test("gapFill: complete per-key grid, zero-count gaps, forward fill") {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
+    val rows = Seq(
+      (1L, t0, 10.0), (1L, t0.plusMinutes(30), 30.0),
+      (1L, t0.plusHours(3), 5.0), // hours 1-2 are gaps
+      (2L, t0.plusHours(1), 7.0))
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = graft.ops.TimeOps.gapFill(df, "user_id", "ts", "value")
+      .select($"user_id", $"ts_bucket", $"n_events", $"filled_max")
+      .as[(Long, LocalDateTime, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out.size === 5) // user 1: hours 0-3; user 2: hour 1
+    assert(out((1L, t0)) === ((2L, 30.0)))
+    assert(out((1L, t0.plusHours(1))) === ((0L, 30.0))) // gap, carried
+    assert(out((1L, t0.plusHours(2))) === ((0L, 30.0)))
+    assert(out((1L, t0.plusHours(3))) === ((1L, 5.0)))
+    assert(out((2L, t0.plusHours(1))) === ((1L, 7.0)))
+  }
+
+  test("bpePairCounts: vocab-weighted adjacent pairs, hand-checked") {
+    val df = Seq((1L, "abab cd"), (2L, "abab"), (3L, "x")).toDF("id", "text")
+    // vocab: abab freq 2, cd freq 1; "x" dropped (len<2)
+    // abab pairs: a|b ×2, b|a ×1 per occurrence
+    val out = graft.ops.TextOps.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
+  }
 }
