@@ -2011,6 +2011,38 @@ object SparkEntry {
     "q139_bpe_pairs" -> ((s, dir) =>
       graft.ops.TextOps.bpePairCounts(
         Tpch.raw(s, dir, "documents"), "text", k = 20)),
+
+    // STREAMING cardinality: the KMV sketch as a custom typed
+    // Aggregator (Sketches.KmvAggregator) running inside a streaming
+    // groupBy — per-bucket bounded state (≤ k hashes), complete-mode
+    // emission, batch-side merge + estimate. Oracle = q136's batch
+    // arithmetic: stream and batch agree on bounded input, and the
+    // per-bucket sketches provably contain the global k minima.
+    "q140_stream_kmv" -> ((s, dir) => {
+      val stream = Tpch.eventsStream(s, dir)
+      val h = md5(col("user_id").cast("string"))
+      val agg = stream
+        .select(h.as("h"), substring(h, 1, 1).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(graft.ops.Sketches.kmvAgg(64, col("h")).as("sketch"))
+      val name = "q140_mem_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainSink(s, name)(df =>
+        graft.ops.Sketches.kmvEstimate(
+          df.select(explode(col("sketch")).as("h"))
+            .distinct().orderBy(col("h")).limit(64), 64))
+    }),
+
+    // exact corpus percentiles (Skew.exactQuantiles): the value at rank
+    // floor((n-1)*q) via the two-pass range-partitioned rank — never
+    // ORDER BY + OFFSET's single reducer, never percentile_approx's
+    // error bars.
+    "q141_exact_quantiles" -> ((s, dir) =>
+      graft.ops.Skew.exactQuantiles(
+        Tpch.raw(s, dir, "events").select(col("value"), col("event_id")),
+        "value", "event_id", Seq(0.25, 0.5, 0.9, 0.99))),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -3829,5 +3861,30 @@ object SparkEntry {
         |      FROM wf, unnest(range(1, len(w))) AS t(i))
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // q136 minus the exact column: the stream must reproduce the batch
+    // sketch arithmetic digit-for-digit
+    "q140_stream_kmv" ->
+      """WITH h AS (SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+        |           FROM events),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth
+        |      FROM k),
+        |num AS (SELECT k_actual,
+        |         CAST(sum((strpos('0123456789abcdef', substr(kth, i+1, 1)) - 1)
+        |              * (CAST(1 AS BIGINT) << (4*(12 - i)))) AS BIGINT) AS kth_num
+        |        FROM a, unnest(range(0, 13)) AS t(i) GROUP BY k_actual, kth)
+        |SELECT k_actual, kth_num,
+        |  round(CASE WHEN k_actual < 64 THEN CAST(k_actual AS DOUBLE)
+        |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |             / CAST(kth_num AS DOUBLE) END, 4) AS est
+        |FROM num""".stripMargin,
+    "q141_exact_quantiles" ->
+      """WITH o AS (SELECT value,
+        |        row_number() OVER (ORDER BY value, event_id) - 1 AS rk,
+        |        count(*) OVER () AS n
+        |      FROM events),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
+        |SELECT CAST(q AS DOUBLE) AS q, value
+        |FROM qs JOIN o ON o.rk = floor((o.n - 1) * CAST(q AS DOUBLE))""".stripMargin,
   )
 }

@@ -149,12 +149,20 @@ object Layout {
     * order, and ties would make the rank (hence the id) depend on
     * physical partition layout. Output: input columns + `row_id`. */
   def contiguousIds(df: DataFrame, orderCol: String,
+      numPartitions: Int = 0): DataFrame =
+    contiguousIdsBy(df, Seq(orderCol), numPartitions)
+
+  /** [[contiguousIds]] over a COMPOSITE sort key — ranks are positions
+    * in the lexicographic (c1, c2, …) order; the TUPLE must be unique
+    * (typical shape: a value column + an id tiebreak). */
+  def contiguousIdsBy(df: DataFrame, orderCols: Seq[String],
       numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty)
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(col(orderCol))
+    val sorted = df.repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     // count in a Long loop — it.size is an Int and would silently
     // overflow on a partition exceeding 2^31 rows
     val counts = sorted.rdd

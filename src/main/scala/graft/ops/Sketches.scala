@@ -55,6 +55,42 @@ object Sketches {
     sketches.reduce(_ unionByName _)
       .distinct().orderBy(col("h")).limit(k)
 
+  /** [[kmvSketch]] as a typed `Aggregator` — the custom-UDAF form of
+    * the same sketch, so it drops into ANY `groupBy().agg()`, batch or
+    * Structured Streaming (per-group running cardinality in complete/
+    * update mode, where mapPartitions cannot reach). The buffer is the
+    * sketch itself (≤ k sorted hashes — bounded state per group, the
+    * streaming-viability requirement), reduce inserts capped, merge
+    * re-takes the k smallest of the union — associative + commutative,
+    * so partial aggregation (map-side combine) applies as with any
+    * algebraic agg. Input is the PRE-HASHED md5 hex (hash in the plan,
+    * codegen'd, so the JVM-side agg only compares strings). */
+  class KmvAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Seq[String], Seq[String]] {
+    require(k >= 2)
+    def zero: Seq[String] = Vector.empty
+    def reduce(b: Seq[String], h: String): Seq[String] = {
+      val i = b.indexWhere(_ >= h)
+      if (i < 0) { if (b.size < k) b :+ h else b } // h beyond the max
+      else if (b(i) == h) b // duplicate: sketch unchanged
+      else ((b.take(i) :+ h) ++ b.drop(i)).take(k)
+    }
+    def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+      (a ++ b).distinct.sorted.take(k)
+    def finish(r: Seq[String]): Seq[String] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Column-level KMV agg: `df.groupBy(g).agg(kmvAgg(k, md5(v)))` →
+    * per-group sketch array. */
+  def kmvAgg(k: Int, hashed: Column): Column =
+    udaf(new KmvAggregator(k),
+      org.apache.spark.sql.Encoders.STRING).apply(hashed)
+
   /** Distinct-count estimate from a [[kmvSketch]]: if the sketch holds
     * fewer than k hashes it IS the distinct set (estimate exact); else
     * DV ≈ (k−1)/u where u is the k-th smallest hash read as a fraction

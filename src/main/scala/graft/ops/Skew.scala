@@ -113,4 +113,31 @@ object Skew {
       .agg(partials.head, partials.tail: _*)
       .groupBy(keyCols.map(col): _*)
       .agg(combine.head, combine.tail: _*)
+
+  /** EXACT QUANTILES without a global sort window: the value at rank
+    * ⌊(n−1)·q⌋ for each requested q (the lower-nearest-rank/"disc"
+    * definition — an actual corpus value, never an interpolation).
+    * percentile_approx trades error for speed; threshold decisions that
+    * feed FILTERS (quality cutoffs, length caps, curriculum edges) want
+    * the exact value, and `ORDER BY v LIMIT 1 OFFSET k` at 100 TB is
+    * the single-reducer shape this codebase bans. Ranks come from
+    * Layout.contiguousIdsBy's two-pass range-partitioned sort over
+    * (value, tiebreak) — one shuffle, per-partition-bounded sorts —
+    * then a broadcast semi-join keeps the |qs| requested rows.
+    * Output: (q, value), one row per requested quantile. */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val spark = df.sparkSession
+    val n = df.count()
+    require(n > 0, "exactQuantiles over an empty frame")
+    // the same double product the SQL oracle's floor((n-1) * CAST(q AS
+    // DOUBLE)) evaluates — engines agree on knife-edge ranks
+    val ranks = qs.map(q => q -> math.floor((n - 1) * q).toLong)
+    val ranked = Layout.contiguousIdsBy(
+      df.select(col(valueCol), col(tieCol)), Seq(valueCol, tieCol))
+    val want = spark.createDataFrame(ranks).toDF("q", "_rk")
+    ranked.join(broadcast(want), col("row_id") === col("_rk"))
+      .select(col("q"), col(valueCol))
+  }
 }

@@ -1103,6 +1103,46 @@ class OpsSpec extends AnyFunSuite {
     assert(out((2L, t0.plusHours(1))) === ((1L, 7.0)))
   }
 
+  test("KmvAggregator: groupBy agg equals the mapPartitions sketch, " +
+      "duplicate-proof, partial-agg safe") {
+    import graft.ops.Sketches
+    val df = (0L until 1000L).map(_ % 200).toDF("v").repartition(13)
+    val viaAgg = df
+      .select(md5($"v".cast("string")).as("h"))
+      .agg(Sketches.kmvAgg(32, $"h").as("sk"))
+      .select(explode($"sk").as("h")).as[String].collect()
+    val viaSketch = Sketches.kmvSketch(df, $"v", 32).as[String].collect()
+    assert(viaAgg.toSeq.sorted === viaSketch.toSeq)
+    // reduce-path unit check: duplicates never shrink, order maintained
+    val a = new Sketches.KmvAggregator(3)
+    val s1 = Seq("b", "d").foldLeft(a.zero)(a.reduce)
+    assert(a.reduce(s1, "b") === Seq("b", "d"))
+    assert(a.reduce(s1, "c") === Seq("b", "c", "d"))
+    assert(a.reduce(a.reduce(s1, "c"), "a") === Seq("a", "b", "c"))
+    assert(a.reduce(a.reduce(s1, "c"), "z") === Seq("b", "c", "d"))
+    assert(a.merge(Seq("a", "c"), Seq("a", "b", "z")) ===
+      Seq("a", "b", "c"))
+  }
+
+  test("exactQuantiles: matches the sorted-collect reference, " +
+      "stable across partitionings") {
+    import graft.ops.Skew
+    val vals = (0L until 997L).map(i => ((i * 7919) % 997).toDouble / 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+      .toDF("value", "id")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val out = Skew.exactQuantiles(df, "value", "id", qs)
+      .as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    qs.foreach { q =>
+      val expect = sorted(math.floor((vals.size - 1) * q).toInt)
+      assert(out(q) === expect, s"q=$q")
+    }
+    val again = Skew.exactQuantiles(df.repartition(11), "value", "id", qs)
+      .as[(Double, Double)].collect().toMap
+    assert(again === out)
+  }
+
   test("bpePairCounts: vocab-weighted adjacent pairs, hand-checked") {
     val df = Seq((1L, "abab cd"), (2L, "abab"), (3L, "x")).toDF("id", "text")
     // vocab: abab freq 2, cd freq 1; "x" dropped (len<2)
