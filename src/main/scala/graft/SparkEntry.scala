@@ -2043,6 +2043,14 @@ object SparkEntry {
       graft.ops.Skew.exactQuantiles(
         Tpch.raw(s, dir, "events").select(col("value"), col("event_id")),
         "value", "event_id", Seq(0.25, 0.5, 0.9, 0.99))),
+
+    // iterated BPE training (TextOps.bpeLearn): 3 rounds of distributed
+    // pair counting + broadcast merge application over the vocabulary —
+    // the oracle replays the identical rounds with the identical
+    // space-encoded replace() semantics.
+    "q142_bpe_learn" -> ((s, dir) =>
+      graft.ops.TextOps.bpeLearn(
+        Tpch.raw(s, dir, "documents"), "text", nMerges = 3)),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -3886,5 +3894,40 @@ object SparkEntry {
         |qs AS (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q)
         |SELECT CAST(q AS DOUBLE) AS q, value
         |FROM qs JOIN o ON o.rk = floor((o.n - 1) * CAST(q AS DOUBLE))""".stripMargin,
+    // three unrolled BPE rounds over the " s1  s2 "-encoded vocab; each
+    // round = pair counts → (max n, min pair) → plain replace() — the
+    // same scan bpeLearn's call_function("replace") runs
+    "q142_bpe_learn" ->
+      """WITH v0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v0) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+        |v1 AS (SELECT freq, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM v0, m1),
+        |p2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v1) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+        |v2 AS (SELECT freq, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM v1, m2),
+        |p3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v2) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |m3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS INT) AS iter, pair, n FROM m1
+        |UNION ALL SELECT CAST(2 AS INT), pair, n FROM m2
+        |UNION ALL SELECT CAST(3 AS INT), pair, n FROM m3""".stripMargin,
   )
 }

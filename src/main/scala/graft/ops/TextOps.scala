@@ -810,6 +810,74 @@ object TextOps {
       .orderBy(col("n").desc, col("pair")).limit(k)
   }
 
+  /** ITERATED BPE MERGE LEARNING — the full tokenizer-training loop
+    * over [[bpePairCounts]]'s one step: `nMerges` rounds of (count all
+    * adjacent symbol pairs over the vocabulary) → (pick the most
+    * frequent, ties by pair string) → (apply the merge to every vocab
+    * entry) → repeat. Counting is a distributed groupBy per round and
+    * merge application a narrow map; only the SELECTED (pair, count) —
+    * one row — ever reaches the driver, which is the irreducible
+    * sequential core of BPE (merge i+1's counts depend on merge i).
+    *
+    * Symbol sequences are encoded as strings — `" s1  s2  …  sn "`,
+    * two spaces between symbols, one at each end — chosen so applying
+    * a merge is a plain `replace(enc, " x  y ", " xy ")`: every symbol
+    * is single-space-bounded exactly once on each side, so the pattern
+    * matches precisely at symbol boundaries, left-to-right
+    * non-overlapping replacement IS the greedy BPE merge order, and a
+    * replacement (which never contains a double space) can never
+    * manufacture a new match — meaning ANY engine's standard replace()
+    * reproduces the round exactly (the oracle applies the identical
+    * expression).
+    *
+    * Output: (iter, pair, n) — the learned merge table in order. */
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def pairCounts(vocab: DataFrame): DataFrame = vocab
+      // fully-merged single-symbol entries have no pairs — and
+      // sequence(1, 0) would DESCEND, not empty out
+      .where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          concat(element_at(col("syms"), i), lit("|"),
+            element_at(col("syms"), i + 1)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+    def withSyms(v: DataFrame): DataFrame =
+      v.withColumn("syms", split(trim(col("enc")), "  "))
+    var vocab = withSyms(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        concat_ws("  ", split(col("w"), "")), lit(" ")).as("enc")))
+      .persist()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    try {
+      for (it <- 1 to nMerges) {
+        val top = pairCounts(vocab)
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .as[(String, Long)].collect()
+        if (top.nonEmpty) {
+          val (pair, n) = top.head
+          merges += ((it, pair, n))
+          val Array(x, y) = pair.split("\\|", 2)
+          // plain string replace (not regex) — byte-for-byte the same
+          // left-to-right non-overlapping scan the oracle's replace()
+          // runs
+          val next = withSyms(vocab.select(col("freq"),
+            call_function("replace", col("enc"),
+              lit(s" $x  $y "), lit(s" $x$y ")).as("enc"))).persist()
+          next.count() // materialize before dropping the parent
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+    } finally vocab.unpersist()
+    merges.result().toDF("iter", "pair", "n")
+  }
+
   /** Document fingerprint: hash of whitespace-normalized lowercase text.
     * (The rolling-hash shingle variant lives in Dedup.shingles; this is
     * the whole-doc exact-dup key.) */

@@ -1151,4 +1151,19 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
   }
+
+  test("bpeLearn: greedy left-to-right merges cascade across rounds") {
+    // corpus: "aaab" ×2, "ab" ×1 → round 1: a|a wins (2 per aaab ×2 = 4
+    // occurrences BUT greedy non-overlap inside one word counts pairs
+    // positionally: aaab has a|a at (1,2),(2,3) → weighted 2·2 = 4);
+    // merge a|a → aaab = [aa, a, b], ab unchanged.
+    // round 2 pairs: aa|a ×2, a|b ×3 (2 from aaab? no — aaab is now
+    // [aa,a,b] → pairs aa|a, a|b per word ×2 → a|b: 2 + 1 (from ab) = 3
+    // → a|b wins. round 3: aa|ab ×2 wins.
+    val df = Seq((1L, "aaab aaab ab")).toDF("id", "text")
+    val out = graft.ops.TextOps.bpeLearn(df, "text", nMerges = 3)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    // vocab is DISTINCT words × corpus frequency: aaab freq 2, ab freq 1
+    assert(out === Seq((1, "a|a", 4L), (2, "a|b", 3L), (3, "aa|ab", 2L)))
+  }
 }
