@@ -191,10 +191,17 @@ object TimeOps {
     * on gap rows, filled_max = last non-null max at or before the
     * bucket (null until the key's first observation, which by
     * construction is its first grid row). */
-  def gapFill(df: DataFrame, keyCol: String, tsCol: String,
+  def gapFill(df0: DataFrame, keyCol: String, tsCol: String,
       valCol: String, stepSeconds: Long = 3600L): DataFrame = {
     require(stepSeconds >= 1)
     val step = s"$stepSeconds seconds"
+    // non-timestamp ts inputs (string dates from JSON/CSV) normalize
+    // once up front; timestamp/ntz keep their type end-to-end
+    val df = df0.schema(tsCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType => df0
+      case _ => df0.withColumn(tsCol, col(tsCol).cast("timestamp"))
+    }
     val bucketed = df
       .withColumn("_b",
         timestamp_seconds(

@@ -115,7 +115,14 @@ object Cli {
       summaryM: Int = 4096,
       minCount: Long = 2L,
       scoreCol: Option[String] = None,
-      bins: Int = 4)
+      bins: Int = 4,
+      kmvK: Int = 256,
+      fracs: String = "train:0.8,val:0.1,test:0.1",
+      merges: Int = 3,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99),
+      tsCol: String = "ts",
+      valCol: String = "value",
+      stepSeconds: Long = 3600L)
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
@@ -123,7 +130,8 @@ object Cli {
       "indexbuild", "indexappend", "indexdedup", "indexingest",
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
-      "curriculum")
+      "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
+      "gapfill")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -200,6 +208,14 @@ object Cli {
         case f @ "--min-count" => a = a.copy(minCount = value(f).toLong)
         case f @ "--score-col" => a = a.copy(scoreCol = Some(value(f)))
         case f @ "--bins" => a = a.copy(bins = value(f).toInt)
+        case f @ "--k" => a = a.copy(kmvK = value(f).toInt)
+        case f @ "--fracs" => a = a.copy(fracs = value(f))
+        case f @ "--merges" => a = a.copy(merges = value(f).toInt)
+        case f @ "--qs" =>
+          a = a.copy(qs = value(f).split(",").toSeq.map(_.toDouble))
+        case f @ "--ts-col" => a = a.copy(tsCol = value(f))
+        case f @ "--val-col" => a = a.copy(valCol = value(f))
+        case f @ "--step" => a = a.copy(stepSeconds = value(f).toLong)
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -521,6 +537,39 @@ object Cli {
             else if (spec.endsWith(".parquet")) spark.read.parquet(spec)
             else spark.read.json(spec)
           graft.ops.TextOps.lexiconScore(df, a.idCol, a.textCol, lex)
+        // KMV distinct-count estimate of --id at --k
+        case "kmv" =>
+          graft.ops.Sketches.kmvEstimate(
+            graft.ops.Sketches.kmvSketch(df, col(a.idCol), a.kmvK), a.kmvK)
+        // per---group stratified EXACT split at --fracs name:f,...
+        case "stratsplit" =>
+          val fr = a.fracs.split(",").toSeq.map { p =>
+            p.split(":") match {
+              case Array(n, f) if n.nonEmpty => (n, f.toDouble)
+              case _ => sys.error(s"bad frac '$p' (want name:fraction)")
+            }
+          }
+          graft.ops.Sampling.stratifiedSplit(df, a.groupCol, a.idCol, fr,
+            a.seed)
+        // exact corpus percentiles of --score-col (or the built-in
+        // quality score over --text) at --qs
+        case "quantiles" =>
+          val scored = a.scoreCol match {
+            case Some(c) => df.select(col(c).cast("double").as("_qv"),
+              col(a.idCol))
+            case None => df.select(
+              graft.ops.TextOps.qualityScore(col(a.textCol)).as("_qv"),
+              col(a.idCol))
+          }
+          graft.ops.Skew.exactQuantiles(scored, "_qv", a.idCol, a.qs)
+            .withColumnRenamed("_qv", "value")
+        // iterated BPE merge learning, --merges rounds
+        case "bpelearn" =>
+          graft.ops.TextOps.bpeLearn(df, a.textCol, a.merges)
+        // per---group time-grid gap-fill of --val-col at --step seconds
+        case "gapfill" =>
+          graft.ops.TimeOps.gapFill(df, a.groupCol, a.tsCol, a.valCol,
+            a.stepSeconds)
       }
       writeOut(out, a.output)
       return

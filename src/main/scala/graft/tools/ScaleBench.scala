@@ -88,6 +88,21 @@ object ScaleBench {
     }.reduce(_ unionAll _)
   }
 
+  /** factor× events: replica k offsets event_id and user_id — per-user
+    * time spans are preserved, so gap-fill grids (and any per-key
+    * window) scale ×factor, never densify. */
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame = {
+    val offE = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val offU = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev.select(
+        (col("event_id") + lit(k * offE)).as("event_id"),
+        (col("user_id") + lit(k * offU)).as("user_id"),
+        col("ts"), col("value"))
+    }.reduce(_ unionAll _)
+  }
+
   def main(args: Array[String]): Unit = {
     var positional = List.empty[String]
     var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
@@ -123,7 +138,13 @@ object ScaleBench {
     val d1 = docs1.persist(); val e1 = emb1.persist()
     val embS = scaleEmbeddingsShifted(emb1, factor)
       .repartition(cpus.toInt).persist()
+    val ev1 = Tpch.raw(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .persist()
+    val evF = scaleEvents(ev1, factor)
+      .repartition(cpus.toInt).persist()
     d1.count(); e1.count(); docsF.count(); embF.count(); embS.count()
+    ev1.count(); evF.count()
     val queries1 = e1.limit(20)
     // k ∝ √n sizing for the semantic workload (see its comment)
     val semK1 = 24
@@ -136,7 +157,7 @@ object ScaleBench {
     var runSeq = 0
     def workloads(d: DataFrame, e: DataFrame, q: DataFrame,
         tag: String, es: DataFrame = null,
-        semClusters: Int = 24): Seq[(String, () => Unit)] = Seq(
+        semClusters: Int = 24, ev: DataFrame = null): Seq[(String, () => Unit)] = Seq(
       "exact_dedup" -> (() =>
         { graft.ops.Dedup.exact(d, "doc_id", "text").count(); () }),
       "neardup_lsh" -> (() =>
@@ -245,7 +266,34 @@ object ScaleBench {
         { graft.ops.Similarity.semanticDedup(
             if (es == null) e else es, "vec_id", "embedding",
             semClusters, 0.6, iters = 1, trainFraction = 0.25)
-            .count(); () })
+            .count(); () }),
+      // one hashed scan into k-capped per-partition state + a k-row
+      // top-k — predicted ~linear scan, flat merge
+      "kmv_sketch" -> (() =>
+        { graft.ops.Sketches.kmvEstimate(
+            graft.ops.Sketches.kmvSketch(d, col("doc_id"), 256), 256)
+            .count(); () }),
+      // per-(stratum, 256-bucket) counts + bounded windows — ~linear
+      "stratified_split" -> (() =>
+        { graft.ops.Sampling.stratifiedSplit(
+            d.select(col("doc_id"), col("source")), "source", "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count(); () }),
+      // vocab grows ×factor (disjoint replica vocabularies); each round
+      // is one groupBy over the vocab — predicted ~linear
+      "bpe_learn" -> (() =>
+        { graft.ops.TextOps.bpeLearn(d, "text", nMerges = 2).count(); () }),
+      // two-pass range-partitioned rank over (value, id) — ~linear
+      "exact_quantiles" -> (() =>
+        { graft.ops.Skew.exactQuantiles(
+            d.select(length(col("text")).cast("double").as("v"),
+              col("doc_id")), "v", "doc_id",
+            Seq(0.25, 0.5, 0.9, 0.99)).count(); () }),
+      // per-key sequence explode + one running window per key; replica
+      // users keep the original spans, so grids scale ×factor — ~linear
+      "gap_fill" -> (() =>
+        { graft.ops.TimeOps.gapFill(
+            if (ev == null) sys.error("gap_fill needs events") else ev,
+            "user_id", "ts", "value").count(); () })
     )
 
     def median(xs: Seq[Double]): Double = {
@@ -254,13 +302,15 @@ object ScaleBench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     // one warm-up pass at 1× (untimed): JIT + codegen + parquet footers
-    workloads(d1, e1, queries1, "warm").foreach { case (_, fn) => fn() }
+    workloads(d1, e1, queries1, "warm", ev = ev1)
+      .foreach { case (_, fn) => fn() }
     def timeAll(d: DataFrame, e: DataFrame, q: DataFrame,
-        tag: String, es: DataFrame, semK: Int): Map[String, Double] = {
+        tag: String, es: DataFrame, semK: Int,
+        ev: DataFrame): Map[String, Double] = {
       val acc = scala.collection.mutable.Map
         .empty[String, List[Double]].withDefaultValue(Nil)
       for (_ <- 0 until reps;
-           (name, fn) <- workloads(d, e, q, tag, es, semK)) {
+           (name, fn) <- workloads(d, e, q, tag, es, semK, ev)) {
         val t0 = System.nanoTime()
         fn()
         acc(name) = ((System.nanoTime() - t0) / 1e9) :: acc(name)
@@ -269,8 +319,8 @@ object ScaleBench {
       }
       acc.toMap.map { case (k, ts) => k -> median(ts) }
     }
-    val t1 = timeAll(d1, e1, queries1, "x1", e1, semK1)
-    val tf = timeAll(docsF, embF, queries1, s"x$factor", embS, semKf)
+    val t1 = timeAll(d1, e1, queries1, "x1", e1, semK1, ev1)
+    val tf = timeAll(docsF, embF, queries1, s"x$factor", embS, semKf, evF)
 
     val names = workloads(d1, e1, queries1, "x1").map(_._1)
     def num(v: Double): String =

@@ -342,6 +342,51 @@ class CliSpec extends AnyFunSuite {
     assert(cu === Seq(0L, 0L, 1L, 1L))
   }
 
+  test("CLI sketch/split/quantile/BPE/gapfill verbs end-to-end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_sk").toString
+    val in = dir + "/docs.json"
+    Files.writeString(Paths.get(in),
+      (0L until 40L).map(i =>
+        s"""{"doc_id": $i, "source": "s${i % 2}", "text": "abab cd"}""")
+        .mkString("", "\n", "\n"))
+    // kmv with k > distinct → exact estimate
+    Cli.run(spark, Array("kmv", "-i", in, "--k", "64", "-o", dir + "/kv"))
+    assert(spark.read.json(dir + "/kv").select($"est")
+      .as[Double].head() === 40.0)
+    // stratified exact split: 20 per stratum → 16/2/2
+    Cli.run(spark, Array("stratsplit", "-i", in, "--group", "source",
+      "--fracs", "train:0.8,val:0.1,test:0.1", "-o", dir + "/ss"))
+    val ss = spark.read.json(dir + "/ss").groupBy($"source", $"split")
+      .count().as[(String, String, Long)].collect()
+      .map { case (s, sp, n) => (s, sp) -> n }.toMap
+    assert(ss(("s0", "train")) === 16L && ss(("s0", "val")) === 2L &&
+      ss(("s0", "test")) === 2L && ss(("s1", "train")) === 16L)
+    // quantiles over an explicit score column
+    Cli.run(spark, Array("quantiles", "-i", in, "--score-col", "doc_id",
+      "--qs", "0.0,0.5,1.0", "-o", dir + "/qq"))
+    val qq = spark.read.json(dir + "/qq").select($"q", $"value")
+      .as[(Double, Double)].collect().toMap
+    assert(qq(0.0) === 0.0 && qq(0.5) === 19.0 && qq(1.0) === 39.0)
+    // bpelearn: same corpus as the OpsSpec hand-check, scaled
+    Cli.run(spark, Array("bpelearn", "-i", in, "--merges", "2",
+      "-o", dir + "/bp"))
+    val bp = spark.read.json(dir + "/bp").select($"iter", $"pair")
+      .as[(Long, String)].collect().toMap
+    assert(bp(1L) === "a|b" && bp(2L) === "ab|ab")
+    // gapfill over a tiny event log (hour 1 is a gap for user 1)
+    Files.writeString(Paths.get(dir + "/ev.json"),
+      """{"event_id": 1, "user_id": 1, "ts": "2024-01-01 00:10:00", "value": 5.0}
+        |{"event_id": 2, "user_id": 1, "ts": "2024-01-01 02:20:00", "value": 7.0}
+        |""".stripMargin)
+    Cli.run(spark, Array("gapfill", "-i", dir + "/ev.json",
+      "--group", "user_id", "--ts-col", "ts", "--val-col", "value",
+      "-o", dir + "/gf"))
+    val gf = spark.read.json(dir + "/gf")
+      .select($"n_events", $"filled_max").as[(Long, Double)].collect().toSet
+    assert(gf === Set((1L, 5.0), (0L, 5.0), (1L, 7.0)))
+  }
+
   test("CLI index verbs: build, near-dedup against, append, re-dedup") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cli_idx").toString
