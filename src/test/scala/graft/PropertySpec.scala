@@ -590,4 +590,130 @@ class PropertySpec extends AnyFunSuite {
       assert(got === naive, s"trial $trial")
     }
   }
+
+  test("property: kmvSketch == driver-computed k smallest distinct " +
+      "hashes on random multisets") {
+    import org.apache.commons.codec.digest.DigestUtils
+    for (trial <- 1 to 5) {
+      val rnd = new scala.util.Random(900L + trial)
+      val n = 200 + rnd.nextInt(800)
+      val vals = (1 to n).map(_ => rnd.nextInt(300).toLong)
+      val k = Seq(8, 32, 512)(trial % 3) // below, at, above cardinality
+      val df = vals.toDF("v").repartition(1 + trial)
+      val got = graft.ops.Sketches.kmvSketch(df, $"v", k)
+        .as[String].collect().toSeq
+      val want = vals.distinct.map(v => DigestUtils.md5Hex(v.toString))
+        .sorted.take(k)
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("property: stratifiedSplit is a partition with exact floor " +
+      "sizes on random skewed strata") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(910L + trial)
+      val rows = (0 until 300 + rnd.nextInt(700)).map { i =>
+        // skewed: stratum 0 holds ~70%
+        (i.toLong, if (rnd.nextDouble() < 0.7) "big" else s"s${rnd.nextInt(4)}")
+      }
+      val fr = Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15)
+      val out = graft.ops.Sampling.stratifiedSplit(
+        rows.toDF("id", "st").repartition(7), "st", "id", fr)
+        .as[(Long, String, String)].collect()
+      assert(out.map(_._1).sorted.toSeq === rows.map(_._1).sorted.toSeq)
+      val byStratum = rows.groupBy(_._2).view.mapValues(_.size)
+      out.groupBy(r => (r._2, r._3)).view.mapValues(_.size).foreach {
+        case ((st, "train"), c) =>
+          assert(c === math.floor(byStratum(st) * 0.7).toInt, s"$st train")
+        case ((st, "val"), c) =>
+          assert(c === math.floor(byStratum(st) * 0.15).toInt, s"$st val")
+        case ((st, "test"), c) =>
+          val n = byStratum(st)
+          assert(c === n - math.floor(n * 0.7).toInt -
+            math.floor(n * 0.15).toInt, s"$st test")
+        case _ =>
+      }
+    }
+  }
+
+  test("property: gapFill == driver-computed grid + forward fill on " +
+      "random sparse event streams") {
+    import java.time.LocalDateTime
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(920L + trial)
+      val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
+      val rows = (0 until 200).map { i =>
+        (i.toLong, 1L + rnd.nextInt(5),
+          t0.plusMinutes(rnd.nextInt(48 * 60)),
+          math.round(rnd.nextDouble() * 1000) / 100.0)
+      }
+      val df = rows.toDF("event_id", "user_id", "ts", "value")
+        .repartition(5)
+      val got = graft.ops.TimeOps.gapFill(df, "user_id", "ts", "value")
+        .select($"user_id", $"ts_bucket", $"n_events", $"filled_max")
+        .as[(Long, LocalDateTime, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      // driver reference
+      val byUser = rows.groupBy(_._2)
+      val want = byUser.flatMap { case (u, es) =>
+        def hour(t: LocalDateTime) = t.withMinute(0).withSecond(0)
+        val h0 = es.map(e => hour(e._3)).minBy(_.toString)
+        val h1 = es.map(e => hour(e._3)).maxBy(_.toString)
+        Iterator.iterate(h0)(_.plusHours(1)).takeWhile(!_.isAfter(h1))
+          .map { h =>
+            val in = es.filter(e => hour(e._3) == h)
+            val upTo = es.filter(e => !hour(e._3).isAfter(h))
+            (u, h) -> ((in.size.toLong,
+              math.round(upTo.groupBy(e => hour(e._3)).toSeq
+                .maxBy(_._1.toString)._2.map(_._4).max * 10000) / 10000.0))
+          }
+      }
+      assert(got.keySet === want.keySet, s"trial $trial grid")
+      want.foreach { case (key, v) =>
+        assert(got(key) === v, s"trial $trial $key") }
+    }
+  }
+
+  test("property: bpeLearn == driver-computed greedy BPE on random " +
+      "small vocabularies") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(930L + trial)
+      val words = (0 until 60).map { _ =>
+        (0 until 2 + rnd.nextInt(6)).map(_ => "abcd" (rnd.nextInt(4))).mkString
+      }
+      val text = words.mkString(" ")
+      val got = graft.ops.TextOps.bpeLearn(
+        Seq((1L, text)).toDF("id", "text"), "text", nMerges = 4)
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      // driver reference: greedy BPE over (distinct word, freq)
+      var vocab: Map[Vector[String], Long] = words.filter(_.length >= 2)
+        .groupBy(identity).map { case (w, ws) =>
+          w.split("").toVector -> ws.size.toLong }
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      for (it <- 1 to 4) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2)
+            .foreach(p => counts((p(0), p(1))) += f)
+        }
+        if (counts.nonEmpty) {
+          val ((x, y), n) = counts.toSeq
+            .minBy { case ((a, b), c) => (-c, s"$a|$b") }
+          merges += ((it, s"$x|$y", n))
+          vocab = vocab.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+                out += x + y; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> f
+          }.groupBy(_._1).map { case (s, m) => s -> m.map(_._2).sum }
+        }
+      }
+      assert(got === merges.result(), s"trial $trial")
+    }
+  }
 }
