@@ -2051,6 +2051,22 @@ object SparkEntry {
     "q142_bpe_learn" -> ((s, dir) =>
       graft.ops.TextOps.bpeLearn(
         Tpch.raw(s, dir, "documents"), "text", nMerges = 3)),
+
+    // train/test leakage audit (Dedup.leakageAudit): exact-dup pairs
+    // straddling q88's hash folds, on a corpus with planted copies
+    // (every 7th doc duplicated under a new id — the id-hash split
+    // can't keep twins together, which is exactly the failure the
+    // audit exists to surface).
+    "q143_leakage_audit" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val split = graft.ops.Sampling.groupSplit(planted, "doc_id",
+        Seq("train" -> 192, "val" -> 32, "test" -> 32))
+      graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
+    }),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -3929,5 +3945,25 @@ object SparkEntry {
         |SELECT CAST(1 AS INT) AS iter, pair, n FROM m1
         |UNION ALL SELECT CAST(2 AS INT), pair, n FROM m2
         |UNION ALL SELECT CAST(3 AS INT), pair, n FROM m3""".stripMargin,
+    // q88's fold arithmetic + the exact-dup fingerprint self-join
+    "q143_leakage_audit" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |               < 'c0' THEN 'train'
+        |             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |               < 'e0' THEN 'val'
+        |             ELSE 'test' END AS fold,
+        |        md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |      FROM c)
+        |SELECT least(a.fold, b.fold) AS split_a,
+        |       greatest(a.fold, b.fold) AS split_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -485,6 +485,37 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** TRAIN/TEST LEAKAGE AUDIT — the eval-protocol check that closes the
+    * loop between splitting (Sampling.groupSplit / stratifiedSplit) and
+    * dedup: count the duplicate pairs that STRADDLE split boundaries.
+    * Any such pair inflates eval scores (the model has seen the test
+    * doc's twin); a sound pipeline dedups BEFORE splitting or splits by
+    * a dup-closed group key, and this operator is the audit proving it
+    * happened. Same fingerprint-bucket shape as [[exact]]: one groupBy
+    * on the normalized-text hash, pairs expand only WITHIN a duplicate
+    * bucket (Σ|bucket|² over real dup groups — tiny by construction in
+    * a mostly-deduped corpus, and the quadratic member is the thing
+    * being counted, not the corpus).
+    *
+    * Output: (split_a, split_b, n_pairs) for split_a ≤ split_b with
+    * n_pairs ≥ 1 — off-diagonal rows are the leaks; a diagonal row
+    * (intra-split dups) is waste, not leakage. */
+  def leakageAudit(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("_id"), col(splitCol).as("_sp"),
+      TextOps.fingerprint(col(textCol)).as("_fp"))
+    val a = keyed.select(col("_fp"), col("_id").as("_ida"),
+      col("_sp").as("_spa"))
+    val b = keyed.select(col("_fp"), col("_id").as("_idb"),
+      col("_sp").as("_spb"))
+    a.join(b, Seq("_fp"))
+      .where(col("_ida") < col("_idb"))
+      .select(least(col("_spa"), col("_spb")).as("split_a"),
+        greatest(col("_spa"), col("_spb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Near-dup CLUSTERS from pairwise matches: connected components over
     * the (id1, id2) pair graph. Pairwise near-dup output alone leaves
     * chains split — a~b and b~c never emits (a, c) — but dedup must treat

@@ -1152,6 +1152,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
   }
 
+  test("leakageAudit: counts cross-split dup pairs, diagonal = waste") {
+    val df = Seq(
+      (1L, "same text", "train"), (2L, "same  text", "test"), // leak (norm)
+      (3L, "same text", "train"), // intra-train dup with 1 → diagonal
+      (4L, "unique a", "train"), (5L, "unique b", "test"))
+      .toDF("doc_id", "text", "split")
+    val out = graft.ops.Dedup.leakageAudit(df, "doc_id", "text", "split")
+      .as[(String, String, Long)].collect().toSet
+    // pairs among {1,2,3}: (1,2) train/test, (1,3) train/train,
+    // (2,3) test/train
+    assert(out === Set(("test", "train", 2L), ("train", "train", 1L)))
+  }
+
   test("bpeLearn: greedy left-to-right merges cascade across rounds") {
     // corpus: "aaab" ×2, "ab" ×1 → round 1: a|a wins (2 per aaab ×2 = 4
     // occurrences BUT greedy non-overlap inside one word counts pairs
