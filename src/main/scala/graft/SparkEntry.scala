@@ -2067,6 +2067,22 @@ object SparkEntry {
         Seq("train" -> 192, "val" -> 32, "test" -> 32))
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
+
+    // per-GROUP KMV cardinality (kmvAgg + kmvEstimateCol): distinct
+    // users per event type as a k=16 sketch next to the exact count —
+    // the group-level form of q136, one agg expression per group.
+    "q144_group_kmv" -> ((s, dir) => {
+      val ev = Tpch.raw(s, dir, "events")
+      ev.select(col("event_type"),
+          md5(col("user_id").cast("string")).as("h"),
+          col("user_id"))
+        .groupBy(col("event_type"))
+        .agg(graft.ops.Sketches.kmvAgg(16, col("h")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"),
+          graft.ops.Sketches.kmvEstimateCol(col("sk"), 16).as("est"),
+          col("exact_users"))
+    }),
   )
 
   /** Source/sink round-trips (S1-S8): every query WRITES a real artifact
@@ -3965,5 +3981,29 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_pairs
         |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    // q136's arithmetic per group: the k-th smallest md5 per event_type
+    "q144_group_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |a AS (SELECT event_type,
+        |        CAST(least(min(nd), 16) AS BIGINT) AS k_actual,
+        |        max(CASE WHEN rk <= 16 THEN h END) AS kth,
+        |        CAST(min(nd) AS BIGINT) AS exact_users
+        |      FROM r GROUP BY event_type),
+        |num AS (SELECT event_type, k_actual, exact_users,
+        |         CAST(sum((strpos('0123456789abcdef', substr(kth, i+1, 1)) - 1)
+        |              * (CAST(1 AS BIGINT) << (4*(12 - i)))) AS BIGINT) AS kth_num
+        |        FROM a, unnest(range(0, 13)) AS t(i)
+        |        GROUP BY event_type, k_actual, exact_users, kth)
+        |SELECT event_type,
+        |  round(CASE WHEN k_actual < 16 THEN CAST(k_actual AS DOUBLE)
+        |        ELSE CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
+        |  exact_users
+        |FROM num""".stripMargin,
   )
 }

@@ -91,6 +91,22 @@ object Sketches {
     udaf(new KmvAggregator(k),
       org.apache.spark.sql.Encoders.STRING).apply(hashed)
 
+  /** [[kmvEstimate]] as a pure Column over a sketch ARRAY (the shape
+    * [[kmvAgg]] emits) — per-GROUP cardinality in one expression:
+    * `groupBy(g).agg(kmvAgg(k, h).as("sk")).select(kmvEstimateCol($"sk", k))`.
+    * Same arithmetic as the one-row form, so the same oracle SQL
+    * reproduces it per group. */
+  def kmvEstimateCol(sketch: Column, k: Int): Column = {
+    val scale = 4503599627370496.0 // 16^13 = 2^52
+    val kActual = size(sketch)
+    val num = conv(substring(element_at(sketch, kActual), 1, 13), 16, 10)
+      .cast("long")
+    round(
+      when(kActual < k, kActual.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(scale) /
+          num.cast("double")), 4)
+  }
+
   /** Distinct-count estimate from a [[kmvSketch]]: if the sketch holds
     * fewer than k hashes it IS the distinct set (estimate exact); else
     * DV ≈ (k−1)/u where u is the k-th smallest hash read as a fraction

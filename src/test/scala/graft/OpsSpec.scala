@@ -1124,6 +1124,22 @@ class OpsSpec extends AnyFunSuite {
       Seq("a", "b", "c"))
   }
 
+  test("kmvEstimateCol: per-group estimates equal the one-row form") {
+    import graft.ops.Sketches
+    val df = (0L until 600L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val perGroup = df
+      .select($"g", md5($"v".cast("string")).as("h"))
+      .groupBy($"g").agg(Sketches.kmvAgg(32, $"h").as("sk"))
+      .select($"g", Sketches.kmvEstimateCol($"sk", 32).as("est"))
+      .as[(String, Double)].collect().toMap
+    (0 until 3).foreach { g =>
+      val single = Sketches.kmvEstimate(
+        Sketches.kmvSketch(df.where($"g" === s"g$g"), $"v", 32), 32)
+        .select($"est").as[Double].head()
+      assert(perGroup(s"g$g") === single, s"group g$g")
+    }
+  }
+
   test("exactQuantiles: matches the sorted-collect reference, " +
       "stable across partitionings") {
     import graft.ops.Skew
