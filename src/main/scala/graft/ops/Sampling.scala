@@ -238,8 +238,11 @@ object Sampling {
       lpad(col(idCol).cast("string"), 20, "0"))
     val keyed = df.withColumn("_sk", key)
       .withColumn("_bk", substring(col("_sk"), 1, 2))
+      // stratum keys travel as strings internally (driver metadata +
+      // broadcast join key); the output keeps the original column
+      .withColumn("_stk", col(stratumCol).cast("string"))
     // pass 1: per-(stratum, bucket) counts — bounded driver metadata
-    val counts = keyed.groupBy(col(stratumCol).as("_st"), col("_bk"))
+    val counts = keyed.groupBy(col("_stk"), col("_bk"))
       .count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val strata = counts.keys.map(_._1).toSeq.distinct
@@ -261,10 +264,10 @@ object Sampling {
         (st, b, off, thresholds(st) :+ Long.MaxValue)
     }).toDF("_st", "_bk", "_off", "_cuts")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol), col("_bk")).orderBy(col("_sk"))
+      .partitionBy(col("_stk"), col("_bk")).orderBy(col("_sk"))
     val ranked = keyed
       .join(broadcast(offDf),
-        keyed(stratumCol) === offDf("_st") && keyed("_bk") === offDf("_bk"))
+        keyed("_stk") === offDf("_st") && keyed("_bk") === offDf("_bk"))
       .drop("_st").drop(offDf("_bk"))
       .withColumn("_rk", col("_off") + row_number().over(w) - 1)
     val names = fracs.map(_._1)
@@ -274,7 +277,7 @@ object Sampling {
         Some(acc.fold(when(cut, name))(_.when(cut, name)))
     }.fold(lit(names.head): Column)(_.otherwise(names.last))
     ranked.withColumn("split", split)
-      .drop("_sk", "_bk", "_off", "_cuts", "_rk")
+      .drop("_sk", "_bk", "_stk", "_off", "_cuts", "_rk")
   }
 
   /** DETERMINISTIC GLOBAL SHUFFLE — the training-order primitive: a

@@ -1081,6 +1081,13 @@ class OpsSpec extends AnyFunSuite {
         "doc_id", fr)
       .as[(Long, String, String)].collect().toSet
     assert(again === out.as[(Long, String, String)].collect().toSet)
+    // non-string stratum columns work (internal string key, original
+    // column preserved in the output)
+    val intStrata = (0L until 100L).map(i => (i, i % 3)).toDF("id", "g")
+    val outInt = Sampling.stratifiedSplit(intStrata, "g", "id",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    assert(outInt.columns.toSeq === Seq("id", "g", "split"))
+    assert(outInt.count() === 100)
   }
 
   test("gapFill: complete per-key grid, zero-count gaps, forward fill") {
