@@ -131,7 +131,7 @@ object Cli {
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
-      "gapfill")
+      "gapfill", "leakage")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -570,6 +570,9 @@ object Cli {
         case "gapfill" =>
           graft.ops.TimeOps.gapFill(df, a.groupCol, a.tsCol, a.valCol,
             a.stepSeconds)
+        // train/test leakage audit: cross---group exact-dup pair counts
+        case "leakage" =>
+          graft.ops.Dedup.leakageAudit(df, a.idCol, a.textCol, a.groupCol)
       }
       writeOut(out, a.output)
       return

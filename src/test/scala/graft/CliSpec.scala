@@ -385,6 +385,18 @@ class CliSpec extends AnyFunSuite {
     val gf = spark.read.json(dir + "/gf")
       .select($"n_events", $"filled_max").as[(Long, Double)].collect().toSet
     assert(gf === Set((1L, 5.0), (0L, 5.0), (1L, 7.0)))
+    // leakage: two identical docs split across folds
+    Files.writeString(Paths.get(dir + "/lk.json"),
+      """{"doc_id": 1, "fold": "train", "text": "dup text"}
+        |{"doc_id": 2, "fold": "test", "text": "dup text"}
+        |{"doc_id": 3, "fold": "test", "text": "clean"}
+        |""".stripMargin)
+    Cli.run(spark, Array("leakage", "-i", dir + "/lk.json",
+      "--group", "fold", "-o", dir + "/lko"))
+    val lk = spark.read.json(dir + "/lko")
+      .select($"split_a", $"split_b", $"n_pairs")
+      .as[(String, String, Long)].collect().toSet
+    assert(lk === Set(("test", "train", 1L)))
   }
 
   test("CLI index verbs: build, near-dedup against, append, re-dedup") {
