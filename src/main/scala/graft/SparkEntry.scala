@@ -2068,6 +2068,15 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // single-scan dataset card (Profile.datasetCard): per-column rows,
+    // nulls, KMV cardinality, ranges over events — every statistic for
+    // every column in ONE agg pass; the oracle recomputes each column's
+    // profile including the sketch arithmetic.
+    "q145_dataset_card" -> ((s, dir) =>
+      graft.ops.Profile.datasetCard(
+        Tpch.raw(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value"))),
+
     // per-GROUP KMV cardinality (kmvAgg + kmvEstimateCol): distinct
     // users per event type as a k=16 sketch next to the exact count —
     // the group-level form of q136, one agg expression per group.
@@ -4005,5 +4014,37 @@ object SparkEntry {
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
         |  exact_users
         |FROM num""".stripMargin,
+    "q145_dataset_card" -> Seq(
+      ("event_id", true), ("user_id", true),
+      ("event_type", false), ("value", true)).map {
+      case (c, num) =>
+        val mn = if (num) s"round(min($c),4)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (num) s"round(max($c),4)" else "CAST(NULL AS DOUBLE)"
+        val mns = if (num) "CAST(NULL AS VARCHAR)"
+          else s"min(CAST($c AS VARCHAR))"
+        val mxs = if (num) "CAST(NULL AS VARCHAR)"
+          else s"max(CAST($c AS VARCHAR))"
+        // q136's sketch arithmetic, once per profiled column
+        s"""(WITH h AS (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h
+           |            FROM events WHERE $c IS NOT NULL),
+           | k AS (SELECT h FROM h ORDER BY h LIMIT 256),
+           | a AS (SELECT CAST(count(*) AS BIGINT) AS k_actual,
+           |              max(h) AS kth FROM k),
+           | num AS (SELECT k_actual,
+           |    CAST(sum((strpos('0123456789abcdef', substr(kth, i+1, 1)) - 1)
+           |         * (CAST(1 AS BIGINT) << (4*(12 - i)))) AS BIGINT) AS kth_num
+           |   FROM a, unnest(range(0, 13)) AS t(i) GROUP BY k_actual, kth),
+           | st AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |          CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |          $mn AS min_num, $mx AS max_num,
+           |          $mns AS min_str, $mxs AS max_str
+           |        FROM events)
+           | SELECT '$c' AS "column", n_rows, n_nulls,
+           |   round(CASE WHEN k_actual < 256 THEN CAST(k_actual AS DOUBLE)
+           |         ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+           |              / CAST(kth_num AS DOUBLE) END, 4) AS ndv_est,
+           |   min_num, max_num, min_str, max_str
+           | FROM num, st)""".stripMargin
+    }.mkString(" UNION ALL "),
   )
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Corpus profiling — the dataset-card / ANALYZE-TABLE analogue, in ONE
+  * scan.
+  *
+  * Ingesting a new 100 TB drop starts with "what is in these columns":
+  * row counts, null rates, cardinalities, ranges. Spark's `ANALYZE
+  * TABLE` stores engine-private stats; this emits them as a DataFrame
+  * any engine can recompute — cardinality via the [[Sketches]] KMV
+  * estimator (bounded state, exact below k, engine-reproducible above
+  * it), numeric ranges as doubles, string ranges as strings.
+  *
+  * Every statistic for every column folds into a SINGLE `agg` pass —
+  * one scan of the corpus regardless of column count (the per-column
+  * union below is over the one aggregated ROW, not the data). */
+object Profile {
+
+  /** Per-column profile of `cols`: (column, n_rows, n_nulls, ndv_est,
+    * min_num, max_num, min_str, max_str) — the num/str range pair not
+    * matching the column's type is null. `k` sizes the cardinality
+    * sketch (exact below k, ±1/√k above). */
+  def datasetCard(df: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(cols.nonEmpty)
+    def isNum(c: String) = df.schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs = count(lit(1)).as("_total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        Sketches.kmvAgg(k, md5(col(c).cast("string"))).as(s"_sk_$c")) ++
+        (if (isNum(c))
+          Seq(round(min(col(c)).cast("double"), 4).as(s"_mn_$c"),
+            round(max(col(c)).cast("double"), 4).as(s"_mx_$c"))
+        else
+          Seq(min(col(c).cast("string")).as(s"_mn_$c"),
+            max(col(c).cast("string")).as(s"_mx_$c")))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      row.select(lit(c).as("column"),
+        col("_total").as("n_rows"),
+        (col("_total") - col(s"_n_$c")).as("n_nulls"),
+        Sketches.kmvEstimateCol(col(s"_sk_$c"), k).as("ndv_est"),
+        (if (isNum(c)) col(s"_mn_$c")
+         else lit(null).cast("double")).as("min_num"),
+        (if (isNum(c)) col(s"_mx_$c")
+         else lit(null).cast("double")).as("max_num"),
+        (if (isNum(c)) lit(null).cast("string")
+         else col(s"_mn_$c")).as("min_str"),
+        (if (isNum(c)) lit(null).cast("string")
+         else col(s"_mx_$c")).as("max_str"))
+    }.reduce(_ unionByName _)
+  }
+}

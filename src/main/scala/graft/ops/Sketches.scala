@@ -71,6 +71,7 @@ object Sketches {
     require(k >= 2)
     def zero: Seq[String] = Vector.empty
     def reduce(b: Seq[String], h: String): Seq[String] = {
+      if (h == null) return b // null input (md5 of NULL): not a value
       val i = b.indexWhere(_ >= h)
       if (i < 0) { if (b.size < k) b :+ h else b } // h beyond the max
       else if (b(i) == h) b // duplicate: sketch unchanged

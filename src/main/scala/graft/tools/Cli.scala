@@ -122,7 +122,8 @@ object Cli {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.9, 0.99),
       tsCol: String = "ts",
       valCol: String = "value",
-      stepSeconds: Long = 3600L)
+      stepSeconds: Long = 3600L,
+      cols: Seq[String] = Nil)
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
@@ -131,7 +132,7 @@ object Cli {
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
-      "gapfill", "leakage")
+      "gapfill", "leakage", "card")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -216,6 +217,7 @@ object Cli {
         case f @ "--ts-col" => a = a.copy(tsCol = value(f))
         case f @ "--val-col" => a = a.copy(valCol = value(f))
         case f @ "--step" => a = a.copy(stepSeconds = value(f).toLong)
+        case f @ "--cols" => a = a.copy(cols = value(f).split(",").toSeq)
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -573,6 +575,10 @@ object Cli {
         // train/test leakage audit: cross---group exact-dup pair counts
         case "leakage" =>
           graft.ops.Dedup.leakageAudit(df, a.idCol, a.textCol, a.groupCol)
+        // single-scan dataset card over --cols (default: every column)
+        case "card" =>
+          graft.ops.Profile.datasetCard(df,
+            if (a.cols.nonEmpty) a.cols else df.columns.toSeq)
       }
       writeOut(out, a.output)
       return

@@ -1131,6 +1131,28 @@ class OpsSpec extends AnyFunSuite {
       Seq("a", "b", "c"))
   }
 
+  test("datasetCard: one-pass per-column profile with nulls and " +
+      "exact-below-k cardinalities") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5)), (2L, Some("b"), None),
+      (3L, None, Some(2.5)), (4L, Some("a"), Some(1.5)))
+      .toDF("id", "s", "v")
+    val out = graft.ops.Profile.datasetCard(df, Seq("id", "s", "v"), k = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getLong(1) === 4L && id.getLong(2) === 0L)
+    assert(id.getDouble(3) === 4.0) // exact below k
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 4.0)
+    val s = out("s")
+    assert(s.getLong(2) === 1L) // one null
+    assert(s.getDouble(3) === 2.0) // a, b
+    assert(s.getString(6) === "a" && s.getString(7) === "b")
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    val v = out("v")
+    assert(v.getLong(2) === 1L && v.getDouble(3) === 2.0)
+    assert(v.getDouble(4) === 1.5 && v.getDouble(5) === 2.5)
+  }
+
   test("kmvEstimateCol: per-group estimates equal the one-row form") {
     import graft.ops.Sketches
     val df = (0L until 600L).map(i => (s"g${i % 3}", i)).toDF("g", "v")
