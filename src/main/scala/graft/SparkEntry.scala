@@ -2068,6 +2068,31 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // containment join (Dedup.containmentJoin): subset-duplicate pairs
+    // |∩|/min ≥ 0.8 over a subset corpus with planted half-length
+    // excerpts — Jaccard-invisible (J ≈ 0.5) but containment-1.0 by
+    // construction; prefix-of-smaller ⋈ full postings, verified exact.
+    // The oracle is the intentionally-quadratic exact twin on the
+    // bounded 150-doc subset (q23's discipline).
+    "q146_containment" -> ((s, dir) => {
+      val base = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val half = greatest(lit(3),
+        floor(size(split(col("text"), " ")) / 2.0).cast("int"))
+      val planted = base.unionByName(
+        base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            array_join(slice(split(col("text"), " "), lit(1), half), " ")
+              .as("text")))
+      val sh = planted.select(col("doc_id"),
+        sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.CacheScope.around(sh) {
+        graft.ops.Dedup.containmentJoin(sh, "doc_id", "sh", 0.8)
+      }
+    }),
+
     // single-scan dataset card (Profile.datasetCard): per-column rows,
     // nulls, KMV cardinality, ranges over events — every statistic for
     // every column in ONE agg pass; the oracle recomputes each column's
@@ -4014,6 +4039,27 @@ object SparkEntry {
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
         |  exact_users
         |FROM num""".stripMargin,
+    // exact-quadratic containment twin over the bounded subset corpus
+    "q146_containment" ->
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT doc_id + 200000 AS doc_id,
+        |        array_to_string((string_split(text, ' '))[1:greatest(3,
+        |          CAST(floor(len(string_split(text, ' ')) / 2.0) AS INT))],
+        |          ' ') AS text
+        |      FROM b WHERE doc_id % 10 = 0),
+        |c AS (SELECT * FROM b UNION ALL SELECT * FROM p),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM c),
+        |s AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |             ELSE [array_to_string(ws[i:i+2], ' ')
+        |                   FOR i IN range(1, len(ws)-1)]
+        |        END) AS sh FROM w)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |             / least(len(a.sh), len(b.sh)), 4) AS containment
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / least(len(a.sh), len(b.sh)) >= 0.8""".stripMargin,
     "q145_dataset_card" -> Seq(
       ("event_id", true), ("user_id", true),
       ("event_type", false), ("value", true)).map {

@@ -422,6 +422,60 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** CONTAINMENT join — subset-duplicate detection: pairs with
+    * |A∩B| / min(|A|,|B|) ≥ t. Jaccard misses partial copies by
+    * construction (a 10-token excerpt of a 1000-token doc has J ≈ 0.01
+    * but containment 1.0); quotes, truncated mirrors, and chunk-level
+    * re-ingests are exactly this shape, and a dedup pipeline wants
+    * them surfaced.
+    *
+    * Exactness: the SMALLER set of a qualifying pair shares ≥ ⌈t·|S|⌉
+    * elements, so its rarest-first prefix of length |S| − ⌈t·|S|⌉ + 1
+    * (same prefix [[ppJoin]] builds) must contain a shared shingle —
+    * but unlike Jaccard the LARGER side's prefix carries no guarantee,
+    * so candidates come from prefix-of-smaller ⋈ ALL postings of the
+    * other side, not prefix ⋈ prefix. The posting lists a prefix entry
+    * touches are small by the same argument that makes PPJoin fast:
+    * prefixes hold each doc's RAREST shingles. No size-ratio prefilter
+    * exists here — none is sound, containment pairs tiny docs with
+    * huge ones.
+    *
+    * `shCol` must be a SORTED shingle array. Output: (id1, id2,
+    * containment) with id1 < id2. */
+  def containmentJoin(sh: DataFrame, idCol: String, shCol: String,
+      threshold: Double, blockCols: Seq[String] = Nil): DataFrame = {
+    val pref = ppJoinPrefixes(sh, idCol, shCol, threshold, blockCols)
+    val postings = sh.select(col(idCol).as("_idb") +:
+      size(col(shCol)).as("_nb") +: explode(col(shCol)).as("_s") +:
+      blockCols.map(col): _*)
+    // verify inside the releasing scope: only the SMALL verified pair
+    // set is checkpointed (the ppJoin discipline)
+    CacheScope.releasing(pref) {
+      val cands = pref.toDF(("_ida" +: "_na" +: "_s" +: blockCols): _*)
+        .join(postings, "_s" +: blockCols)
+        // the prefix side must be the (weakly) smaller set for the
+        // prefix guarantee to hold; equal sizes match both ways
+        .where(col("_ida") =!= col("_idb") && col("_na") <= col("_nb"))
+        .select(least(col("_ida"), col("_idb")).as("id1"),
+          greatest(col("_ida"), col("_idb")).as("id2"))
+        .distinct()
+      val s = sh.select(col(idCol), col(shCol).as("_sh"),
+        size(col(shCol)).as("_n"))
+      cands
+        .join(s.select(col(idCol).as("id1"), col("_sh").as("_sh1"),
+          col("_n").as("_n1")), Seq("id1"))
+        .join(s.select(col(idCol).as("id2"), col("_sh").as("_sh2"),
+          col("_n").as("_n2")), Seq("id2"))
+        .withColumn("_inter", graft.functions.VectorFunctions
+          .sortedIntersectSize(col("_sh1"), col("_sh2")).cast(DoubleType))
+        .withColumn("_c", col("_inter") /
+          least(col("_n1"), col("_n2")).cast(DoubleType))
+        .where(col("_c") >= threshold)
+        .select(col("id1"), col("id2"),
+          round(col("_c"), 4).as("containment"))
+    }
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Default banding (16 bands × 2 rows) gives recall ≈ 1 - (1-j²)^16:
     * >0.99999 for j ≥ 0.8, ~0.99 at j = 0.5.

@@ -132,7 +132,7 @@ object Cli {
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
-      "gapfill", "leakage", "card")
+      "gapfill", "leakage", "card", "containment")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -579,6 +579,13 @@ object Cli {
         case "card" =>
           graft.ops.Profile.datasetCard(df,
             if (a.cols.nonEmpty) a.cols else df.columns.toSeq)
+        // subset-duplicate pairs at --threshold containment
+        case "containment" =>
+          val csh = df.select(col(a.idCol),
+            org.apache.spark.sql.functions.sort_array(
+              graft.ops.Dedup.shingles(col(a.textCol))).as("_csh"))
+          graft.ops.Dedup.containmentJoin(csh, a.idCol, "_csh",
+            a.threshold)
       }
       writeOut(out, a.output)
       return

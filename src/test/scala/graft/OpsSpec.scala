@@ -1197,6 +1197,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
   }
 
+  test("containmentJoin: finds Jaccard-invisible subset duplicates") {
+    val full = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"tok$i").mkString(" ") // J ≈ 0.16
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, full), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val sh = df.select($"doc_id",
+      sort_array(graft.ops.Dedup.shingles($"text")).as("sh"))
+    val pairs = graft.ops.Dedup.containmentJoin(sh, "doc_id", "sh", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 1.0))) // excerpt fully contained
+    // sanity: the same pair is invisible to Jaccard at any real threshold
+    val j = graft.ops.Dedup.ppJoin(sh, "doc_id", "sh", 0.5)
+    assert(j.count() === 0)
+  }
+
   test("leakageAudit: counts cross-split dup pairs, diagonal = waste") {
     val df = Seq(
       (1L, "same text", "train"), (2L, "same  text", "test"), // leak (norm)
