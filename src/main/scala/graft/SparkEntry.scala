@@ -2068,6 +2068,15 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // conversion funnel (TimeOps.conversionFunnel): earliest
+    // view → click → purchase chain per user, first-match semantics,
+    // converted iff completed within 24 h of the first view — |steps|
+    // key-partitioned aggs + joins, no per-key sort, no cross join.
+    "q147_conversion" -> ((s, dir) =>
+      graft.ops.TimeOps.conversionFunnel(
+        Tpch.raw(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSeconds = 86400L)),
+
     // containment join (Dedup.containmentJoin): subset-duplicate pairs
     // |∩|/min ≥ 0.8 over a subset corpus with planted half-length
     // excerpts — Jaccard-invisible (J ≈ 0.5) but containment-1.0 by
@@ -4039,6 +4048,25 @@ object SparkEntry {
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
         |  exact_users
         |FROM num""".stripMargin,
+    // nested first-match chain: each step's time is the min over events
+    // strictly after the previous step's time
+    "q147_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+        |       (s3.t_3 IS NOT NULL AND
+        |        epoch_us(s3.t_3) - epoch_us(s1.t_1) <= 86400000000)
+        |         AS converted
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
     // exact-quadratic containment twin over the bounded subset corpus
     "q146_containment" ->
       """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

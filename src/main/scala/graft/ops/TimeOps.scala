@@ -170,6 +170,49 @@ object TimeOps {
         payloadCols.map(c => col("_r")(c).as(s"asof_$c")): _*)
   }
 
+  /** CONVERSION FUNNEL — ordered event-sequence completion per key:
+    * the earliest chain step1 < step2 < … < stepN (strict event-time
+    * order, first-match semantics: each step is the EARLIEST occurrence
+    * after the previous step) completed within `withinSeconds` of step
+    * 1. The behavioral-analytics sibling of the FILTER funnel
+    * (Funnel.report counts rows through predicate gates; this counts
+    * KEYS through an ordered temporal pattern).
+    *
+    * One aggregation per step — min(ts) over the step's events later
+    * than the (broadcast-joined) previous step time — so the plan is
+    * |steps| key-partitioned aggs + joins, never a per-key sort or a
+    * cross join; skewed keys are AQE's problem like any groupBy. Ties
+    * at equal ts: the chain needs STRICTLY increasing timestamps
+    * (same-instant events are one user action, not a sequence).
+    *
+    * Output: (keyCol, t_1 … t_N, converted) — t_i null once the chain
+    * breaks; converted = chain complete AND t_N − t_1 ≤ window. */
+  def conversionFunnel(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      withinSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "steps must be distinct")
+    // integer microseconds: the window comparison is exact, no float
+    // boundary semantics to match across engines
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    val first = df.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t_1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t_${i + 1}"; val cur = s"t_${i + 2}"
+        val nxt = df.where(col(typeCol) === step)
+          .select(col(keyCol), col(tsCol).as("_ts"))
+          .join(acc.select(col(keyCol), col(prev).as("_tp")), Seq(keyCol))
+          .where(col("_ts") > col("_tp"))
+          .groupBy(col(keyCol)).agg(min(col("_ts")).as(cur))
+        acc.join(nxt, Seq(keyCol), "left")
+    }
+    chained.withColumn("converted",
+      col(s"t_${steps.size}").isNotNull &&
+        micros(col(s"t_${steps.size}")) - micros(col("t_1")) <=
+          withinSeconds * 1000000L)
+  }
+
   /** TIME-GRID GAP-FILL (resample + forward-fill): bucket events to a
     * fixed step, materialize every key's COMPLETE grid from its first
     * to its last bucket, and carry the last observed aggregate forward

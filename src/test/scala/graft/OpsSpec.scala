@@ -1197,6 +1197,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
   }
 
+  test("conversionFunnel: first-match chain, strict order, window cut") {
+    import java.time.LocalDateTime
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
+    val rows = Seq(
+      // user 1: A at 0h, B at 1h, C at 2h → converted (within 3h)
+      (1L, t0, "A"), (1L, t0.plusHours(1), "B"), (1L, t0.plusHours(2), "C"),
+      // user 2: B BEFORE A — chain must use the B after A (none) → not
+      (2L, t0.plusHours(1), "B"), (2L, t0.plusHours(2), "A"),
+      // user 3: complete but C lands outside the window
+      (3L, t0, "A"), (3L, t0.plusMinutes(30), "B"), (3L, t0.plusHours(9), "C"),
+      // user 4: first-match — earliest B after A picked, not the later one
+      (4L, t0, "A"), (4L, t0.plusHours(1), "B"), (4L, t0.plusHours(5), "B"),
+      (4L, t0.plusHours(2), "C"))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val out = graft.ops.TimeOps.conversionFunnel(
+      df, "user_id", "ts", "event_type", Seq("A", "B", "C"),
+      withinSeconds = 3 * 3600L)
+      .select($"user_id", $"converted").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    // user 4's chain: B at +1h (not +5h), C at +2h → within window
+    val t4 = graft.ops.TimeOps.conversionFunnel(
+      df.where($"user_id" === 4), "user_id", "ts", "event_type",
+      Seq("A", "B", "C"), 3 * 3600L)
+      .select($"t_2", $"t_3").as[(LocalDateTime, LocalDateTime)].head()
+    assert(t4 === ((t0.plusHours(1), t0.plusHours(2))))
+  }
+
   test("containmentJoin: finds Jaccard-invisible subset duplicates") {
     val full = (1 to 40).map(i => s"tok$i").mkString(" ")
     val excerpt = (1 to 8).map(i => s"tok$i").mkString(" ") // J ≈ 0.16
