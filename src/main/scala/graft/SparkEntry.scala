@@ -2068,6 +2068,26 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // WINDOWED streaming cardinality: kmvAgg inside a tumbling-window
+    // streaming groupBy — per-day distinct users as ≤ k hashes of state
+    // per window, estimates extracted batch-side with kmvEstimateCol.
+    // Composition of q51's windowed-agg shape with q140's sketch state.
+    "q148_stream_window_kmv" -> ((s, dir) => {
+      val stream = Tpch.eventsStream(s, dir)
+      val agg = stream
+        .select(window(col("ts"), "1 day").as("w"),
+          md5(col("user_id").cast("string")).as("h"))
+        .groupBy(col("w"))
+        .agg(graft.ops.Sketches.kmvAgg(64, col("h")).as("sk"))
+      val name = "q148_mem_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      drainSink(s, name)(_.select(
+        col("w.start").cast("timestamp_ntz").as("day"),
+        graft.ops.Sketches.kmvEstimateCol(col("sk"), 64).as("est")))
+    }),
+
     // conversion funnel (TimeOps.conversionFunnel): earliest
     // view → click → purchase chain per user, first-match semantics,
     // converted iff completed within 24 h of the first view — |steps|
@@ -4047,6 +4067,28 @@ object SparkEntry {
         |        ELSE CAST(15 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
         |  exact_users
+        |FROM num""".stripMargin,
+    // q136's sketch arithmetic partitioned by day window
+    "q148_stream_window_kmv" ->
+      """WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+        |             md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+        |r AS (SELECT day, h,
+        |        row_number() OVER (PARTITION BY day ORDER BY h) AS rk,
+        |        count(*) OVER (PARTITION BY day) AS nd
+        |      FROM h),
+        |a AS (SELECT day,
+        |        CAST(least(min(nd), 64) AS BIGINT) AS k_actual,
+        |        max(CASE WHEN rk <= 64 THEN h END) AS kth
+        |      FROM r GROUP BY day),
+        |num AS (SELECT day, k_actual,
+        |         CAST(sum((strpos('0123456789abcdef', substr(kth, i+1, 1)) - 1)
+        |              * (CAST(1 AS BIGINT) << (4*(12 - i)))) AS BIGINT) AS kth_num
+        |        FROM a, unnest(range(0, 13)) AS t(i)
+        |        GROUP BY day, k_actual, kth)
+        |SELECT day,
+        |  round(CASE WHEN k_actual < 64 THEN CAST(k_actual AS DOUBLE)
+        |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |             / CAST(kth_num AS DOUBLE) END, 4) AS est
         |FROM num""".stripMargin,
     // nested first-match chain: each step's time is the min over events
     // strictly after the previous step's time
