@@ -2068,6 +2068,26 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // deterministic weighted Bernoulli sample (Sampling.weightedSample):
+    // keep probability ∝ n_chars, the coin an exact integer compare of
+    // the row's own md5 against w·2⁵² — engine-reproducible, no floats.
+    "q149_weighted_sample" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val maxW = docs.agg(max(col("n_chars"))).head.getLong(0)
+      graft.ops.Sampling.weightedSample(docs, "doc_id", "n_chars", maxW)
+    }),
+
+    // robust outlier flags (Skew.madOutliers): |x − median| > 3·MAD
+    // with EXACT median/MAD from the two-pass rank — no approx
+    // quantiles, no mean/stddev masking.
+    "q150_mad_outliers" -> ((s, dir) =>
+      graft.ops.Skew.madOutliers(
+        Tpch.raw(s, dir, "events").select(col("value"), col("event_id")),
+        "value", "event_id")
+        .select(col("event_id"), col("value"),
+          round(col("abs_dev"), 4).as("abs_dev"), col("is_outlier"))),
+
     // WINDOWED streaming cardinality: kmvAgg inside a tumbling-window
     // streaming groupBy — per-day distinct users as ≤ k hashes of state
     // per window, estimates extracted batch-side with kmvEstimateCol.
@@ -4068,6 +4088,35 @@ object SparkEntry {
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est,
         |  exact_users
         |FROM num""".stripMargin,
+    // the md5-fraction coin as exact HUGEINT arithmetic
+    "q149_weighted_sample" ->
+      """WITH m AS (SELECT max(n_chars) AS mw FROM documents),
+        |h AS (SELECT doc_id, n_chars,
+        |        CAST(sum((strpos('0123456789abcdef',
+        |               substr(md5('42:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)
+        |             * (CAST(1 AS BIGINT) << (4*(12 - i)))) AS BIGINT) AS hn
+        |      FROM documents, unnest(range(0, 13)) AS t(i)
+        |      GROUP BY doc_id, n_chars)
+        |SELECT doc_id, n_chars FROM h, m
+        |WHERE CAST(hn AS HUGEINT) * mw
+        |      < CAST(n_chars AS HUGEINT) * 4503599627370496""".stripMargin,
+    // exact rank-based median and MAD, flags on the raw comparison
+    "q150_mad_outliers" ->
+      """WITH o AS (SELECT value, event_id,
+        |        row_number() OVER (ORDER BY value, event_id) - 1 AS rk,
+        |        count(*) OVER () AS n FROM events),
+        |med AS (SELECT value AS med FROM o
+        |        WHERE rk = floor((n-1) * CAST(0.5 AS DOUBLE))),
+        |d AS (SELECT event_id, value, abs(value - med) AS abs_dev
+        |      FROM events, med),
+        |o2 AS (SELECT abs_dev, event_id,
+        |        row_number() OVER (ORDER BY abs_dev, event_id) - 1 AS rk,
+        |        count(*) OVER () AS n FROM d),
+        |mad AS (SELECT abs_dev AS mad FROM o2
+        |        WHERE rk = floor((n-1) * CAST(0.5 AS DOUBLE)))
+        |SELECT event_id, value, round(abs_dev, 4) AS abs_dev,
+        |       abs_dev > CAST(3 AS DOUBLE) * mad AS is_outlier
+        |FROM d, mad""".stripMargin,
     // q136's sketch arithmetic partitioned by day window
     "q148_stream_window_kmv" ->
       """WITH h AS (SELECT DISTINCT date_trunc('day', ts) AS day,

@@ -206,6 +206,28 @@ object Sampling {
       .drop("_currkey")
   }
 
+  /** DETERMINISTIC WEIGHTED Bernoulli sample: keep each row with
+    * probability `weight / maxWeight`, decided by the row's own md5 —
+    * token-proportional document sampling ("long docs count more") and
+    * importance-weighted mixes, with the same (data, seed)-pure,
+    * engine-reproducible contract as [[deterministicRange]]. The coin
+    * is an exact INTEGER compare — hash₅₂(id) · maxWeight < w · 2⁵² —
+    * no float thresholds, no libm, so any SQL engine reproduces the
+    * kept set bit-for-bit. Weights must be positive integers with
+    * w ≤ maxWeight (rows at maxWeight always survive). Narrow map over
+    * the scan, no shuffle. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      maxWeight: Long, seed: Long = 42L): DataFrame = {
+    require(maxWeight >= 1)
+    val h = conv(substring(md5(concat_ws(":", lit(seed.toString),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    // 2^52 · maxWeight can overflow a long for maxWeight > 2048, so
+    // compare in DECIMAL(38,0) — exact, engine-portable
+    val dec = "decimal(38,0)"
+    df.where(h.cast(dec) * lit(maxWeight).cast(dec) <
+      col(weightCol).cast(dec) * lit(4503599627370496L).cast(dec))
+  }
+
   /** STRATIFIED EXACT SPLIT — per-stratum train/val/test with EXACT
     * sizes: within every stratum (language, source, domain) exactly
     * ⌊n·fᵢ⌋ rows land in split i (the last named split absorbs the

@@ -114,6 +114,32 @@ object Skew {
       .groupBy(keyCols.map(col): _*)
       .agg(combine.head, combine.tail: _*)
 
+  /** ROBUST OUTLIER FLAGGING via exact median/MAD — the
+    * quality-distribution guard for ingest monitoring (value drift,
+    * broken extractors): flag rows where |x − median| > cut · MAD,
+    * MAD = median(|x − median|). Median/MAD resist the very outliers
+    * they hunt, unlike mean/stddev; both are EXACT corpus elements from
+    * [[exactQuantiles]] (rank ⌊(n−1)/2⌋ under (value, tiebreak) order),
+    * so the flags are engine-reproducible — no approx quantiles, no
+    * float accumulation. Two ranked passes + one broadcast threshold
+    * filter. Degenerate corpora (MAD = 0, over half the values
+    * identical) flag any deviation from the median.
+    * Output: input columns + `abs_dev` + `is_outlier`. */
+  def madOutliers(df: DataFrame, valueCol: String, tieCol: String,
+      cut: Double = 3.0): DataFrame = {
+    val med = exactQuantiles(df, valueCol, tieCol, Seq(0.5))
+      .select(col(valueCol).as("_med"))
+    val dev = df.crossJoin(broadcast(med)) // 1-row scalar
+      .withColumn("abs_dev",
+        abs(col(valueCol).cast("double") - col("_med").cast("double")))
+    val mad = exactQuantiles(
+      dev.select(col("abs_dev"), col(tieCol)), "abs_dev", tieCol,
+      Seq(0.5)).select(col("abs_dev").as("_mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("is_outlier", col("abs_dev") > lit(cut) * col("_mad"))
+      .drop("_med", "_mad")
+  }
+
   /** EXACT QUANTILES without a global sort window: the value at rank
     * ⌊(n−1)·q⌋ for each requested q (the lower-nearest-rank/"disc"
     * definition — an actual corpus value, never an interpolation).

@@ -1197,6 +1197,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
   }
 
+  test("weightedSample: exact md5-coin membership, full keep at max") {
+    import org.apache.commons.codec.digest.DigestUtils
+    val rows = (0L until 500L).map(i => (i, 1L + i % 100))
+    val df = rows.toDF("id", "w")
+    val kept = graft.ops.Sampling.weightedSample(df, "id", "w", 100)
+      .select($"id").as[Long].collect().toSet
+    val expect = rows.filter { case (i, w) =>
+      val hn = java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"42:$i").take(13), 16)
+      BigInt(hn) * 100 < BigInt(w) * BigInt(4503599627370496L)
+    }.map(_._1).toSet
+    assert(kept === expect)
+    // weight == maxWeight keeps everything
+    val all = graft.ops.Sampling.weightedSample(
+      df.withColumn("w", lit(100L)), "id", "w", 100)
+    assert(all.count() === 500)
+  }
+
+  test("madOutliers: exact median/MAD, only the planted outlier flags") {
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("value", "id")
+    // median = 5 (rank 4), devs sorted 0,1,1,2,2,3,3,4,4,95 → MAD = 2
+    val out = graft.ops.Skew.madOutliers(df, "value", "id")
+      .select($"value", $"is_outlier").as[(Double, Boolean)]
+      .collect().toMap
+    assert(out(100.0) === true)
+    assert((1 to 9).forall(v => !out(v.toDouble)))
+  }
+
   test("conversionFunnel: first-match chain, strict order, window cut") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
