@@ -674,6 +674,83 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: containmentJoin == naive all-pairs containment on " +
+      "random overlapping docs") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(940L + trial)
+      val vocab = (0 until 40).map(i => s"w$i")
+      val docs = (0L until 60L).map { i =>
+        val n = 4 + rnd.nextInt(20)
+        val start = rnd.nextInt(vocab.size - 4)
+        // overlapping token RANGES → genuine containment structure
+        (i, (0 until n).map(j => vocab((start + j) % vocab.size))
+          .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text").repartition(5)
+      val sh = df.select($"doc_id",
+        sort_array(graft.ops.Dedup.shingles($"text")).as("sh"))
+      val got = graft.ops.Dedup.containmentJoin(sh, "doc_id", "sh", 0.6)
+        .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+      // naive reference over driver-computed shingle sets
+      def shingleSet(t: String): Set[String] = {
+        val ws = t.split(" ")
+        if (ws.length < 3) Set(t)
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = docs.map { case (i, t) => i -> shingleSet(t) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        inter = (sets(a) & sets(b)).size
+        if inter.toDouble / math.min(sets(a).size, sets(b).size) >= 0.6
+      } yield (a, b)).toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("property: conversionFunnel == naive per-key chain walk on " +
+      "random event streams") {
+    import java.time.LocalDateTime
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(950L + trial)
+      val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
+      val types = Seq("A", "B", "C", "X")
+      val rows = (0 until 400).map { i =>
+        (i.toLong, 1L + rnd.nextInt(20),
+          t0.plusMinutes(rnd.nextInt(5000)),
+          types(rnd.nextInt(types.size)))
+      }
+      // dedupe equal (user, ts) instants: the chain semantics need
+      // strict order and real logs carry distinct event times
+      val uniq = rows.groupBy(r => (r._2, r._3)).map(_._2.head).toSeq
+      val df = uniq.toDF("event_id", "user_id", "ts", "event_type")
+        .repartition(7)
+      val windowSecs = 30L * 3600
+      val got = graft.ops.TimeOps.conversionFunnel(
+        df, "user_id", "ts", "event_type", Seq("A", "B", "C"), windowSecs)
+        .select($"user_id", $"converted").as[(Long, Boolean)]
+        .collect().toMap
+      // naive chain walk
+      val byUser = uniq.groupBy(_._2)
+      byUser.foreach { case (u, es) =>
+        def after(tp: String, t: Option[LocalDateTime]) = es
+          .filter(e => e._4 == tp && t.forall(e._3.isAfter))
+          .map(_._3).sortBy(_.toString).headOption
+        val ta = after("A", None)
+        if (ta.isEmpty) assert(!got.contains(u), s"trial $trial user $u")
+        else {
+          val tb = after("B", ta)
+          val tc = tb.flatMap(t => after("C", Some(t)))
+          val conv = (ta, tc) match {
+            case (Some(a), Some(c)) =>
+              java.time.Duration.between(a, c).getSeconds <= windowSecs
+            case _ => false
+          }
+          assert(got(u) === conv, s"trial $trial user $u")
+        }
+      }
+    }
+  }
+
   test("property: bpeLearn == driver-computed greedy BPE on random " +
       "small vocabularies") {
     for (trial <- 1 to 3) {
