@@ -2068,6 +2068,29 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // STREAMING conversion funnel (StreamingFunnel.funnelProgress): the
+    // per-key ordered-pattern state machine — |steps| timestamps of
+    // state per key, one flatMapGroupsWithState — with q147's batch
+    // answer as the equivalence oracle (greedy in-order advance ==
+    // nested min chain on bounded input).
+    "q151_stream_funnel_cep" -> ((s, dir) => {
+      val stream = Tpch.eventsStream(s, dir)
+      val prog = graft.streaming.StreamingFunnel.funnelProgress(
+        stream, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSeconds = 86400L)
+      val name = "q151_mem_" + System.nanoTime()
+      val q = prog.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      drainSink(s, name)(df => df
+        .where(col("t_1").isNotNull)
+        .select(col("user_id"),
+          col("t_1").cast("timestamp_ntz").as("t_1"),
+          col("t_2").cast("timestamp_ntz").as("t_2"),
+          col("t_3").cast("timestamp_ntz").as("t_3"),
+          col("converted")))
+    }),
+
     // deterministic weighted Bernoulli sample (Sampling.weightedSample):
     // keep probability ∝ n_chars, the coin an exact integer compare of
     // the row's own md5 against w·2⁵² — engine-reproducible, no floats.
@@ -4139,6 +4162,24 @@ object SparkEntry {
         |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est
         |FROM num""".stripMargin,
+    // q147's batch answer IS the streaming oracle (bounded input)
+    "q151_stream_funnel_cep" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_1
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_3
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+        |       (s3.t_3 IS NOT NULL AND
+        |        epoch_us(s3.t_3) - epoch_us(s1.t_1) <= 86400000000)
+        |         AS converted
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
     // nested first-match chain: each step's time is the min over events
     // strictly after the previous step's time
     "q147_conversion" ->

@@ -1,7 +1,7 @@
 package graft
 
 import graft.sources.RowIngest
-import graft.streaming.StreamingAssert
+import graft.streaming.{StreamingAssert, StreamingFunnel}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -411,6 +411,36 @@ class StreamingSpec extends AnyFunSuite {
         "SELECT event_type, n, sum_value FROM winagg ORDER BY event_type")
         .as[(String, Long, Double)].collect().toList
       assert(out === List(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: chain state carries ACROSS microbatches, " +
+      "strict order and window enforced") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val rows = input.toDF().toDF("user_id", "ts", "event_type")
+    val prog = StreamingFunnel.funnelProgress(
+      rows, "user_id", "ts", "event_type", Seq("A", "B"),
+      withinSeconds = 30L)
+    val q = prog.writeStream.format("memory").queryName("fnl")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 matches A; user 2 sees B first (no chain)
+      input.addData((1L, ts(1), "A"), (2L, ts(2), "B"))
+      q.processAllAvailable()
+      // batch 2: user 1's B arrives → chain completes across batches;
+      // user 2's A starts a chain whose B (batch 1) is already gone
+      input.addData((1L, ts(5), "B"), (2L, ts(6), "A"))
+      q.processAllAvailable()
+      // update-mode sink holds one snapshot per batch; the most
+      // advanced snapshot is the final state (progress only grows)
+      val last = spark.sql(
+          "SELECT user_id, t_2 IS NOT NULL, converted FROM fnl")
+        .as[(Long, Boolean, Boolean)].collect()
+        .groupBy(_._1).map { case (u, rs) =>
+          u -> rs.maxBy(r => (r._2, r._3)) }
+      assert(last(1L) === ((1L, true, true)))
+      assert(last(2L) === ((2L, false, false)))
     } finally q.stop()
   }
 }
