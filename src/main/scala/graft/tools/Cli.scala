@@ -138,11 +138,16 @@ object Cli {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
       "usage: Cli {join|pull|datalog} -i inputs... [-p expr] " +
         "[-e pattern | -E ids] [-q query] -o out\n" +
-        "   or: Cli {dedup|sample|chunk|pack|scrub|split} -i inputs... " +
+        "   or: Cli {dedup|sample|chunk|pack|scrub|split|...} -i inputs... " +
         "[--format json|parquet] [--id COL] [--text COL] " +
         "[--size N --stride N | --capacity N [--by COL] | " +
         "--buckets N | --lo A --hi B | " +
-        "--group COL --folds name:width,...] -o out")
+        "--group COL --folds name:width,...] -o out\n" +
+        "analysis: funnel|hitters|mix|drift|lmscore|curriculum|score\n" +
+        "sketch/stats: kmv --k N | card [--cols a,b] | quantiles --qs ... | " +
+        "stratsplit --fracs name:f,... | gapfill --ts-col C --val-col C\n" +
+        "dedup extras: containment --threshold T | leakage --group FOLD | " +
+        "bpelearn --merges N")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
