@@ -74,8 +74,34 @@ object Tpch {
     sessionCache(spark).getOrElseUpdate((sfDir, "raw:" + table), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$table.parquet")
-      if (table == "events") normalizeEventsTs(df) else df
+      table match {
+        case "events" => normalizeEventsTs(df)
+        case "documents" =>
+          pinTypes(df, Map("doc_id" -> "bigint", "n_chars" -> "bigint"))
+        case "embeddings" =>
+          pinTypes(df, Map("vec_id" -> "bigint",
+            "embedding" -> "array<float>", "label" -> "int"))
+        case _ => df
+      }
     })
+
+  /** Pin named columns to their EXPECTED types — the same
+    * drift-absorption contract as [[normalizeEventsTs]], for the
+    * text/embedding tables: the driver regenerates testdata between
+    * rounds, and a pandas/pyarrow version bump can silently flip
+    * int64↔int32 or float↔double (the events.ts TIMESTAMP(NANOS)→MICROS
+    * flip cost round 8 fourteen queries). Casts on already-right types
+    * are no-ops Catalyst erases, so this costs nothing while nothing
+    * has drifted; absent columns are left to fail analysis loudly at
+    * the query that needs them. */
+  def pinTypes(df: DataFrame, expected: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    expected.foldLeft(df) { case (acc, (name, ddl)) =>
+      if (acc.columns.contains(name))
+        acc.withColumn(name, col(name).cast(ddl))
+      else acc
+    }
+  }
 
   /** Normalize an events frame's `ts` to TIMESTAMP_NTZ regardless of how
     * the parquet writer encoded it (nanos-as-long vs native micros). */

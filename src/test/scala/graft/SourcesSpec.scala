@@ -204,6 +204,34 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("documents/embeddings width-drift guard: int32 ids and double " +
+      "embeddings pin back to the expected types (Tpch)") {
+    import org.apache.spark.sql.types._
+    // documents with int32 doc_id/n_chars (a pandas regeneration shape)
+    val dDir = Files.createTempDirectory("docdrift")
+    Seq((1, "hello world", "en", "s0", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dDir.resolve("documents.parquet").toString)
+    val docs = graft.sources.Tpch.raw(spark, dDir.toString, "documents")
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(docs.schema("n_chars").dataType === LongType)
+    // embeddings with double[] vectors and long label
+    val eDir = Files.createTempDirectory("embdrift")
+    Seq((1, Array(0.5, 0.25), 3L))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(eDir.resolve("embeddings.parquet").toString)
+    val emb = graft.sources.Tpch.raw(spark, eDir.toString, "embeddings")
+    assert(emb.schema("vec_id").dataType === LongType)
+    assert(emb.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType === FloatType)
+    assert(emb.schema("label").dataType === IntegerType)
+    // the already-correct generation passes through unchanged
+    val cur = graft.sources.Tpch.raw(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    assert(cur.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType === FloatType)
+  }
+
   test("entity constructors build namespaced docs (W9)") {
     val doc = Constructors.entityCons("cft.type:seq", "cft.seq")(
       "id" -> "s1", "cft:description" -> "x")
