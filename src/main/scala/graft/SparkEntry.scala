@@ -2068,6 +2068,21 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // BATCHED BM25 retrieval (TextOps.bm25QueryBatch): three queries
+    // against the persisted postings index in ONE plan — the term
+    // union pushes into the bucketed scan as a literal IN, per-query
+    // top-10 via a window over each query's own candidates.
+    "q152_bm25_batch" -> ((s, dir) => {
+      val table = s"q152idx_${dirTag(dir)}"
+      graft.ops.TextOps.buildTextIndex(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        table, scratch("q152idx", dir))
+      graft.ops.TextOps.bm25QueryBatch(s, table, "doc_id",
+        Seq(1L -> Seq("spark", "window", "merge"),
+          2L -> Seq("data", "join"),
+          3L -> Seq("stream", "table", "query")), k = 10)
+    }),
+
     // STREAMING conversion funnel (StreamingFunnel.funnelProgress): the
     // per-key ordered-pattern state machine — |steps| timestamps of
     // state per key, one flatMapGroupsWithState — with q147's batch
@@ -4162,6 +4177,39 @@ object SparkEntry {
         |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est
         |FROM num""".stripMargin,
+    // q85's BM25 arithmetic per (query_id, term) pair + per-query rank
+    "q152_bm25_batch" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+        |      FROM (VALUES (1, 'spark'), (1, 'window'), (1, 'merge'),
+        |                   (2, 'data'), (2, 'join'),
+        |                   (3, 'stream'), (3, 'table'), (3, 'query'))
+        |           v(query_id, term)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT q.query_id, tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM q JOIN tf USING (term) JOIN dfr USING (term)
+        |           JOIN dl USING (doc_id) CROSS JOIN st),
+        |s AS (SELECT query_id, doc_id,
+        |        CAST(count(*) AS BIGINT) AS n_matched,
+        |        round(sum(ts), 4) AS score
+        |      FROM p GROUP BY 1, 2)
+        |SELECT query_id, doc_id, n_matched, score,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |FROM s QUALIFY rank <= 10""".stripMargin,
     // q147's batch answer IS the streaming oracle (bounded input)
     "q151_stream_funnel_cep" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t_1 FROM events

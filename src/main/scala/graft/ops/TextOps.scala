@@ -541,6 +541,53 @@ object TextOps {
       .limit(k)
   }
 
+  /** BATCHED BM25 retrieval — N queries against the persisted postings
+    * index in ONE plan: the union of all query terms pushes into the
+    * term-bucketed scan as a literal IN (bucket pruning works for the
+    * batch exactly as for one query — SelectedBucketsCount covers the
+    * union, not the corpus), per-(query, doc) scores come from one
+    * broadcast join of the tiny (query_id, term) map, and per-query
+    * top-k is a window over each query's own candidate set. This is
+    * the production retrieval shape — an eval suite or serving batch
+    * never issues queries one plan at a time.
+    * Output: (query_id, idCol, n_matched, score, rank), rank ≤ k. */
+  def bm25QueryBatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, idCol: String, queries: Seq[(Long, Seq[String])],
+      k: Int, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k >= 1)
+    require(queries.forall(_._2.nonEmpty), "every query needs terms")
+    import spark.implicits._
+    val st = spark.table(table + "_stats").head()
+    val n = st.getLong(st.fieldIndex("n"))
+    val sumdl = st.getLong(st.fieldIndex("sumdl"))
+    val allTerms = queries.flatMap(_._2).distinct
+    val posts = spark.table(table)
+      .where(col("term").isInCollection(allTerms))
+    val dfreq = posts.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    posts.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .withColumn("_avgdl",
+        lit(sumdl).cast(DoubleType) / lit(n).cast(DoubleType))
+      .withColumn("_idf",
+        ((lit(n) - col("_df")).cast(DoubleType) + lit(0.5)) /
+          (col("_df").cast(DoubleType) + lit(0.5)))
+      .withColumn("_tscore", round(col("_idf") *
+        (col("_tf").cast(DoubleType) * lit(k1 + 1.0) /
+          (col("_tf").cast(DoubleType) + lit(k1) *
+            (lit(1.0) - lit(b) +
+              lit(b) * col("_dl").cast(DoubleType) / col("_avgdl")))), 4))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("_tscore")), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
   /** Weighted-LEXICON quality scoring — the shape of a fastText-style
     * classifier filter without the non-reproducible model: each document
     * scores Σ count(term)·weight(term) over a weighted lexicon

@@ -1197,6 +1197,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map("a|b" -> 4L, "b|a" -> 2L, "c|d" -> 1L))
   }
 
+  test("bm25QueryBatch: one plan reproduces per-query bm25Query exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25batch").toString
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "data join data"),
+      (3L, "spark data window"), (4L, "noise terms only here"))
+      .toDF("doc_id", "text")
+    graft.ops.TextOps.buildTextIndex(docs, "doc_id", "text",
+      "bm25batch_t", dir + "/idx")
+    val qs = Seq(10L -> Seq("spark", "window"), 20L -> Seq("data", "join"))
+    val batch = graft.ops.TextOps.bm25QueryBatch(
+      spark, "bm25batch_t", "doc_id", qs, k = 3)
+      .select($"query_id", $"doc_id", $"n_matched", $"score")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val singles = qs.flatMap { case (qid, terms) =>
+      graft.ops.TextOps.bm25Query(spark, "bm25batch_t", "doc_id", terms, 3)
+        .as[(Long, Long, Double)].collect()
+        .map { case (d, nm, s) => (qid, d, nm, s) }
+    }.toSet
+    assert(batch === singles)
+  }
+
   test("weightedSample: exact md5-coin membership, full keep at max") {
     import org.apache.commons.codec.digest.DigestUtils
     val rows = (0L until 500L).map(i => (i, 1L + i % 100))
