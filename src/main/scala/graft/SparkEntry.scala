@@ -2068,6 +2068,17 @@ object SparkEntry {
       graft.ops.Dedup.leakageAudit(split, "doc_id", "text", "fold")
     }),
 
+    // BATCHED hybrid retrieval (Similarity.hybridTopKBatch): two
+    // queries, each with a term list AND a query vector — one lexical
+    // plan, one vector plan, one RRF fusion join; q134's arithmetic
+    // per query in the oracle.
+    "q153_hybrid_batch" -> ((s, dir) =>
+      graft.ops.Similarity.hybridTopKBatch(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text",
+        Tpch.raw(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq((1L, Seq("spark", "window", "merge"), 7L),
+          (2L, Seq("data", "join"), 3L)), k = 10)),
+
     // BATCHED BM25 retrieval (TextOps.bm25QueryBatch): three queries
     // against the persisted postings index in ONE plan — the term
     // union pushes into the bucketed scan as a literal IN, per-query
@@ -4177,6 +4188,60 @@ object SparkEntry {
         |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
         |             / CAST(kth_num AS DOUBLE) END, 4) AS est
         |FROM num""".stripMargin,
+    // q134's hybrid arithmetic per query: per-query lex + vec pools,
+    // per-query RRF rank
+    "q153_hybrid_batch" ->
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents),
+        |q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+        |      FROM (VALUES (1, 'spark'), (1, 'window'), (1, 'merge'),
+        |                   (2, 'data'), (2, 'join')) v(query_id, term)),
+        |qv AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |              CAST(vec_id AS BIGINT) AS vec_id
+        |       FROM (VALUES (1, 7), (2, 3)) v(query_id, vec_id)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |p AS (SELECT q.query_id, tf.doc_id, round(
+        |        ((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * 2.25 /
+        |         (CAST(tf AS DOUBLE) + 1.25 *
+        |          (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+        |           (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))), 4) AS ts
+        |      FROM q JOIN tf USING (term) JOIN dfr USING (term)
+        |           JOIN dl USING (doc_id) CROSS JOIN st),
+        |lexs AS (SELECT query_id, doc_id, round(sum(ts), 4) AS score
+        |         FROM p GROUP BY 1, 2
+        |         QUALIFY row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) <= 15),
+        |lex AS (SELECT query_id, doc_id AS id,
+        |          CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+        |        FROM lexs),
+        |vec AS (SELECT qv.query_id, b.vec_id AS id,
+        |          CAST(row_number() OVER (PARTITION BY qv.query_id
+        |            ORDER BY
+        |              list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |              b.vec_id) AS BIGINT) AS vec_rank
+        |        FROM embeddings a JOIN qv ON a.vec_id = qv.vec_id
+        |             JOIN embeddings b ON b.vec_id <> a.vec_id
+        |        QUALIFY vec_rank <= 15),
+        |f AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+        |        coalesce(lex.id, vec.id) AS doc_id,
+        |        coalesce(lex_rank, CAST(0 AS BIGINT)) AS lex_rank,
+        |        coalesce(vec_rank, CAST(0 AS BIGINT)) AS vec_rank,
+        |        round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+        |            + coalesce(1.0 / (60 + vec.vec_rank), 0.0), 6) AS rrf
+        |      FROM lex FULL OUTER JOIN vec
+        |        ON lex.id = vec.id AND lex.query_id = vec.query_id)
+        |SELECT query_id, doc_id, lex_rank, vec_rank, rrf
+        |FROM f QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY rrf DESC, doc_id) <= 10""".stripMargin,
     // q85's BM25 arithmetic per (query_id, term) pair + per-query rank
     "q152_bm25_batch" ->
       """WITH dl AS (SELECT doc_id,

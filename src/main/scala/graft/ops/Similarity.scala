@@ -76,6 +76,48 @@ object Similarity {
     * corpus. Ties break by id everywhere. Output: (idCol, lex_rank,
     * vec_rank — null when absent from that pool — rrf), rrf
     * descending, top `k`. */
+  /** [[hybridTopK]] for a BATCH of queries — the serving/eval shape:
+    * every query carries BOTH a term list and a query-vector id, the
+    * lexical pools come from ONE TextOps.bm25RankBatch plan, the
+    * vector pools from ONE bruteTopK call (its query side is already a
+    * set), and the RRF fusion + per-query top-k is one full-outer join
+    * on (query_id, doc) + one bounded window. Same exact-rational RRF
+    * contract as the single-query form.
+    * Output: (query_id, idCol, lex_rank, vec_rank, rrf), top k per
+    * query by (rrf desc, id). */
+  def hybridTopKBatch(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      queries: Seq[(Long, Seq[String], Long)], k: Int,
+      poolK: Int = 15, rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty && k >= 1 && poolK >= k && rrfK >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = graft.ops.TextOps.bm25RankBatch(docs, idCol, textCol,
+        queries.map(q => q._1 -> q._2), poolK)
+      .select(col("query_id"), col(idCol).as("_id"),
+        col("rank").as("lex_rank"))
+    val qv = queries.map(q => q._3 -> q._1).toDF("_qvid", "_hq")
+    val vec = bruteTopK(emb,
+        emb.where(col(vecIdCol).isInCollection(queries.map(q =>
+          java.lang.Long.valueOf(q._3)))), vecIdCol, vecCol, poolK)
+      .join(broadcast(qv), col("query_id") === col("_qvid"))
+      .select(col("_hq").as("query_id"),
+        col("neighbor_id").as("_id"),
+        col("rank").cast("long").as("vec_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    lex.join(vec, Seq("query_id", "_id"), "full_outer")
+      .select(col("query_id"), col("_id").as(idCol),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .withColumn("_hk", row_number().over(w))
+      .where(col("_hk") <= k).drop("_hk")
+  }
+
   def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], emb: DataFrame, vecIdCol: String,
       vecCol: String, queryVecId: Long, k: Int, poolK: Int = 15,

@@ -541,6 +541,54 @@ object TextOps {
       .limit(k)
   }
 
+  /** [[bm25Rank]] for a BATCH of queries over the raw corpus (no
+    * index): one tokenize pass, the term UNION as the pushed-down
+    * filter, (query_id, term) resolved by one broadcast join, and
+    * per-query top-k windows. The index-backed sibling is
+    * [[bm25QueryBatch]]; this one serves ad-hoc batches where no
+    * postings table exists yet.
+    * Output: (query_id, idCol, n_matched, score, rank), rank ≤ k. */
+  def bm25RankBatch(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k >= 1)
+    require(queries.forall(_._2.nonEmpty), "every query needs terms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val dl = df.select(col(idCol),
+      nTokens(col(textCol)).cast(LongType).as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isInCollection(allTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("_avgdl",
+        col("_sumdl").cast(DoubleType) / col("_n").cast(DoubleType))
+      .withColumn("_idf",
+        ((col("_n") - col("_df")).cast(DoubleType) + lit(0.5)) /
+          (col("_df").cast(DoubleType) + lit(0.5)))
+      .withColumn("_tscore", round(col("_idf") *
+        (col("_tf").cast(DoubleType) * lit(k1 + 1.0) /
+          (col("_tf").cast(DoubleType) + lit(k1) *
+            (lit(1.0) - lit(b) +
+              lit(b) * col("_dl").cast(DoubleType) / col("_avgdl")))), 4))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("_tscore")), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
   /** BATCHED BM25 retrieval — N queries against the persisted postings
     * index in ONE plan: the union of all query terms pushes into the
     * term-bucketed scan as a literal IN (bucket pruning works for the

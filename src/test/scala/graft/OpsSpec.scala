@@ -1218,6 +1218,27 @@ class OpsSpec extends AnyFunSuite {
     assert(batch === singles)
   }
 
+  test("hybridTopKBatch: one fused plan reproduces per-query hybridTopK") {
+    val docs = Seq((1L, "spark window merge"), (2L, "data join data"),
+      (3L, "spark data"), (4L, "noise only")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((10L, Seq("spark", "window"), 1L),
+      (20L, Seq("data", "join"), 2L))
+    val batch = graft.ops.Similarity.hybridTopKBatch(
+      docs, "doc_id", "text", emb, "vec_id", "embedding", qs, k = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val singles = qs.flatMap { case (qid, terms, qvec) =>
+      graft.ops.Similarity.hybridTopK(docs, "doc_id", "text", terms,
+        emb, "vec_id", "embedding", qvec, k = 3)
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (d, lr, vr, r) => (qid, d, lr, vr, r) }
+    }.toSet
+    assert(batch === singles)
+  }
+
   test("weightedSample: exact md5-coin membership, full keep at max") {
     import org.apache.commons.codec.digest.DigestUtils
     val rows = (0L until 500L).map(i => (i, 1L + i % 100))
