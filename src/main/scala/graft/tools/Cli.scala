@@ -123,7 +123,9 @@ object Cli {
       tsCol: String = "ts",
       valCol: String = "value",
       stepSeconds: Long = 3600L,
-      cols: Seq[String] = Nil)
+      cols: Seq[String] = Nil,
+      funnelSteps: Seq[String] = Nil,
+      windowSeconds: Long = 86400L)
 
   private val TripleSubs = Seq("join", "pull", "datalog")
   private val PipelineSubs =
@@ -132,7 +134,7 @@ object Cli {
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
-      "gapfill", "leakage", "card", "containment")
+      "gapfill", "leakage", "card", "containment", "conversion")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -223,6 +225,9 @@ object Cli {
         case f @ "--val-col" => a = a.copy(valCol = value(f))
         case f @ "--step" => a = a.copy(stepSeconds = value(f).toLong)
         case f @ "--cols" => a = a.copy(cols = value(f).split(",").toSeq)
+        case f @ "--steps" =>
+          a = a.copy(funnelSteps = value(f).split(",").toSeq)
+        case f @ "--window" => a = a.copy(windowSeconds = value(f).toLong)
         case other => sys.error(s"unknown argument: $other")
       }
     }
@@ -584,6 +589,13 @@ object Cli {
         case "card" =>
           graft.ops.Profile.datasetCard(df,
             if (a.cols.nonEmpty) a.cols else df.columns.toSeq)
+        // ordered event-sequence completion per --group key: --steps
+        // type1,type2,... within --window seconds (type column = --text)
+        case "conversion" =>
+          require(a.funnelSteps.size >= 2,
+            "conversion needs --steps t1,t2[,...]")
+          graft.ops.TimeOps.conversionFunnel(df, a.groupCol, a.tsCol,
+            a.textCol, a.funnelSteps, a.windowSeconds)
         // subset-duplicate pairs at --threshold containment
         case "containment" =>
           val csh = df.select(col(a.idCol),

@@ -397,6 +397,18 @@ class CliSpec extends AnyFunSuite {
       .select($"split_a", $"split_b", $"n_pairs")
       .as[(String, String, Long)].collect().toSet
     assert(lk === Set(("test", "train", 1L)))
+    // conversion: A then B within the window for user 1 only
+    Files.writeString(Paths.get(dir + "/cv.json"),
+      """{"user_id": 1, "ts": "2024-01-01 00:00:00", "event_type": "A"}
+        |{"user_id": 1, "ts": "2024-01-01 00:10:00", "event_type": "B"}
+        |{"user_id": 2, "ts": "2024-01-01 00:00:00", "event_type": "B"}
+        |""".stripMargin)
+    Cli.run(spark, Array("conversion", "-i", dir + "/cv.json",
+      "--group", "user_id", "--ts-col", "ts", "--text", "event_type",
+      "--steps", "A,B", "--window", "3600", "-o", dir + "/cvo"))
+    val cv = spark.read.json(dir + "/cvo")
+      .select($"user_id", $"converted").as[(Long, Boolean)].collect().toMap
+    assert(cv === Map(1L -> true)) // user 2 never matched step 1
   }
 
   test("CLI index verbs: build, near-dedup against, append, re-dedup") {
