@@ -143,6 +143,89 @@ object SparkEntry {
     }
   }
 
+  /** Register an UNBUCKETED parquet location as an external table —
+    * the sidecar (stats / centroids) analogue of Layout.registerBucketed
+    * for the pristine-reuse helpers below. */
+  private def registerPlainTable(s: SparkSession, table: String,
+      path: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = s.read.parquet(path).schema
+    s.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
+      s"LOCATION '$path'")
+  }
+
+  /** [[lshIndexFromPristine]]'s shape for [[graft.ops.TextOps
+    * .buildTextIndex]] tables: the expensive full-tokenize build runs
+    * once per (tag, sf) behind a stamped _OK marker; a mutating
+    * consumer (appendTextIndex / compactBucketed) works on a per-run
+    * file copy, a read-only consumer registers the pristine files
+    * directly. `corpus` is by-name — only a stale/missing pristine
+    * evaluates it. */
+  private def textIndexFromPristine(s: SparkSession, corpus: => DataFrame,
+      tag: String, dir: String, table: String, workPath: String,
+      mutates: Boolean = false): Unit = {
+    val pristine = scratch(tag + "_pristine", dir)
+    val marker = java.nio.file.Paths.get(pristine + "_OK")
+    val stamp = "textv1 buckets=16"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      for (suffix <- Seq("", "_stats"))
+        deleteRec(java.nio.file.Paths.get(pristine + suffix))
+      graft.ops.TextOps.buildTextIndex(corpus, "doc_id", "text",
+        table + "_pristine", pristine)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    val loc = if (mutates) {
+      for (suffix <- Seq("", "_stats")) {
+        val dst = java.nio.file.Paths.get(workPath + suffix)
+        deleteRec(dst)
+        copyRec(java.nio.file.Paths.get(pristine + suffix), dst)
+      }
+      workPath
+    } else pristine
+    graft.ops.Layout.registerBucketed(s, table, loc, 16, Seq("term"))
+    registerPlainTable(s, table + "_stats", loc + "_stats")
+  }
+
+  /** [[lshIndexFromPristine]]'s shape for [[graft.ops.Similarity
+    * .buildIvfIndex]] tables: quantizer training + cell assignment run
+    * once per (tag, sf); consumers register the cell-bucketed corpus
+    * plus the centroid sidecar from the pristine files (read-only) or a
+    * per-run copy (mutating appendIvfIndex). Deterministic build
+    * (xxhash64-seeded init), so reuse is bit-identical to a rebuild. */
+  private def ivfIndexFromPristine(s: SparkSession, corpus: => DataFrame,
+      tag: String, dir: String, table: String, workPath: String,
+      nCells: Int, iters: Int, trainFraction: Double = 1.0,
+      centroidInit: String = "hash", mutates: Boolean = false): Unit = {
+    val pristine = scratch(tag + "_pristine", dir)
+    val marker = java.nio.file.Paths.get(pristine + "_OK")
+    val stamp =
+      s"ivfv1 cells=$nCells iters=$iters tf=$trainFraction ci=$centroidInit"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      for (suffix <- Seq("", "_centroids"))
+        deleteRec(java.nio.file.Paths.get(pristine + suffix))
+      graft.ops.Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+        table + "_pristine", pristine, nCells, iters, trainFraction,
+        centroidInit = centroidInit)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    val loc = if (mutates) {
+      for (suffix <- Seq("", "_centroids")) {
+        val dst = java.nio.file.Paths.get(workPath + suffix)
+        deleteRec(dst)
+        copyRec(java.nio.file.Paths.get(pristine + suffix), dst)
+      }
+      workPath
+    } else pristine
+    graft.ops.Layout.registerBucketed(s, table, loc, 16, Seq("_cell"))
+    registerPlainTable(s, table + "_centroids", loc + "_centroids")
+  }
+
   /** Reference-surface operators (SURVEY.md §2.2-2.5). */
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1/Q2/Q7a: single-attr equality match + flat pull
@@ -1132,9 +1215,9 @@ object SparkEntry {
     // bucket pruning) — one oracle proves both paths agree
     "q90_bm25_index" -> ((s, dir) => {
       val table = s"q90idx_${dirTag(dir)}"
-      graft.ops.TextOps.buildTextIndex(
-        Tpch.raw(s, dir, "documents"), "doc_id", "text",
-        table, scratch("q90idx", dir))
+      // build once per (tag, sf); the query is a read-only consumer
+      textIndexFromPristine(s, Tpch.raw(s, dir, "documents"),
+        "q90idx", dir, table, scratch("q90idx", dir))
       graft.ops.TextOps.bm25Query(s, table, "doc_id",
         Seq("spark", "window", "merge"), k = 15)
     }),
@@ -1148,9 +1231,10 @@ object SparkEntry {
     "q107_text_index_append" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents")
       val table = s"q107idx_${dirTag(dir)}"
-      graft.ops.TextOps.buildTextIndex(
-        docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text",
-        table, scratch("q107idx", dir))
+      // the operator under test is the APPEND; the 6/7 base build is
+      // harness setup — build once, copy per run (the append mutates)
+      textIndexFromPristine(s, docs.where(col("doc_id") % 7 =!= 0),
+        "q107idx", dir, table, scratch("q107idx", dir), mutates = true)
       graft.ops.TextOps.appendTextIndex(
         docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
         table, scratch("q107idx", dir))
@@ -1166,9 +1250,10 @@ object SparkEntry {
     "q112_index_compact" -> ((s, dir) => {
       val docs = Tpch.raw(s, dir, "documents")
       val table = s"q112idx_${dirTag(dir)}"
-      graft.ops.TextOps.buildTextIndex(
-        docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text",
-        table, scratch("q112idx", dir))
+      // the operators under test are APPEND + COMPACT + VACUUM; the 6/7
+      // base build is harness setup — build once, copy per run
+      textIndexFromPristine(s, docs.where(col("doc_id") % 7 =!= 0),
+        "q112idx", dir, table, scratch("q112idx", dir), mutates = true)
       graft.ops.TextOps.appendTextIndex(
         docs.where(col("doc_id") % 7 === 0), "doc_id", "text",
         table, scratch("q112idx", dir))
@@ -1195,9 +1280,12 @@ object SparkEntry {
       val copies = emb.select((col("vec_id") + offset).as("vec_id"),
         transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
       val table = s"q108idx_${dirTag(dir)}"
-      graft.ops.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
-        table, scratch("q108idx", dir),
-        nCells = 16, iters = 3, trainFraction = 0.25)
+      // the operator under test is the APPEND; the natural-vector base
+      // build is harness setup — build once, copy per run (the append
+      // below mutates the copy)
+      ivfIndexFromPristine(s, emb, "q108idx", dir, table,
+        scratch("q108idx", dir),
+        nCells = 16, iters = 3, trainFraction = 0.25, mutates = true)
       graft.ops.Similarity.appendIvfIndex(copies, "vec_id", "embedding",
         table)
       graft.ops.Similarity.ivfQuery(
@@ -1422,13 +1510,15 @@ object SparkEntry {
     "q78_ann_ivf_index" -> ((s, dir) => {
       val emb = Tpch.raw(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-      val copies = emb.select((col("vec_id") + offset).as("vec_id"),
-        transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
       val table = s"q78idx_${dirTag(dir)}"
-      graft.ops.Similarity.buildIvfIndex(
-        emb.unionAll(copies), "vec_id", "embedding",
-        table, scratch("q78idx", dir),
+      // build once per (tag, sf), register the pristine files per run
+      // (read-only consumer; deterministic build ⇒ identical content)
+      ivfIndexFromPristine(s, {
+        val offset = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+        val copies = emb.select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), x => (x * 2).cast("float")).as("embedding"))
+        emb.unionAll(copies)
+      }, "q78idx", dir, table, scratch("q78idx", dir),
         nCells = 16, iters = 3, trainFraction = 0.25)
       graft.ops.Similarity.ivfQuery(
           emb.where(col("vec_id") < 20), table,
@@ -1610,9 +1700,9 @@ object SparkEntry {
       val emb = Tpch.raw(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val table = s"q123idx_${dirTag(dir)}"
-      graft.ops.Similarity.buildIvfIndex(
-        emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        table, scratch("q123idx", dir),
+      // build once per (tag, sf); dedup only READS the index
+      ivfIndexFromPristine(s, emb.where(col("vec_id") % 10 =!= 0),
+        "q123idx", dir, table, scratch("q123idx", dir),
         nCells = 8, iters = 0, centroidInit = "minid")
       graft.ops.Similarity.incrementalSemanticDedup(
         emb.where(col("vec_id") % 10 === 0), table,
@@ -1644,10 +1734,10 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"))
       val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
       val table = s"q124idx_${dirTag(dir)}"
-      graft.ops.Similarity.buildIvfIndex(
-        emb.where(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        table, scratch("q124idx", dir),
-        nCells = 8, iters = 0, centroidInit = "minid")
+      // the ingest loop APPENDS survivors: build once, copy per run
+      ivfIndexFromPristine(s, emb.where(col("vec_id") % 10 =!= 0),
+        "q124idx", dir, table, scratch("q124idx", dir),
+        nCells = 8, iters = 0, centroidInit = "minid", mutates = true)
       emb.where(col("vec_id") % 10 === 0)
         .write.mode("append").parquet(in)
       val stream = s.readStream
@@ -2052,6 +2142,20 @@ object SparkEntry {
       graft.ops.TextOps.bpeLearn(
         Tpch.raw(s, dir, "documents"), "text", nMerges = 3)),
 
+    // BPE ENCODE (TextOps.bpeEncode): close the tokenizer loop — learn
+    // 3 merges (q142), then count each document's tokens UNDER that
+    // vocab: merges fold into one chained replace over the
+    // distinct-word table (cost ∝ |vocab|), joined back per doc. The
+    // oracle replays learn AND encode with the same space-encoded
+    // replace semantics.
+    "q154_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tpch.raw(s, dir, "documents")
+      val merges = graft.ops.TextOps.bpeLearn(docs, "text", nMerges = 3)
+        .orderBy("iter").select("pair").as[String].collect().toSeq
+      graft.ops.TextOps.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
     // train/test leakage audit (Dedup.leakageAudit): exact-dup pairs
     // straddling q88's hash folds, on a corpus with planted copies
     // (every 7th doc duplicated under a new id — the id-hash split
@@ -2085,9 +2189,9 @@ object SparkEntry {
     // top-10 via a window over each query's own candidates.
     "q152_bm25_batch" -> ((s, dir) => {
       val table = s"q152idx_${dirTag(dir)}"
-      graft.ops.TextOps.buildTextIndex(
-        Tpch.raw(s, dir, "documents"), "doc_id", "text",
-        table, scratch("q152idx", dir))
+      // build once per (tag, sf); the batch query only READS
+      textIndexFromPristine(s, Tpch.raw(s, dir, "documents"),
+        "q152idx", dir, table, scratch("q152idx", dir))
       graft.ops.TextOps.bm25QueryBatch(s, table, "doc_id",
         Seq(1L -> Seq("spark", "window", "merge"),
           2L -> Seq("data", "join"),
@@ -2098,12 +2202,17 @@ object SparkEntry {
     // per-key ordered-pattern state machine — |steps| timestamps of
     // state per key, one flatMapGroupsWithState — with q147's batch
     // answer as the equivalence oracle (greedy in-order advance ==
-    // nested min chain on bounded input).
+    // nested min chain on bounded input). Runs in the BOUNDED-state
+    // mode (EventTimeTimeout eviction); the delay exceeds the test
+    // corpus's span so no key ages out before the oracle compare,
+    // while the production path — watermark + per-key horizon — is
+    // the plan under test (StreamingSpec covers actual eviction).
     "q151_stream_funnel_cep" -> ((s, dir) => {
       val stream = Tpch.eventsStream(s, dir)
       val prog = graft.streaming.StreamingFunnel.funnelProgress(
         stream, "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        Seq("view", "click", "purchase"), withinSeconds = 86400L,
+        watermarkDelay = Some("3650 days"))
       val name = "q151_mem_" + System.nanoTime()
       val q = prog.writeStream.format("memory").queryName(name)
         .outputMode("update").start()
@@ -4093,6 +4202,65 @@ object SparkEntry {
         |SELECT CAST(1 AS INT) AS iter, pair, n FROM m1
         |UNION ALL SELECT CAST(2 AS INT), pair, n FROM m2
         |UNION ALL SELECT CAST(3 AS INT), pair, n FROM m3""".stripMargin,
+    // q142's learn loop, then ENCODE: distinct words re-encoded through
+    // the 3 learned merges (same space-encoded replace), token counts
+    // joined back and summed per doc; 1-char words are 1 token, split
+    // artifacts 0
+    "q154_bpe_encode" ->
+      """WITH v0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v0) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |m1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair LIMIT 1),
+        |v1 AS (SELECT freq, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM v0, m1),
+        |p2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v1) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |m2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+        |v2 AS (SELECT freq, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM v1, m2),
+        |p3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v2) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |m3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair LIMIT 1),
+        |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |      FROM documents),
+        |dw AS (SELECT DISTINCT w FROM w WHERE len(w) >= 2),
+        |e0 AS (SELECT w,
+        |         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
+        |       FROM dw),
+        |e1 AS (SELECT w, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM e0, m1),
+        |e2 AS (SELECT w, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM e1, m2),
+        |e3 AS (SELECT w, replace(enc,
+        |         ' ' || string_split(pair,'|')[1] || '  '
+        |             || string_split(pair,'|')[2] || ' ',
+        |         ' ' || replace(pair,'|','') || ' ') AS enc FROM e2, m3),
+        |tok AS (SELECT w, CAST(len(string_split(trim(enc), '  ')) AS BIGINT)
+        |          AS nt FROM e3)
+        |SELECT w.doc_id,
+        |       CAST(sum(CASE WHEN len(w.w) = 0 THEN 0
+        |                     WHEN len(w.w) = 1 THEN 1
+        |                     ELSE tok.nt END) AS BIGINT) AS n_tokens
+        |FROM w LEFT JOIN tok ON w.w = tok.w
+        |GROUP BY w.doc_id""".stripMargin,
     // q88's fold arithmetic + the exact-dup fingerprint self-join
     "q143_leakage_audit" ->
       """WITH c AS (
@@ -4334,17 +4502,23 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / least(len(a.sh), len(b.sh)) >= 0.8""".stripMargin,
     "q145_dataset_card" -> Seq(
-      ("event_id", true), ("user_id", true),
-      ("event_type", false), ("value", true)).map {
-      case (c, num) =>
+      // (column, numeric?, floating?) — floating columns hash through
+      // the DECIMAL(38,9) canonical encoding (Profile.hashInput's
+      // engine-portable form; raw double→string formatting diverges
+      // between engines in scientific-notation ranges)
+      ("event_id", true, false), ("user_id", true, false),
+      ("event_type", false, false), ("value", true, true)).map {
+      case (c, num, flt) =>
         val mn = if (num) s"round(min($c),4)" else "CAST(NULL AS DOUBLE)"
         val mx = if (num) s"round(max($c),4)" else "CAST(NULL AS DOUBLE)"
         val mns = if (num) "CAST(NULL AS VARCHAR)"
           else s"min(CAST($c AS VARCHAR))"
         val mxs = if (num) "CAST(NULL AS VARCHAR)"
           else s"max(CAST($c AS VARCHAR))"
+        val hin = if (flt) s"CAST(CAST($c AS DECIMAL(38,9)) AS VARCHAR)"
+          else s"CAST($c AS VARCHAR)"
         // q136's sketch arithmetic, once per profiled column
-        s"""(WITH h AS (SELECT DISTINCT md5(CAST($c AS VARCHAR)) AS h
+        s"""(WITH h AS (SELECT DISTINCT md5($hin) AS h
            |            FROM events WHERE $c IS NOT NULL),
            | k AS (SELECT h FROM h ORDER BY h LIMIT 256),
            | a AS (SELECT CAST(count(*) AS BIGINT) AS k_actual,

@@ -56,31 +56,29 @@ object Funnel {
 
   /** The funnel table: `(stage_idx, stage, dropped, remaining)` with a
     * leading `(0, "ingest", 0, total)` row — remaining after stage i =
-    * total − cumulative drops through i. One labeling pass + one
-    * aggregation whose result has |stages|+1 rows; the cumulative sum
-    * runs over that constant-size result, never over the corpus. */
+    * total − cumulative drops through i.
+    *
+    * ONE pass over the corpus, total included: the labeling
+    * aggregation already counts every row (the survivors under the
+    * "kept" label), so total = Σ n of its ≤ |stages|+1 groups — a
+    * separate `df.count()` would scan the corpus a second time for a
+    * number the first scan has. The grouped result is bounded driver
+    * metadata; the cumulative arithmetic runs over it on the driver
+    * and the report materializes as a local relation. */
   def report(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     checkStages(stages)
     val spark = df.sparkSession
     import spark.implicits._
     val counts = labeled(df, stages)
       .groupBy(col("dropped_at")).agg(count(lit(1)).as("n"))
-    // every stage present even when nothing dropped there (left join)
-    val idx = stages.map(_._1).zipWithIndex
-      .map { case (n, i) => (n, i + 1) }.toDF("stage", "stage_idx")
-    val dropped = idx
-      .join(counts.withColumnRenamed("dropped_at", "stage"), Seq("stage"), "left")
-      .select(col("stage_idx"), col("stage"),
-        coalesce(col("n"), lit(0L)).as("dropped"))
-    val total = df.count()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("stage_idx"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ingest = Seq((0, "ingest", 0L)).toDF("stage_idx", "stage", "dropped")
-    // the unpartitioned window is over |stages|+1 rows — bounded by the
-    // stage list, not the data
-    ingest.unionByName(dropped)
-      .withColumn("remaining", lit(total) - sum(col("dropped")).over(w))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val cumDrops = stages.map(n => counts.getOrElse(n._1, 0L))
+      .scanLeft(0L)(_ + _)
+    val rows = (0, "ingest", 0L, total) +:
+      stages.map(_._1).zipWithIndex.map { case (name, i) =>
+        (i + 1, name, counts.getOrElse(name, 0L), total - cumDrops(i + 1))
+      }
+    rows.toDF("stage_idx", "stage", "dropped", "remaining")
   }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{DoubleType, FloatType, NumericType}
 
 /** Corpus profiling — the dataset-card / ANALYZE-TABLE analogue, in ONE
   * scan.
@@ -30,9 +30,21 @@ object Profile {
       case _: NumericType => true
       case _ => false
     }
+    // NDV hash input: floating-point columns are canonicalized through
+    // DECIMAL(38,9) before the string cast — Spark and DuckDB format
+    // raw doubles differently in scientific-notation ranges ('1.0E7'
+    // vs '10000000.0'), but both render a fixed-scale decimal as plain
+    // 9-decimal notation, so the k-th smallest md5 (hence ndv_est) is
+    // engine-reproducible. Values differing only beyond 1e-9 collapse
+    // — a documented property of the canonical encoding, not a bug.
+    def hashInput(c: String) = df.schema(c).dataType match {
+      case DoubleType | FloatType =>
+        col(c).cast("decimal(38,9)").cast("string")
+      case _ => col(c).cast("string")
+    }
     val aggs = count(lit(1)).as("_total") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"_n_$c"),
-        Sketches.kmvAgg(k, md5(col(c).cast("string"))).as(s"_sk_$c")) ++
+        Sketches.kmvAgg(k, md5(hashInput(c))).as(s"_sk_$c")) ++
         (if (isNum(c))
           Seq(round(min(col(c)).cast("double"), 4).as(s"_mn_$c"),
             round(max(col(c)).cast("double"), 4).as(s"_mx_$c"))

@@ -249,9 +249,18 @@ object Sampling {
     *
     * Split thresholds use the SAME double arithmetic the oracle's
     * `floor(n * CAST(f AS DOUBLE))` performs, so engines agree even
-    * when n·f is knife-edge. Output: input columns + `split`. */
+    * when n·f is knife-edge. Output: input columns + `split`.
+    *
+    * NULL strata are a stratum of their own (null-safe `<=>` join +
+    * null-keyed driver entries), so the split stays disjoint-complete
+    * — no silent row loss. The driver-side offset map is strata × 256
+    * longs; `maxStrata` caps it with a loud failure BEFORE collecting
+    * (the guard counts the grouped result distributed-side), because a
+    * url-host-grade stratum column would otherwise build a
+    * multi-million-entry map and broadcast it back. */
   def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
-      fracs: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+      fracs: Seq[(String, Double)], seed: Long = 42L,
+      maxStrata: Int = 100000): DataFrame = {
     require(fracs.size >= 2, "need at least two splits")
     require(fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum ≤ 1")
     val spark = df.sparkSession
@@ -263,43 +272,57 @@ object Sampling {
       // stratum keys travel as strings internally (driver metadata +
       // broadcast join key); the output keeps the original column
       .withColumn("_stk", col(stratumCol).cast("string"))
-    // pass 1: per-(stratum, bucket) counts — bounded driver metadata
-    val counts = keyed.groupBy(col("_stk"), col("_bk"))
-      .count().collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val strata = counts.keys.map(_._1).toSeq.distinct
-    val offsets: Map[(String, String), Long] = strata.flatMap { st =>
-      val buckets = counts.keys.filter(_._1 == st).map(_._2).toSeq.sorted
-      buckets.zip(buckets.scanLeft(0L)((acc, b) => acc + counts((st, b)))
-        .init).map { case (b, off) => (st, b) -> off }
-    }.toMap
-    val nPerStratum: Map[String, Long] =
-      counts.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
-    // cumulative ⌊n·f⌋ thresholds per stratum; last split = remainder
-    val thresholds: Map[String, Seq[Long]] = nPerStratum.map {
-      case (st, n) =>
-        st -> fracs.init.map(_._2)
-          .scanLeft(0L)((acc, f) => acc + math.floor(n * f).toLong).tail
-    }
-    val offDf = spark.createDataFrame(offsets.toSeq.map {
-      case ((st, b), off) =>
-        (st, b, off, thresholds(st) :+ Long.MaxValue)
-    }).toDF("_st", "_bk", "_off", "_cuts")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_stk"), col("_bk")).orderBy(col("_sk"))
-    val ranked = keyed
-      .join(broadcast(offDf),
-        keyed("_stk") === offDf("_st") && keyed("_bk") === offDf("_bk"))
-      .drop("_st").drop(offDf("_bk"))
-      .withColumn("_rk", col("_off") + row_number().over(w) - 1)
-    val names = fracs.map(_._1)
-    val split = names.zipWithIndex.init.foldLeft(Option.empty[Column]) {
-      case (acc, (name, i)) =>
-        val cut = col("_rk") < element_at(col("_cuts"), i + 1)
-        Some(acc.fold(when(cut, name))(_.when(cut, name)))
-    }.fold(lit(names.head): Column)(_.otherwise(names.last))
-    ranked.withColumn("split", split)
-      .drop("_sk", "_bk", "_stk", "_off", "_cuts", "_rk")
+    // pass 1: per-(stratum, bucket) counts — bounded driver metadata.
+    // Guard cardinality distributed-side BEFORE collect: the grouped
+    // result is cached, its row count (≤ strata × 256) checked, and
+    // only then pulled to the driver.
+    val grouped = keyed.groupBy(col("_stk"), col("_bk")).count().persist()
+    try {
+      val nGroups = grouped.count()
+      require(nGroups <= maxStrata.toLong * 256L,
+        s"stratifiedSplit: $stratumCol yields > $maxStrata strata " +
+          s"($nGroups (stratum, bucket) groups) — the driver-side " +
+          "offset map would not be bounded metadata. Use a coarser " +
+          "stratum (e.g. hash-bucket the column) or raise maxStrata " +
+          "if the driver genuinely has the memory.")
+      val counts = grouped.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val strata = counts.keys.map(_._1).toSeq.distinct
+      val offsets: Map[(String, String), Long] = strata.flatMap { st =>
+        val buckets = counts.keys.filter(_._1 == st).map(_._2).toSeq.sorted
+        buckets.zip(buckets.scanLeft(0L)((acc, b) => acc + counts((st, b)))
+          .init).map { case (b, off) => (st, b) -> off }
+      }.toMap
+      val nPerStratum: Map[String, Long] =
+        counts.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
+      // cumulative ⌊n·f⌋ thresholds per stratum; last split = remainder
+      val thresholds: Map[String, Seq[Long]] = nPerStratum.map {
+        case (st, n) =>
+          st -> fracs.init.map(_._2)
+            .scanLeft(0L)((acc, f) => acc + math.floor(n * f).toLong).tail
+      }
+      val offDf = spark.createDataFrame(offsets.toSeq.map {
+        case ((st, b), off) =>
+          (st, b, off, thresholds(st) :+ Long.MaxValue)
+      }).toDF("_st", "_bk", "_off", "_cuts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_stk"), col("_bk")).orderBy(col("_sk"))
+      // null-safe stratum equality: a NULL stratum is a stratum, not a
+      // dropped row — `===` would silently lose every null-keyed row
+      val ranked = keyed
+        .join(broadcast(offDf),
+          keyed("_stk") <=> offDf("_st") && keyed("_bk") === offDf("_bk"))
+        .drop("_st").drop(offDf("_bk"))
+        .withColumn("_rk", col("_off") + row_number().over(w) - 1)
+      val names = fracs.map(_._1)
+      val split = names.zipWithIndex.init.foldLeft(Option.empty[Column]) {
+        case (acc, (name, i)) =>
+          val cut = col("_rk") < element_at(col("_cuts"), i + 1)
+          Some(acc.fold(when(cut, name))(_.when(cut, name)))
+      }.fold(lit(names.head): Column)(_.otherwise(names.last))
+      ranked.withColumn("split", split)
+        .drop("_sk", "_bk", "_stk", "_off", "_cuts", "_rk")
+    } finally grouped.unpersist()
   }
 
   /** DETERMINISTIC GLOBAL SHUFFLE — the training-order primitive: a

@@ -31,7 +31,10 @@ object Sketches {
     require(k >= 2, s"kmvSketch: k must be ≥ 2, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val hashes = df.select(md5(value.cast("string")).as("h")).as[String]
+    // md5(NULL) is NULL — skip it, matching KmvAggregator.reduce's
+    // null contract (NULL is not a distinct value; TreeSet would NPE)
+    val hashes = df.select(md5(value.cast("string")).as("h"))
+      .where(col("h").isNotNull).as[String]
     val local = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[String]()
       it.foreach { h =>

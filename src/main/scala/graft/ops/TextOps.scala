@@ -973,6 +973,46 @@ object TextOps {
     merges.result().toDF("iter", "pair", "n")
   }
 
+  /** BPE ENCODE — apply a LEARNED merge list (the [[bpeLearn]] output,
+    * in iteration order) to a corpus and count the resulting tokens per
+    * document: the token-budget number that matters is tokens under the
+    * ACTUAL tokenizer, not whitespace words ([[nTokens]]) or the
+    * punctuation proxy ([[nSubtokens]]).
+    *
+    * Shape for scale: merges apply to the DISTINCT-WORD table, not the
+    * corpus — cost ∝ |vocab| (which grows sub-linearly in corpus size),
+    * then one equi-join back to the exploded words and a per-doc sum.
+    * The merge list itself is driver-side (it came from bpeLearn's one
+    * row per round) and folds into ONE chained codegen'd `replace`
+    * expression over the encoding — N merges are N string replaces in a
+    * single narrow map over the vocab, zero shuffles per merge. The
+    * space-encoded merge semantics (`" x  y " → " xy "`, see
+    * [[bpeLearn]]) make every replace engine-portable, so the oracle
+    * replays the identical expressions.
+    *
+    * Words shorter than 2 chars never entered the learned vocab: a
+    * 1-char word is one token by definition, an empty split artifact
+    * zero. Output: (idCol, n_tokens). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    require(merges.forall(_.contains("|")),
+      "merges must be bpeLearn 'x|y' pairs in iteration order")
+    val words = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val vocab = words.where(length(col("w")) >= 2).select("w").distinct()
+    val enc0 = concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))
+    val encoded = merges.foldLeft(enc0) { (e, pair) =>
+      val Array(x, y) = pair.split("\\|", 2)
+      call_function("replace", e, lit(s" $x  $y "), lit(s" $x$y "))
+    }
+    val wordTokens = vocab.select(col("w").as("vw"),
+      size(split(trim(encoded), "  ")).cast("long").as("nt"))
+    words.join(wordTokens, col("w") === col("vw"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(when(length(col("w")) === 0, lit(0L))
+        .when(length(col("w")) === 1, lit(1L))
+        .otherwise(col("nt"))).as("n_tokens"))
+  }
+
   /** Document fingerprint: hash of whitespace-normalized lowercase text.
     * (The rolling-hash shingle variant lives in Dedup.shingles; this is
     * the whole-doc exact-dup key.) */

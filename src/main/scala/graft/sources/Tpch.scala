@@ -81,6 +81,27 @@ object Tpch {
         case "embeddings" =>
           pinTypes(df, Map("vec_id" -> "bigint",
             "embedding" -> "array<float>", "label" -> "int"))
+        // TPC-H-ish tables: pin every key/measure so a testdata
+        // regeneration flipping int64↔int32 or double↔float (the r8
+        // events.ts incident, different column) can't shift query
+        // output schemas; casts on already-right types are free no-ops
+        case "region" => pinTypes(df, Map("r_regionkey" -> "int"))
+        case "nation" => pinTypes(df,
+          Map("n_nationkey" -> "int", "n_regionkey" -> "int"))
+        case "customer" => pinTypes(df, Map("c_custkey" -> "bigint",
+          "c_nationkey" -> "int", "c_acctbal" -> "double"))
+        case "supplier" => pinTypes(df, Map("s_suppkey" -> "bigint",
+          "s_nationkey" -> "int", "s_acctbal" -> "double"))
+        case "part" => pinTypes(df, Map("p_partkey" -> "bigint",
+          "p_size" -> "int", "p_retailprice" -> "double"))
+        case "orders" => pinTypes(df, Map("o_orderkey" -> "bigint",
+          "o_custkey" -> "bigint", "o_totalprice" -> "double",
+          "o_orderdate" -> "timestamp_ntz"))
+        case "lineitem" => pinTypes(df, Map("l_orderkey" -> "bigint",
+          "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+          "l_linenumber" -> "int", "l_quantity" -> "double",
+          "l_extendedprice" -> "double", "l_discount" -> "double",
+          "l_tax" -> "double", "l_shipdate" -> "timestamp_ntz"))
         case _ => df
       }
     })

@@ -44,6 +44,19 @@ class FunnelJoinsSpec extends AnyFunSuite {
       (2, "lang", 1L, 2L)))
   }
 
+  test("funnel report is SINGLE-PASS: each input row evaluated exactly " +
+      "once (total derives from the label counts, not a second scan)") {
+    val visits = spark.sparkContext.longAccumulator("funnel-visits")
+    // nondeterministic so the optimizer cannot duplicate the call
+    val seen = udf { (n: Int) => visits.add(1L); n }.asNondeterministic()
+    val traced = docs.withColumn("n", seen(col("n")))
+    val rep = Funnel.report(traced, stages)
+      .select($"stage", $"remaining").as[(String, Long)].collect().toMap
+    assert(rep("lang") === 2L)
+    assert(visits.value === 5L,
+      s"expected one visit per row, got ${visits.value} (second scan?)")
+  }
+
   test("funnel: a stage dropping nothing still appears, with 0") {
     val rep = Funnel.report(docs,
         stages :+ ("never" -> lit(true)))

@@ -1338,4 +1338,25 @@ class OpsSpec extends AnyFunSuite {
     // vocab is DISTINCT words × corpus frequency: aaab freq 2, ab freq 1
     assert(out === Seq((1, "a|a", 4L), (2, "a|b", 3L), (3, "aa|ab", 2L)))
   }
+
+  test("bpeEncode: learned merges drive per-doc token counts; unseen " +
+      "words encode through the same merges; 1-char words = 1 token") {
+    // merges learned on ["ab ab", "abc"]: a|b then ab|c (hand-derived:
+    // round 1 pairs a|b ×3 wins; round 2 ab|c ×1 wins)
+    val learn = Seq((1L, "ab ab"), (2L, "abc")).toDF("id", "text")
+    val merges = graft.ops.TextOps.bpeLearn(learn, "text", nMerges = 2)
+      .orderBy("iter").select("pair").as[String].collect().toSeq
+    assert(merges === Seq("a|b", "ab|c"))
+    // encode a corpus containing words the learn corpus never saw:
+    //   "ab"   → [ab]            = 1 token
+    //   "abc"  → [abc]           = 1 token
+    //   "xaby" → [x, ab, y]      = 3 tokens (merge applies mid-word)
+    //   "z"    → 1-char word     = 1 token (never entered the vocab)
+    //   "ba"   → [b, a]          = 2 tokens (no merge matches)
+    val corpus = Seq((1L, "ab ab"), (2L, "abc z"), (3L, "xaby ba"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bpeEncode(corpus, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 5L))
+  }
 }

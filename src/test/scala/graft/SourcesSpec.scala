@@ -232,6 +232,41 @@ class SourcesSpec extends AnyFunSuite {
       .asInstanceOf[ArrayType].elementType === FloatType)
   }
 
+  test("tpch width-drift guard: every relational table pins keys and " +
+      "measures back to expected types (Tpch)") {
+    import org.apache.spark.sql.types._
+    // a regeneration writing narrow ints and floats (pandas downcast
+    // shapes) must surface through Tpch.raw with the pinned widths
+    val d = Files.createTempDirectory("tpchdrift")
+    Seq((1, 2, "F", 3.5f, new java.sql.Timestamp(0L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(d.resolve("orders.parquet").toString)
+    val ord = graft.sources.Tpch.raw(spark, d.toString, "orders")
+    assert(ord.schema("o_orderkey").dataType === LongType)
+    assert(ord.schema("o_custkey").dataType === LongType)
+    assert(ord.schema("o_totalprice").dataType === DoubleType)
+    assert(ord.schema("o_orderdate").dataType === TimestampNTZType)
+    Seq((1, 2, 3, 4L, 5.0f, 6.0f, 0.5f, 0.25f, "R", "F",
+        new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(d.resolve("lineitem.parquet").toString)
+    val li = graft.sources.Tpch.raw(spark, d.toString, "lineitem")
+    assert(li.schema("l_orderkey").dataType === LongType)
+    assert(li.schema("l_linenumber").dataType === IntegerType)
+    assert(li.schema("l_quantity").dataType === DoubleType)
+    assert(li.schema("l_shipdate").dataType === TimestampNTZType)
+    // the current generation passes through with identical schemas
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val cur = graft.sources.Tpch.raw(spark, "/root/testdata/sf0.001", t)
+      val plain = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+      assert(cur.schema === plain.schema, s"pin changed current $t schema")
+    }
+  }
+
   test("entity constructors build namespaced docs (W9)") {
     val doc = Constructors.entityCons("cft.type:seq", "cft.seq")(
       "id" -> "s1", "cft:description" -> "x")

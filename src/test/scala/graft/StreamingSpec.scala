@@ -443,4 +443,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(2L) === ((2L, false, false)))
     } finally q.stop()
   }
+
+  test("streaming funnel: EventTimeTimeout evicts lapsed keys — a " +
+      "post-eviction event starts a FRESH attempt, not a completion") {
+    implicit val sql = spark.sqlContext
+    def tsl(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val rows = input.toDF().toDF("user_id", "ts", "event_type")
+    val prog = StreamingFunnel.funnelProgress(
+      rows, "user_id", "ts", "event_type", Seq("A", "B"),
+      withinSeconds = 30L, watermarkDelay = Some("5 seconds"))
+    val q = prog.writeStream.format("memory").queryName("fnlev")
+      .outputMode("update").start()
+    try {
+      // user 1 starts a chain at t=1; horizon = t_1 + 30s = 31s
+      input.addData((1L, tsl(1), "A"))
+      q.processAllAvailable()
+      // push the watermark far past the horizon (10000-5 ≫ 31)…
+      input.addData((99L, tsl(10000), "A"))
+      q.processAllAvailable()
+      // …and run one more batch so the timeout fires (timeouts use
+      // the watermark from the previous batch's end)
+      input.addData((98L, tsl(10001), "A"))
+      q.processAllAvailable()
+      // user 1's B: WITHOUT eviction this would complete the old
+      // chain (t_2 set); WITH eviction state is gone → B matches no
+      // step and the snapshot stays chainless
+      input.addData((1L, tsl(10002), "B"))
+      q.processAllAvailable()
+      val rowsOut = spark.sql(
+          "SELECT t_1 IS NOT NULL, t_2 IS NOT NULL, converted " +
+            "FROM fnlev WHERE user_id = 1")
+        .as[(Boolean, Boolean, Boolean)].collect().toList
+      // batch-1 snapshot: chain started; post-eviction snapshot:
+      // fresh and chainless (sink row order is nondeterministic, so
+      // assert set membership, not position)
+      assert(rowsOut.contains((true, false, false)))
+      assert(rowsOut.contains((false, false, false)))
+      assert(!rowsOut.exists(_._2), "eviction failed: old chain completed")
+    } finally q.stop()
+  }
 }
