@@ -83,6 +83,21 @@ object SparkEntry {
     out
   }
 
+  /** Run `body` under `n` shuffle partitions, then restore. Stateful
+    * streaming sizes its state-store count off this conf at query
+    * start: at bench scale (sub-million-row microbatches) 32 stores per
+    * stateful operator is pure per-task/commit overhead — measured ~2×
+    * on the stream-stream join and session windows at 8. This is the
+    * standard production sizing call (state partitions ∝ throughput),
+    * made harness-side; operators are untouched and batch queries keep
+    * the session's 32. */
+  private def withShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   private def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
@@ -1005,7 +1020,7 @@ object SparkEntry {
     // watermarked tumbling-window aggregation; the final (complete-mode)
     // result must equal the batch answer DuckDB computes — streaming and
     // batch semantics agree on bounded input
-    "q51_stream_window" -> ((s, dir) => {
+    "q51_stream_window" -> ((s, dir) => withShuffle(s, 8) {
       // ts normalization (nanos-long vs micros-ntz testdata) lives in ONE
       // place: Tpch.eventsStream probes the physical type and declares the
       // stream schema to match, emitting TIMESTAMP (UTC session tz ⇒
@@ -1026,7 +1041,7 @@ object SparkEntry {
     // source costs nothing extra — the per-gate counts become one
     // streaming aggregation on the label, and bounded input makes
     // stream == batch the oracle (q51's equivalence contract).
-    "q135_stream_funnel" -> ((s, dir) => {
+    "q135_stream_funnel" -> ((s, dir) => withShuffle(s, 8) {
       val stream = Tpch.eventsStream(s, dir)
       val labeled = graft.ops.Funnel.labeled(stream, Seq(
         "value" -> (col("value") >= 10.0),
@@ -1043,7 +1058,7 @@ object SparkEntry {
     // each event lands in exactly 2 windows) with a batch-equivalence
     // oracle: DuckDB reproduces the overlap by unnesting each event into
     // its two window starts
-    "q93_stream_sliding" -> ((s, dir) => {
+    "q93_stream_sliding" -> ((s, dir) => withShuffle(s, 8) {
       val stream = Tpch.eventsStream(s, dir)
       val agg = graft.streaming.StreamingAssert.slidingEventCounts(stream)
       // memory sink = oracle-harness convenience ONLY; production sinks
@@ -1065,7 +1080,7 @@ object SparkEntry {
     // the q49 lag/gap formulation aggregated per session, with the
     // boundary rule matched to session_window's half-open windows (a gap
     // of EXACTLY the duration starts a new session).
-    "q95_stream_session" -> ((s, dir) => {
+    "q95_stream_session" -> ((s, dir) => withShuffle(s, 8) {
       val in = scratch("q95in", dir)
       val p = java.nio.file.Paths.get(in)
       if (java.nio.file.Files.exists(p)) {
@@ -1105,7 +1120,7 @@ object SparkEntry {
     // re-read through a real file-source stream (twice, unioned — the
     // same doubled corpus as q20) into stateful fingerprint clustering;
     // the final complete-mode table must equal DuckDB's batch GROUP BY
-    "q60_stream_dedup" -> ((s, dir) => {
+    "q60_stream_dedup" -> ((s, dir) => withShuffle(s, 8) {
       // stream schema probed from the batch read, not hardcoded — the
       // same drift-proofing as Tpch.eventsStream (testdata regenerations
       // change physical types; see the r8 events.ts incident)
@@ -1436,7 +1451,7 @@ object SparkEntry {
     // clicks joined to the purchases that follow within 1 hour, both
     // sides real file-source streams with watermarks (state bounded by
     // rate × (delay + window), not stream lifetime)
-    "q69_stream_join" -> ((s, dir) => {
+    "q69_stream_join" -> ((s, dir) => withShuffle(s, 8) {
       // ONE file source, self-joined (stream-stream self-joins are
       // supported): each join side still scans per microbatch, but a
       // single FileStreamSource does the directory listing and offset
@@ -1813,7 +1828,7 @@ object SparkEntry {
     // within-batch dedup can't see. Batches are written between
     // processAllAvailable calls, so microbatch boundaries (and thus
     // watermark advancement points) are deterministic.
-    "q76_stream_firstseen" -> ((s, dir) => {
+    "q76_stream_firstseen" -> ((s, dir) => withShuffle(s, 8) {
       val in = scratch("q76in", dir)
       // fresh input dir: batches APPEND files, so a prior run's artifacts
       // would otherwise replay as extra batch-1 data
@@ -2108,7 +2123,7 @@ object SparkEntry {
     // emission, batch-side merge + estimate. Oracle = q136's batch
     // arithmetic: stream and batch agree on bounded input, and the
     // per-bucket sketches provably contain the global k minima.
-    "q140_stream_kmv" -> ((s, dir) => {
+    "q140_stream_kmv" -> ((s, dir) => withShuffle(s, 8) {
       val stream = Tpch.eventsStream(s, dir)
       val h = md5(col("user_id").cast("string"))
       val agg = stream
@@ -2207,7 +2222,7 @@ object SparkEntry {
     // corpus's span so no key ages out before the oracle compare,
     // while the production path — watermark + per-key horizon — is
     // the plan under test (StreamingSpec covers actual eviction).
-    "q151_stream_funnel_cep" -> ((s, dir) => {
+    "q151_stream_funnel_cep" -> ((s, dir) => withShuffle(s, 8) {
       val stream = Tpch.eventsStream(s, dir)
       val prog = graft.streaming.StreamingFunnel.funnelProgress(
         stream, "user_id", "ts", "event_type",
@@ -2250,7 +2265,7 @@ object SparkEntry {
     // streaming groupBy — per-day distinct users as ≤ k hashes of state
     // per window, estimates extracted batch-side with kmvEstimateCol.
     // Composition of q51's windowed-agg shape with q140's sketch state.
-    "q148_stream_window_kmv" -> ((s, dir) => {
+    "q148_stream_window_kmv" -> ((s, dir) => withShuffle(s, 8) {
       val stream = Tpch.eventsStream(s, dir)
       val agg = stream
         .select(window(col("ts"), "1 day").as("w"),
