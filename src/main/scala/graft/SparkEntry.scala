@@ -2513,8 +2513,10 @@ object SparkEntry {
           cardOne = true, isRef = false, Triples.VStr),
         "tripl.file:sources" -> graft.model.AttrSchema("tripl.file:sources",
           cardOne = false, isRef = true, Triples.VRef)))
+      // pathOf feeds the roots AND both display joins — materialize the
+      // fabricated-lineage resolution once instead of three times
       val pathOf = ts.resolved.where(col("a") === "tripl.file:path")
-        .select(col("e"), col("vstr"))
+        .select(col("e"), col("vstr")).localCheckpoint(true)
       val roots = pathOf.where(col("vstr").startsWith("agg/")).select(col("e"))
       ts.reachable(roots, Some(Seq("tripl.file:sources")))
         .where(col("depth") > 0)

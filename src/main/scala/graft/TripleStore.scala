@@ -1159,9 +1159,22 @@ class TripleStore(
     * frontier expansion over a prepared (_src, _dst) edge frame. */
   private def bfsFrom(
       roots: DataFrame,
-      es: DataFrame,
+      es0: DataFrame,
       maxIters: Int,
       maxFrontier: Option[Long]): DataFrame = {
+    // materialize the edge projection ONCE: the per-level join would
+    // otherwise re-evaluate the lazy edge plan (triple flatten +
+    // attr filter — or a caller's fabricated-lineage shuffle) at EVERY
+    // depth. A caller that persisted already (reachableBatched shares
+    // one edge cache across root batches) keeps ownership — only a
+    // cache WE created is dropped on exit.
+    val ownCache =
+      es0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val es =
+      if (ownCache)
+        es0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else es0
+    try {
     var visited = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
       .localCheckpoint(eager = true)
     var frontier = visited
@@ -1189,6 +1202,9 @@ class TripleStore(
       i += 1
     }
     visited
+    // visited is checkpoint-backed, so dropping the edge cache cannot
+    // invalidate the returned result
+    } finally { if (ownCache) es.unpersist(blocking = false) }
   }
 }
 
