@@ -1036,23 +1036,28 @@ class TripleStore(
     * state (p.maxDepth is the backstop here). */
   private def recDepth(roots: DataFrame, p: PRec): Int = {
     val es0 = edgesFor(Some(Seq(p.attr)))
-    val es =
+    // materialize the edge projection once for the whole probe loop —
+    // the same no-re-evaluation-per-level rule as bfsFrom
+    val es = (
       if (p.reverse) es0.select($"vref".as("_src"), $"e".as("_dst"))
       else es0.select($"e".as("_src"), $"vref".as("_dst"))
-    var visited = roots.select($"e", $"e".as("root")).localCheckpoint(eager = true)
-    var frontier = visited
-    var d = 0
-    while (d < p.maxDepth) {
-      val next = frontier.join(es, frontier("e") === es("_src"))
-        .select($"_dst".as("e"), $"root").distinct()
-        .join(visited, Seq("e", "root"), "left_anti")
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) return d
-      visited = visited.unionByName(next).localCheckpoint(eager = true)
-      frontier = next
-      d += 1
-    }
-    d
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var visited = roots.select($"e", $"e".as("root")).localCheckpoint(eager = true)
+      var frontier = visited
+      var d = 0
+      while (d < p.maxDepth) {
+        val next = frontier.join(es, frontier("e") === es("_src"))
+          .select($"_dst".as("e"), $"root").distinct()
+          .join(visited, Seq("e", "root"), "left_anti")
+          .localCheckpoint(eager = true)
+        if (next.isEmpty) return d
+        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        frontier = next
+        d += 1
+      }
+      d
+    } finally es.unpersist(blocking = false)
   }
 
   // ---------------------------------------------------------------------

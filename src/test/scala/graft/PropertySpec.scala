@@ -793,4 +793,41 @@ class PropertySpec extends AnyFunSuite {
       assert(got === merges.result(), s"trial $trial")
     }
   }
+
+  test("property: bpeEncode == driver-applied merges on random corpora " +
+      "(docs with words the learn corpus never saw)") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(1040L + trial)
+      def word() =
+        (0 until 1 + rnd.nextInt(6)).map(_ => "abcd" (rnd.nextInt(4))).mkString
+      val learnText = (0 until 50).map(_ => word()).mkString(" ")
+      val docs = (1L to 8L).map(i =>
+        (i, (0 until 5 + rnd.nextInt(8)).map(_ => word()).mkString(" ")))
+      val merges = graft.ops.TextOps.bpeLearn(
+          Seq((1L, learnText)).toDF("id", "text"), "text", nMerges = 3)
+        .orderBy("iter").select("pair").as[String].collect().toSeq
+      val got = graft.ops.TextOps.bpeEncode(
+          docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+        .as[(Long, Long)].collect().toMap
+      // driver reference: apply each merge left-to-right non-overlapping
+      // to every word, count resulting symbols (1-char words = 1 token)
+      def encode(w: String): Long =
+        if (w.isEmpty) 0L
+        else if (w.length == 1) 1L
+        else merges.foldLeft(w.split("").toVector) { (syms, pair) =>
+          val Array(x, y) = pair.split("\\|", 2)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+              out += x + y; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result()
+        }.length.toLong
+      val want = docs.map { case (id, text) =>
+        id -> text.split(" ", -1).map(encode).sum }.toMap
+      assert(got === want, s"trial $trial merges=$merges")
+    }
+  }
 }
