@@ -2352,7 +2352,8 @@ object SparkEntry {
       val out = scratch("q40", dir)
       val ts = Tpch.store(s, dir, "events")
       graft.sources.DocIngest.dumpEavJsonl(ts.resolved, out)
-      s.read.json(out).select(
+      // one-pass read via the dump's schema sidecar (no inference scan)
+      graft.sources.DocIngest.loadEavJsonl(s, out).select(
         col("attrs").getField("events:event_id").getItem(0)
           .cast("long").as("event_id"),
         col("attrs").getField("events:event_type").getItem(0).as("event_type"),

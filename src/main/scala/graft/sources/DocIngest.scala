@@ -174,12 +174,36 @@ object DocIngest {
 
   /** S3: dump a store as EAV-index JSON lines `{"e":…,"a":{attr:[vals]}}` —
     * the distributed-friendly rendering of the reference's single-object
-    * dump (tripl.py:555-558). */
-  def dumpEavJsonl(resolved: DataFrame, path: String): Unit =
-    resolved.groupBy(col("e"), col("a"))
+    * dump (tripl.py:555-558). A `_graft_schema.json` sidecar (underscore
+    * prefix: invisible to Spark's file listing) records the dump's exact
+    * schema so [[loadEavJsonl]] reads it back in ONE pass — schema
+    * inference over JSONL is a second full scan of the data, at 100 TB
+    * a full corpus pass just to rediscover what the dumper knew. */
+  def dumpEavJsonl(resolved: DataFrame, path: String): Unit = {
+    val out = resolved.groupBy(col("e"), col("a"))
       .agg(sort_array(collect_set(Triples.valueAsString())).as("vs"))
       .groupBy(col("e"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("a"), col("vs")))))
         .as("attrs"))
-      .write.mode("overwrite").json(path)
+    out.write.mode("overwrite").json(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_schema.json"),
+      out.schema.json)
+  }
+
+  /** One-pass read-back of a [[dumpEavJsonl]] artifact via its schema
+    * sidecar; a foreign dump without one falls back to inference (the
+    * two-pass read). `attrs` surfaces as `map<string, array<string>>` —
+    * `getField(attr)` works identically on the map and on an inferred
+    * struct. */
+  def loadEavJsonl(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val sidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
+    if (java.nio.file.Files.exists(sidecar))
+      spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(sidecar))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .json(path)
+    else spark.read.json(path)
+  }
 }

@@ -91,4 +91,30 @@ class DocIngestSpec extends AnyFunSuite {
     assert(back.count() === 2)
     assert(back.columns.contains("e") && back.columns.contains("attrs"))
   }
+
+  test("loadEavJsonl reads ONE pass via the schema sidecar and agrees " +
+      "with the inferred read; foreign dumps fall back to inference") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val t = DocIngest.flatten(docs, "d", Seq("d:k"))
+    val ts = new TripleStore(spark, t, DocIngest.schemasFor(docs, "d"),
+      preResolved = true)
+    val dir = java.nio.file.Files.createTempDirectory("dump2").toString + "/out"
+    DocIngest.dumpEavJsonl(ts.resolved, dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_schema.json")))
+    val fast = DocIngest.loadEavJsonl(spark, dir)
+    // declared schema, not inferred: attrs is the dump's exact map type
+    assert(fast.schema("attrs").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
+    def vals(df: org.apache.spark.sql.DataFrame) = df.select(col("e"),
+        col("attrs").getField("d:k").getItem(0).as("k"),
+        col("attrs").getField("d:v").getItem(0).cast("long").as("v"))
+      .as[(String, String, Long)].collect().toSet
+    assert(vals(fast) === vals(spark.read.json(dir)))
+    // sidecar removed → inference fallback still reads the artifact
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_graft_schema.json"))
+    assert(vals(DocIngest.loadEavJsonl(spark, dir)) === vals(fast))
+  }
 }

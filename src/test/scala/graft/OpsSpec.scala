@@ -1090,6 +1090,58 @@ class OpsSpec extends AnyFunSuite {
     assert(outInt.count() === 100)
   }
 
+  test("stratifiedSplit: NULL strata are a stratum of their own — " +
+      "disjoint-complete, exact sizes, no silent row loss") {
+    import graft.ops.Sampling
+    val df = ((0L until 40L).map(i => (i, Some("en"))) ++
+        (40L until 60L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSplit(df, "lang", "doc_id",
+      Seq("train" -> 0.5, "test" -> 0.5))
+    assert(out.count() === 60) // the 20 null-stratum rows survive
+    val sizes = out.groupBy("lang", "split").count()
+      .as[(Option[String], String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    assert(sizes((Some("en"), "train")) === 20)
+    assert(sizes((None, "train")) === 10) // exact within the null stratum
+    assert(sizes((None, "test")) === 10)
+    // the split of non-null rows is unchanged by null rows being present
+    val withoutNulls = Sampling.stratifiedSplit(
+        df.where(col("lang").isNotNull), "lang", "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .as[(Long, String, String)].collect().toSet
+    assert(out.where(col("lang").isNotNull)
+      .as[(Long, String, String)].collect().toSet === withoutNulls)
+  }
+
+  test("stratifiedSplit: maxStrata guards the driver offset map with a " +
+      "loud failure, not an OOM") {
+    import graft.ops.Sampling
+    val df = (0L until 50L).map(i => (i, s"host$i")).toDF("id", "host")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "host", "id",
+        Seq("a" -> 0.5, "b" -> 0.5), maxStrata = 0)
+    }
+    assert(e.getMessage.contains("maxStrata"))
+    // at a sane cap the same split runs fine
+    assert(Sampling.stratifiedSplit(df, "host", "id",
+      Seq("a" -> 0.5, "b" -> 0.5)).count() === 50)
+  }
+
+  test("kmvSketch: NULL values are skipped (no NPE), matching the " +
+      "aggregator's null contract") {
+    import graft.ops.Sketches
+    val df = (Seq[Option[String]](None, None) ++
+        (1 to 10).map(i => Some(s"v$i"))).toDF("x")
+    val sk = Sketches.kmvSketch(df, col("x"), k = 8)
+    assert(sk.count() === 8) // 10 distinct non-null values, k-capped
+    // agg form on the same data agrees row-for-row
+    val viaAgg = df.select(md5(col("x").cast("string")).as("h"))
+      .agg(Sketches.kmvAgg(8, col("h")).as("sk"))
+      .select(explode(col("sk")).as("h")).as[String].collect().toSet
+    assert(sk.as[String].collect().toSet === viaAgg)
+  }
+
   test("gapFill: complete per-key grid, zero-count gaps, forward fill") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
