@@ -992,20 +992,50 @@ object TextOps {
     *
     * Words shorter than 2 chars never entered the learned vocab: a
     * 1-char word is one token by definition, an empty split artifact
-    * zero. Output: (idCol, n_tokens). */
+    * zero. Output: (idCol, n_tokens).
+    *
+    * Two equivalent merge-application paths, switched on
+    * `exprMergeLimit`: short merge lists fold into chained codegen'd
+    * `replace` expressions; a production-sized vocabulary (30k+ merges)
+    * would explode the expression tree, so past the limit a Scala UDF
+    * applies the identical `String.replace` sequence per vocab entry.
+    * The UDF runs over the DISTINCT-WORD table only — never the corpus
+    * hot path — which is exactly the case where the functions-not-UDFs
+    * rule yields: per-row cost is |merges| bounded string scans on a
+    * relation that grows sub-linearly in corpus size. Java and SQL
+    * `replace` share left-to-right non-overlapping semantics, so both
+    * paths (and the oracle) agree byte-for-byte. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[String]): DataFrame = {
+      merges: Seq[String], exprMergeLimit: Int = 64): DataFrame = {
     require(merges.forall(_.contains("|")),
       "merges must be bpeLearn 'x|y' pairs in iteration order")
+    val pairs = merges.map { p =>
+      val Array(x, y) = p.split("\\|", 2); (x, y)
+    }
     val words = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
     val vocab = words.where(length(col("w")) >= 2).select("w").distinct()
-    val enc0 = concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))
-    val encoded = merges.foldLeft(enc0) { (e, pair) =>
-      val Array(x, y) = pair.split("\\|", 2)
-      call_function("replace", e, lit(s" $x  $y "), lit(s" $x$y "))
-    }
+    val encodedTokens: Column =
+      if (merges.size <= exprMergeLimit) {
+        val enc0 =
+          concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))
+        val encoded = pairs.foldLeft(enc0) { case (e, (x, y)) =>
+          call_function("replace", e, lit(s" $x  $y "), lit(s" $x$y "))
+        }
+        size(split(trim(encoded), "  ")).cast("long")
+      } else {
+        val bcast =
+          df.sparkSession.sparkContext.broadcast(pairs.toIndexedSeq)
+        val count = udf { (w: String) =>
+          var enc = " " + w.split("").mkString("  ") + " "
+          bcast.value.foreach { case (x, y) =>
+            enc = enc.replace(s" $x  $y ", s" $x$y ")
+          }
+          enc.trim.split("  ").length.toLong
+        }
+        count(col("w"))
+      }
     val wordTokens = vocab.select(col("w").as("vw"),
-      size(split(trim(encoded), "  ")).cast("long").as("nt"))
+      encodedTokens.as("nt"))
     words.join(wordTokens, col("w") === col("vw"), "left")
       .groupBy(col(idCol))
       .agg(sum(when(length(col("w")) === 0, lit(0L))

@@ -809,6 +809,12 @@ class PropertySpec extends AnyFunSuite {
       val got = graft.ops.TextOps.bpeEncode(
           docs.toDF("doc_id", "text"), "doc_id", "text", merges)
         .as[(Long, Long)].collect().toMap
+      // the UDF path (production-sized merge lists) must agree exactly
+      val gotUdf = graft.ops.TextOps.bpeEncode(
+          docs.toDF("doc_id", "text"), "doc_id", "text", merges,
+          exprMergeLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(gotUdf === got, s"trial $trial expr vs udf path")
       // driver reference: apply each merge left-to-right non-overlapping
       // to every word, count resulting symbols (1-char words = 1 token)
       def encode(w: String): Long =
