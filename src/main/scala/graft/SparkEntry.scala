@@ -2171,6 +2171,34 @@ object SparkEntry {
       graft.ops.TextOps.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    // balanced per-group exact sample (Sampling.exactNPerGroup): 25
+    // docs per source by deterministic md5 rank — the eval-panel
+    // sampler; one hash-partitioned window, no global sort.
+    "q155_group_sample" -> ((s, dir) =>
+      graft.ops.Sampling.exactNPerGroup(
+          Tpch.raw(s, dir, "documents"), "doc_id", "source", n = 25)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // snapshot diff (Profile.datasetDiff): v2 = documents minus every
+    // 11th id, every 13th text mutated, every 17th re-added under a new
+    // id — the audit must count added/removed/changed/unchanged exactly
+    // (ONE full-outer join on the id; content hash over (text, lang)).
+    "q156_dataset_diff" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val cur = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("lang")))
+      graft.ops.Profile.datasetDiff(docs, cur, "doc_id",
+          Seq("text", "lang"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
     // train/test leakage audit (Dedup.leakageAudit): exact-dup pairs
     // straddling q88's hash folds, on a corpus with planted copies
     // (every 7th doc duplicated under a new id — the id-hash split
@@ -4279,6 +4307,39 @@ object SparkEntry {
         |                     ELSE tok.nt END) AS BIGINT) AS n_tokens
         |FROM w LEFT JOIN tok ON w.w = tok.w
         |GROUP BY w.doc_id""".stripMargin,
+    // the same md5-rank window per source
+    "q155_group_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 25""".stripMargin,
+    // replayed v2 mutation + the same chr(1)/chr(0) content hash
+    "q156_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |              ELSE text END AS text, lang
+        |  FROM v1 WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang FROM v1
+        |  WHERE doc_id % 17 = 0),
+        |o AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        coalesce(CAST(text AS VARCHAR), chr(0)),
+        |        coalesce(CAST(lang AS VARCHAR), chr(0)))) AS h FROM v1),
+        |c AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        coalesce(CAST(text AS VARCHAR), chr(0)),
+        |        coalesce(CAST(lang AS VARCHAR), chr(0)))) AS h FROM cur),
+        |j AS (SELECT o.doc_id AS ido, c.doc_id AS idc, o.h AS ho, c.h AS hc
+        |      FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
+        |SELECT CASE WHEN ido IS NULL THEN 'added'
+        |            WHEN idc IS NULL THEN 'removed'
+        |            WHEN ho = hc THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1""".stripMargin,
     // q88's fold arithmetic + the exact-dup fingerprint self-join
     "q143_leakage_audit" ->
       """WITH c AS (

@@ -68,4 +68,33 @@ object Profile {
          else col(s"_mx_$c")).as("max_str"))
     }.reduce(_ unionByName _)
   }
+
+  /** SNAPSHOT DIFF — the release-audit question "what changed between
+    * corpus v1 and v2": per-id status `added` / `removed` / `changed` /
+    * `unchanged`, where change is detected on a content hash of `cols`
+    * (null-safe: NULL encodes as a reserved sentinel, so a value moving
+    * between NULL and non-NULL reads as changed, and column order is
+    * fixed by the caller's list). ONE full-outer hash join on the id —
+    * both corpora shuffle exactly once, no collect, unbounded id count;
+    * downstream aggregation to the 4-row audit summary is a
+    * constant-size groupBy. The hash arithmetic (md5 over
+    * sentinel-joined casts) is engine-portable, so any SQL engine
+    * reproduces the statuses bit-for-bit. */
+  def datasetDiff(old: DataFrame, cur: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    def keyed(df: DataFrame, tag: String) =
+      df.select(col(idCol).as(s"_id_$tag"),
+        md5(concat_ws("\u0001",
+          cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+          .as(s"_h_$tag"))
+    val o = keyed(old, "o")
+    val c = keyed(cur, "c")
+    o.join(c, o("_id_o") === c("_id_c"), "full_outer")
+      .select(coalesce(col("_id_c"), col("_id_o")).as(idCol),
+        when(col("_id_o").isNull, "added")
+          .when(col("_id_c").isNull, "removed")
+          .when(col("_h_o") === col("_h_c"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -91,6 +91,24 @@ object Sampling {
     df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
   }
 
+  /** [[exactN]] PER GROUP — "25 eval docs per language / per source",
+    * the balanced-panel sampler: within every group exactly
+    * min(n, |group|) rows survive, chosen by the same deterministic
+    * md5 rank (layout- and engine-independent; the id tie-break makes
+    * the rank total). One hash-partitioned window per group — no
+    * global sort, no driver state, group count unbounded; a skewed
+    * group sorts only its own partition slice. Output: input columns,
+    * filtered. */
+  def exactNPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n).drop("_rn")
+  }
+
   /** Leakage-safe fold assignment: the fold is a function of the GROUP's
     * hash — every row of a group (all docs from one domain, all chunks of
     * one document, all works of one author) lands in the SAME fold.

@@ -1142,6 +1142,37 @@ class OpsSpec extends AnyFunSuite {
     assert(sk.as[String].collect().toSet === viaAgg)
   }
 
+  test("exactNPerGroup: min(n, |group|) rows per group, deterministic " +
+      "across partitionings, input columns preserved") {
+    import graft.ops.Sampling
+    val df = ((0L until 30L).map(i => (i, "big")) ++
+        (100L until 103L).map(i => (i, "tiny"))).toDF("id", "g")
+    val out = Sampling.exactNPerGroup(df, "id", "g", n = 5)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("big" -> 5L, "tiny" -> 3L)) // tiny group kept whole
+    assert(out.columns.toSeq === df.columns.toSeq)
+    val again = Sampling.exactNPerGroup(df.repartition(7), "id", "g", 5)
+      .as[(Long, String)].collect().toSet
+    assert(again === out.as[(Long, String)].collect().toSet)
+  }
+
+  test("datasetDiff: added/removed/changed/unchanged per id; NULL vs " +
+      "non-NULL reads as changed") {
+    import graft.ops.Profile
+    val v1 = Seq((1L, Some("a"), "en"), (2L, Some("b"), "en"),
+      (3L, Some("c"), "de"), (4L, Option.empty[String], "de"))
+      .toDF("id", "text", "lang")
+    val v2 = Seq((1L, Some("a"), "en"),   // unchanged
+      (2L, Some("B"), "en"),              // changed (text)
+      (4L, Some("now"), "de"),            // changed (null -> value)
+      (5L, Some("new"), "fr"))            // added; 3 removed
+      .toDF("id", "text", "lang")
+    val got = Profile.datasetDiff(v1, v2, "id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "changed", 5L -> "added"))
+  }
+
   test("gapFill: complete per-key grid, zero-count gaps, forward fill") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
