@@ -2352,6 +2352,22 @@ object SparkEntry {
         Tpch.raw(s, dir, "events"),
         Seq("event_id", "user_id", "event_type", "value"))),
 
+    // SHARDED profiling rollup (datasetCardSketch → mergeDatasetCards →
+    // finalizeDatasetCard): three disjoint shards profiled separately,
+    // cards merged WITHOUT rescanning — must equal q145's whole-corpus
+    // card bit-for-bit (the KMV union law made observable).
+    "q157_sharded_card" -> ((s, dir) => {
+      val ev = Tpch.raw(s, dir, "events")
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      val cards = (0 until 3).map(i =>
+          graft.ops.Profile.datasetCardSketch(
+            ev.where(pmod(coalesce(col("event_id"), lit(0L)), lit(3)) === i),
+            cols))
+        .reduce(_ unionByName _)
+      graft.ops.Profile.finalizeDatasetCard(
+        graft.ops.Profile.mergeDatasetCards(cards))
+    }),
+
     // per-GROUP KMV cardinality (kmvAgg + kmvEstimateCol): distinct
     // users per event type as a k=16 sketch next to the exact count —
     // the group-level form of q136, one agg expression per group.
@@ -4580,7 +4596,16 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / least(len(a.sh), len(b.sh)) >= 0.8""".stripMargin,
-    "q145_dataset_card" -> Seq(
+    "q145_dataset_card" -> eventsCardSql,
+    // SAME recomputation: the sharded-profile rollup must equal the
+    // whole-corpus card bit-for-bit (KMV union law + algebraic stats)
+    "q157_sharded_card" -> eventsCardSql,
+  )
+
+  /** The whole-corpus events profile recomputed in portable SQL —
+    * shared by q145 (single-pass card) and q157 (per-shard sketch →
+    * merge → finalize), because the merge law makes them identical. */
+  private lazy val eventsCardSql: String = Seq(
       // (column, numeric?, floating?) — floating columns hash through
       // the DECIMAL(38,9) canonical encoding (Profile.hashInput's
       // engine-portable form; raw double→string formatting diverges
@@ -4617,6 +4642,5 @@ object SparkEntry {
            |              / CAST(kth_num AS DOUBLE) END, 4) AS ndv_est,
            |   min_num, max_num, min_str, max_str
            | FROM num, st)""".stripMargin
-    }.mkString(" UNION ALL "),
-  )
+    }.mkString(" UNION ALL ")
 }

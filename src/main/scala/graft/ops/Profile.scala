@@ -22,8 +22,22 @@ object Profile {
   /** Per-column profile of `cols`: (column, n_rows, n_nulls, ndv_est,
     * min_num, max_num, min_str, max_str) — the num/str range pair not
     * matching the column's type is null. `k` sizes the cardinality
-    * sketch (exact below k, ±1/√k above). */
+    * sketch (exact below k, ±1/√k above). Composes the MERGEABLE form:
+    * `finalize(sketch)` over one corpus equals sketch-per-shard →
+    * [[mergeDatasetCards]] → finalize, bit-for-bit (KMV's union law +
+    * algebraic counts/ranges), which is how 100 TB profiles actually
+    * get built — per-drop cards rolled up without rescanning. */
   def datasetCard(df: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame =
+    finalizeDatasetCard(datasetCardSketch(df, cols, k), k)
+
+  /** The mergeable per-column card: (column, n_rows, n_nulls,
+    * sk: array&lt;string&gt;, min_num, max_num, min_str, max_str) — raw
+    * KMV sketch instead of the finalized estimate, every field
+    * algebraic (sum / k-smallest-of-union / min / max), so cards from
+    * disjoint shards combine into the whole-corpus card exactly. ONE
+    * agg pass over the shard regardless of column count. */
+  def datasetCardSketch(df: DataFrame, cols: Seq[String],
       k: Int = 256): DataFrame = {
     require(cols.nonEmpty)
     def isNum(c: String) = df.schema(c).dataType match {
@@ -57,7 +71,7 @@ object Profile {
       row.select(lit(c).as("column"),
         col("_total").as("n_rows"),
         (col("_total") - col(s"_n_$c")).as("n_nulls"),
-        Sketches.kmvEstimateCol(col(s"_sk_$c"), k).as("ndv_est"),
+        col(s"_sk_$c").as("sk"),
         (if (isNum(c)) col(s"_mn_$c")
          else lit(null).cast("double")).as("min_num"),
         (if (isNum(c)) col(s"_mx_$c")
@@ -68,6 +82,30 @@ object Profile {
          else col(s"_mx_$c")).as("max_str"))
     }.reduce(_ unionByName _)
   }
+
+  /** Roll up [[datasetCardSketch]] rows from any number of shards into
+    * one card per column — counts sum, ranges min/max, and the merged
+    * sketch is the k smallest distinct hashes of the union (KMV's
+    * merge law: equals the whole-corpus sketch exactly when shards are
+    * disjoint). Input size is shards × columns rows — plan-time
+    * metadata, never corpus-shaped. */
+  def mergeDatasetCards(cards: DataFrame, k: Int = 256): DataFrame =
+    cards.groupBy(col("column"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("sk"),
+        min(col("min_num")).as("min_num"),
+        max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"),
+        max(col("max_str")).as("max_str"))
+
+  /** Finalize a (possibly merged) sketch card into [[datasetCard]]'s
+    * output schema: the raw KMV array becomes the ndv estimate. */
+  def finalizeDatasetCard(card: DataFrame, k: Int = 256): DataFrame =
+    card.select(col("column"), col("n_rows"), col("n_nulls"),
+      Sketches.kmvEstimateCol(col("sk"), k).as("ndv_est"),
+      col("min_num"), col("max_num"), col("min_str"), col("max_str"))
 
   /** SNAPSHOT DIFF — the release-audit question "what changed between
     * corpus v1 and v2": per-id status `added` / `removed` / `changed` /

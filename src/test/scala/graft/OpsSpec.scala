@@ -1173,6 +1173,27 @@ class OpsSpec extends AnyFunSuite {
       3L -> "removed", 4L -> "changed", 5L -> "added"))
   }
 
+  test("datasetCard merge law: per-shard sketch -> merge -> finalize " +
+      "equals the whole-corpus card, empty shards included") {
+    import graft.ops.Profile
+    val rnd = new scala.util.Random(7L)
+    val rows = (0L until 200L).map(i =>
+      (i, s"s${rnd.nextInt(40)}", rnd.nextDouble() * 100, i % 5))
+    val df = rows.toDF("id", "name", "score", "grp")
+    val cols = Seq("id", "name", "score", "grp")
+    val whole = Profile.datasetCard(df, cols, k = 16)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val shards = Seq(df.where(col("id") % 2 === 0),
+      df.where(col("id") % 2 === 1),
+      df.where(lit(false))) // empty shard must be a no-op in the merge
+    val merged = Profile.finalizeDatasetCard(
+        Profile.mergeDatasetCards(
+          shards.map(Profile.datasetCardSketch(_, cols, k = 16))
+            .reduce(_ unionByName _), k = 16), k = 16)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(merged === whole)
+  }
+
   test("gapFill: complete per-key grid, zero-count gaps, forward fill") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
