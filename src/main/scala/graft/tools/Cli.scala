@@ -134,7 +134,8 @@ object Cli {
       "indexcompact", "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
-      "gapfill", "leakage", "card", "containment", "conversion")
+      "gapfill", "leakage", "card", "containment", "conversion",
+      "diff", "groupsample")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -149,7 +150,8 @@ object Cli {
         "sketch/stats: kmv --k N | card [--cols a,b] | quantiles --qs ... | " +
         "stratsplit --fracs name:f,... | gapfill --ts-col C --val-col C\n" +
         "dedup extras: containment --threshold T | leakage --group FOLD | " +
-        "bpelearn --merges N")
+        "bpelearn --merges N\n" +
+        "ops: diff --test V2 [--cols a,b] | groupsample --group COL --top N")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -589,6 +591,17 @@ object Cli {
         case "card" =>
           graft.ops.Profile.datasetCard(df,
             if (a.cols.nonEmpty) a.cols else df.columns.toSeq)
+        // snapshot diff vs --test (the v2 corpus): per-id
+        // added/removed/changed/unchanged on --cols content
+        case "diff" =>
+          val v2 = readTable(spark, a.copy(inputs = Seq(
+            a.testInput.getOrElse(sys.error("diff needs --test")))))
+          graft.ops.Profile.datasetDiff(df, v2, a.idCol,
+            if (a.cols.nonEmpty) a.cols else Seq(a.textCol))
+        // balanced per-group exact sample: --top rows per --group
+        case "groupsample" =>
+          graft.ops.Sampling.exactNPerGroup(df, a.idCol, a.groupCol,
+            a.topK)
         // ordered event-sequence completion per --group key: --steps
         // type1,type2,... within --window seconds (type column = --text)
         case "conversion" =>

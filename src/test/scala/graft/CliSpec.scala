@@ -409,6 +409,25 @@ class CliSpec extends AnyFunSuite {
     val cv = spark.read.json(dir + "/cvo")
       .select($"user_id", $"converted").as[(Long, Boolean)].collect().toMap
     assert(cv === Map(1L -> true)) // user 2 never matched step 1
+    // diff: v2 mutates doc 0's text, drops doc 1, adds doc 99
+    Files.writeString(Paths.get(dir + "/v2.json"),
+      (Seq(s"""{"doc_id": 0, "source": "s0", "text": "CHANGED"}""") ++
+        (2L until 40L).map(i =>
+          s"""{"doc_id": $i, "source": "s${i % 2}", "text": "abab cd"}""") ++
+        Seq(s"""{"doc_id": 99, "source": "s1", "text": "abab cd"}"""))
+        .mkString("", "\n", "\n"))
+    Cli.run(spark, Array("diff", "-i", in, "--test", dir + "/v2.json",
+      "--id", "doc_id", "--cols", "text", "-o", dir + "/df"))
+    val dfo = spark.read.json(dir + "/df").groupBy($"status").count()
+      .as[(String, Long)].collect().toMap
+    assert(dfo === Map("changed" -> 1L, "removed" -> 1L,
+      "added" -> 1L, "unchanged" -> 38L))
+    // groupsample: 3 per source, deterministic
+    Cli.run(spark, Array("groupsample", "-i", in, "--id", "doc_id",
+      "--group", "source", "--top", "3", "-o", dir + "/gs"))
+    val gs = spark.read.json(dir + "/gs").groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(gs === Map("s0" -> 3L, "s1" -> 3L))
   }
 
   test("CLI index verbs: build, near-dedup against, append, re-dedup") {
