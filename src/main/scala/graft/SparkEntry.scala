@@ -1600,7 +1600,7 @@ object SparkEntry {
     // the corpus and was NOT appended, in which case the copy matches
     // exactly what the original matched). The oracle reproduces all of
     // that in SQL from the mod-10 split alone.
-    "q110_stream_ingest_loop" -> ((s, dir) => {
+    "q110_stream_ingest_loop" -> ((s, dir) => withShuffle(s, 8) {
       val in = scratch("q110in", dir)
       val outp = scratch("q110out", dir)
       for (d <- Seq(in, outp)) deleteRec(java.nio.file.Paths.get(d))
@@ -1646,7 +1646,7 @@ object SparkEntry {
     // in-batch near-dup) BEFORE the index join; matches are then
     // survivors × corpus only. The oracle reproduces the pairwise
     // smaller-id drop rule and the cross join in SQL.
-    "q114_ingest_intrabatch" -> ((s, dir) => {
+    "q114_ingest_intrabatch" -> ((s, dir) => withShuffle(s, 8) {
       val outp = scratch("q114out", dir)
       deleteRec(java.nio.file.Paths.get(outp))
       val docs = Tpch.raw(s, dir, "documents")
@@ -1734,7 +1734,7 @@ object SparkEntry {
     // within threshold: intraBatch=false, the q110 contract). The
     // oracle replays both batches from the mod-10 split alone; pair
     // margins are q123's (same vectors, same 0.45 threshold).
-    "q124_sem_ingest_loop" -> ((s, dir) => {
+    "q124_sem_ingest_loop" -> ((s, dir) => withShuffle(s, 8) {
       val in = scratch("q124in", dir)
       val outp = scratch("q124out", dir)
       for (d <- Seq(in, outp)) {
@@ -1884,7 +1884,7 @@ object SparkEntry {
     // %3==1 (survive). A copy that wrongly survived would surface with
     // batch = -1 and fail the row compare. foreachBatch emits survivors
     // in their arrival batch, so no sentinel flush is needed.
-    "q103_stream_neardup" -> ((s, dir) => {
+    "q103_stream_neardup" -> ((s, dir) => withShuffle(s, 8) {
       val in = scratch("q103in", dir)
       val outp = scratch("q103out", dir)
       for (d <- Seq(in, outp)) {
