@@ -444,6 +444,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: chain state (and its event-time timeout) " +
+      "survives a checkpoint restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fnlck").toString
+    val data = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    def write(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("user_id", "ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(data)
+    def start() = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(data)
+      graft.streaming.StreamingFunnel.funnelProgress(
+          stream, "user_id", "ts", "event_type", Seq("A", "B"),
+          withinSeconds = 30L, watermarkDelay = Some("5 seconds"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+    }
+    // run 1: user 1 matches step A, then STOP mid-funnel
+    write(Seq((1L, ts(1), "A")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // run 2: same checkpoint; B arrives inside the window — the chain
+    // must complete from RECOVERED state, converted = true
+    write(Seq((1L, ts(5), "B")))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fin = spark.read.parquet(out)
+      .where($"user_id" === 1L && $"t_2".isNotNull)
+      .select($"converted").as[Boolean].collect().toList
+    assert(fin === List(true), "recovered state did not complete the chain")
+  }
+
   test("streaming funnel: EventTimeTimeout evicts lapsed keys — a " +
       "post-eviction event starts a FRESH attempt, not a completion") {
     implicit val sql = spark.sqlContext
