@@ -135,7 +135,7 @@ object Cli {
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
       "gapfill", "leakage", "card", "containment", "conversion",
-      "diff", "groupsample")
+      "diff", "groupsample", "cardsketch", "cardmerge")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -591,6 +591,17 @@ object Cli {
         case "card" =>
           graft.ops.Profile.datasetCard(df,
             if (a.cols.nonEmpty) a.cols else df.columns.toSeq)
+        // sharded profiling on the shell: `cardsketch` emits the
+        // MERGEABLE per-column card for one shard; `cardmerge` reads
+        // any number of saved sketch cards (-i card1 card2 ...) and
+        // rolls them up into the finalized whole-corpus card without
+        // rescanning any shard
+        case "cardsketch" =>
+          graft.ops.Profile.datasetCardSketch(df,
+            if (a.cols.nonEmpty) a.cols else df.columns.toSeq, a.kmvK)
+        case "cardmerge" =>
+          graft.ops.Profile.finalizeDatasetCard(
+            graft.ops.Profile.mergeDatasetCards(df, a.kmvK), a.kmvK)
         // snapshot diff vs --test (the v2 corpus): per-id
         // added/removed/changed/unchanged on --cols content
         case "diff" =>

@@ -428,6 +428,26 @@ class CliSpec extends AnyFunSuite {
     val gs = spark.read.json(dir + "/gs").groupBy($"source").count()
       .as[(String, Long)].collect().toMap
     assert(gs === Map("s0" -> 3L, "s1" -> 3L))
+    // sharded profiling round-trip: shard cards -> merged == whole card
+    Files.writeString(Paths.get(dir + "/sh1.json"),
+      (0L until 20L).map(i =>
+        s"""{"doc_id": $i, "source": "s${i % 2}", "text": "abab cd"}""")
+        .mkString("", "\n", "\n"))
+    Files.writeString(Paths.get(dir + "/sh2.json"),
+      (20L until 40L).map(i =>
+        s"""{"doc_id": $i, "source": "s${i % 2}", "text": "abab cd"}""")
+        .mkString("", "\n", "\n"))
+    for (sh <- Seq("sh1", "sh2"))
+      Cli.run(spark, Array("cardsketch", "-i", dir + s"/$sh.json",
+        "--cols", "doc_id,source", "-o", dir + s"/c_$sh"))
+    Cli.run(spark, Array("cardmerge", "-i", dir + "/c_sh1",
+      dir + "/c_sh2", "--format", "json", "-o", dir + "/cm"))
+    Cli.run(spark, Array("card", "-i", in, "--cols", "doc_id,source",
+      "-o", dir + "/cw"))
+    def cardRows(p: String) = spark.read.json(p)
+      .select($"column", $"n_rows", $"ndv_est")
+      .as[(String, Long, Double)].collect().toSet
+    assert(cardRows(dir + "/cm") === cardRows(dir + "/cw"))
   }
 
   test("CLI index verbs: build, near-dedup against, append, re-dedup") {

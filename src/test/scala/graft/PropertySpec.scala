@@ -836,4 +836,33 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"trial $trial merges=$merges")
     }
   }
+
+  test("property: datasetDiff statuses == driver-computed diff on " +
+      "random mutations (drops, edits, inserts, null flips)") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(1150L + trial)
+      def txt() = if (rnd.nextInt(8) == 0) None
+        else Some((0 until 3).map(_ => "wxyz" (rnd.nextInt(4))).mkString)
+      val v1 = (0L until 60L).map(i => (i, txt(), s"l${rnd.nextInt(3)}"))
+      val v2 = v1.filter(_ => rnd.nextInt(6) != 0) // random drops
+        .map { case (id, t, l) =>
+          if (rnd.nextInt(5) == 0) (id, txt(), l) else (id, t, l) // edits
+        } ++ (0 until 10).map(j => (1000L + j, txt(), "new"))
+      val got = graft.ops.Profile.datasetDiff(
+          v1.toDF("id", "text", "lang"), v2.toDF("id", "text", "lang"),
+          "id", Seq("text", "lang"))
+        .as[(Long, String)].collect().toMap
+      val m1 = v1.map(r => r._1 -> (r._2, r._3)).toMap
+      val m2 = v2.map(r => r._1 -> (r._2, r._3)).toMap
+      val want = (m1.keySet ++ m2.keySet).map { id =>
+        id -> ((m1.get(id), m2.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
 }
