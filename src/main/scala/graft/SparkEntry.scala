@@ -2171,6 +2171,21 @@ object SparkEntry {
       graft.ops.TextOps.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    // INTRA-doc repeated-line dedup (TextOps.dedupLines): each doc gets
+    // its first 30 chars planted as a line 3× around the body — the
+    // cleaner must keep exactly the first occurrence of every distinct
+    // line in order (full cleaned-text md5 compared, not just counts).
+    "q158_line_dedup" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat_ws("\n", substring(col("text"), 1, 30), col("text"),
+          substring(col("text"), 1, 30), substring(col("text"), 1, 30))
+          .as("text"))
+      graft.ops.TextOps.dedupLines(planted, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          col("n_dropped"))
+    }),
+
     // balanced per-group exact sample (Sampling.exactNPerGroup): 25
     // docs per source by deterministic md5 rank — the eval-panel
     // sampler; one hash-partitioned window, no global sort.
@@ -4323,6 +4338,28 @@ object SparkEntry {
         |                     ELSE tok.nt END) AS BIGINT) AS n_tokens
         |FROM w LEFT JOIN tok ON w.w = tok.w
         |GROUP BY w.doc_id""".stripMargin,
+    // the same plant + first-occurrence-per-line rebuild
+    "q158_line_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    substr(text,1,30) || chr(10) || text || chr(10) ||
+        |    substr(text,1,30) || chr(10) || substr(text,1,30) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, ls[i] AS line, i
+        |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |            FROM p) t,
+        |           unnest(range(1, len(ls)+1)) AS r(i)),
+        |f AS (SELECT doc_id, line, min(i) AS pos
+        |      FROM l GROUP BY doc_id, line),
+        |reb AS (SELECT doc_id,
+        |          string_agg(line, chr(10) ORDER BY pos) AS clean,
+        |          CAST(count(*) AS BIGINT) AS nkept
+        |        FROM f GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |          CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl
+        |        FROM p)
+        |SELECT r.doc_id, md5(r.clean) AS clean_md5,
+        |       (t.nl - r.nkept) AS n_dropped
+        |FROM reb r JOIN tot t USING (doc_id)""".stripMargin,
     // the same md5-rank window per source
     "q155_group_sample" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -320,6 +320,34 @@ object TextOps {
         (col("_nlines") - coalesce(col("_nkept"), lit(0L))).as("n_dropped"))
   }
 
+  /** INTRA-document repeated-line dedup — the within-doc sibling of
+    * [[stripBoilerplate]] (corpus-wide chrome) and Dedup.duplicateSpans
+    * (cross-doc spans): scraped pages repeat nav blocks, listings and
+    * footers INSIDE one document, and the C4-style cleaner keeps the
+    * FIRST occurrence of each distinct line, in original order.
+    *
+    * Shape: one posexplode, a (doc, line) groupBy keeping the minimum
+    * position, a doc-keyed rebuild — two doc-line-keyed shuffles, no
+    * corpus-wide state, no driver action; a 100 GB document set and a
+    * 100 TB one run the same plan. Output: idCol, text (deduped),
+    * n_dropped. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("_ln", "_line")))
+    val first = lines.groupBy(col(idCol), col("_line"))
+      .agg(min(col("_ln")).as("_ln"))
+    val rebuilt = first.groupBy(col(idCol))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("_ln"), col("_line")))),
+            x => x("_line")), "\n").as("_clean"),
+        count(lit(1)).as("_nkept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast(LongType).as("_nlines"))
+      .join(rebuilt, Seq(idCol)) // split never yields zero lines
+      .select(col(idCol), col("_clean").as("text"),
+        (col("_nlines") - col("_nkept")).as("n_dropped"))
+  }
+
   /** Per-document top-k keywords by tf-idf, raw-idf variant: score =
     * tf · (N / df). The idf factor is the raw rarity ratio rather than
     * its logarithm — a recognized tf-idf family member chosen here

@@ -135,7 +135,7 @@ object Cli {
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
       "gapfill", "leakage", "card", "containment", "conversion",
-      "diff", "groupsample", "cardsketch", "cardmerge")
+      "diff", "groupsample", "cardsketch", "cardmerge", "linededup")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -404,6 +404,9 @@ object Cli {
             df, a.idCol, a.textCol, a.capacity)
         }
         case "scrub" => graft.ops.TextOps.scrubPii(df, a.idCol, a.textCol)
+        // intra-doc repeated-line dedup (first occurrence survives)
+        case "linededup" =>
+          graft.ops.TextOps.dedupLines(df, a.idCol, a.textCol)
         // exact-substring dedup (Lee et al. 2021): default emits the
         // rewritten corpus; --spans-only emits the span evidence instead
         case "spandedup" =>

@@ -1194,6 +1194,21 @@ class OpsSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("dedupLines: first occurrence of each distinct line survives in " +
+      "order; single-line and all-dup docs handled") {
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\nbody two\nnav"), // nav repeats 3x
+      (2L, "only line"),                         // nothing to drop
+      (3L, "x\nx\nx"))                           // collapses to one line
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.dedupLines(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, n) => id -> ((t, n)) }.toMap
+    assert(got(1L) === (("nav\nbody one\nbody two", 2L)))
+    assert(got(2L) === (("only line", 0L)))
+    assert(got(3L) === (("x", 2L)))
+  }
+
   test("gapFill: complete per-key grid, zero-count gaps, forward fill") {
     import java.time.LocalDateTime
     val t0 = LocalDateTime.of(2024, 1, 1, 0, 0)
