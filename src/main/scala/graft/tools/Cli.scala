@@ -151,7 +151,8 @@ object Cli {
         "stratsplit --fracs name:f,... | gapfill --ts-col C --val-col C\n" +
         "dedup extras: containment --threshold T | leakage --group FOLD | " +
         "bpelearn --merges N\n" +
-        "ops: diff --test V2 [--cols a,b] | groupsample --group COL --top N")
+        "ops: diff --test V2 [--cols a,b] | groupsample --group COL --top N" +
+        " | linededup | cardsketch [--cols a,b] | cardmerge -i card1 card2")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1

@@ -293,7 +293,30 @@ object ScaleBench {
       "gap_fill" -> (() =>
         { graft.ops.TimeOps.gapFill(
             if (ev == null) sys.error("gap_fill needs events") else ev,
-            "user_id", "ts", "value").count(); () })
+            "user_id", "ts", "value").count(); () }),
+      // merge application over the DISTINCT-WORD table: replica tokens
+      // are disjoint, so the vocab scales ×factor — ~linear; the join
+      // back is corpus-shaped
+      "bpe_encode" -> (() =>
+        { graft.ops.TextOps.bpeEncode(d, "doc_id", "text",
+            Seq("a|b", "c|d")).count(); () }),
+      // ONE full-outer id join of two corpus versions — ~linear
+      "dataset_diff" -> (() =>
+        { graft.ops.Profile.datasetDiff(d,
+            d.where(col("doc_id") % 7 =!= 0), "doc_id",
+            Seq("text")).count(); () }),
+      // posexplode + two doc-line-keyed shuffles — ~linear
+      "line_dedup" -> (() =>
+        { graft.ops.TextOps.dedupLines(
+            d.select(col("doc_id"), concat_ws("\n",
+              substring(col("text"), 1, 30), col("text"),
+              substring(col("text"), 1, 30)).as("text")),
+            "doc_id", "text").count(); () }),
+      // per-group WindowGroupLimit (partial top-n both sides of the
+      // exchange) — ~linear in the scan
+      "group_sample" -> (() =>
+        { graft.ops.Sampling.exactNPerGroup(d, "doc_id", "source", 25)
+            .count(); () })
     )
 
     def median(xs: Seq[Double]): Double = {
