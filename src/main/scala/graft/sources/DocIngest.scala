@@ -186,10 +186,19 @@ object DocIngest {
       .agg(map_from_entries(sort_array(collect_list(struct(col("a"), col("vs")))))
         .as("attrs"))
     out.write.mode("overwrite").json(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_schema.json"),
-      out.schema.json)
+    // Hadoop FS, not java.nio: the dump path is hdfs://-, s3a://- or
+    // file://-shaped — the sidecar must live wherever the data does
+    val sidecar = sidecarPath(path)
+    val fs = sidecar.getFileSystem(
+      resolved.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(sidecar, true)
+    try os.write(out.schema.json.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
   }
+
+  private def sidecarPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_schema.json")
 
   /** One-pass read-back of a [[dumpEavJsonl]] artifact via its schema
     * sidecar; a foreign dump without one falls back to inference (the
@@ -198,12 +207,17 @@ object DocIngest {
     * struct. */
   def loadEavJsonl(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val sidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
-    if (java.nio.file.Files.exists(sidecar))
-      spark.read.schema(org.apache.spark.sql.types.DataType
-          .fromJson(java.nio.file.Files.readString(sidecar))
+    val sidecar = sidecarPath(path)
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val json =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      spark.read.schema(org.apache.spark.sql.types.DataType.fromJson(json)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
         .json(path)
-    else spark.read.json(path)
+    } else spark.read.json(path)
   }
 }
