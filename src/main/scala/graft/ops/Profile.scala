@@ -72,6 +72,7 @@ object Profile {
         col("_total").as("n_rows"),
         (col("_total") - col(s"_n_$c")).as("n_nulls"),
         col(s"_sk_$c").as("sk"),
+        lit(k).as("k"), // self-describing: merges validate k agreement
         (if (isNum(c)) col(s"_mn_$c")
          else lit(null).cast("double")).as("min_num"),
         (if (isNum(c)) col(s"_mx_$c")
@@ -89,7 +90,16 @@ object Profile {
     * merge law: equals the whole-corpus sketch exactly when shards are
     * disjoint). Input size is shards × columns rows — plan-time
     * metadata, never corpus-shaped. */
-  def mergeDatasetCards(cards: DataFrame, k: Int = 256): DataFrame =
+  def mergeDatasetCards(cards: DataFrame, k: Int = 256): DataFrame = {
+    // sketches built with different k silently under- or over-estimate
+    // when mixed — the card is self-describing, so refuse loudly; the
+    // check collects the DISTINCT k values of a metadata-sized relation
+    val ks = cards.select(col("k").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    require(ks == Seq(k),
+      s"mergeDatasetCards: expected sketches with k=$k, found " +
+        s"k=${ks.mkString(",")} — rebuild the mismatched shard cards " +
+        "(KMV sketches only merge at equal k)")
     cards.groupBy(col("column"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("n_nulls")).as("n_nulls"),
@@ -99,6 +109,8 @@ object Profile {
         max(col("max_num")).as("max_num"),
         min(col("min_str")).as("min_str"),
         max(col("max_str")).as("max_str"))
+      .withColumn("k", lit(k)) // merged cards re-merge (roll-up of roll-ups)
+  }
 
   /** Finalize a (possibly merged) sketch card into [[datasetCard]]'s
     * output schema: the raw KMV array becomes the ndv estimate. */

@@ -1186,12 +1186,28 @@ class OpsSpec extends AnyFunSuite {
     val shards = Seq(df.where(col("id") % 2 === 0),
       df.where(col("id") % 2 === 1),
       df.where(lit(false))) // empty shard must be a no-op in the merge
+    val shardCards = shards.map(Profile.datasetCardSketch(_, cols, k = 16))
     val merged = Profile.finalizeDatasetCard(
         Profile.mergeDatasetCards(
-          shards.map(Profile.datasetCardSketch(_, cols, k = 16))
-            .reduce(_ unionByName _), k = 16), k = 16)
+          shardCards.reduce(_ unionByName _), k = 16), k = 16)
       .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     assert(merged === whole)
+    // roll-up of roll-ups: a merged card re-merges to the same answer
+    val twice = Profile.finalizeDatasetCard(
+        Profile.mergeDatasetCards(
+          Profile.mergeDatasetCards(
+              shardCards.take(2).reduce(_ unionByName _), k = 16)
+            .unionByName(Profile.mergeDatasetCards(shardCards(2), k = 16)),
+          k = 16), k = 16)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(twice === whole)
+    // mixed-k sketches refuse to merge (silent mis-estimates otherwise)
+    val e = intercept[IllegalArgumentException] {
+      Profile.mergeDatasetCards(
+        shardCards.head.unionByName(
+          Profile.datasetCardSketch(shards(1), cols, k = 8)), k = 16)
+    }
+    assert(e.getMessage.contains("equal k"))
   }
 
   test("dedupLines: first occurrence of each distinct line survives in " +
