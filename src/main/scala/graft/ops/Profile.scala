@@ -129,7 +129,12 @@ object Profile {
     * downstream aggregation to the 4-row audit summary is a
     * constant-size groupBy. The hash arithmetic (md5 over
     * sentinel-joined casts) is engine-portable, so any SQL engine
-    * reproduces the statuses bit-for-bit. */
+    * reproduces the statuses bit-for-bit.
+    *
+    * CONTRACT: ids must be unique within each version — a duplicated
+    * id multiplies through the join exactly as in any keyed diff
+    * (run [[graft.ops.Dedup.exact]] first if a version may carry
+    * duplicates). */
   def datasetDiff(old: DataFrame, cur: DataFrame, idCol: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)

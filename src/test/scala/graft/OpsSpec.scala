@@ -1156,6 +1156,17 @@ class OpsSpec extends AnyFunSuite {
     assert(again === out.as[(Long, String)].collect().toSet)
   }
 
+  test("exactNPerGroup plan: the rank limit pushes BELOW the exchange " +
+      "(WindowGroupLimit both sides — partial top-n per partition, " +
+      "never a full per-group sort spill)") {
+    import graft.ops.Sampling
+    val df = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val plan = Sampling.exactNPerGroup(df, "id", "g", 5)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit, plan:\n$plan")
+  }
+
   test("datasetDiff: added/removed/changed/unchanged per id; NULL vs " +
       "non-NULL reads as changed") {
     import graft.ops.Profile
