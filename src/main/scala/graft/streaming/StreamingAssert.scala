@@ -39,39 +39,74 @@ object StreamingAssert {
   case class ResolvedFact(e: String, a: String, value: String, atMicros: Long)
 
   /** Incremental cardinality-one resolution: keyed by (e, a), keep the
-    * latest-event-time value; emit on change. GroupStateTimeout-free
-    * (state is one small record per live (e, a) pair; pair count is
-    * bounded by the entity universe, and a production deployment would
-    * add a TTL via event-time timeout on the same hook). */
+    * latest-event-time value; emit on change.
+    *
+    * STATE LIFETIME. Default (`stateTtlSeconds = None`): no eviction —
+    * the state IS the live upsert table, one small record per (e, a)
+    * pair, correct for entity universes that fit keyed state (the
+    * durable-at-any-scale alternative is the persisted TripleStore +
+    * batch resolution). With `Some(ttl)` the machine runs under
+    * `EventTimeTimeout`: a pair idle for ttl seconds past its last
+    * ACCEPTED write (by event time, measured against the watermark)
+    * drops its state — bounding total state by pairs active within one
+    * (delay + ttl) span. Documented divergences after an eviction: a
+    * re-assert of the same value re-emits (state no longer remembers
+    * it), and a LATE event older than the evicted record could seed a
+    * stale value — size ttl ≫ the watermark delay so only genuinely
+    * idle pairs age out. */
   def resolveCardOne(
       triples: Dataset[Row],
       watermarkCol: String = "txTime",
-      watermarkDelay: String = "10 seconds"): Dataset[ResolvedFact] = {
+      watermarkDelay: String = "10 seconds",
+      stateTtlSeconds: Option[Long] = None): Dataset[ResolvedFact] = {
     val spark = triples.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlSeconds.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    // cast BEFORE the watermark and project the attribute through
+    // un-wrapped — an Alias over Cast(attr) strips the event-time
+    // metadata the EventTimeTimeout check requires (the
+    // StreamingFunnel lesson); micros derive in the lambda
     triples
+      .withColumn(watermarkCol, col(watermarkCol).cast("timestamp"))
       .withWatermark(watermarkCol, watermarkDelay)
       .select($"e", $"a", Triples.valueAsString().as("value"),
-        unix_micros(col(watermarkCol).cast("timestamp")).as("at"))
-      .as[(String, String, String, Long)]
+        col(watermarkCol).as("at"))
+      .as[(String, String, String, java.time.Instant)]
       .groupByKey { case (e, a, _, _) => (e, a) }
       .flatMapGroupsWithState[CardOneState, ResolvedFact](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (key: (String, String),
-         rows: Iterator[(String, String, String, Long)],
+         rawRows: Iterator[(String, String, String, java.time.Instant)],
          state: GroupState[CardOneState]) =>
-          val latest = rows.maxBy(_._4)
-          val cur = state.getOption
-          // ALWAYS advance state when latest wins — a re-assert of an
-          // equal value must still bump atMicros, or an older out-of-order
-          // value arriving later would incorrectly displace it. Only the
-          // EMISSION is gated on the value actually changing.
-          if (cur.forall(c => latest._4 >= c.atMicros)) {
-            state.update(CardOneState(latest._3, latest._4))
-            if (cur.forall(_.value != latest._3))
-              Iterator(ResolvedFact(key._1, key._2, latest._3, latest._4))
-            else Iterator.empty
-          } else Iterator.empty
+          if (state.hasTimedOut) {
+            // idle past the TTL horizon: drop the pair's state; the
+            // resolved value lives on in whatever sink consumed it
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = rawRows.map(r => (r._1, r._2, r._3,
+              r._4.getEpochSecond * 1000000L + r._4.getNano / 1000L))
+            val latest = rows.maxBy(_._4)
+            val cur = state.getOption
+            // ALWAYS advance state when latest wins — a re-assert of an
+            // equal value must still bump atMicros, or an older
+            // out-of-order value arriving later would incorrectly
+            // displace it. Only the EMISSION is gated on change.
+            val out = if (cur.forall(c => latest._4 >= c.atMicros)) {
+              state.update(CardOneState(latest._3, latest._4))
+              if (cur.forall(_.value != latest._3))
+                Iterator(ResolvedFact(key._1, key._2, latest._3, latest._4))
+              else Iterator.empty
+            } else Iterator.empty
+            stateTtlSeconds.foreach { ttl =>
+              state.setTimeoutTimestamp(math.max(
+                state.get.atMicros / 1000L + ttl * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out
+          }
       }
   }
 

@@ -38,6 +38,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("card-one resolution with a state TTL: an idle (e, a) pair " +
+      "evicts past the horizon — a later re-assert of the SAME value " +
+      "re-emits (proving the state is gone)") {
+    implicit val sql = spark.sqlContext
+    def tsl(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rows = input.toDF().toDF("id", "status", "ts")
+    val spec = RowIngest.specFor(rows, "ord", Seq("id"))
+    val triples = StreamingAssert.streamTriplesWithTime(rows, spec, "ts")
+    val resolved = StreamingAssert.resolveCardOne(
+      triples.where(col("a") === "ord:status"),
+      watermarkDelay = "5 seconds", stateTtlSeconds = Some(30L))
+    val q = resolved.writeStream.format("memory").queryName("resttl")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "OPEN", tsl(1)))      // emits OPEN
+      q.processAllAvailable()
+      input.addData((99L, "X", tsl(10000)))    // watermark far past horizon
+      q.processAllAvailable()
+      input.addData((98L, "X", tsl(10001)))    // timeout fires → evict e1
+      q.processAllAvailable()
+      // WITHOUT eviction this identical re-assert is suppressed (the
+      // first test's idempotency contract); WITH the TTL the state is
+      // gone, so it must emit again
+      input.addData((1L, "OPEN", tsl(10002)))
+      q.processAllAvailable()
+      val opens = spark.sql(
+          "SELECT count(*) FROM resttl WHERE value = 'OPEN'")
+        .as[Long].head()
+      assert(opens === 2L, "evicted pair did not re-emit on re-assert")
+    } finally q.stop()
+  }
+
   test("streaming first-seen dedup drops repeats within the watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
