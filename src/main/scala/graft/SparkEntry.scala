@@ -2171,6 +2171,42 @@ object SparkEntry {
       graft.ops.TextOps.bpeEncode(docs, "doc_id", "text", merges)
     }),
 
+    // REAL audio decode (Multimodal.decodeWavStats): a deterministic
+    // 16-bit PCM mono WAV per doc (sample i = ((id·31 + i·17) mod
+    // 65536) − 32768, n = 16 + id mod 16 frames at 8 kHz) synthesized
+    // through the JDK's javax.sound encoder, decoded back through the
+    // SAME real codec; the oracle replays the integer synthesis —
+    // q133's lossless-roundtrip argument on the audio seam.
+    "q159_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tpch.raw(s, dir, "documents").select(col("doc_id")).as[Long]
+      val wavs = ids.mapPartitions { it =>
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        it.map { id =>
+          val n = (16 + id % 16).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
+            pcm(2 * i) = (v & 0xFF).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "wav")
+      graft.ops.Multimodal.decodeWavStats(wavs, "doc_id", "wav")
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_frames"), col("abs_sum"))
+    }),
+
     // INTRA-doc repeated-line dedup (TextOps.dedupLines): each doc gets
     // its first 30 chars planted as a line 3× around the body — the
     // cleaner must keep exactly the first occurrence of every distinct
@@ -4338,6 +4374,16 @@ object SparkEntry {
         |                     ELSE tok.nt END) AS BIGINT) AS n_tokens
         |FROM w LEFT JOIN tok ON w.w = tok.w
         |GROUP BY w.doc_id""".stripMargin,
+    // integer replay of the PCM synthesis (WAV is lossless)
+    "q159_audio_decode" ->
+      """SELECT doc_id,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(16 + doc_id % 16 AS BIGINT) AS n_frames,
+        |       CAST((SELECT sum(abs(((doc_id * 31 + i * 17) % 65536)
+        |                            - 32768))
+        |             FROM unnest(range(0, CAST(16 + doc_id % 16 AS BIGINT)))
+        |               AS r(i)) AS BIGINT) AS abs_sum
+        |FROM documents""".stripMargin,
     // the same plant + first-occurrence-per-line rebuild
     "q158_line_dedup" ->
       """WITH p AS (SELECT doc_id,

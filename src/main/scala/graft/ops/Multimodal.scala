@@ -202,6 +202,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Output schema of [[decodeWavStats]]. */
+  def wavStatsSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("abs_sum", LongType)))
+
+  /** REAL audio decode through the seam — the WAV sibling of
+    * [[resizeNearest]]'s imageio path: each binary payload parses with
+    * the JDK's `javax.sound.sampled` (RIFF/WAVE, PCM), and the decoded
+    * 16-bit little-endian mono frames reduce to (sample_rate, n_frames,
+    * Σ|sample|) — all INTEGER arithmetic, so an external system that
+    * knows the synthesis recipe recomputes the expected stats exactly
+    * (the q159 oracle; WAV PCM being lossless, encode→decode
+    * round-trips bit-for-bit). Undecodable or non-16-bit-LE-mono
+    * payloads fail-capture as sample_rate −1 with zero frames — the
+    * schema-stable idiom of the image codec. Narrow map, no shuffle;
+    * per-row output is three scalars regardless of clip length, the
+    * stats-at-ingest shape that keeps an audio corpus pass IO-bounded. */
+  def decodeWavStats(df: DataFrame, idCol: String,
+      binCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast(LongType), col(binCol))
+    val enc = ExpressionEncoder(wavStatsSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian)
+              Row(r.getLong(0), -1, 0L, 0L)
+            else {
+              val pcm = ais.readAllBytes()
+              var i = 0; var n = 0L; var sum = 0L
+              while (i + 2 <= pcm.length) {
+                val v = (((pcm(i + 1): Int) << 8) | (pcm(i) & 0xFF)).toShort
+                sum += math.abs(v.toLong)
+                n += 1; i += 2
+              }
+              Row(r.getLong(0), fmt.getSampleRate.toInt, n, sum)
+            }
+          } finally ais.close()
+        } catch {
+          case _: Exception => Row(r.getLong(0), -1, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-local batch featurization of (idCol, binCol) rows:
     * `codecFactory` runs ONCE per partition (asserted by OpsSpec with an
     * accumulator), payloads flow to the codec in `batchSize` groups, and

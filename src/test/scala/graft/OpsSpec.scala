@@ -510,6 +510,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L)._2 === -1 && out(2L)._4.isEmpty)
   }
 
+  test("decodeWavStats: real javax.sound WAV decode, hand-checked " +
+      "PCM stats, failure capture") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(Array[Short](100, -200, 32767, -32768))),
+      (2L, Array[Byte](9, 9, 9)) // not a WAV
+    ).toDF("id", "wav")
+    val out = Multimodal.decodeWavStats(df, "id", "wav")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // |100| + |-200| + |32767| + |-32768| = 65835
+    assert(out(1L) === ((1L, 8000, 4L, 65835L)))
+    assert(out(2L) === ((2L, -1, 0L, 0L)))
+  }
+
   test("temperatureMix: smallest group keeps all, big groups thin ~√-prop") {
     val df = ((1L to 4L).map(i => (i, "tail")) ++
       (101L to 500L).map(i => (i, "head"))).toDF("doc_id", "source")
