@@ -468,7 +468,8 @@ class TripleStore(
           .groupBy($"e")
           .agg(sort_array(collect_list(struct(childCols.map(col): _*)))
             .as(p.name))
-      case p: PAttr => sys.error(s"unreachable $p")
+      // PAttr was filtered into `flat`; PRec was unrolled to PNest above
+      case p @ (_: PAttr | _: PRec) => sys.error(s"unreachable $p")
     }
 
     val joined = otherDfs.foldLeft(
