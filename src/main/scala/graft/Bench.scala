@@ -23,6 +23,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // --only q125,q126: builder-side iteration on a subset (prefix or
+    // full name); the driver's per-round run never passes it.
+    var only: Option[Set[String]] = None
     var positional = List.empty[String]
     var i = 0
     while (i < args.length) {
@@ -30,6 +33,9 @@ object Bench {
         case "--reps" =>
           require(i + 1 < args.length, "--reps needs a value")
           reps = args(i + 1).toInt; i += 2
+        case "--only" =>
+          require(i + 1 < args.length, "--only needs a value")
+          only = Some(args(i + 1).split(',').map(_.trim).toSet); i += 2
         case p => positional :+= p; i += 1
       }
     }
@@ -55,7 +61,10 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.exists(o => name == o || name.startsWith(o))) }
+      .map { case (name, fn) =>
       // only SUCCESSFUL reps contribute to the stats: a rep that throws
       // usually fails much faster than a healthy run completes, so mixing
       // time-to-failure into the median would report a misleadingly fast

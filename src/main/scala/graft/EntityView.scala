@@ -52,7 +52,9 @@ class Entity(val store: TripleStore, val eid: String,
       val valColOf = attrs.map(at => at -> Triples.valueColFor(
         store.schemas.get(at).map(_.vtype).getOrElse(Triples.VStr))).toMap
       val valCols = valColOf.values.toSeq.distinct
-      val rows = store.resolved
+      // attribute-pruned scan (TripleStore.scanFor): only the tables and
+      // columns owning these attrs generate triples for the lookup
+      val rows = store.scanFor(attrs)
         .where($"e" === eid && $"a".isin(attrs.map(x => x: Any): _*))
         .select(($"a" +: valCols.map(col)): _*).collect().toSeq
       cache = cache ++ attrs.map { at =>
@@ -79,7 +81,7 @@ class Entity(val store: TripleStore, val eid: String,
           store.refEdges(forwardAttr(a)).where($"vref" === eid)
             .select($"e").as[String].collect().toSeq.sorted
         else {
-          val rows = store.resolved.where($"e" === eid && $"a" === a)
+          val rows = store.scanFor(Seq(a)).where($"e" === eid && $"a" === a)
             .select(col(Triples.valueColFor(
               store.schemas.get(a).map(_.vtype).getOrElse(Triples.VStr))))
             .collect().toSeq.map(_.get(0)).filter(_ != null)
@@ -111,11 +113,63 @@ class Entity(val store: TripleStore, val eid: String,
 
   /** Multi-hop walk (`get_in`, tripl.py:203-241): follow ref attrs for
     * all but the last key, flattening intermediate multi-values
-    * (monadic bind), then read the last key's values. */
+    * (monadic bind), then read the last key's values.
+    *
+    * BATCHED: the whole path resolves in ONE Spark job — edge joins for
+    * the hops plus the final value read — instead of one point-lookup
+    * job per intermediate entity (the recursive spec's N+1 shape).
+    * Result order matches the recursive definition: depth-first over
+    * per-parent sorted children, i.e. lexicographic on the eid chain
+    * (values under one final entity additionally sort for determinism —
+    * the recursive form's within-entity order was collect-arbitrary). */
   def getIn(path: Seq[String]): Seq[Any] = path match {
     case Seq() => Seq(this)
     case Seq(last) => apply(last)
-    case head +: rest => refs(head).flatMap(_.getIn(rest))
+    case _ =>
+      import store.spark.implicits._
+      val hops = path.init.map(attrOf)
+      val lastA = attrOf(path.last)
+      // first hop from the prefetch cache when possible (same condition
+      // as [[refs]]): a LocalRelation frontier broadcasts without the
+      // extra exchange job a scan-backed frontier would need
+      var frontier = cache.get(hops.head)
+          .filter(_ => store.schemas.get(hops.head).exists(_.isRef)) match {
+        case Some(vs) =>
+          store.spark.createDataset(vs.map(_.toString).sorted.toList)
+            .toDF("e").select($"e", array($"e").as("_chain"))
+        case None =>
+          store.refEdges(hops.head).where($"e" === eid)
+            .select($"vref".as("e"), array($"vref").as("_chain"))
+      }
+      // the frontier fans out from ONE eid — always broadcast-size, so
+      // every hop is a shuffle-free broadcast join over the edge scan
+      hops.tail.foreach { a =>
+        val edge = store.refEdges(a).select($"e", $"vref")
+        frontier = broadcast(frontier).join(edge, "e")
+          .select($"vref".as("e"),
+            concat($"_chain", array($"vref")).as("_chain"))
+      }
+      val rows =
+        if (isReverse(lastA)) {
+          val rev = store.refEdges(forwardAttr(lastA))
+            .select($"vref".as("e"), $"e".as("_v"))
+          broadcast(frontier).join(rev, "e")
+            .select($"_chain", $"_v").collect()
+        } else {
+          val vc = Triples.valueColFor(
+            store.schemas.get(lastA).map(_.vtype).getOrElse(Triples.VStr))
+          val vals = store.scanFor(Seq(lastA)).where($"a" === lastA)
+            .select($"e", col(vc).as("_v")).where($"_v".isNotNull)
+          broadcast(frontier).join(vals, "e")
+            .select($"_chain", $"_v").collect()
+        }
+      // tiny driver-side sort instead of a range-partitioned orderBy
+      // (which would add a sampling job + shuffle to every walk)
+      rows.toSeq
+        .map(r => (r.getSeq[String](0), r.get(1)))
+        .sortBy { case (chain, v) => (chain.mkString("\u0000"),
+          String.valueOf(v)) }
+        .map(_._2)
   }
 
   /** Take-first variant of getIn (`some_in`, tripl.py:233-241). */
@@ -125,6 +179,57 @@ class Entity(val store: TripleStore, val eid: String,
 }
 
 object Entity {
+  /** Entities for ALL matches of a pattern (`entities`,
+    * tripl.py:624-625), eid-sorted, with an optional BULK prefetch: the
+    * given attrs load for EVERY matched entity in one job per access
+    * path (one for all forward attrs, one per reverse attr) instead of
+    * one point-lookup job per entity per attr — the set-at-a-time fix
+    * for scripted walks over a result set; subsequent apply/one calls
+    * for those attrs run zero jobs. Reverse attrs (`ns:_attr`) cache
+    * the sorted pointing-eid list, exactly what a live [[Entity.apply]]
+    * would return. */
+  def findAll(store: TripleStore, pattern: Seq[(String, MVal)],
+      namespace: Option[String] = None,
+      prefetch: Seq[String] = Nil): Seq[Entity] = {
+    import store.spark.implicits._
+    val ents = store.matchEntities(pattern).orderBy("e")
+      .as[String].collect().toSeq.map(new Entity(store, _, namespace))
+    if (ents.nonEmpty && prefetch.nonEmpty) {
+      val h = ents.head // all ents share the namespace completion
+      val keys = prefetch.map(h.attrOf).distinct
+      val eidArgs = ents.map(_.eid: Any)
+      val attrs = keys.filterNot(h.isReverse)
+      if (attrs.nonEmpty) {
+        val valColOf = attrs.map(at => at -> Triples.valueColFor(
+          store.schemas.get(at).map(_.vtype).getOrElse(Triples.VStr))).toMap
+        val valCols = valColOf.values.toSeq.distinct
+        val rows = store.scanFor(attrs)
+          .where($"e".isin(eidArgs: _*) &&
+            $"a".isin(attrs.map(x => x: Any): _*))
+          .select(($"e" +: $"a" +: valCols.map(col)): _*).collect().toSeq
+        val byE = rows.groupBy(_.getString(0))
+        ents.foreach { e =>
+          val mine = byE.getOrElse(e.eid, Seq.empty)
+          e.cache = e.cache ++ attrs.map { at =>
+            at -> mine.filter(_.getString(1) == at)
+              .map(_.getAs[Any](valColOf(at))).filter(_ != null)
+          }.toMap
+        }
+      }
+      keys.filter(h.isReverse).foreach { at =>
+        val srcByDst = store.refEdges(h.forwardAttr(at))
+          .where($"vref".isin(eidArgs: _*))
+          .select($"vref", $"e").as[(String, String)].collect().toSeq
+          .groupBy(_._1)
+        ents.foreach { e =>
+          e.cache = e.cache +
+            (at -> srcByDst.getOrElse(e.eid, Seq.empty).map(_._2).sorted)
+        }
+      }
+    }
+    ents
+  }
+
   /** Entity for the first match of a pattern (tripl.py:616-621). */
   def find(store: TripleStore, pattern: Seq[(String, MVal)],
       namespace: Option[String] = None): Option[Entity] = {

@@ -2551,16 +2551,23 @@ object SparkEntry {
     "q125_entity_walk" -> ((s, dir) => {
       import s.implicits._
       val store = Tpch.store(s, dir, "region", "nation", "customer")
-      val rows = (0L until 5L).flatMap { k =>
-        Entity.find(store, Seq("nation:nationkey" -> MEq(k)),
-            namespace = Some("nation")).map { e =>
-          e.prefetch(Seq("name", "nationkey"))
-          val name = e.one("name").map(_.toString).getOrElse("")
-          val region = e.someIn(Seq("region", "region:name"))
-            .map(_.toString).getOrElse("")
-          val nCust = e("customer:_nation").size.toLong
-          (k, name, region, nCust)
-        }
+      // set-at-a-time entry: ONE match job + ONE bulk-prefetch job for
+      // all five nations' forward attrs + ONE for the reverse customer
+      // lookup (Entity.findAll, tripl.py:624-625) instead of a
+      // find/prefetch/reverse job trio per nation; the walk proper
+      // stays per-entity — one batched getIn job for the region-name
+      // hop per nation
+      val ents = Entity.findAll(store,
+        Seq("nation:nationkey" -> MIn(0L until 5L)),
+        namespace = Some("nation"),
+        prefetch = Seq("name", "nationkey", "region", "customer:_nation"))
+      val rows = ents.map { e =>
+        val k = e.one("nationkey").map(_.toString.toLong).getOrElse(-1L)
+        val name = e.one("name").map(_.toString).getOrElse("")
+        val region = e.someIn(Seq("region", "region:name"))
+          .map(_.toString).getOrElse("")
+        val nCust = e("customer:_nation").size.toLong
+        (k, name, region, nCust)
       }
       rows.toDF("nationkey", "name", "region_name", "n_customers")
     }),

@@ -68,8 +68,11 @@ class TripleStore(
   import spark.implicits._
 
   /** Pruned scan for the given attributes: generate-only-what's-asked
-    * when a source is available, else filter the resolved relation. */
-  private def scanFor(attrs: Seq[String]): DataFrame = source match {
+    * when a source is available, else filter the resolved relation.
+    * Package-private so driver-side Entity point lookups ride the same
+    * attribute pruning as match/pull instead of re-deriving the full
+    * all-table triple relation per accessed attribute. */
+  private[graft] def scanFor(attrs: Seq[String]): DataFrame = source match {
     case Some(src) if preResolved =>
       src.scan(Some(attrs)).where($"a".isInCollection(attrs))
     case _ => resolved.where($"a".isInCollection(attrs))

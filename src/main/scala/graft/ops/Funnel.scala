@@ -62,23 +62,36 @@ object Funnel {
     * aggregation already counts every row (the survivors under the
     * "kept" label), so total = Σ n of its ≤ |stages|+1 groups — a
     * separate `df.count()` would scan the corpus a second time for a
-    * number the first scan has. The grouped result is bounded driver
-    * metadata; the cumulative arithmetic runs over it on the driver
-    * and the report materializes as a local relation. */
+    * number the first scan has. The whole table is a LAZY plan: the
+    * corpus pass is the one conditional aggregation, and the
+    * cumulative arithmetic (per-stage sums, remaining) runs as plain
+    * expressions over that single ≤|stages|+1-column row — no driver
+    * collect, no eager job at construction, so callers pay nothing
+    * until they execute and Catalyst sees the full pipeline. */
   def report(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     checkStages(stages)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val counts = labeled(df, stages)
-      .groupBy(col("dropped_at")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    val cumDrops = stages.map(n => counts.getOrElse(n._1, 0L))
-      .scanLeft(0L)(_ + _)
-    val rows = (0, "ingest", 0L, total) +:
-      stages.map(_._1).zipWithIndex.map { case (name, i) =>
-        (i + 1, name, counts.getOrElse(name, 0L), total - cumDrops(i + 1))
+    // One aggregated row: a conditional count per stage + the grand
+    // total, all map-side-combined inside one whole-stage-codegen pass.
+    val dropped = col("dropped_at")
+    val aggs = count(lit(1)).as("_total") +:
+      stages.map { case (name, _) =>
+        count(when(dropped === name, 1)).as(s"_d_$name")
       }
-    rows.toDF("stage_idx", "stage", "dropped", "remaining")
+    val one = labeled(df, stages).agg(aggs.head, aggs.tail: _*)
+    // Explode the single row into the |stages|+1 funnel rows with a
+    // constant inline table — still one job, corpus-size-independent.
+    val rowStructs = struct(lit(0).as("stage_idx"), lit("ingest").as("stage"),
+        lit(0L).as("dropped"), col("_total").as("remaining")) +:
+      stages.map(_._1).zipWithIndex.map { case (name, i) =>
+        val cum = stages.take(i + 1)
+          .map(s => col(s"_d_${s._1}"))
+          .reduce(_ + _)
+        struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+          col(s"_d_$name").as("dropped"),
+          (col("_total") - cum).as("remaining"))
+      }
+    one.select(explode(array(rowStructs: _*)).as("r"))
+      .select(col("r.stage_idx"), col("r.stage"),
+        col("r.dropped"), col("r.remaining"))
   }
 }
