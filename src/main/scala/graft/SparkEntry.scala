@@ -2222,6 +2222,17 @@ object SparkEntry {
           col("n_dropped"))
     }),
 
+    // production-shape BPE learning (TextOps.bpeLearnRounds): 6 fixed
+    // rounds × up to 16 mutually non-interacting merges each — 73
+    // merges in 7 Spark jobs (one pair count per round + the one-time
+    // base-vocab cache) where sequential bpeLearn (q142) pays one job
+    // PER merge. The oracle replays the greedy symbol-matching
+    // acceptance walk as a recursive CTE and the batch application as
+    // a list_reduce of the identical space-encoded replaces.
+    "q160_bpe_learn_batch" -> ((s, dir) =>
+      graft.ops.TextOps.bpeLearnRounds(Tpch.raw(s, dir, "documents"),
+        "text", rounds = 6, batchK = 16)),
+
     // balanced per-group exact sample (Sampling.exactNPerGroup): 25
     // docs per source by deterministic md5 rank — the eval-panel
     // sampler; one hash-partitioned window, no global sort.
@@ -2762,6 +2773,68 @@ object SparkEntry {
         |  ('root', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
         |) AS t(name, length, parent)""".stripMargin,
   )
+
+  /** Oracle for q160: replays [[graft.ops.TextOps.bpeLearnRounds]] in
+    * pure SQL, round by round — pair counts over the space-encoded
+    * vocab, a window-ranked candidate pool, the greedy
+    * symbol-matching acceptance walk as a recursive CTE carrying the
+    * used-symbol set, and the batch's merge application as a
+    * list_reduce fold of the identical space-encoded replaces. Global
+    * iter numbers offset by the (data-dependent) accepted count of
+    * every earlier round. */
+  private def bpeLearnRoundsOracle(rounds: Int, batchK: Int): String = {
+    val pool = 4 * batchK + 32
+    val sb = new StringBuilder
+    sb.append(
+      // AS MATERIALIZED everywhere a CTE is referenced more than once:
+      // under WITH RECURSIVE DuckDB re-inlines plain CTEs, turning the
+      // round chain into exponential re-evaluation of the whole vocab
+      // pipeline (observed: >6 min vs 4 s at sf0.01)
+      """WITH RECURSIVE v0 AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
+        |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |p$r AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
+        |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v${r - 1}) t,
+        |         unnest(range(1, len(sy))) AS r(i)) s GROUP BY pair),
+        |c$r AS MATERIALIZED (SELECT pair, n, string_split(pair,'|')[1] AS x,
+        |         string_split(pair,'|')[2] AS y,
+        |         row_number() OVER (ORDER BY n DESC, pair) AS rk
+        |       FROM p$r QUALIFY rk <= $pool),
+        |s$r AS (
+        |  SELECT 1 AS rk, [x, y] AS used, [pair] AS acc FROM c$r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT c.rk,
+        |    CASE WHEN NOT list_contains(s.used, c.x)
+        |          AND NOT list_contains(s.used, c.y) AND len(s.acc) < $batchK
+        |         THEN s.used || [c.x, c.y] ELSE s.used END,
+        |    CASE WHEN NOT list_contains(s.used, c.x)
+        |          AND NOT list_contains(s.used, c.y) AND len(s.acc) < $batchK
+        |         THEN list_append(s.acc, c.pair) ELSE s.acc END
+        |  FROM s$r s JOIN c$r c ON c.rk = s.rk + 1),
+        |a$r AS MATERIALIZED (SELECT acc FROM s$r ORDER BY rk DESC LIMIT 1),
+        |m$r AS (SELECT acc[i] AS pair, i AS j FROM a$r,
+        |         unnest(range(1, len(acc) + 1)) AS t(i)),
+        |v$r AS MATERIALIZED (SELECT freq, list_reduce(
+        |    list_prepend(enc, COALESCE((SELECT acc FROM a$r), [])),
+        |    (a, p) -> replace(a,
+        |      ' ' || string_split(p,'|')[1] || '  ' || string_split(p,'|')[2] || ' ',
+        |      ' ' || replace(p,'|','') || ' ')) AS enc FROM v${r - 1})""".stripMargin)
+    }
+    val unions = (1 to rounds).map { r =>
+      val prior = (1 until r)
+        .map(i => s"COALESCE((SELECT len(acc) FROM a$i), 0)")
+      val off = if (prior.isEmpty) "0" else prior.mkString(" + ")
+      s"SELECT CAST($off + m$r.j AS INT) AS iter, m$r.pair, p$r.n " +
+        s"FROM m$r JOIN p$r ON p$r.pair = m$r.pair"
+    }
+    sb.append("\n" + unions.mkString("\nUNION ALL "))
+    sb.toString
+  }
 
   private def coreSql: Map[String, String] = Map(
     "q01_match_pull" ->
@@ -4257,7 +4330,7 @@ object SparkEntry {
     "q139_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w
-        |       WHERE len(w) >= 2 GROUP BY w),
+        |       WHERE len(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w),
         |p AS (SELECT substr(w, i, 1) || '|' || substr(w, i+1, 1) AS pair, freq
         |      FROM wf, unnest(range(1, len(w))) AS t(i))
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair
@@ -4295,7 +4368,7 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS freq,
         |         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
         |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
-        |  WHERE len(w) >= 2 GROUP BY w),
+        |  WHERE len(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w),
         |p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
         |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
         |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v0) t,
@@ -4331,7 +4404,7 @@ object SparkEntry {
         |  SELECT CAST(count(*) AS BIGINT) AS freq,
         |         ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS enc
         |  FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
-        |  WHERE len(w) >= 2 GROUP BY w),
+        |  WHERE len(w) >= 2 AND w NOT LIKE '%|%' GROUP BY w),
         |p1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
         |    SELECT sy[i] || '|' || sy[i+1] AS pair, freq
         |    FROM (SELECT string_split(trim(enc), '  ') AS sy, freq FROM v0) t,
@@ -4413,6 +4486,7 @@ object SparkEntry {
         |SELECT r.doc_id, md5(r.clean) AS clean_md5,
         |       (t.nl - r.nkept) AS n_dropped
         |FROM reb r JOIN tot t USING (doc_id)""".stripMargin,
+    "q160_bpe_learn_batch" -> bpeLearnRoundsOracle(rounds = 6, batchK = 16),
     // the same md5-rank window per source
     "q155_group_sample" ->
       """SELECT doc_id, source, n_chars FROM (

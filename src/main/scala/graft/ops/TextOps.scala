@@ -918,11 +918,13 @@ object TextOps {
     * round is one groupBy over the re-symbolized vocab.
     *
     * Output: top `k` rows (pair, n) — pair as "a|b", n the total
-    * corpus occurrence count — ordered by (n desc, pair). */
+    * corpus occurrence count — ordered by (n desc, pair). Words
+    * containing '|' are excluded (the pair-display separator must not
+    * be a symbol — see [[bpeLearn]]). */
   def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val vocab = df
       .select(explode(tokens(col(textCol))).as("w"))
-      .where(length(col("w")) >= 2)
+      .where(length(col("w")) >= 2 && !col("w").contains("|"))
       .groupBy("w").agg(count("*").as("freq"))
     vocab
       .select(col("freq"), explode(
@@ -934,13 +936,34 @@ object TextOps {
   }
 
   /** ITERATED BPE MERGE LEARNING — the full tokenizer-training loop
-    * over [[bpePairCounts]]'s one step: `nMerges` rounds of (count all
-    * adjacent symbol pairs over the vocabulary) → (pick the most
-    * frequent, ties by pair string) → (apply the merge to every vocab
-    * entry) → repeat. Counting is a distributed groupBy per round and
-    * merge application a narrow map; only the SELECTED (pair, count) —
-    * one row — ever reaches the driver, which is the irreducible
-    * sequential core of BPE (merge i+1's counts depend on merge i).
+    * over [[bpePairCounts]]'s one step: rounds of (count all adjacent
+    * symbol pairs over the vocabulary) → (select merges) → (apply them
+    * to every vocab entry) → repeat, until `nMerges` merges are
+    * learned. Counting is a distributed groupBy per round and merge
+    * application a narrow map; only a bounded candidate pool ever
+    * reaches the driver.
+    *
+    * `batchK` is the scale knob for the ROUND count, which at
+    * production vocab sizes (30k+ merges) is the wall-clock killer —
+    * one driver-synchronized Spark job per merge. With `batchK = 1`
+    * this is exactly sequential BPE (top-1 pair per round). With
+    * `batchK > 1` each round accepts up to `batchK` MUTUALLY
+    * NON-INTERACTING merges from one pair count — the standard batched
+    * approximation: candidates rank by (n desc, pair asc) within a
+    * pool of the top `4·batchK + 32`, and acceptance is a greedy
+    * maximal matching on the symbol-conflict graph — walk the ranking,
+    * accept a pair iff neither symbol appears in an already-accepted
+    * pair. Accepted merges are symbol-disjoint, so (a) their
+    * applications cannot overlap — one chained replace pass applies
+    * the whole batch, and (b) each accepted pair's count is its true
+    * sequential-BPE count at round start (merging a disjoint pair can
+    * neither create nor destroy an occurrence of another). The greedy
+    * walk is pure rank-recursion over a bounded candidate list, so an
+    * oracle replays it without driver state (a recursive CTE carrying
+    * the used-symbol set). Learning runs on vocab entries only; the
+    * base vocab is cached ONCE and each round is ONE job (the
+    * candidate count) — a 30k-merge vocabulary at batchK=256 is ~120
+    * rounds, not 30k.
     *
     * Symbol sequences are encoded as strings — `" s1  s2  …  sn "`,
     * two spaces between symbols, one at each end — chosen so applying
@@ -951,53 +974,139 @@ object TextOps {
     * replacement (which never contains a double space) can never
     * manufacture a new match — meaning ANY engine's standard replace()
     * reproduces the round exactly (the oracle applies the identical
-    * expression).
+    * expression). Words containing '|' are excluded from the learning
+    * vocab: '|' is the pair-display separator, and excluding it from
+    * the symbol alphabet keeps every emitted "x|y" unambiguous (the
+    * [[bpeEncode]] contract).
     *
-    * Output: (iter, pair, n) — the learned merge table in order. */
-  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1)
+    * Output: (iter, pair, n) — the learned merge table in application
+    * order; n is the pair's count in the round that accepted it. */
+  def bpeLearn(df: DataFrame, textCol: String, nMerges: Int,
+      batchK: Int = 1): DataFrame = {
+    require(nMerges >= 1 && batchK >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    def pairCounts(vocab: DataFrame): DataFrame = vocab
-      // fully-merged single-symbol entries have no pairs — and
-      // sequence(1, 0) would DESCEND, not empty out
+    def withSyms(v: DataFrame): DataFrame =
+      v.withColumn("syms", split(trim(col("enc")), "  "))
+    val base = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2 && !col("w").contains("|"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        concat_ws("  ", split(col("w"), "")), lit(" ")).as("enc"))
+      .persist()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    try {
+      // vocab stays a LAZY chain of replaces over the cached base —
+      // each round re-applies the accumulated (cheap, narrow) merges
+      // instead of persisting a new copy per round
+      var vocab = withSyms(base)
+      var learned = 0
+      var exhausted = false
+      while (learned < nMerges && !exhausted) {
+        val need = math.min(batchK, nMerges - learned)
+        val batch = bpeRound(vocab, 4 * batchK + 32, need)
+        if (batch.isEmpty) exhausted = true
+        else {
+          merges ++= batch.zipWithIndex.map { case ((p, n), i) =>
+            (learned + i + 1, p, n)
+          }
+          learned += batch.size
+          vocab = withSyms(vocab.select(col("freq"),
+            applyMerges(col("enc"), batch.map(_._1)).as("enc")))
+        }
+      }
+    } finally base.unpersist(blocking = false)
+    merges.result().toDF("iter", "pair", "n")
+  }
+
+  /** One batched-BPE round over a symbolized vocab: ONE distributed
+    * pair count, then the driver's rank-local acceptance rule (see
+    * [[bpeLearn]]) over the collected top-`pool` candidates. Returns
+    * up to `maxAccept` (pair, n) merges in rank order. */
+  private def bpeRound(vocab: DataFrame, pool: Int,
+      maxAccept: Int): Seq[(String, Long)] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val cands = vocab
       .where(size(col("syms")) >= 2)
       .select(col("freq"), explode(
         transform(sequence(lit(1), size(col("syms")) - 1), i =>
           concat(element_at(col("syms"), i), lit("|"),
             element_at(col("syms"), i + 1)))).as("pair"))
       .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(pool)
+      .as[(String, Long)].collect()
+    // greedy maximal matching on the symbol-conflict graph: walk the
+    // ranked candidates, accept a pair iff neither symbol appears in an
+    // already-ACCEPTED pair (a rejected candidate blocks nothing) —
+    // replayable without driver state as a rank-recursion carrying the
+    // used-symbol set (the oracle's recursive CTE)
+    val used = scala.collection.mutable.Set.empty[String]
+    val accepted = Seq.newBuilder[(String, Long)]
+    var nAcc = 0
+    cands.foreach { case (pair, n) =>
+      if (nAcc < maxAccept) {
+        val Array(x, y) = pair.split("\\|", 2)
+        if (!used(x) && !used(y)) {
+          accepted += ((pair, n)); nAcc += 1; used += x; used += y
+        }
+      }
+    }
+    accepted.result()
+  }
+
+  /** Chained space-encoded merge application: symbol-disjoint batches
+    * commute, applied in rank order for definiteness. Plain string
+    * replace (not regex) — byte-for-byte the same left-to-right
+    * non-overlapping scan the oracle's replace() runs. */
+  private def applyMerges(enc: Column, pairs: Seq[String]): Column =
+    pairs.foldLeft(enc) { case (e, pair) =>
+      val Array(x, y) = pair.split("\\|", 2)
+      call_function("replace", e, lit(s" $x  $y "), lit(s" $x$y "))
+    }
+
+  /** FIXED-ROUND batched BPE learning — the oracle-replayable form of
+    * batched [[bpeLearn]]: exactly `rounds` rounds, each accepting up
+    * to `batchK` mutually non-interacting merges under the identical
+    * rank-local rule, outputting EVERY accepted merge (the merge count
+    * is data-dependent; the round count is not). A static per-round
+    * replay — window-ranked candidates, an anti-join acceptance filter,
+    * a chained replace — reproduces this without any sequential driver
+    * state, which is what makes production-scale learning testable:
+    * `rounds × batchK` target merges cost `rounds + 1` Spark jobs
+    * total (one candidate count per round + the one-time base-vocab
+    * cache), vs one job PER MERGE sequentially. Output: (iter, pair,
+    * n) in global application order. */
+  def bpeLearnRounds(df: DataFrame, textCol: String, rounds: Int,
+      batchK: Int): DataFrame = {
+    require(rounds >= 1 && batchK >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
     def withSyms(v: DataFrame): DataFrame =
       v.withColumn("syms", split(trim(col("enc")), "  "))
-    var vocab = withSyms(df
+    val base = df
       .select(explode(tokens(col(textCol))).as("w"))
-      .where(length(col("w")) >= 2)
+      .where(length(col("w")) >= 2 && !col("w").contains("|"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(lit(" "),
-        concat_ws("  ", split(col("w"), "")), lit(" ")).as("enc")))
+        concat_ws("  ", split(col("w"), "")), lit(" ")).as("enc"))
       .persist()
     val merges = Seq.newBuilder[(Int, String, Long)]
     try {
-      for (it <- 1 to nMerges) {
-        val top = pairCounts(vocab)
-          .orderBy(col("n").desc, col("pair")).limit(1)
-          .as[(String, Long)].collect()
-        if (top.nonEmpty) {
-          val (pair, n) = top.head
-          merges += ((it, pair, n))
-          val Array(x, y) = pair.split("\\|", 2)
-          // plain string replace (not regex) — byte-for-byte the same
-          // left-to-right non-overlapping scan the oracle's replace()
-          // runs
-          val next = withSyms(vocab.select(col("freq"),
-            call_function("replace", col("enc"),
-              lit(s" $x  $y "), lit(s" $x$y ")).as("enc"))).persist()
-          next.count() // materialize before dropping the parent
-          vocab.unpersist()
-          vocab = next
+      var vocab = withSyms(base)
+      var learned = 0
+      for (_ <- 1 to rounds) {
+        val batch = bpeRound(vocab, 4 * batchK + 32, batchK)
+        merges ++= batch.zipWithIndex.map { case ((p, n), i) =>
+          (learned + i + 1, p, n)
         }
+        learned += batch.size
+        if (batch.nonEmpty)
+          vocab = withSyms(vocab.select(col("freq"),
+            applyMerges(col("enc"), batch.map(_._1)).as("enc")))
       }
-    } finally vocab.unpersist()
+    } finally base.unpersist(blocking = false)
     merges.result().toDF("iter", "pair", "n")
   }
 
@@ -1035,7 +1144,10 @@ object TextOps {
     * paths (and the oracle) agree byte-for-byte. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[String], exprMergeLimit: Int = 64): DataFrame = {
-    require(merges.forall(_.contains("|")),
+    // "x|y" parses unambiguously because bpeLearn excludes '|' from the
+    // symbol alphabet (pipe-containing words never enter the learning
+    // vocab), so a pair contains exactly one '|' — the separator
+    require(merges.forall(_.count(_ == '|') == 1),
       "merges must be bpeLearn 'x|y' pairs in iteration order")
     val pairs = merges.map { p =>
       val Array(x, y) = p.split("\\|", 2); (x, y)

@@ -282,6 +282,11 @@ object ScaleBench {
       // is one groupBy over the vocab — predicted ~linear
       "bpe_learn" -> (() =>
         { graft.ops.TextOps.bpeLearn(d, "text", nMerges = 2).count(); () }),
+      // the production path: fixed rounds × batched non-interacting
+      // merges — job count ∝ rounds, not merges
+      "bpe_learn_batch" -> (() =>
+        { graft.ops.TextOps.bpeLearnRounds(d, "text", rounds = 3,
+            batchK = 16).count(); () }),
       // two-pass range-partitioned rank over (value, id) — ~linear
       "exact_quantiles" -> (() =>
         { graft.ops.Skew.exactQuantiles(

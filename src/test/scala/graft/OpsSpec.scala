@@ -1514,6 +1514,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq((1, "a|a", 4L), (2, "a|b", 3L), (3, "aa|ab", 2L)))
   }
 
+  test("bpeLearnRounds: greedy non-interacting batches; batchK=1 round " +
+      "equals sequential; accepted pairs symbol-disjoint per round") {
+    // corpus with clearly separable top pairs: "ab" and "cd" share no
+    // symbol → round 1 at batchK=2 accepts BOTH; "bc" (rank below)
+    // conflicts with both and is deferred to round 2 — after ab/cd
+    // merged, b|c occurrences are gone, so round 2 learns ab|cd
+    val df = Seq((1L, "abcd abcd ab cd")).toDF("id", "text")
+    val out = graft.ops.TextOps.bpeLearnRounds(df, "text",
+        rounds = 2, batchK = 2)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    // round 1 pairs (vocab: abcd ×2, ab ×1, cd ×1): a|b 3, b|c 2,
+    // c|d 3 → rank a|b(3), c|d(3), b|c(2); greedy takes a|b then c|d
+    // (disjoint), b|c blocked. round 2 vocab: [ab,cd]×2, [ab], [cd] →
+    // ab|cd ×2 wins; second-rank pair conflicts (none left ≥1 symbol
+    // free) — accepts what exists
+    assert(out.take(3).map(x => (x._1, x._2)) ===
+      Seq((1, "a|b"), (2, "c|d"), (3, "ab|cd")))
+    assert(out.head._3 === 3L && out(1)._3 === 3L && out(2)._3 === 2L)
+    // per-round disjointness: rounds=1 batch shares no symbol
+    val r1 = out.takeWhile(_._1 <= 2).map(_._2.split("\\|", 2))
+    val syms = r1.flatten
+    assert(syms.distinct.size === syms.size)
+    // batchK=1 reduces to the sequential learner
+    val a = graft.ops.TextOps.bpeLearnRounds(df, "text",
+      rounds = 3, batchK = 1).as[(Int, String, Long)].collect().toSeq
+    val b = graft.ops.TextOps.bpeLearn(df, "text", nMerges = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(a.sortBy(_._1) === b.sortBy(_._1))
+    // pipe-containing words never enter the learning vocab
+    val piped = Seq((1L, "x|y x|y zz zz")).toDF("id", "text")
+    val m = graft.ops.TextOps.bpeLearn(piped, "text", nMerges = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(m === Seq((1, "z|z", 2L)))
+  }
+
   test("bpeEncode: learned merges drive per-doc token counts; unseen " +
       "words encode through the same merges; 1-char words = 1 token") {
     // merges learned on ["ab ab", "abc"]: a|b then ab|c (hand-derived:
