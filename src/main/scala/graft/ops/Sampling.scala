@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data mixes.
@@ -270,15 +271,22 @@ object Sampling {
     * when n·f is knife-edge. Output: input columns + `split`.
     *
     * NULL strata are a stratum of their own (null-safe `<=>` join +
-    * null-keyed driver entries), so the split stays disjoint-complete
-    * — no silent row loss. The driver-side offset map is strata × 256
-    * longs; `maxStrata` caps it with a loud failure BEFORE collecting
-    * (the guard counts the grouped result distributed-side), because a
-    * url-host-grade stratum column would otherwise build a
-    * multi-million-entry map and broadcast it back. */
+    * null-keyed entries), so the split stays disjoint-complete — no
+    * silent row loss. TWO offset paths, identical results by
+    * construction (same (stratum, bucket) offsets, same cumulative
+    * ⌊n·f⌋ thresholds, same rank): up to `maxStrata` distinct strata
+    * the offsets collect to a driver map and broadcast (strata × 256
+    * longs — genuinely bounded metadata at the 4k default, ~1 M
+    * entries); PAST the cap the offsets stay a DataFrame — per-stratum
+    * running sums over the ≤256 bucket rows (a window whose partitions
+    * never exceed 256 rows regardless of strata count) and a plain
+    * shuffle join back on (stratum, bucket) — so url-host-grade
+    * stratum columns run distributed instead of failing or flooding
+    * the driver. The cardinality check itself is distributed-side (the
+    * cached grouped count), never a collect-then-discover. */
   def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
       fracs: Seq[(String, Double)], seed: Long = 42L,
-      maxStrata: Int = 100000): DataFrame = {
+      maxStrata: Int = 4000): DataFrame = {
     require(fracs.size >= 2, "need at least two splits")
     require(fracs.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum ≤ 1")
     val spark = df.sparkSession
@@ -287,48 +295,62 @@ object Sampling {
       lpad(col(idCol).cast("string"), 20, "0"))
     val keyed = df.withColumn("_sk", key)
       .withColumn("_bk", substring(col("_sk"), 1, 2))
-      // stratum keys travel as strings internally (driver metadata +
-      // broadcast join key); the output keeps the original column
+      // stratum keys travel as strings internally (offset-frame join
+      // key); the output keeps the original column
       .withColumn("_stk", col(stratumCol).cast("string"))
-    // pass 1: per-(stratum, bucket) counts — bounded driver metadata.
-    // Guard cardinality distributed-side BEFORE collect: the grouped
-    // result is cached, its row count (≤ strata × 256) checked, and
-    // only then pulled to the driver.
+    // pass 1: per-(stratum, bucket) counts, cached once — the offset
+    // source for either path, and the distributed-side cardinality
+    // probe that picks between them
     val grouped = keyed.groupBy(col("_stk"), col("_bk")).count().persist()
     try {
       val nGroups = grouped.count()
-      require(nGroups <= maxStrata.toLong * 256L,
-        s"stratifiedSplit: $stratumCol yields > $maxStrata strata " +
-          s"($nGroups (stratum, bucket) groups) — the driver-side " +
-          "offset map would not be bounded metadata. Use a coarser " +
-          "stratum (e.g. hash-bucket the column) or raise maxStrata " +
-          "if the driver genuinely has the memory.")
-      val counts = grouped.collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-      val strata = counts.keys.map(_._1).toSeq.distinct
-      val offsets: Map[(String, String), Long] = strata.flatMap { st =>
-        val buckets = counts.keys.filter(_._1 == st).map(_._2).toSeq.sorted
-        buckets.zip(buckets.scanLeft(0L)((acc, b) => acc + counts((st, b)))
-          .init).map { case (b, off) => (st, b) -> off }
-      }.toMap
-      val nPerStratum: Map[String, Long] =
-        counts.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
-      // cumulative ⌊n·f⌋ thresholds per stratum; last split = remainder
-      val thresholds: Map[String, Seq[Long]] = nPerStratum.map {
-        case (st, n) =>
-          st -> fracs.init.map(_._2)
-            .scanLeft(0L)((acc, f) => acc + math.floor(n * f).toLong).tail
+      val small = nGroups <= maxStrata.toLong * 256L
+      val cumFracs = fracs.init.map(_._2)
+      val offDf: DataFrame = if (small) {
+        val counts = grouped.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val strata = counts.keys.map(_._1).toSeq.distinct
+        val offsets: Map[(String, String), Long] = strata.flatMap { st =>
+          val buckets = counts.keys.filter(_._1 == st).map(_._2).toSeq.sorted
+          buckets.zip(buckets.scanLeft(0L)((acc, b) => acc + counts((st, b)))
+            .init).map { case (b, off) => (st, b) -> off }
+        }.toMap
+        val nPerStratum: Map[String, Long] =
+          counts.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
+        // cumulative ⌊n·f⌋ thresholds per stratum; last split = rest
+        val thresholds: Map[String, Seq[Long]] = nPerStratum.map {
+          case (st, n) =>
+            st -> cumFracs
+              .scanLeft(0L)((acc, f) => acc + math.floor(n * f).toLong).tail
+        }
+        broadcast(spark.createDataFrame(offsets.toSeq.map {
+          case ((st, b), off) =>
+            (st, b, off, thresholds(st) :+ Long.MaxValue)
+        }).toDF("_st", "_bk", "_off", "_cuts"))
+      } else {
+        // distributed offsets: running sum over a window whose
+        // partitions are ≤256 rows (the buckets of ONE stratum) — safe
+        // at any strata cardinality; thresholds are the same
+        // double-multiply-floor the driver path computes, so the two
+        // paths agree bit-for-bit
+        val wS = Window.partitionBy(col("_stk")).orderBy(col("_bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("_stk"))
+        val cumCols = cumFracs
+          .scanLeft(lit(0L): Column)((acc, f) =>
+            acc + floor(col("_n") * f).cast("long")).tail
+        grouped
+          .withColumn("_off", sum(col("count")).over(wS) - col("count"))
+          .withColumn("_n", sum(col("count")).over(wAll))
+          .select(col("_stk").as("_st"), col("_bk"), col("_off"),
+            array((cumCols :+ lit(Long.MaxValue)): _*).as("_cuts"))
       }
-      val offDf = spark.createDataFrame(offsets.toSeq.map {
-        case ((st, b), off) =>
-          (st, b, off, thresholds(st) :+ Long.MaxValue)
-      }).toDF("_st", "_bk", "_off", "_cuts")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("_stk"), col("_bk")).orderBy(col("_sk"))
       // null-safe stratum equality: a NULL stratum is a stratum, not a
       // dropped row — `===` would silently lose every null-keyed row
       val ranked = keyed
-        .join(broadcast(offDf),
+        .join(offDf,
           keyed("_stk") <=> offDf("_st") && keyed("_bk") === offDf("_bk"))
         .drop("_st").drop(offDf("_bk"))
         .withColumn("_rk", col("_off") + row_number().over(w) - 1)
@@ -338,6 +360,9 @@ object Sampling {
           val cut = col("_rk") < element_at(col("_cuts"), i + 1)
           Some(acc.fold(when(cut, name))(_.when(cut, name)))
       }.fold(lit(names.head): Column)(_.otherwise(names.last))
+      // dropping the cache below is safe for the returned plan: the
+      // distributed path re-derives the (deterministic) counts from
+      // the scan at execution — one extra agg pass, no wrong answers
       ranked.withColumn("split", split)
         .drop("_sk", "_bk", "_stk", "_off", "_cuts", "_rk")
     } finally grouped.unpersist()

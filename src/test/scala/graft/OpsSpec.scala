@@ -1143,18 +1143,45 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet === withoutNulls)
   }
 
-  test("stratifiedSplit: maxStrata guards the driver offset map with a " +
-      "loud failure, not an OOM") {
+  test("stratifiedSplit: past maxStrata the offsets go distributed and " +
+      "agree bit-for-bit with the driver-map path") {
     import graft.ops.Sampling
-    val df = (0L until 50L).map(i => (i, s"host$i")).toDF("id", "host")
-    val e = intercept[IllegalArgumentException] {
-      Sampling.stratifiedSplit(df, "host", "id",
-        Seq("a" -> 0.5, "b" -> 0.5), maxStrata = 0)
+    // 300 strata × 4 rows — comfortably over maxStrata=1, so the
+    // distributed-offsets path runs; the driver-map path at the default
+    // cap is the reference
+    val df = (0L until 1200L).map(i => (i, s"host${i % 300}"))
+      .toDF("id", "host")
+    val fracs = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val dist = Sampling.stratifiedSplit(df, "host", "id", fracs,
+        maxStrata = 1)
+      .as[(Long, String, String)].collect().toSet
+    val drv = Sampling.stratifiedSplit(df, "host", "id", fracs)
+      .as[(Long, String, String)].collect().toSet
+    assert(dist === drv)
+    // split contract on the distributed path: disjoint-complete, exact
+    // ⌊n·f⌋ per stratum (n=4 → 2/1/1)
+    assert(dist.size === 1200)
+    val perStratum = dist.groupBy(r => (r._2, r._3)).view.mapValues(_.size)
+    (0 until 300).foreach { h =>
+      assert(perStratum.getOrElse((s"host$h", "train"), 0) === 2)
+      assert(perStratum.getOrElse((s"host$h", "val"), 0) === 1)
+      assert(perStratum.getOrElse((s"host$h", "test"), 0) === 1)
     }
-    assert(e.getMessage.contains("maxStrata"))
-    // at a sane cap the same split runs fine
-    assert(Sampling.stratifiedSplit(df, "host", "id",
-      Seq("a" -> 0.5, "b" -> 0.5)).count() === 50)
+  }
+
+  test("stratifiedSplit: high-cardinality strata (one row per stratum) " +
+      "run distributed without driver collect") {
+    import graft.ops.Sampling
+    // every row its own stratum: 20k strata >> maxStrata=4 — the shape
+    // that used to fail loudly; now the offsets frame stays distributed
+    val df = (0L until 20000L).map(i => (i, s"h$i")).toDF("id", "host")
+    val out = Sampling.stratifiedSplit(df, "host", "id",
+        Seq("a" -> 0.5, "b" -> 0.5), maxStrata = 4)
+      .as[(Long, String, String)].collect()
+    assert(out.length === 20000)
+    assert(out.map(_._1).distinct.length === 20000)
+    // single-row strata: ⌊1·0.5⌋ = 0 rows in 'a', remainder in 'b'
+    assert(out.forall(_._3 == "b"))
   }
 
   test("kmvSketch: NULL values are skipped (no NPE), matching the " +
