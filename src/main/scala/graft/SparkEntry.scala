@@ -2331,6 +2331,117 @@ object SparkEntry {
           col("converted")))
     }),
 
+    // ACTIVE-EVICTION streaming funnel — the 100 TB configuration with
+    // keys actually aging out mid-stream, continuously proven by the
+    // oracle (q151 keeps bounded mode on but sizes the delay past the
+    // corpus so no key evicts before compare). Four deterministic
+    // file-source microbatches: (1) every user runs a partial
+    // view→click chain at T0; (2)+(3) sentinels advance the watermark
+    // past every chain's 5-minute horizon — batch 3, where those keys
+    // receive no data, fires their EventTimeTimeouts and DROPS their
+    // state; (4) a full fresh chain at T0+2h. Post-eviction semantics:
+    // the fresh chain converts with t_1 = 02:00 — WITHOUT eviction the
+    // surviving state would pin t_1 at the stale 00:00 chain head, so
+    // a hash mismatch here means the bounded mode silently stopped
+    // evicting.
+    "q161_stream_funnel_evict" -> ((s, dir) => withShuffle(s, 8) {
+      import s.implicits._
+      val in = scratch("q161in", dir)
+      deleteRec(java.nio.file.Paths.get(in))
+      // pinned: the user set feeds five batch constructions — without
+      // the checkpoint each one re-runs the events distinct
+      val users = Tpch.raw(s, dir, "events")
+        .select(col("user_id")).distinct().localCheckpoint(true)
+      def evts(ts: String, typ: String, ids: DataFrame): DataFrame =
+        ids.select(col("user_id").cast("long").as("user_id"),
+          lit(ts).cast("timestamp").as("ts"),
+          lit(typ).as("event_type"))
+      def writeBatch(df: DataFrame): Unit =
+        df.write.mode("append").parquet(in)
+      writeBatch(evts("2024-01-01 00:00:00", "view", users)
+        .unionAll(evts("2024-01-01 00:01:00", "click", users)))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING")
+      val stream = s.readStream.schema(schema).parquet(in)
+      val prog = graft.streaming.StreamingFunnel.funnelProgress(
+        stream, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSeconds = 300L,
+        watermarkDelay = Some("10 minutes"))
+      val name = "q161_mem_" + System.nanoTime()
+      val q = prog.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        writeBatch(evts("2024-01-01 01:00:00", "view",
+          Seq(-1L).toDF("user_id")))
+        q.processAllAvailable()
+        writeBatch(evts("2024-01-01 01:10:00", "view",
+          Seq(-2L).toDF("user_id")))
+        q.processAllAvailable()
+        writeBatch(evts("2024-01-01 02:00:00", "view", users)
+          .unionAll(evts("2024-01-01 02:01:00", "click", users))
+          .unionAll(evts("2024-01-01 02:02:00", "purchase", users)))
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, name)(df => df
+        .where(col("t_3").isNotNull && col("user_id") >= 0)
+        .select(col("user_id"),
+          col("t_1").cast("timestamp_ntz").as("t_1"),
+          col("t_2").cast("timestamp_ntz").as("t_2"),
+          col("t_3").cast("timestamp_ntz").as("t_3"),
+          col("converted")))
+    }),
+
+    // streaming card-one resolution with an ACTIVE state TTL
+    // (StreamingAssert.resolveCardOne, stateTtlSeconds): same
+    // four-batch eviction choreography as q161 over the ingest
+    // resolver. Post-eviction semantics under oracle: batch 4
+    // re-asserts the IDENTICAL value for every entity — an evicted
+    // pair no longer remembers it, so it RE-EMITS (the documented
+    // divergence); without eviction the no-op re-assert would emit
+    // nothing and the row counts halve.
+    "q162_stream_upsert_ttl" -> ((s, dir) => withShuffle(s, 8) {
+      import s.implicits._
+      val in = scratch("q162in", dir)
+      deleteRec(java.nio.file.Paths.get(in))
+      val ids = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id")).distinct().localCheckpoint(true)
+      def writeBatch(df: DataFrame, status: String, ts: String): Unit =
+        df.select(col("doc_id").cast("long").as("id"),
+            lit(status).as("status"),
+            lit(ts).cast("timestamp").as("ts"))
+          .write.mode("append").parquet(in)
+      writeBatch(ids, "v1", "2024-01-01 00:00:00")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, status STRING, ts TIMESTAMP")
+      val stream = s.readStream.schema(schema).parquet(in)
+      val spec = graft.sources.RowIngest.specFor(
+        stream.toDF(), "doc", Seq("id"))
+      val triples = graft.streaming.StreamingAssert
+        .streamTriplesWithTime(stream.toDF(), spec, "ts")
+        .where(col("a") === "doc:status")
+      val resolved = graft.streaming.StreamingAssert.resolveCardOne(
+        triples, watermarkDelay = "10 minutes",
+        stateTtlSeconds = Some(300L))
+      val name = "q162_mem_" + System.nanoTime()
+      val q = resolved.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        writeBatch(Seq(-1L).toDF("doc_id"), "sentinel",
+          "2024-01-01 01:00:00")
+        q.processAllAvailable()
+        writeBatch(Seq(-2L).toDF("doc_id"), "sentinel",
+          "2024-01-01 01:10:00")
+        q.processAllAvailable()
+        writeBatch(ids, "v1", "2024-01-01 02:00:00")
+        q.processAllAvailable()
+      } finally q.stop()
+      drainSink(s, name)(df => df
+        .where(col("value") =!= "sentinel")
+        .select(col("e"), col("value"), col("atMicros").as("at_us")))
+    }),
+
     // deterministic weighted Bernoulli sample (Sampling.weightedSample):
     // keep probability ∝ n_chars, the coin an exact integer compare of
     // the row's own md5 against w·2⁵² — engine-reproducible, no floats.
@@ -4720,6 +4831,27 @@ object SparkEntry {
         |         AS converted
         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
         |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    // post-eviction funnel: every chain restarts fresh at 02:00 — the
+    // stale 00:00 chain head must be gone
+    "q161_stream_funnel_evict" ->
+      """SELECT user_id,
+        |  TIMESTAMP '2024-01-01 02:00:00' AS t_1,
+        |  TIMESTAMP '2024-01-01 02:01:00' AS t_2,
+        |  TIMESTAMP '2024-01-01 02:02:00' AS t_3,
+        |  true AS converted
+        |FROM (SELECT DISTINCT user_id FROM events)""".stripMargin,
+    // post-eviction resolver: the identical value re-emits once per
+    // eviction horizon — two rows per entity, not one
+    "q162_stream_upsert_ttl" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents)
+        |SELECT md5('doc:' || CAST(doc_id AS VARCHAR)) AS e,
+        |       'v1' AS value,
+        |       epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS at_us
+        |FROM ids
+        |UNION ALL
+        |SELECT md5('doc:' || CAST(doc_id AS VARCHAR)), 'v1',
+        |       epoch_us(TIMESTAMP '2024-01-01 02:00:00')
+        |FROM ids""".stripMargin,
     // nested first-match chain: each step's time is the min over events
     // strictly after the previous step's time
     "q147_conversion" ->
