@@ -105,14 +105,52 @@ object SparkEntry {
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
     }
 
+  /** Per-run working copy of a pristine index: HARDLINK files instead
+    * of copying bytes — parquet files are immutable once written (Spark
+    * appends create new files; overwrites unlink + rewrite), so linked
+    * working dirs can be appended to / compacted / deleted without ever
+    * touching the pristine inodes, at directory-metadata cost instead
+    * of a full data copy (the ingest-loop pool pays this once per
+    * bench REP). Falls back to a byte copy if the filesystem refuses
+    * links (cross-device, permissions). */
   private def copyRec(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
       val t = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        java.nio.file.Files.deleteIfExists(t)
+        try java.nio.file.Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException |
+                     _: java.io.IOException =>
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
+  }
+
+  /** Build-once-per-(tag, sf) parquet INPUT staging for multi-batch
+    * streaming harnesses: a batch's content is a pure function of the
+    * sf dir, so it is computed + written once behind a stamped _OK
+    * marker; each bench rep then [[copyRec]]-hardlinks it into the
+    * run's input dir — directory metadata instead of a recompute and
+    * rewrite per rep. `build` is by-name: only a stale/missing staging
+    * evaluates it. */
+  private def stagedInput(s: SparkSession, tag: String, dir: String)(
+      build: => DataFrame): String = {
+    val path = scratch(tag + "_staged", dir)
+    val marker = java.nio.file.Paths.get(path + "_OK")
+    val stamp = tag + " stagedv1"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      deleteRec(java.nio.file.Paths.get(path))
+      build.write.mode("overwrite").parquet(path)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    path
   }
 
   /** Harness-side build-once-reuse LSH index: the expensive pristine
@@ -1606,15 +1644,23 @@ object SparkEntry {
       for (d <- Seq(in, outp)) deleteRec(java.nio.file.Paths.get(d))
       val docs = Tpch.raw(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
       val table = s"q110idx_${dirTag(dir)}"
       // build once per sf, copy per run: the operator under test is the
       // streaming ingest loop, not the index build
       lshIndexFromPristine(s, docs.where(col("doc_id") % 10 =!= 0),
         "q110idx", dir, table, scratch("q110idx", dir),
         k = 64, bands = 32, rowsPerBand = 2)
-      docs.where(col("doc_id") % 10 === 0)
-        .write.mode("append").parquet(in)
+      // batch contents are pure functions of the sf dir — staged once,
+      // hardlinked into the input dir per rep (batch 2 only after
+      // batch 1 processes, so the microbatch boundary stays put)
+      val b1 = stagedInput(s, "q110b1", dir)(
+        docs.where(col("doc_id") % 10 === 0))
+      val b2 = stagedInput(s, "q110b2", dir) {
+        val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+      }
+      copyRec(java.nio.file.Paths.get(b1), java.nio.file.Paths.get(in))
       val stream = s.readStream.schema("doc_id BIGINT, text STRING")
         .parquet(in)
       // intraBatch = false: this query's oracle models the loop's
@@ -1629,9 +1675,7 @@ object SparkEntry {
         .start()
       try {
         q.processAllAvailable()
-        docs.where(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + off).as("doc_id"), col("text"))
-          .write.mode("append").parquet(in)
+        copyRec(java.nio.file.Paths.get(b2), java.nio.file.Paths.get(in))
         q.processAllAvailable()
       } finally q.stop()
       s.read.parquet(outp + "/batch_*")
@@ -1900,12 +1944,25 @@ object SparkEntry {
       def synth(prefix: String) = concat_ws(" ",
         (0 until 12).map(j => concat(lit(prefix),
           col("doc_id").cast("string"), lit(s"_$j"))): _*)
-      def writeBatch(df: DataFrame, ts: String): Unit =
+      def withTs(df: DataFrame, ts: String): DataFrame =
         df.select(col("doc_id"), col("text"),
-            lit(ts).cast("timestamp").as("ts"))
-          .write.mode("append").parquet(in)
-      writeBatch(ids.select(col("doc_id"), synth("t").as("text")),
-        "2024-01-01 00:00:00")
+          lit(ts).cast("timestamp").as("ts"))
+      // both batches are pure functions of the sf dir: staged once,
+      // hardlinked per rep (copies/fresh only land after batch 1)
+      val b1 = stagedInput(s, "q103b1", dir)(withTs(
+        ids.select(col("doc_id"), synth("t").as("text")),
+        "2024-01-01 00:00:00"))
+      val b2 = stagedInput(s, "q103b2", dir) {
+        // the copy text evaluates synth over the INPUT doc_id, so the
+        // shifted output id carries the ORIGINAL doc's token stream
+        val copies = ids.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + off).as("doc_id"), synth("t").as("text"))
+        val fresh = ids.where(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2 * off).as("doc_id"),
+            synth("f").as("text"))
+        withTs(copies.unionAll(fresh), "2024-01-01 00:01:00")
+      }
+      copyRec(java.nio.file.Paths.get(b1), java.nio.file.Paths.get(in))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, ts TIMESTAMP")
       val stream = s.readStream.schema(schema).parquet(in)
@@ -1920,14 +1977,7 @@ object SparkEntry {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        // the copy text evaluates synth over the INPUT doc_id, so the
-        // shifted output id carries the ORIGINAL doc's token stream
-        val copies = ids.where(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + off).as("doc_id"), synth("t").as("text"))
-        val fresh = ids.where(col("doc_id") % 3 === 1)
-          .select((col("doc_id") + 2 * off).as("doc_id"),
-            synth("f").as("text"))
-        writeBatch(copies.unionAll(fresh), "2024-01-01 00:01:00")
+        copyRec(java.nio.file.Paths.get(b2), java.nio.file.Paths.get(in))
         q.processAllAvailable()
       } finally q.stop()
       s.read.parquet(outp).select(col("doc_id"),
