@@ -92,15 +92,12 @@ object Profile {
     * metadata, never corpus-shaped. */
   def mergeDatasetCards(cards: DataFrame, k: Int = 256): DataFrame = {
     // sketches built with different k silently under- or over-estimate
-    // when mixed — the card is self-describing, so refuse loudly; the
-    // check collects the DISTINCT k values of a metadata-sized relation
-    val ks = cards.select(col("k").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    require(ks == Seq(k),
-      s"mergeDatasetCards: expected sketches with k=$k, found " +
-        s"k=${ks.mkString(",")} — rebuild the mismatched shard cards " +
-        "(KMV sketches only merge at equal k)")
-    cards.groupBy(col("column"))
+    // when mixed — the card is self-describing, so refuse loudly. The
+    // check rides the SAME aggregation pass as the merge (collect_set
+    // of each column's k values + a raise_error guard on the sketch),
+    // so an unpersisted corpus-derived input is computed once, not
+    // twice (it used to run a separate distinct().collect() first).
+    val merged = cards.groupBy(col("column"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("n_nulls")).as("n_nulls"),
         slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
@@ -108,7 +105,17 @@ object Profile {
         min(col("min_num")).as("min_num"),
         max(col("max_num")).as("max_num"),
         min(col("min_str")).as("min_str"),
-        max(col("max_str")).as("max_str"))
+        max(col("max_str")).as("max_str"),
+        sort_array(collect_set(col("k").cast("int"))).as("_ks"))
+    merged.select(col("column"), col("n_rows"), col("n_nulls"),
+        when(col("_ks") === array(lit(k)), col("sk"))
+          .otherwise(raise_error(concat(
+            lit(s"mergeDatasetCards: expected sketches with k=$k, " +
+              "found k="),
+            concat_ws(",", col("_ks").cast("array<string>")),
+            lit(" — rebuild the mismatched shard cards (KMV sketches " +
+              "only merge at equal k)")))).as("sk"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .withColumn("k", lit(k)) // merged cards re-merge (roll-up of roll-ups)
   }
 

@@ -341,11 +341,15 @@ object TextOps {
           transform(array_sort(collect_list(struct(col("_ln"), col("_line")))),
             x => x("_line")), "\n").as("_clean"),
         count(lit(1)).as("_nkept"))
+    // LEFT join + coalesce: a NULL text explodes to no lines at all, so
+    // an inner join would silently drop the whole row — NULL-text docs
+    // pass through with text NULL and n_dropped 0 (the stripBoilerplate
+    // contract)
     df.select(col(idCol),
         size(split(col(textCol), "\n")).cast(LongType).as("_nlines"))
-      .join(rebuilt, Seq(idCol)) // split never yields zero lines
+      .join(rebuilt, Seq(idCol), "left") // split never yields zero lines
       .select(col(idCol), col("_clean").as("text"),
-        (col("_nlines") - col("_nkept")).as("n_dropped"))
+        coalesce(col("_nlines") - col("_nkept"), lit(0L)).as("n_dropped"))
   }
 
   /** Per-document top-k keywords by tf-idf, raw-idf variant: score =

@@ -444,9 +444,15 @@ class CliSpec extends AnyFunSuite {
       dir + "/c_sh2", "--format", "json", "-o", dir + "/cm"))
     Cli.run(spark, Array("card", "-i", in, "--cols", "doc_id,source",
       "-o", dir + "/cw"))
+    // bit-for-bit: EVERY finalized-card field must agree between the
+    // shard→merge→finalize path and the whole-corpus single pass — the
+    // q157 discipline, CLI-side
     def cardRows(p: String) = spark.read.json(p)
-      .select($"column", $"n_rows", $"ndv_est")
-      .as[(String, Long, Double)].collect().toSet
+      .select($"column", $"n_rows", $"n_nulls", $"ndv_est",
+        $"min_num", $"max_num", $"min_str", $"max_str")
+      .as[(String, Long, Long, Double,
+        Option[Double], Option[Double], Option[String], Option[String])]
+      .collect().toSet
     assert(cardRows(dir + "/cm") === cardRows(dir + "/cw"))
   }
 

@@ -1268,11 +1268,15 @@ class OpsSpec extends AnyFunSuite {
           k = 16), k = 16)
       .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     assert(twice === whole)
-    // mixed-k sketches refuse to merge (silent mis-estimates otherwise)
-    val e = intercept[IllegalArgumentException] {
+    // mixed-k sketches refuse to merge (silent mis-estimates
+    // otherwise); the guard rides the merge aggregation itself, so it
+    // surfaces at execution — one pass over the input, not a separate
+    // validation scan
+    val e = intercept[Exception] {
       Profile.mergeDatasetCards(
         shardCards.head.unionByName(
           Profile.datasetCardSketch(shards(1), cols, k = 8)), k = 16)
+        .collect()
     }
     assert(e.getMessage.contains("equal k"))
   }
@@ -1288,6 +1292,14 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
       .map { case (id, t, n) => id -> ((t, n)) }.toMap
     assert(got(1L) === (("nav\nbody one\nbody two", 2L)))
+    // NULL text must pass through (text NULL, 0 dropped), not vanish
+    val withNull = Seq((1L, Some("a\na")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val gotNull = graft.ops.TextOps.dedupLines(withNull, "doc_id", "text")
+      .as[(Long, Option[String], Long)].collect()
+      .map { case (id, t, n) => id -> ((t, n)) }.toMap
+    assert(gotNull(1L) === ((Some("a"), 1L)))
+    assert(gotNull(2L) === ((None, 0L)))
     assert(got(2L) === (("only line", 0L)))
     assert(got(3L) === (("x", 2L)))
   }
