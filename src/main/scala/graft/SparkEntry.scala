@@ -2150,6 +2150,17 @@ object SparkEntry {
         "lang", "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // the DISTRIBUTED-offsets path of stratifiedSplit in the gate:
+    // ~1000 strata with maxStrata=1 forces the window-and-join offsets
+    // frame (url-host-grade stratum cardinality) — same oracle shape
+    // as q137, proving the two paths compute the identical split.
+    "q163_stratified_wide" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSplit(
+        Tpch.raw(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 997).as("grp")),
+        "grp", "doc_id",
+        Seq("train" -> 0.75, "holdout" -> 0.25), maxStrata = 1)),
+
     // time-grid gap-fill (TimeOps.gapFill): hourly resample + forward
     // fill over a 30-user slice of the event log — grid generated per
     // key by sequence(), fill by one running last(ignoreNulls) window.
@@ -2254,7 +2265,7 @@ object SparkEntry {
       }.toDF("doc_id", "wav")
       graft.ops.Multimodal.decodeWavStats(wavs, "doc_id", "wav")
         .select(col("id").as("doc_id"), col("sample_rate"),
-          col("n_frames"), col("abs_sum"))
+          col("n_frames"), col("abs_sum"), col("reason"))
     }),
 
     // INTRA-doc repeated-line dedup (TextOps.dedupLines): each doc gets
@@ -4470,6 +4481,19 @@ object SparkEntry {
         |               + floor(n * CAST(0.1 AS DOUBLE)) THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    "q163_stratified_wide" ->
+      """WITH d AS (SELECT doc_id, doc_id % 997 AS grp,
+        |        md5('42:' || CAST(doc_id AS VARCHAR))
+        |          || lpad(CAST(doc_id AS VARCHAR), 20, '0') AS k
+        |      FROM documents),
+        |r AS (SELECT doc_id, grp,
+        |        row_number() OVER (PARTITION BY grp ORDER BY k) - 1 AS rk,
+        |        count(*) OVER (PARTITION BY grp) AS n
+        |      FROM d)
+        |SELECT doc_id, grp,
+        |  CASE WHEN rk < floor(n * CAST(0.75 AS DOUBLE)) THEN 'train'
+        |       ELSE 'holdout' END AS split
+        |FROM r""".stripMargin,
     // hourly buckets are epoch-aligned (floor to 3600 s = date_trunc);
     // per-bucket max is order-independent, so the carried float is
     // bit-identical across engines
@@ -4623,7 +4647,8 @@ object SparkEntry {
         |       CAST((SELECT sum(abs(((doc_id * 31 + i * 17) % 65536)
         |                            - 32768))
         |             FROM unnest(range(0, CAST(16 + doc_id % 16 AS BIGINT)))
-        |               AS r(i)) AS BIGINT) AS abs_sum
+        |               AS r(i)) AS BIGINT) AS abs_sum,
+        |       'ok' AS reason
         |FROM documents""".stripMargin,
     // the same plant + first-occurrence-per-line rebuild
     "q158_line_dedup" ->

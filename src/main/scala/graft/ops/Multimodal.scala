@@ -207,19 +207,29 @@ object Multimodal {
     StructField("id", LongType),
     StructField("sample_rate", IntegerType),
     StructField("n_frames", LongType),
-    StructField("abs_sum", LongType)))
+    StructField("abs_sum", LongType),
+    StructField("reason", StringType)))
 
   /** REAL audio decode through the seam — the WAV sibling of
     * [[resizeNearest]]'s imageio path: each binary payload parses with
     * the JDK's `javax.sound.sampled` (RIFF/WAVE, PCM), and the decoded
-    * 16-bit little-endian mono frames reduce to (sample_rate, n_frames,
-    * Σ|sample|) — all INTEGER arithmetic, so an external system that
-    * knows the synthesis recipe recomputes the expected stats exactly
-    * (the q159 oracle; WAV PCM being lossless, encode→decode
-    * round-trips bit-for-bit). Undecodable or non-16-bit-LE-mono
-    * payloads fail-capture as sample_rate −1 with zero frames — the
-    * schema-stable idiom of the image codec. Narrow map, no shuffle;
-    * per-row output is three scalars regardless of clip length, the
+    * 16-bit little-endian signed-PCM frames reduce to (sample_rate,
+    * n_frames, Σ|sample|) — all INTEGER arithmetic, so an external
+    * system that knows the synthesis recipe recomputes the expected
+    * stats exactly (the q159 oracle; WAV PCM being lossless,
+    * encode→decode round-trips bit-for-bit). STEREO payloads downmix
+    * to mono first — per frame, `(L + R) >> 1` (arithmetic-shift
+    * floor), still pure integer math, so the downmixed stats stay
+    * engine-recomputable. Everything else fail-captures schema-stably
+    * as sample_rate −1 / zero frames with a `reason` column naming the
+    * failing class — "unreadable" for payloads the parser rejects,
+    * "unsupported:<bits>b/<n>ch/<le|be>/<encoding>" for well-formed
+    * WAVs outside the 16-bit/LE/signed-PCM/≤2-channel envelope
+    * (including 16-bit payloads whose header LIES about the encoding —
+    * decoding unsigned or float bytes as signed would produce silently
+    * wrong stats, the worst failure mode of a stats-at-ingest pass).
+    * Successful rows carry reason "ok". Narrow map, no shuffle; per-row
+    * output is four scalars regardless of clip length, the
     * stats-at-ingest shape that keeps an audio corpus pass IO-bounded. */
   def decodeWavStats(df: DataFrame, idCol: String,
       binCol: String): DataFrame = {
@@ -233,22 +243,33 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           try {
             val fmt = ais.getFormat
-            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
-                fmt.isBigEndian)
-              Row(r.getLong(0), -1, 0L, 0L)
-            else {
+            val signed = fmt.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val ch = fmt.getChannels
+            if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                !signed || ch < 1 || ch > 2) {
+              val reason = s"unsupported:${fmt.getSampleSizeInBits}b/" +
+                s"${ch}ch/${if (fmt.isBigEndian) "be" else "le"}/" +
+                fmt.getEncoding.toString
+              Row(r.getLong(0), -1, 0L, 0L, reason)
+            } else {
               val pcm = ais.readAllBytes()
+              def s16(i: Int): Int =
+                (((pcm(i + 1): Int) << 8) | (pcm(i) & 0xFF)).toShort.toInt
+              val frameBytes = 2 * ch
               var i = 0; var n = 0L; var sum = 0L
-              while (i + 2 <= pcm.length) {
-                val v = (((pcm(i + 1): Int) << 8) | (pcm(i) & 0xFF)).toShort
+              while (i + frameBytes <= pcm.length) {
+                val v =
+                  if (ch == 1) s16(i)
+                  else (s16(i) + s16(i + 2)) >> 1 // stereo downmix
                 sum += math.abs(v.toLong)
-                n += 1; i += 2
+                n += 1; i += frameBytes
               }
-              Row(r.getLong(0), fmt.getSampleRate.toInt, n, sum)
+              Row(r.getLong(0), fmt.getSampleRate.toInt, n, sum, "ok")
             }
           } finally ais.close()
         } catch {
-          case _: Exception => Row(r.getLong(0), -1, 0L, 0L)
+          case _: Exception => Row(r.getLong(0), -1, 0L, 0L, "unreadable")
         }
       }
     }(enc)

@@ -511,32 +511,51 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("decodeWavStats: real javax.sound WAV decode, hand-checked " +
-      "PCM stats, failure capture") {
-    def wav(samples: Array[Short]): Array[Byte] = {
-      val fmt = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-        8000f, 16, 1, 2, 8000f, false)
-      val pcm = new Array[Byte](samples.length * 2)
+      "PCM stats, stereo downmix, per-class failure capture") {
+    def wav(samples: Array[Short], channels: Int = 1,
+        bits: Int = 16,
+        enc: javax.sound.sampled.AudioFormat.Encoding =
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        : Array[Byte] = {
+      val bytesPer = bits / 8
+      val fmt = new javax.sound.sampled.AudioFormat(enc,
+        8000f, bits, channels, bytesPer * channels, 8000f, false)
+      val pcm = new Array[Byte](samples.length * bytesPer)
       samples.zipWithIndex.foreach { case (v, i) =>
-        pcm(2 * i) = (v & 0xFF).toByte
-        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        pcm(bytesPer * i) = (v & 0xFF).toByte
+        if (bytesPer == 2) pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(
         new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+          new java.io.ByteArrayInputStream(pcm), fmt,
+          (samples.length / channels).toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+    val pcmU = javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
     val df = Seq(
       (1L, wav(Array[Short](100, -200, 32767, -32768))),
-      (2L, Array[Byte](9, 9, 9)) // not a WAV
+      (2L, Array[Byte](9, 9, 9)),                          // not a WAV
+      // stereo: frames (100,200),(−300,100) → downmix 150, −100
+      (3L, wav(Array[Short](100, 200, -300, 100), channels = 2)),
+      (4L, wav(Array[Short](10, 20, 30, 250), bits = 8, enc = pcmU)),
+      // 16-bit mono whose fmt-chunk format tag is PATCHED to ALAW (6):
+      // a header lying about the encoding — decoding those bytes as
+      // signed PCM would be silently wrong, so it must fail-capture
+      // (either the parser refuses or the PCM_SIGNED gate fires)
+      (5L, { val b = wav(Array[Short](100, 200)); b(20) = 6; b })
     ).toDF("id", "wav")
     val out = Multimodal.decodeWavStats(df, "id", "wav")
-      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Int, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
     // |100| + |-200| + |32767| + |-32768| = 65835
-    assert(out(1L) === ((1L, 8000, 4L, 65835L)))
-    assert(out(2L) === ((2L, -1, 0L, 0L)))
+    assert(out(1L) === ((1L, 8000, 4L, 65835L, "ok")))
+    assert(out(2L) === ((2L, -1, 0L, 0L, "unreadable")))
+    // (100+200)>>1 = 150; (−300+100)>>1 = −100 → Σ|·| = 250
+    assert(out(3L) === ((3L, 8000, 2L, 250L, "ok")))
+    assert(out(4L)._2 === -1 && out(4L)._5.startsWith("unsupported:8b"))
+    assert(out(5L)._2 === -1 && out(5L)._5 != "ok")
   }
 
   test("temperatureMix: smallest group keeps all, big groups thin ~√-prop") {
