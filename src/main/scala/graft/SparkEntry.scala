@@ -2161,6 +2161,16 @@ object SparkEntry {
         "grp", "doc_id",
         Seq("train" -> 0.75, "holdout" -> 0.25), maxStrata = 1)),
 
+    // distributed equal-width histogram (Profile.histogram — the
+    // compute side of the reference's planned-only `plot` subcommand,
+    // cli.py:46-51): doc lengths in 16 bins over an explicit range so
+    // the bin arithmetic (plain IEEE multiply/divide/floor) replays
+    // identically in SQL; empty bins emit n=0.
+    "q164_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(
+        Tpch.raw(s, dir, "documents"), "n_chars", bins = 16,
+        lo = Some(0.0), hi = Some(8192.0))),
+
     // time-grid gap-fill (TimeOps.gapFill): hourly resample + forward
     // fill over a 30-user slice of the event log — grid generated per
     // key by sequence(), fill by one running last(ignoreNulls) window.
@@ -4481,6 +4491,23 @@ object SparkEntry {
         |               + floor(n * CAST(0.1 AS DOUBLE)) THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    // same bounds, same IEEE bin arithmetic; generate_series supplies
+    // the empty bins
+    "q164_histogram" ->
+      """WITH b AS (SELECT LEAST(15, CAST(floor(
+        |         (CAST(n_chars AS DOUBLE) - 0.0) / (8192.0 / 16)) AS INT))
+        |         AS bin
+        |       FROM documents
+        |       WHERE n_chars IS NOT NULL
+        |         AND CAST(n_chars AS DOUBLE) >= 0.0
+        |         AND CAST(n_chars AS DOUBLE) <= 8192.0),
+        |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)
+        |SELECT g.bin,
+        |       0.0 + g.bin * (8192.0 / 16) AS lo,
+        |       0.0 + (g.bin + 1) * (8192.0 / 16) AS hi,
+        |       COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM (SELECT CAST(unnest(range(0, 16)) AS INT) AS bin) g
+        |LEFT JOIN c ON c.bin = g.bin""".stripMargin,
     "q163_stratified_wide" ->
       """WITH d AS (SELECT doc_id, doc_id % 997 AS grp,
         |        md5('42:' || CAST(doc_id AS VARCHAR))

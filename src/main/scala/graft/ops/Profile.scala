@@ -159,4 +159,42 @@ object Profile {
           .when(col("_h_o") === col("_h_c"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** DISTRIBUTED equal-width histogram — the compute side of the
+    * reference's PLANNED `plot` subcommand (argparse stub cli.py:46-51,
+    * dispatch `pass` cli.py:109-110; the CLI `plot` verb renders these
+    * ≤ `bins` rows as ASCII on the driver). One optional min/max agg
+    * (when `lo`/`hi` are not given) + one groupBy on the bin id —
+    * corpus-scale-safe by construction; nulls and out-of-range values
+    * drop, empty bins emit with n = 0 so the chart has a stable x-axis.
+    * All arithmetic is plain IEEE double multiply/divide/floor, so any
+    * engine recomputes identical (bin, lo, hi, n) rows from the same
+    * bounds. A constant column (hi == lo) degenerates to one bin.
+    * Output: (bin, lo, hi, n) ordered by construction 0..bins-1. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int,
+      lo: Option[Double] = None, hi: Option[Double] = None): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast(DoubleType)
+    val (lo0, hi0) = (lo, hi) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ =>
+        val r = df.agg(min(v), max(v)).head
+        if (r.isNullAt(0)) (lo.getOrElse(0.0), hi.getOrElse(1.0))
+        else (lo.getOrElse(r.getDouble(0)), hi.getOrElse(r.getDouble(1)))
+    }
+    require(hi0 >= lo0, s"histogram: hi ($hi0) < lo ($lo0)")
+    val width = if (hi0 > lo0) (hi0 - lo0) / bins else 1.0
+    val bin = least(lit(bins - 1),
+      floor((v - lit(lo0)) / lit(width))).cast("int")
+    val counts = df
+      .where(v.isNotNull && v >= lo0 && v <= hi0)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+    spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo0) + col("bin") * lit(width)).as("lo"),
+        (lit(lo0) + (col("bin") + 1) * lit(width)).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -135,7 +135,8 @@ object Cli {
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
       "gapfill", "leakage", "card", "containment", "conversion",
-      "diff", "groupsample", "cardsketch", "cardmerge", "linededup")
+      "diff", "groupsample", "cardsketch", "cardmerge", "linededup",
+      "plot")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -152,7 +153,8 @@ object Cli {
         "dedup extras: containment --threshold T | leakage --group FOLD | " +
         "bpelearn --merges N\n" +
         "ops: diff --test V2 [--cols a,b] | groupsample --group COL --top N" +
-        " | linededup | cardsketch [--cols a,b] | cardmerge -i card1 card2")
+        " | linededup | cardsketch [--cols a,b] | cardmerge -i card1 card2" +
+        " | plot [--score-col C] [--bins N]")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -624,6 +626,27 @@ object Cli {
             "conversion needs --steps t1,t2[,...]")
           graft.ops.TimeOps.conversionFunnel(df, a.groupCol, a.tsCol,
             a.textCol, a.funnelSteps, a.windowSeconds)
+        // ASCII histogram of --score-col (default: the built-in quality
+        // score over --text) at --bins equal-width bins — the verb the
+        // reference PLANNED as `plot` (argparse stub cli.py:46-51) and
+        // never built. Binning is distributed (Profile.histogram);
+        // rendering is a driver loop over the <= bins result rows.
+        case "plot" =>
+          val scored = a.scoreCol match {
+            case Some(c) => df.select(col(c).cast("double").as("_pv"))
+            case None => df.select(
+              graft.ops.TextOps.qualityScore(col(a.textCol)).as("_pv"))
+          }
+          val h = graft.ops.Profile.histogram(scored, "_pv",
+            math.max(a.bins, 1))
+          val rows = h.orderBy("bin").collect()
+          val peak = math.max(1L, rows.map(_.getLong(3)).max)
+          rows.foreach { r =>
+            val bar = "#" * ((r.getLong(3) * 40 + peak - 1) / peak).toInt
+            println(f"${r.getDouble(1)}%12.3f ${r.getDouble(2)}%12.3f " +
+              f"${r.getLong(3)}%8d $bar")
+          }
+          h
         // subset-duplicate pairs at --threshold containment
         case "containment" =>
           val csh = df.select(col(a.idCol),

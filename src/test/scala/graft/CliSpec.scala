@@ -350,6 +350,14 @@ class CliSpec extends AnyFunSuite {
       (0L until 40L).map(i =>
         s"""{"doc_id": $i, "source": "s${i % 2}", "text": "abab cd"}""")
         .mkString("", "\n", "\n"))
+    // plot: distributed histogram of --score-col (the reference's
+    // planned-only `plot` subcommand) — 40 ids over 4 auto-bound bins
+    // of width ~9.75: 10 per bin
+    Cli.run(spark, Array("plot", "-i", in, "--score-col", "doc_id",
+      "--bins", "4", "-o", dir + "/pl"))
+    val pl = spark.read.json(dir + "/pl")
+      .select($"bin", $"n").as[(Long, Long)].collect().toMap
+    assert(pl === Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L))
     // kmv with k > distinct → exact estimate
     Cli.run(spark, Array("kmv", "-i", in, "--k", "64", "-o", dir + "/kv"))
     assert(spark.read.json(dir + "/kv").select($"est")

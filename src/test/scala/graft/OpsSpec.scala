@@ -1300,6 +1300,26 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equal k"))
   }
 
+  test("histogram: equal-width bins, empty bins emitted, overflow " +
+      "clamped to the last bin, constant column degenerates to one bin") {
+    import graft.ops.Profile
+    val df = Seq(0.0, 1.0, 1.5, 3.9, 4.0, 10.0, -1.0).toDF("v")
+    // bounds [0, 4], 4 bins of width 1: -1 and 10 out of range; 4.0 is
+    // the inclusive upper edge and clamps into bin 3
+    val got = Profile.histogram(df, "v", 4, Some(0.0), Some(4.0))
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got === Seq((0, 0.0, 1.0, 1L), (1, 1.0, 2.0, 2L),
+      (2, 2.0, 3.0, 0L), (3, 3.0, 4.0, 2L)))
+    // auto bounds: min/max from the data
+    val auto = Profile.histogram(Seq(2.0, 6.0).toDF("v"), "v", 2)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(auto === Seq((0, 2.0, 4.0, 1L), (1, 4.0, 6.0, 1L)))
+    // constant column: hi == lo → everything in bin 0
+    val const = Profile.histogram(Seq(5.0, 5.0).toDF("v"), "v", 3)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(const.map(_._4).toSeq === Seq(2L, 0L, 0L))
+  }
+
   test("dedupLines: first occurrence of each distinct line survives in " +
       "order; single-line and all-dup docs handled") {
     val df = Seq(
