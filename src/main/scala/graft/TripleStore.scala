@@ -112,7 +112,17 @@ class TripleStore(
     val strFacts = scanFor(attrs)
       .where($"vtype" === Triples.VStr && $"vstr".isNotNull)
       .select($"e", $"a", $"vstr")
-    val ids = resolved.select($"e".as("vstr")).distinct()
+    // the known-eid set: every ingest path self-asserts db:ident per
+    // entity (RowIngest.tableToTriples metaStructs, DocIngest :93, and
+    // persisted stores carry those facts through save/load), so a
+    // source-backed store derives the set from the PRUNED ident scan —
+    // one attribute's generation, not the full triple blow-up the
+    // resolved-distinct fallback pays
+    val ids = (source match {
+      case Some(_) if preResolved =>
+        scanFor(Seq(Triples.IdentAttr)).select($"e")
+      case _ => resolved.select($"e")
+    }).distinct().select($"e".as("vstr"))
     strFacts.join(ids, Seq("vstr"), "left_semi")
       .select($"e", $"a", $"vstr".as("vref"))
   }
