@@ -201,6 +201,19 @@ object SparkEntry {
     * for the pristine-reuse helpers below. */
   private def registerPlainTable(s: SparkSession, table: String,
       path: String): Unit = {
+    // same fast path as Layout.registerBucketed: identical location
+    // already registered → REFRESH (files may have been relinked), no
+    // schema inference + DDL per bench rep
+    val same = try {
+      s.catalog.tableExists(table) && {
+        val m = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        m.storage.locationUri.exists(u =>
+          new java.io.File(u).getAbsolutePath ==
+            new java.io.File(path).getAbsolutePath)
+      }
+    } catch { case _: Exception => false }
+    if (same) { s.sql(s"REFRESH TABLE $table"); return }
     s.sql(s"DROP TABLE IF EXISTS $table")
     val schema = s.read.parquet(path).schema
     s.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +

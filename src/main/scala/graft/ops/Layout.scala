@@ -41,9 +41,32 @@ object Layout {
     * the caller's contract to honor, same as any external-table DDL). */
   def registerBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String, path: String, buckets: Int,
-      keyCols: Seq[String]): Unit =
-    registerBucketedWithSchema(spark, table, path, buckets, keyCols,
-      spark.read.parquet(path).schema)
+      keyCols: Seq[String]): Unit = {
+    // fast path: the identical (location, bucket spec) is already
+    // registered — the files under it may have changed (per-run relink
+    // of a pristine index), so drop the stale listing/footer caches
+    // with REFRESH, but skip the per-call schema inference + DDL pair
+    if (sameRegistration(spark, table, path, buckets, keyCols))
+      spark.sql(s"REFRESH TABLE $table")
+    else
+      registerBucketedWithSchema(spark, table, path, buckets, keyCols,
+        spark.read.parquet(path).schema)
+  }
+
+  private def sameRegistration(spark: org.apache.spark.sql.SparkSession,
+      table: String, path: String, buckets: Int,
+      keyCols: Seq[String]): Boolean =
+    try {
+      spark.catalog.tableExists(table) && {
+        val m = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        m.storage.locationUri.exists(u =>
+          new java.io.File(u).getAbsolutePath ==
+            new java.io.File(path).getAbsolutePath) &&
+        m.bucketSpec.exists(b => b.numBuckets == buckets &&
+          b.bucketColumnNames == keyCols)
+      }
+    } catch { case _: Exception => false }
 
   /** [[registerBucketed]] with a pre-read schema — lets
     * [[compactBucketed]] validate the new location BEFORE dropping the
