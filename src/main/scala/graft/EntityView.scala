@@ -37,16 +37,21 @@ class Entity(val store: TripleStore, val eid: String,
 
   /** One-shot attribute PREFETCH — the N+1 fix for scripted access:
     * without it every [[apply]] is one point-lookup job, so a few dozen
-    * accesses become a few dozen scans; with it the given attrs load in
-    * ONE job and subsequent [[apply]]/[[one]] calls for them are served
-    * from the driver-side cache (EntitySpec asserts zero further jobs).
-    * Forward attrs only (reverse lookups stay live — they scan a
-    * different access path); attrs with NO values cache as empty, so a
-    * prefetched miss never falls through to a live scan. Returns `this`
-    * for chaining. The cache is a snapshot, exactly like the Entity
-    * itself (the reference's Entity wraps an immutable store too,
-    * tripl.py:141-271). */
+    * accesses become a few dozen scans; with it the given forward
+    * attrs load in ONE job (+ one job per reverse attr — a different
+    * access path) and subsequent [[apply]]/[[one]] calls for them are
+    * served from the driver-side cache (EntitySpec asserts zero
+    * further jobs). Attrs with NO values cache as empty, so a
+    * prefetched miss never falls through to a live scan. Returns
+    * `this` for chaining. The cache is a snapshot, exactly like the
+    * Entity itself (the reference's Entity wraps an immutable store
+    * too, tripl.py:141-271). */
   def prefetch(keys: Seq[String]): this.type = {
+    keys.map(attrOf).filter(isReverse).distinct.foreach { a =>
+      cache = cache + (a ->
+        store.refEdges(forwardAttr(a)).where($"vref" === eid)
+          .select($"e").as[String].collect().toSeq.sorted)
+    }
     val attrs = keys.map(attrOf).filterNot(isReverse).distinct
     if (attrs.nonEmpty) {
       val valColOf = attrs.map(at => at -> Triples.valueColFor(

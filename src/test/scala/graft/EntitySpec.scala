@@ -63,8 +63,9 @@ class EntitySpec extends AnyFunSuite {
     val ts = store()
     val live = new Entity(ts, "p1", namespace = Some("p"))
     val expected = Seq("name", "city", "knows").map(k => k -> live(k))
+    val expectedRev = live("p:_knows")
     val e = new Entity(ts, "p1", namespace = Some("p"))
-      .prefetch(Seq("name", "city", "knows", "p:absent"))
+      .prefetch(Seq("name", "city", "knows", "p:absent", "p:_knows"))
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -76,6 +77,9 @@ class EntitySpec extends AnyFunSuite {
       val got = Seq("name", "city", "knows").map(k => k -> e(k))
       assert(e.one("name") === Some("ada"))
       assert(e("p:absent") === Seq(), "prefetched miss must cache as empty")
+      // reverse attrs prefetch through their own access path and then
+      // serve from the same cache — zero further jobs here too
+      assert(e("p:_knows") === expectedRev)
       // declared-ref attrs serve refs() from the same cache: the cached
       // values ARE the child eids — still zero jobs
       assert(e.refs("knows").map(_.eid) === Seq("p2"))
