@@ -57,6 +57,29 @@ class FunnelJoinsSpec extends AnyFunSuite {
       s"expected one visit per row, got ${visits.value} (second scan?)")
   }
 
+  test("funnel report is LAZY: construction runs zero Spark jobs " +
+      "(each bench/pipeline execution pays exactly one corpus pass)") {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rep = Funnel.report(docs, stages) // must not collect eagerly
+      // fence: one deliberate job; if construction had run any, the
+      // FIFO listener bus would count them before the fence's event
+      spark.sparkContext.parallelize(1 to 1).count()
+      val deadline = System.currentTimeMillis + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() === 1L,
+        s"report construction ran ${jobs.get() - 1} jobs, want 0")
+      assert(rep.count() === 3L) // |stages| + ingest — still computes
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("funnel: a stage dropping nothing still appears, with 0") {
     val rep = Funnel.report(docs,
         stages :+ ("never" -> lit(true)))
