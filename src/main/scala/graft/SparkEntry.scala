@@ -130,6 +130,20 @@ object SparkEntry {
     }
   }
 
+  /** Fingerprint of an sf dir's parquet inputs (name:size:mtime per
+    * file) — appended to every pristine/staged stamp so a DRIVER
+    * TESTDATA REGENERATION (new round, new rows) invalidates cached
+    * artifacts instead of silently serving indexes built from the old
+    * corpus against oracles reading the new one. */
+  private def dirFingerprint(dir: String): String = {
+    val fs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    java.lang.Integer.toHexString(
+      fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .mkString("|").hashCode)
+  }
+
   /** Build-once-per-(tag, sf) parquet INPUT staging for multi-batch
     * streaming harnesses: a batch's content is a pure function of the
     * sf dir, so it is computed + written once behind a stamped _OK
@@ -141,7 +155,7 @@ object SparkEntry {
       build: => DataFrame): String = {
     val path = scratch(tag + "_staged", dir)
     val marker = java.nio.file.Paths.get(path + "_OK")
-    val stamp = tag + " stagedv1"
+    val stamp = tag + " stagedv1 src=" + dirFingerprint(dir)
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
     if (!fresh) {
@@ -172,7 +186,8 @@ object SparkEntry {
     // the marker RECORDS the build params + format version: /tmp outlives
     // code changes (driver rounds reuse the box), and a stale pristine
     // built by older hashing code must be rebuilt, not silently reused
-    val stamp = s"lshv1 k=$k bands=$bands rpb=$rowsPerBand"
+    val stamp = s"lshv1 k=$k bands=$bands rpb=$rowsPerBand " +
+      s"src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
     if (!fresh) {
@@ -232,7 +247,7 @@ object SparkEntry {
       mutates: Boolean = false): Unit = {
     val pristine = scratch(tag + "_pristine", dir)
     val marker = java.nio.file.Paths.get(pristine + "_OK")
-    val stamp = "textv1 buckets=16"
+    val stamp = s"textv1 buckets=16 src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
     if (!fresh) {
@@ -268,7 +283,8 @@ object SparkEntry {
     val pristine = scratch(tag + "_pristine", dir)
     val marker = java.nio.file.Paths.get(pristine + "_OK")
     val stamp =
-      s"ivfv1 cells=$nCells iters=$iters tf=$trainFraction ci=$centroidInit"
+      s"ivfv1 cells=$nCells iters=$iters tf=$trainFraction " +
+        s"ci=$centroidInit src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
     if (!fresh) {
