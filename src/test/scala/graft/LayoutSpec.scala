@@ -66,6 +66,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(row.getLong(0) === 18L && row.getString(1) === "r9")
   }
 
+  test("registerBucketed fast path: an UNCHANGED registration refreshes " +
+      "stale file listings (relinked per-run copies read fresh data)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rf").toString
+    (1L to 10L).map(i => (i, i)).toDF("k", "a")
+      .repartition(1).write.parquet(s"$dir/t")
+    Layout.registerBucketed(spark, "rf_t", s"$dir/t", 4, Seq("k"))
+    assert(spark.table("rf_t").count() === 10)
+    // swap the files UNDER the registered location (what a bench rep's
+    // pristine relink does), then re-register the identical spec — the
+    // fast path must REFRESH, not serve the stale listing
+    val p = java.nio.file.Paths.get(s"$dir/t")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    (1L to 25L).map(i => (i, i)).toDF("k", "a")
+      .repartition(1).write.parquet(s"$dir/t")
+    Layout.registerBucketed(spark, "rf_t", s"$dir/t", 4, Seq("k"))
+    assert(spark.table("rf_t").count() === 25,
+      "fast-path re-registration served a stale file listing")
+    // a DIFFERENT location must take the full drop/create path
+    (1L to 7L).map(i => (i, i)).toDF("k", "a")
+      .repartition(1).write.parquet(s"$dir/t2")
+    Layout.registerBucketed(spark, "rf_t", s"$dir/t2", 4, Seq("k"))
+    assert(spark.table("rf_t").count() === 7)
+    spark.sql("DROP TABLE IF EXISTS rf_t")
+  }
+
   test("persisted text index: bm25Query matches bm25Rank and bucket-prunes " +
       "the postings scan to the query terms") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
