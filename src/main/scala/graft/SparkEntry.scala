@@ -2190,6 +2190,15 @@ object SparkEntry {
         "grp", "doc_id",
         Seq("train" -> 0.75, "holdout" -> 0.25), maxStrata = 1)),
 
+    // per-doc duplicate-gram fraction (Dedup.dupGramFraction): the
+    // memorization-risk metric — share of each doc's 8-token windows
+    // occurring verbatim elsewhere in the corpus; same one-shuffle
+    // gram-hash machinery as q118, rolled up per doc with an exact
+    // integer-ratio score.
+    "q165_dup_gram_frac" -> ((s, dir) =>
+      graft.ops.Dedup.dupGramFraction(
+        Tpch.raw(s, dir, "documents"), "doc_id", "text")),
+
     // distributed equal-width histogram (Profile.histogram — the
     // compute side of the reference's planned-only `plot` subcommand,
     // cli.py:46-51): doc lengths in 16 bins over an explicit range so
@@ -4520,6 +4529,26 @@ object SparkEntry {
         |               + floor(n * CAST(0.1 AS DOUBLE)) THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    // q118's gram expansion, rolled up per doc; short docs left-join
+    // back with zeroes
+    "q165_dup_gram_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |      WHERE len(toks) >= 8),
+        |o AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS occ
+        |      FROM g),
+        |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |        CAST(count(CASE WHEN occ > 1 THEN 1 END) AS BIGINT)
+        |          AS n_dup_windows
+        |      FROM o GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+        |  COALESCE(p.n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+        |  round(COALESCE(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows,
+        |    0.0), 4) AS dup_frac
+        |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
     // same bounds, same IEEE bin arithmetic; generate_series supplies
     // the empty bins
     "q164_histogram" ->

@@ -694,6 +694,35 @@ object Dedup {
     mergeIslands(dup, idCol, n)
   }
 
+  /** PER-DOC DUPLICATE-GRAM FRACTION — the memorization-risk /
+    * curation metric over the [[duplicateSpans]] machinery: what share
+    * of a document's length-`n` token windows occur (verbatim) anywhere
+    * else in the corpus. RefinedWeb/ExactSubstr-style pipelines
+    * threshold on exactly this number to drop boilerplate-heavy or
+    * widely-copied documents BEFORE paying span surgery. Same single
+    * gram-hash shuffle as duplicateSpans (count over the hash
+    * partition, no all-pairs anything), then one per-doc rollup;
+    * `dup_frac` is a ratio of two integer counts — bit-identical
+    * across engines. Docs with fewer than `n` tokens have no windows
+    * and report 0 / 0 / 0.0 (nothing to memorize at this gram size).
+    * Output: (idCol, n_windows, n_dup_windows, dup_frac rounded 4). */
+  def dupGramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val per = gramWindows(df, idCol, textCol, n)
+      .withColumn("_occ",
+        count(lit(1)).over(Window.partitionBy(col("_gh"))))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_nw"),
+        count(when(col("_occ") > 1, 1)).as("_nd"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nw"), lit(0L)).as("n_windows"),
+        coalesce(col("_nd"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("_nd").cast("double") / col("_nw"),
+          lit(0.0)), 4).as("dup_frac"))
+  }
+
   /** EXACT SUBSTRING dedup, removal — rewrite each document with its
     * [[duplicateSpans]] token ranges deleted (the paper's ExactSubstr
     * treatment: cut the duplicated text, keep the remainder). The

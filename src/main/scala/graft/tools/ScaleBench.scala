@@ -280,6 +280,10 @@ object ScaleBench {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count(); () }),
       // vocab grows ×factor (disjoint replica vocabularies); each round
       // is one groupBy over the vocab — predicted ~linear
+      "dup_gram_frac" -> (() =>
+        { graft.ops.Dedup.dupGramFraction(d, "doc_id", "text")
+            .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
+            .head; () }),
       "bpe_learn" -> (() =>
         { graft.ops.TextOps.bpeLearn(d, "text", nMerges = 2).count(); () }),
       // the production path: fixed rounds × batched non-interacting

@@ -1003,6 +1003,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGramFraction: exact per-doc duplicated-window share; short " +
+      "docs report zero windows, fully-copied docs report 1.0") {
+    // n=3 grams; doc 2 copies doc 1 verbatim → every window of both
+    // duplicated (frac 1.0); doc 3 shares no gram; doc 4 too short
+    val df = Seq(
+      (1L, "a b c d"),  // windows: "a b c","b c d"
+      (2L, "a b c d"),
+      (3L, "x y z w"),
+      (4L, "p q")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dupGramFraction(df, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 2L, 2L, 1.0)))
+    assert(got(3L) === ((3L, 2L, 0L, 0.0)))
+    assert(got(4L) === ((4L, 0L, 0L, 0.0)))
+    // partial overlap: doc 5 embeds doc 3's text plus fresh tokens —
+    // 5 windows, the 2 covered by doc 3's grams are duplicated (and
+    // doc 3's own windows flip to duplicated)
+    val df2 = df.unionAll(Seq((5L, "x y z w k m n")).toDF("doc_id", "text"))
+    val got2 = graft.ops.Dedup.dupGramFraction(df2, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got2(5L) === ((5L, 5L, 2L, 0.4)))
+    assert(got2(3L) === ((3L, 2L, 2L, 1.0)))
+  }
+
   test("duplicateSpans: cross-doc and within-doc repeats merge to " +
       "maximal spans; unique docs emit nothing") {
     val df = Seq(
