@@ -794,6 +794,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: bpeLearnRounds == driver-computed batched-greedy BPE " +
+      "on random small vocabularies (and batchK=1 == sequential)") {
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(2470L + trial)
+      val words = (0 until 80).map { _ =>
+        (0 until 2 + rnd.nextInt(6)).map(_ => "abcde" (rnd.nextInt(5))).mkString
+      }
+      val text = words.mkString(" ")
+      val df = Seq((1L, text)).toDF("id", "text")
+      val rounds = 3; val batchK = 3; val pool = 4 * batchK + 32
+      val got = graft.ops.TextOps.bpeLearnRounds(df, "text", rounds, batchK)
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      // driver reference: per round, rank pairs by (n desc, pair asc),
+      // greedily accept up to batchK symbol-disjoint pairs from the
+      // top-`pool` candidates, apply all of them, repeat
+      var vocab: Map[Vector[String], Long] = words.filter(_.length >= 2)
+        .groupBy(identity).map { case (w, ws) =>
+          w.split("").toVector -> ws.size.toLong }
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      var learned = 0
+      for (_ <- 1 to rounds) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2)
+            .foreach(p => counts((p(0), p(1))) += f)
+        }
+        val ranked = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, s"$a|$b") }.take(pool)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Seq.newBuilder[((String, String), Long)]
+        var nAcc = 0
+        ranked.foreach { case ((x, y), n) =>
+          if (nAcc < batchK && !used(x) && !used(y)) {
+            accepted += (((x, y), n)); nAcc += 1; used += x; used += y
+          }
+        }
+        val batch = accepted.result()
+        merges ++= batch.zipWithIndex.map { case (((x, y), n), i) =>
+          (learned + i + 1, s"$x|$y", n) }
+        learned += batch.size
+        batch.foreach { case ((x, y), _) =>
+          vocab = vocab.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+                out += x + y; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> f
+          }.groupBy(_._1).map { case (s, m) => s -> m.map(_._2).sum }
+        }
+      }
+      assert(got === merges.result(), s"trial $trial")
+      // batchK=1 fixed rounds == the sequential learner
+      val seqA = graft.ops.TextOps.bpeLearnRounds(df, "text", 4, 1)
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      val seqB = graft.ops.TextOps.bpeLearn(df, "text", nMerges = 4)
+        .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(seqA === seqB, s"trial $trial batchK=1")
+    }
+  }
+
   test("property: bpeEncode == driver-applied merges on random corpora " +
       "(docs with words the learn corpus never saw)") {
     for (trial <- 1 to 3) {
