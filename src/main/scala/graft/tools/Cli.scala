@@ -136,7 +136,7 @@ object Cli {
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
       "gapfill", "leakage", "card", "containment", "conversion",
       "diff", "groupsample", "cardsketch", "cardmerge", "linededup",
-      "plot")
+      "plot", "gramfrac")
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
@@ -154,7 +154,7 @@ object Cli {
         "bpelearn --merges N\n" +
         "ops: diff --test V2 [--cols a,b] | groupsample --group COL --top N" +
         " | linededup | cardsketch [--cols a,b] | cardmerge -i card1 card2" +
-        " | plot [--score-col C] [--bins N]")
+        " | plot [--score-col C] [--bins N] | gramfrac [--ngram N]")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -647,6 +647,11 @@ object Cli {
               f"${r.getLong(3)}%8d $bar")
           }
           h
+        // per-doc duplicate-gram fraction: the memorization-risk
+        // threshold metric (share of 8-token windows occurring
+        // verbatim elsewhere in the corpus)
+        case "gramfrac" =>
+          graft.ops.Dedup.dupGramFraction(df, a.idCol, a.textCol, a.ngram)
         // subset-duplicate pairs at --threshold containment
         case "containment" =>
           val csh = df.select(col(a.idCol),

@@ -595,6 +595,13 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, Array("spandedup", "-i", dir + "/docs.json",
       "--ngram", "3", "--spans-only", "-o", dir + "/spans"))
     assert(spark.read.json(dir + "/spans").count() === 2)
+    // gramfrac: docs 1 and 2 share grams "a b c","b c d","c d e" — 3 of
+    // each doc's 6 windows duplicated (0.5); doc 3's lone window unique
+    Cli.run(spark, Array("gramfrac", "-i", dir + "/docs.json",
+      "--ngram", "3", "-o", dir + "/gf"))
+    val gf = spark.read.json(dir + "/gf")
+      .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
+    assert(gf === Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0))
     Cli.run(spark, Array("shuffle", "-i", dir + "/docs.json",
       "--seed", "7", "-o", dir + "/shuf"))
     val pos = spark.read.json(dir + "/shuf")
