@@ -626,15 +626,19 @@ object Dedup {
     * single-machine. The Spark-first equivalent: (1) one NARROW pass
     * expands each doc into its n-gram windows (position + xxhash64 of
     * the window — 8 bytes ride the shuffle, never the token strings);
-    * (2) ONE hash-partitioned shuffle on the gram groups occurrences
-    * (a window count over the gram partition — no join back); (3)
-    * per-doc gaps-and-islands merges overlapping/adjacent duplicated
-    * windows into maximal spans (a second shuffle, on doc id). Cost is
-    * two shuffles of ~tokens·8-byte rows — linear in corpus size, the
-    * shape a 100 TB run needs; the suffix array's output is recovered
-    * for every duplication of length ≥ n (shorter repeats are below
-    * the n-gram floor by construction, the same `n` knob as the
-    * paper's minimum match length).
+    * (2) a map-side-combinable groupBy on the gram hash counts
+    * occurrences (partial aggregation: one (gram, count) partial per
+    * mapper rides the shuffle, so a boilerplate gram occurring 10⁹
+    * times costs the same as one occurring twice — see
+    * [[repeatedGrams]]), and a semi-join flags the repeated windows;
+    * (3) per-doc gaps-and-islands merges overlapping/adjacent
+    * duplicated windows into maximal spans (a shuffle on doc id).
+    * Every shuffle carries ~tokens·8-byte rows or less — linear in
+    * corpus size, skew-proof on hot grams, the shape a 100 TB run
+    * needs; the suffix array's output is recovered for every
+    * duplication of length ≥ n (shorter repeats are below the n-gram
+    * floor by construction, the same `n` knob as the paper's minimum
+    * match length).
     *
     * Grouping on the 64-bit gram hash instead of the token string is
     * what keeps the shuffle narrow; a collision would fabricate a
@@ -683,13 +687,29 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** The hashes of every gram occurring MORE THAN ONCE corpus-wide, via
+    * a map-side-combinable groupBy — NOT a window over the gram key. A
+    * window partition must materialize every raw occurrence of a gram
+    * in ONE task, and the exact grams these operators exist to catch
+    * (boilerplate — "all rights reserved …") occur 10⁸–10⁹ times at web
+    * scale: one straggler task spilling a hot gram's whole row set.
+    * Partial aggregation instead carries ONE (gram, count) row per
+    * mapper per distinct gram through the shuffle, so a hot gram costs
+    * the same as a cold one; the subsequent probe join is a shuffled
+    * join AQE's skew handling can split, which a window never can. */
+  private def repeatedGrams(gw: DataFrame): DataFrame =
+    gw.groupBy(col("_gh")).agg(count(lit(1)).as("_occ"))
+      .where(col("_occ") > 1)
+      .select(col("_gh"))
+
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    // ONE shuffle on the gram hash: windows whose gram occurs > 1 time
-    // corpus-wide (count over the hash partition — no groupBy+join)
-    val dup = gramWindows(df, idCol, textCol, n)
-      .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("_gh"))))
-      .where(col("_occ") > 1)
+    // windows whose gram repeats corpus-wide: combinable gram count +
+    // semi-join back (see repeatedGrams for why not a window). The
+    // window expansion is evaluated twice — both are NARROW re-reads of
+    // the scan, cheaper at scale than persisting tokens·8B rows.
+    val gw = gramWindows(df, idCol, textCol, n)
+    val dup = gw.join(repeatedGrams(gw), Seq("_gh"), "left_semi")
       .select(col("_id"), col("_pos"))
     mergeIslands(dup, idCol, n)
   }
@@ -699,27 +719,30 @@ object Dedup {
     * of a document's length-`n` token windows occur (verbatim) anywhere
     * else in the corpus. RefinedWeb/ExactSubstr-style pipelines
     * threshold on exactly this number to drop boilerplate-heavy or
-    * widely-copied documents BEFORE paying span surgery. Same single
-    * gram-hash shuffle as duplicateSpans (count over the hash
-    * partition, no all-pairs anything), then one per-doc rollup;
-    * `dup_frac` is a ratio of two integer counts — bit-identical
-    * across engines. Docs with fewer than `n` tokens have no windows
-    * and report 0 / 0 / 0.0 (nothing to memorize at this gram size).
+    * widely-copied documents BEFORE paying span surgery. Duplicated
+    * windows come from the same skew-proof machinery as
+    * [[duplicateSpans]] (combinable gram count + semi-join — see
+    * [[repeatedGrams]]); the per-doc window TOTAL needs no shuffle at
+    * all — it is `max(tokens − n + 1, 0)`, computed narrowly on the
+    * doc scan. `dup_frac` is a ratio of two integer counts —
+    * bit-identical across engines. Docs with fewer than `n` tokens
+    * (or NULL text) have no windows and report 0 / 0 / 0.0 (nothing
+    * to memorize at this gram size).
     * Output: (idCol, n_windows, n_dup_windows, dup_frac rounded 4). */
   def dupGramFraction(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8): DataFrame = {
-    val per = gramWindows(df, idCol, textCol, n)
-      .withColumn("_occ",
-        count(lit(1)).over(Window.partitionBy(col("_gh"))))
+    val gw = gramWindows(df, idCol, textCol, n)
+    val nd = gw.join(repeatedGrams(gw), Seq("_gh"), "left_semi")
       .groupBy(col("_id"))
-      .agg(count(lit(1)).as("_nw"),
-        count(when(col("_occ") > 1, 1)).as("_nd"))
-    df.select(col(idCol))
-      .join(per.withColumnRenamed("_id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("_nw"), lit(0L)).as("n_windows"),
+      .agg(count(lit(1)).as("_nd"))
+      .withColumnRenamed("_id", idCol)
+    df.select(col(idCol),
+        greatest(size(TextOps.tokens(col(textCol))) - (n - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(nd, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
         coalesce(col("_nd"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("_nd").cast("double") / col("_nw"),
+        round(coalesce(col("_nd").cast("double") / col("n_windows"),
           lit(0.0)), 4).as("dup_frac"))
   }
 

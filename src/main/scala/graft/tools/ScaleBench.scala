@@ -278,10 +278,42 @@ object ScaleBench {
         { graft.ops.Sampling.stratifiedSplit(
             d.select(col("doc_id"), col("source")), "source", "doc_id",
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count(); () }),
+      // url-host-grade stratum width (~70k occupied strata at 1×, ~700k
+      // at 10× — rows AND strata scale ×factor): forces the DISTRIBUTED
+      // offsets path (strata ≫ maxStrata), whose window runs over ≤256-row
+      // bucket partitions + one shuffle join — predicted ~linear
+      "stratified_split_wide" -> (() =>
+        { graft.ops.Sampling.stratifiedSplit(
+            (if (ev == null) sys.error("needs events") else ev)
+              .select(col("event_id"), concat_ws("_", col("user_id"),
+                pmod(col("event_id"), lit(97))).as("host")),
+            "host", "event_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .count(); () }),
       // vocab grows ×factor (disjoint replica vocabularies); each round
       // is one groupBy over the vocab — predicted ~linear
       "dup_gram_frac" -> (() =>
         { graft.ops.Dedup.dupGramFraction(d, "doc_id", "text")
+            .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
+            .head; () }),
+      // PLANTED HOT GRAM: the same 8 tokens appended to EVERY doc of
+      // every replica (after replica token-prefixing, so the final
+      // window is corpus-GLOBAL — its occurrence count equals the doc
+      // count, 10× hotter at 10×). The exact skewed-key regime the
+      // combinable-groupBy + semi-join shape exists for: a window over
+      // the gram key would funnel every doc's row into ONE task and
+      // degrade superlinearly; partial aggregation keeps the hot gram
+      // one (hash, count) partial per mapper — predicted ~linear
+      "dup_spans_hot" -> (() =>
+        { graft.ops.Dedup.duplicateSpans(
+            d.select(col("doc_id"), concat(col("text"),
+              lit(" h0 h1 h2 h3 h4 h5 h6 h7")).as("text")),
+            "doc_id", "text", 8).count(); () }),
+      "dup_gram_frac_hot" -> (() =>
+        { graft.ops.Dedup.dupGramFraction(
+            d.select(col("doc_id"), concat(col("text"),
+              lit(" h0 h1 h2 h3 h4 h5 h6 h7")).as("text")),
+            "doc_id", "text", 8)
             .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
             .head; () }),
       "bpe_learn" -> (() =>

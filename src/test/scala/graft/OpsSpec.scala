@@ -1213,6 +1213,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSplit: WIDE mixed-size strata on the distributed path " +
+      "keep the full split contract (disjoint-complete, exact floor)") {
+    import graft.ops.Sampling
+    // 6k strata of sizes 1..5 (url-host-grade width, ScaleBench's
+    // stratified_split_wide regime), far past maxStrata=4: every
+    // stratum must get exactly ⌊n·f⌋ rows per split + remainder in the
+    // last, with no row lost or duplicated
+    val rows = for (s <- 0 until 6000; r <- 0 to s % 5)
+      yield (s.toLong * 8 + r, s"h$s")
+    val df = rows.toDF("id", "host")
+    val out = Sampling.stratifiedSplit(df, "host", "id",
+        Seq("train" -> 0.6, "test" -> 0.4), maxStrata = 4)
+      .as[(Long, String, String)].collect()
+    assert(out.length === rows.length)
+    assert(out.map(_._1).distinct.length === rows.length)
+    val perStratum = out.groupBy(_._2)
+    perStratum.foreach { case (h, rs) =>
+      val n = rs.length
+      val train = rs.count(_._3 == "train")
+      assert(train === math.floor(n * 0.6).toInt,
+        s"stratum $h n=$n train=$train")
+      assert(rs.count(_._3 == "test") === n - train)
+    }
+  }
+
   test("stratifiedSplit: high-cardinality strata (one row per stratum) " +
       "run distributed without driver collect") {
     import graft.ops.Sampling
