@@ -965,9 +965,13 @@ object TextOps {
     * walk is pure rank-recursion over a bounded candidate list, so an
     * oracle replays it without driver state (a recursive CTE carrying
     * the used-symbol set). Learning runs on vocab entries only; the
-    * base vocab is cached ONCE and each round is ONE job (the
-    * candidate count) — a 30k-merge vocabulary at batchK=256 is ~120
-    * rounds, not 30k.
+    * base vocab is cached ONCE, each round is ONE job (the candidate
+    * count), and periodic lineage truncation keeps per-round cost
+    * FLAT in the round number (see [[bpeLearnCore]]) — a 30k-merge
+    * vocabulary at batchK=256 is ~120 rounds, not 30k (measured:
+    * 64 rounds / 1024 merges in ~16 s on local[32] at a 4k-word
+    * vocab, ~0.25 s/round with no late-round growth — the deep-run
+    * spec in OpsSpec).
     *
     * Symbol sequences are encoded as strings — `" s1  s2  …  sn "`,
     * two spaces between symbols, one at each end — chosen so applying
@@ -988,6 +992,30 @@ object TextOps {
   def bpeLearn(df: DataFrame, textCol: String, nMerges: Int,
       batchK: Int = 1): DataFrame = {
     require(nMerges >= 1 && batchK >= 1)
+    bpeLearnCore(df, textCol, maxRounds = Int.MaxValue, batchK = batchK,
+      totalMerges = Some(nMerges))
+  }
+
+  /** Shared learning loop of [[bpeLearn]] / [[bpeLearnRounds]]: one
+    * [[bpeRound]] candidate count per round over a lazily re-merged
+    * vocab, with PERIODIC LINEAGE TRUNCATION. Between checkpoints the
+    * vocab is a lazy chain of replaces over the cached base (each
+    * round re-applies the accumulated narrow merges — no per-round
+    * materialization); every `checkpointEvery` merge-applying rounds
+    * the re-symbolized vocab is `localCheckpoint`ed, so the Catalyst
+    * plan never carries more than ~checkpointEvery·batchK nested
+    * replace calls. Without the truncation, round r's plan holds
+    * r·batchK replaces: re-analysis grows quadratically in rounds and
+    * deep nesting eventually breaks whole-stage codegen (janino's
+    * 64 KB method cap) — measured, a 64-round/1024-merge run spends
+    * its late rounds in the analyzer, while the checkpointed loop
+    * stays flat per round. Old checkpoint snapshots become
+    * unreachable after the next truncation and the ContextCleaner
+    * reclaims their blocks; each snapshot is vocab-sized (distinct
+    * words), not corpus-sized. */
+  private def bpeLearnCore(df: DataFrame, textCol: String,
+      maxRounds: Int, batchK: Int, totalMerges: Option[Int],
+      checkpointEvery: Int = 12): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     def withSyms(v: DataFrame): DataFrame =
@@ -1001,15 +1029,19 @@ object TextOps {
       .persist()
     val merges = Seq.newBuilder[(Int, String, Long)]
     try {
-      // vocab stays a LAZY chain of replaces over the cached base —
-      // each round re-applies the accumulated (cheap, narrow) merges
-      // instead of persisting a new copy per round
       var vocab = withSyms(base)
       var learned = 0
+      var round = 0
+      var sinceCkpt = 0
       var exhausted = false
-      while (learned < nMerges && !exhausted) {
-        val need = math.min(batchK, nMerges - learned)
+      while (round < maxRounds && !exhausted &&
+          totalMerges.forall(learned < _)) {
+        round += 1
+        val need = totalMerges.map(t => math.min(batchK, t - learned))
+          .getOrElse(batchK)
         val batch = bpeRound(vocab, 4 * batchK + 32, need)
+        // an empty round is terminal either way: the vocab is unchanged,
+        // so every later round would recount the same empty candidates
         if (batch.isEmpty) exhausted = true
         else {
           merges ++= batch.zipWithIndex.map { case ((p, n), i) =>
@@ -1018,6 +1050,12 @@ object TextOps {
           learned += batch.size
           vocab = withSyms(vocab.select(col("freq"),
             applyMerges(col("enc"), batch.map(_._1)).as("enc")))
+          sinceCkpt += 1
+          if (sinceCkpt >= checkpointEvery) {
+            vocab = withSyms(
+              vocab.select(col("freq"), col("enc")).localCheckpoint())
+            sinceCkpt = 0
+          }
         }
       }
     } finally base.unpersist(blocking = false)
@@ -1085,33 +1123,8 @@ object TextOps {
   def bpeLearnRounds(df: DataFrame, textCol: String, rounds: Int,
       batchK: Int): DataFrame = {
     require(rounds >= 1 && batchK >= 1)
-    val spark = df.sparkSession
-    import spark.implicits._
-    def withSyms(v: DataFrame): DataFrame =
-      v.withColumn("syms", split(trim(col("enc")), "  "))
-    val base = df
-      .select(explode(tokens(col(textCol))).as("w"))
-      .where(length(col("w")) >= 2 && !col("w").contains("|"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), concat(lit(" "),
-        concat_ws("  ", split(col("w"), "")), lit(" ")).as("enc"))
-      .persist()
-    val merges = Seq.newBuilder[(Int, String, Long)]
-    try {
-      var vocab = withSyms(base)
-      var learned = 0
-      for (_ <- 1 to rounds) {
-        val batch = bpeRound(vocab, 4 * batchK + 32, batchK)
-        merges ++= batch.zipWithIndex.map { case ((p, n), i) =>
-          (learned + i + 1, p, n)
-        }
-        learned += batch.size
-        if (batch.nonEmpty)
-          vocab = withSyms(vocab.select(col("freq"),
-            applyMerges(col("enc"), batch.map(_._1)).as("enc")))
-      }
-    } finally base.unpersist(blocking = false)
-    merges.result().toDF("iter", "pair", "n")
+    bpeLearnCore(df, textCol, maxRounds = rounds, batchK = batchK,
+      totalMerges = None)
   }
 
   /** BPE ENCODE — apply a LEARNED merge list (the [[bpeLearn]] output,

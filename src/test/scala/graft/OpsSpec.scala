@@ -1677,6 +1677,33 @@ class OpsSpec extends AnyFunSuite {
     assert(m === Seq((1, "z|z", 2L)))
   }
 
+  test("bpeLearnRounds: a DEEP run (64+ rounds, 1000+ merges) stays " +
+      "linear per round — lineage truncation bounds the replace chain") {
+    // production-shaped round count, far past the 12-round checkpoint
+    // interval: 4000 deterministic 16-char words over a 62-symbol
+    // alphabet give ~3.8k distinct starting pairs, so 64 rounds ×
+    // batchK=16 can accept 1000+ symbol-disjoint merges. Without the
+    // periodic localCheckpoint the final rounds would carry 1000+
+    // nested replace calls (quadratic re-analysis, codegen blowup);
+    // with it no plan ever exceeds ~12·16 nested replaces.
+    val alpha = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(4000)(
+      (1 to 16).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val t0 = System.nanoTime()
+    val out = graft.ops.TextOps.bpeLearnRounds(df, "text",
+        rounds = 64, batchK = 16)
+      .as[(Int, String, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"64 rounds, ${out.length} merges in $secs%.1f s")
+    assert(out.length >= 1000, s"expected 1000+ merges, got ${out.length}")
+    // contract sanity at depth: iters contiguous from 1, pairs distinct
+    assert(out.map(_._1).sorted.toSeq === (1 to out.length))
+    assert(out.map(_._2).distinct.length === out.length)
+  }
+
   test("bpeEncode: learned merges drive per-doc token counts; unseen " +
       "words encode through the same merges; 1-char words = 1 token") {
     // merges learned on ["ab ab", "abc"]: a|b then ab|c (hand-derived:
