@@ -184,6 +184,28 @@ class Entity(val store: TripleStore, val eid: String,
 }
 
 object Entity {
+  /** Above this many matched eids the prefetch scans JOIN against a
+    * broadcast local frame of the eids instead of `isin`: a 100k-eid
+    * literal IN list is quadratic to analyze and pushes a giant filter
+    * string into the scan, where a broadcast semi-join ships the same
+    * set once and keeps the plan constant-size. Below it, `isin` stays
+    * — a short IN list folds into the parquet pushdown. */
+  private[graft] val IsinMax = 1000
+
+  /** `df` rows whose `colName` is one of `eids` — `isin` for small
+    * sets, broadcast left-semi join past [[IsinMax]] (same semantics:
+    * eids are distinct, so the semi-join neither dedups nor
+    * multiplies). */
+  private[graft] def whereEidIn(df: org.apache.spark.sql.DataFrame,
+      colName: String, eids: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (eids.size <= IsinMax)
+      df.where(col(colName).isin(eids.map(x => x: Any): _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(eids.toDF(colName)), Seq(colName), "left_semi")
+    }
+
   /** Entities for ALL matches of a pattern (`entities`,
     * tripl.py:624-625), eid-sorted, with an optional BULK prefetch: the
     * given attrs load for EVERY matched entity in one job per access
@@ -202,15 +224,13 @@ object Entity {
     if (ents.nonEmpty && prefetch.nonEmpty) {
       val h = ents.head // all ents share the namespace completion
       val keys = prefetch.map(h.attrOf).distinct
-      val eidArgs = ents.map(_.eid: Any)
       val attrs = keys.filterNot(h.isReverse)
       if (attrs.nonEmpty) {
         val valColOf = attrs.map(at => at -> Triples.valueColFor(
           store.schemas.get(at).map(_.vtype).getOrElse(Triples.VStr))).toMap
         val valCols = valColOf.values.toSeq.distinct
-        val rows = store.scanFor(attrs)
-          .where($"e".isin(eidArgs: _*) &&
-            $"a".isin(attrs.map(x => x: Any): _*))
+        val rows = whereEidIn(store.scanFor(attrs), "e", ents.map(_.eid))
+          .where($"a".isin(attrs.map(x => x: Any): _*))
           .select(($"e" +: $"a" +: valCols.map(col)): _*).collect().toSeq
         val byE = rows.groupBy(_.getString(0))
         ents.foreach { e =>
@@ -222,8 +242,8 @@ object Entity {
         }
       }
       keys.filter(h.isReverse).foreach { at =>
-        val srcByDst = store.refEdges(h.forwardAttr(at))
-          .where($"vref".isin(eidArgs: _*))
+        val srcByDst = whereEidIn(store.refEdges(h.forwardAttr(at)),
+            "vref", ents.map(_.eid))
           .select($"vref", $"e").as[(String, String)].collect().toSeq
           .groupBy(_._1)
         ents.foreach { e =>

@@ -96,6 +96,48 @@ class EntitySpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("findAll bulk prefetch: past 1k matched eids the scans JOIN a " +
+      "broadcast eid frame instead of inlining a literal IN list") {
+    // plan shape, directly on the gate: >IsinMax eids → left-semi join
+    // (constant-size plan), ≤IsinMax → isin (parquet-pushable)
+    val eids = (0 until 1500).map(i => f"e$i%05d")
+    val probe = eids.toDF("e").withColumn("x", lit(1))
+    assert(Entity.whereEidIn(probe, "e", eids)
+      .queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(!Entity.whereEidIn(probe, "e", eids.take(10))
+      .queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    // end-to-end at width: 2400 matched cities, forward + reverse
+    // prefetch — both access paths cross the join threshold and must
+    // cache the same values the point lookups would
+    val nC = 2400
+    val rows =
+      (0 until nC).map(i => (f"c$i%05d", "c:name", Triples.VStr,
+        Some(s"city$i"), None)) ++
+      (0 until 2 * nC).map(i => (f"p$i%05d", "p:city", Triples.VRef,
+        None, Some(f"c${i / 2}%05d")))
+    val df = rows.toDF("e", "a", "vtype", "vs", "vr")
+      .select($"e", $"a", $"vtype",
+        $"vs".as("vstr"), lit(null).cast("long").as("vlong"),
+        lit(null).cast("double").as("vdbl"),
+        lit(null).cast("boolean").as("vbool"),
+        lit(null).cast("timestamp_ntz").as("vts"),
+        $"vr".as("vref"), lit(null).cast("binary").as("vbin"),
+        lit(0L).as("txId"))
+    val schemas = Map(
+      "c:name" -> AttrSchema("c:name", cardOne = true, isRef = false,
+        Triples.VStr),
+      "p:city" -> AttrSchema("p:city", cardOne = true, isRef = true,
+        Triples.VRef))
+    val ts = new TripleStore(spark, df, schemas, preResolved = true)
+    val ents = Entity.findAll(ts, Seq("c:name" -> MAny),
+      namespace = Some("c"), prefetch = Seq("name", "p:_city"))
+    assert(ents.size === nC)
+    val e7 = ents.find(_.eid == "c00007").get
+    assert(e7.one("name") === Some("city7"))
+    assert(e7("p:_city") === Seq("p00014", "p00015"))
+    assert(ents.last.one("name") === Some(s"city${nC - 1}"))
+  }
+
   test("Entity.find takes first match of a pattern (Q4)") {
     val ts = store()
     val e = Entity.find(ts, Seq("p:city" -> MEq("c1")))
