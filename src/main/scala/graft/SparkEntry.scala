@@ -139,9 +139,17 @@ object SparkEntry {
     val fs = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    java.lang.Integer.toHexString(
-      fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-        .mkString("|").hashCode)
+    val manifest = fs
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    // 128-bit MD5 of the manifest, not String.hashCode: 32 bits +
+    // second-granularity mtimes made a same-second same-size testdata
+    // regeneration (or a plain 2^-32 collision across rounds) able to
+    // silently serve stale staged artifacts — the exact failure the
+    // fingerprint exists to prevent
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   /** Build-once-per-(tag, sf) parquet INPUT staging for multi-batch
@@ -2457,18 +2465,34 @@ object SparkEntry {
       import s.implicits._
       val in = scratch("q161in", dir)
       deleteRec(java.nio.file.Paths.get(in))
-      // pinned: the user set feeds five batch constructions — without
-      // the checkpoint each one re-runs the events distinct
-      val users = Tpch.raw(s, dir, "events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      // the four microbatch frames are pure functions of the sf dir —
+      // staged once per (batch, sf) behind stamped _OK markers; each
+      // rep HARDLINKS a batch's files into the input dir between
+      // processAllAvailable calls (directory metadata, not a
+      // users-sized recompute + four parquet writes per rep). `users`
+      // is lazy: fresh stagings never touch the events distinct.
+      lazy val users = Tpch.raw(s, dir, "events")
         .select(col("user_id")).distinct().localCheckpoint(true)
       def evts(ts: String, typ: String, ids: DataFrame): DataFrame =
         ids.select(col("user_id").cast("long").as("user_id"),
           lit(ts).cast("timestamp").as("ts"),
           lit(typ).as("event_type"))
-      def writeBatch(df: DataFrame): Unit =
-        df.write.mode("append").parquet(in)
-      writeBatch(evts("2024-01-01 00:00:00", "view", users)
-        .unionAll(evts("2024-01-01 00:01:00", "click", users)))
+      val batches = Seq(
+        stagedInput(s, "q161b1", dir)(
+          evts("2024-01-01 00:00:00", "view", users)
+            .unionAll(evts("2024-01-01 00:01:00", "click", users))),
+        stagedInput(s, "q161b2", dir)(
+          evts("2024-01-01 01:00:00", "view", Seq(-1L).toDF("user_id"))),
+        stagedInput(s, "q161b3", dir)(
+          evts("2024-01-01 01:10:00", "view", Seq(-2L).toDF("user_id"))),
+        stagedInput(s, "q161b4", dir)(
+          evts("2024-01-01 02:00:00", "view", users)
+            .unionAll(evts("2024-01-01 02:01:00", "click", users))
+            .unionAll(evts("2024-01-01 02:02:00", "purchase", users))))
+      def feed(src: String): Unit =
+        copyRec(java.nio.file.Paths.get(src), java.nio.file.Paths.get(in))
+      feed(batches(0))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "user_id BIGINT, ts TIMESTAMP, event_type STRING")
       val stream = s.readStream.schema(schema).parquet(in)
@@ -2481,16 +2505,9 @@ object SparkEntry {
         .outputMode("update").start()
       try {
         q.processAllAvailable()
-        writeBatch(evts("2024-01-01 01:00:00", "view",
-          Seq(-1L).toDF("user_id")))
-        q.processAllAvailable()
-        writeBatch(evts("2024-01-01 01:10:00", "view",
-          Seq(-2L).toDF("user_id")))
-        q.processAllAvailable()
-        writeBatch(evts("2024-01-01 02:00:00", "view", users)
-          .unionAll(evts("2024-01-01 02:01:00", "click", users))
-          .unionAll(evts("2024-01-01 02:02:00", "purchase", users)))
-        q.processAllAvailable()
+        feed(batches(1)); q.processAllAvailable()
+        feed(batches(2)); q.processAllAvailable()
+        feed(batches(3)); q.processAllAvailable()
       } finally q.stop()
       drainSink(s, name)(df => df
         .where(col("t_3").isNotNull && col("user_id") >= 0)
@@ -2513,14 +2530,29 @@ object SparkEntry {
       import s.implicits._
       val in = scratch("q162in", dir)
       deleteRec(java.nio.file.Paths.get(in))
-      val ids = Tpch.raw(s, dir, "documents")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      // same staging discipline as q161: four pure-function-of-sf
+      // batches built once behind _OK stamps, hardlinked per rep
+      lazy val ids = Tpch.raw(s, dir, "documents")
         .select(col("doc_id")).distinct().localCheckpoint(true)
-      def writeBatch(df: DataFrame, status: String, ts: String): Unit =
+      def batch(df: DataFrame, status: String, ts: String): DataFrame =
         df.select(col("doc_id").cast("long").as("id"),
-            lit(status).as("status"),
-            lit(ts).cast("timestamp").as("ts"))
-          .write.mode("append").parquet(in)
-      writeBatch(ids, "v1", "2024-01-01 00:00:00")
+          lit(status).as("status"),
+          lit(ts).cast("timestamp").as("ts"))
+      val batches = Seq(
+        stagedInput(s, "q162b1", dir)(
+          batch(ids, "v1", "2024-01-01 00:00:00")),
+        stagedInput(s, "q162b2", dir)(
+          batch(Seq(-1L).toDF("doc_id"), "sentinel",
+            "2024-01-01 01:00:00")),
+        stagedInput(s, "q162b3", dir)(
+          batch(Seq(-2L).toDF("doc_id"), "sentinel",
+            "2024-01-01 01:10:00")),
+        stagedInput(s, "q162b4", dir)(
+          batch(ids, "v1", "2024-01-01 02:00:00")))
+      def feed(src: String): Unit =
+        copyRec(java.nio.file.Paths.get(src), java.nio.file.Paths.get(in))
+      feed(batches(0))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, status STRING, ts TIMESTAMP")
       val stream = s.readStream.schema(schema).parquet(in)
@@ -2537,14 +2569,9 @@ object SparkEntry {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        writeBatch(Seq(-1L).toDF("doc_id"), "sentinel",
-          "2024-01-01 01:00:00")
-        q.processAllAvailable()
-        writeBatch(Seq(-2L).toDF("doc_id"), "sentinel",
-          "2024-01-01 01:10:00")
-        q.processAllAvailable()
-        writeBatch(ids, "v1", "2024-01-01 02:00:00")
-        q.processAllAvailable()
+        feed(batches(1)); q.processAllAvailable()
+        feed(batches(2)); q.processAllAvailable()
+        feed(batches(3)); q.processAllAvailable()
       } finally q.stop()
       drainSink(s, name)(df => df
         .where(col("value") =!= "sentinel")

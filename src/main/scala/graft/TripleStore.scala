@@ -108,18 +108,31 @@ class TripleStore(
     * per entity; the set-at-a-time relaxation only differs on mixed
     * eid/non-eid value sets, where non-eid values cannot resolve to
     * entities anyway). */
+  /** True iff the pruned db:ident scan yields any row — ONE cached
+    * LIMIT-1 probe per store, the cheap loud-failure guard for the
+    * TripleSource db:ident contract (see [[model.TripleSource.scan]]):
+    * false means either an empty store (fallback is also empty,
+    * harmless) or a source that never self-asserts idents (fallback is
+    * the correct, if slower, eid set). */
+  private lazy val identScanNonEmpty: Boolean =
+    !scanFor(Seq(Triples.IdentAttr)).isEmpty
+
   private def lazyEdgesFor(attrs: Seq[String]): DataFrame = {
     val strFacts = scanFor(attrs)
       .where($"vtype" === Triples.VStr && $"vstr".isNotNull)
       .select($"e", $"a", $"vstr")
     // the known-eid set: every ingest path self-asserts db:ident per
     // entity (RowIngest.tableToTriples metaStructs, DocIngest :93, and
-    // persisted stores carry those facts through save/load), so a
-    // source-backed store derives the set from the PRUNED ident scan —
-    // one attribute's generation, not the full triple blow-up the
-    // resolved-distinct fallback pays
+    // persisted stores carry those facts through save/load — the
+    // TripleSource trait documents the obligation), so a source-backed
+    // store derives the set from the PRUNED ident scan — one
+    // attribute's generation, not the full triple blow-up the
+    // resolved-distinct fallback pays. identScanNonEmpty guards the
+    // contract: a source that skipped db:ident would otherwise
+    // silently drop every lazy edge (empty semi-join), so it falls
+    // back to the resolved scan instead.
     val ids = (source match {
-      case Some(_) if preResolved =>
+      case Some(_) if preResolved && identScanNonEmpty =>
         scanFor(Seq(Triples.IdentAttr)).select($"e")
       case _ => resolved.select($"e")
     }).distinct().select($"e".as("vstr"))

@@ -18,7 +18,18 @@ import org.apache.spark.sql.DataFrame
   */
 trait TripleSource {
   /** Triples for the given attributes (None = all). May return a
-    * superset; callers re-filter on `a`. */
+    * superset; callers re-filter on `a`.
+    *
+    * CONTRACT: every entity the source emits MUST self-assert
+    * `db:ident` (eid as a string fact), and a pruned
+    * `scan(Some(Seq("db:ident")))` must return those facts — the
+    * store derives its known-eid set from that pruned scan (lazy ref
+    * traversal, entity views) instead of paying the full triple
+    * blow-up. All shipped ingest paths do (RowIngest metaStructs,
+    * DocIngest, persisted stores); a custom source that skips it
+    * would silently produce zero lazy ref edges — the store guards
+    * with a one-row probe and falls back to the resolved scan, but
+    * the fallback pays full triple generation, so emit db:ident. */
   def scan(attrs: Option[Seq[String]]): DataFrame
 }
 

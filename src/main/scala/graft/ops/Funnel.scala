@@ -73,9 +73,14 @@ object Funnel {
     // One aggregated row: a conditional count per stage + the grand
     // total, all map-side-combined inside one whole-stage-codegen pass.
     val dropped = col("dropped_at")
+    // per-stage agg columns alias by POSITION (_d_0, _d_1, …), never by
+    // stage name: a name is a user string (may hold '.', '`', anything)
+    // and re-referencing it via col() would parse it as a nested-field
+    // path — the name only ever appears as a comparison VALUE and a
+    // lit() output label
     val aggs = count(lit(1)).as("_total") +:
-      stages.map { case (name, _) =>
-        count(when(dropped === name, 1)).as(s"_d_$name")
+      stages.zipWithIndex.map { case ((name, _), i) =>
+        count(when(dropped === name, 1)).as(s"_d_$i")
       }
     val one = labeled(df, stages).agg(aggs.head, aggs.tail: _*)
     // Explode the single row into the |stages|+1 funnel rows with a
@@ -83,11 +88,9 @@ object Funnel {
     val rowStructs = struct(lit(0).as("stage_idx"), lit("ingest").as("stage"),
         lit(0L).as("dropped"), col("_total").as("remaining")) +:
       stages.map(_._1).zipWithIndex.map { case (name, i) =>
-        val cum = stages.take(i + 1)
-          .map(s => col(s"_d_${s._1}"))
-          .reduce(_ + _)
+        val cum = (0 to i).map(j => col(s"_d_$j")).reduce(_ + _)
         struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
-          col(s"_d_$name").as("dropped"),
+          col(s"_d_$i").as("dropped"),
           (col("_total") - cum).as("remaining"))
       }
     one.select(explode(array(rowStructs: _*)).as("r"))

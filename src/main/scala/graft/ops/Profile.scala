@@ -91,6 +91,13 @@ object Profile {
     * disjoint). Input size is shards × columns rows — plan-time
     * metadata, never corpus-shaped. */
   def mergeDatasetCards(cards: DataFrame, k: Int = 256): DataFrame = {
+    // cheap CALL-TIME contract checks (schema-only, no job): a card
+    // frame must carry the self-describing k column — and note the
+    // mixed-k guard below fires at ACTION time, per column group, so
+    // an all-shards-empty input merges to an empty (not failing) card
+    require(cards.columns.contains("k"),
+      "mergeDatasetCards: input has no 'k' column — not a " +
+        "datasetCardSketch frame")
     // sketches built with different k silently under- or over-estimate
     // when mixed — the card is self-describing, so refuse loudly. The
     // check rides the SAME aggregation pass as the merge (collect_set

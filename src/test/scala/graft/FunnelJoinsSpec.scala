@@ -44,6 +44,17 @@ class FunnelJoinsSpec extends AnyFunSuite {
       (2, "lang", 1L, 2L)))
   }
 
+  test("funnel report: stage names holding '.', '`', and spaces work " +
+      "(names are labels, never re-parsed as column paths)") {
+    val rep = Funnel.report(docs, Seq(
+        "min.len `chars`" -> (col("n") >= 20),
+        "lang = en" -> (col("lang") === "en")))
+      .select($"stage_idx", $"stage", $"dropped", $"remaining")
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(rep === Seq((0, "ingest", 0L, 5L),
+      (1, "min.len `chars`", 2L, 3L), (2, "lang = en", 1L, 2L)))
+  }
+
   test("funnel report is SINGLE-PASS: each input row evaluated exactly " +
       "once (total derives from the label counts, not a second scan)") {
     val visits = spark.sparkContext.longAccumulator("funnel-visits")
