@@ -2207,6 +2207,24 @@ object SparkEntry {
       graft.ops.Dedup.dupGramFraction(
         Tpch.raw(s, dir, "documents"), "doc_id", "text")),
 
+    // the CURATION RECIPE the memorization metric exists for: dup_frac
+    // feeds the quality funnel as a row gate (RefinedWeb-style "drop
+    // boilerplate-heavy docs before span surgery"). dupGramFraction
+    // computes once, joins back on doc_id (both sides hash-partitioned
+    // on it), and Funnel.report attributes each doc to its first
+    // failing gate in the same single labeling pass as q126. The CLI
+    // composition of the same recipe is `gramfrac | funnel | strip`
+    // (README pipeline recipes; CliSpec covers the verb).
+    "q166_curation_funnel" -> ((s, dir) => {
+      val docs = Tpch.raw(s, dir, "documents")
+      val frac = graft.ops.Dedup
+        .dupGramFraction(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_frac"))
+      graft.ops.Funnel.report(docs.join(frac, Seq("doc_id")), Seq(
+        "len" -> (col("n_chars") >= 100),
+        "dup" -> (col("dup_frac") <= 0.5)))
+    }),
+
     // distributed equal-width histogram (Profile.histogram — the
     // compute side of the reference's planned-only `plot` subcommand,
     // cli.py:46-51): doc lengths in 16 bins over an explicit range so
@@ -4576,6 +4594,32 @@ object SparkEntry {
         |  round(COALESCE(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows,
         |    0.0), 4) AS dup_frac
         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+    // q165's per-doc dup_frac machinery + q126's first-failing-stage
+    // funnel rollup: ratio of integer counts (bit-identical IEEE
+    // divide both engines), thresholds on raw values
+    "q166_curation_funnel" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+        |      FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS r(i)
+        |      WHERE len(toks) >= 8),
+        |o AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS occ
+        |      FROM g),
+        |p AS (SELECT doc_id, count(*) AS nw,
+        |        count(CASE WHEN occ > 1 THEN 1 END) AS nd
+        |      FROM o GROUP BY doc_id),
+        |f AS (SELECT t.doc_id, (t.n_chars >= 100) AS p1,
+        |        (round(COALESCE(CAST(p.nd AS DOUBLE) / p.nw, 0.0), 4)
+        |          <= 0.5) AS p2
+        |      FROM t LEFT JOIN p USING (doc_id))
+        |SELECT 0 AS stage_idx, 'ingest' AS stage,
+        |       CAST(0 AS BIGINT) AS dropped, count(*) AS remaining FROM f
+        |UNION ALL SELECT 1, 'len',
+        |       count(*) FILTER (WHERE NOT p1),
+        |       count(*) FILTER (WHERE p1) FROM f
+        |UNION ALL SELECT 2, 'dup',
+        |       count(*) FILTER (WHERE p1 AND NOT p2),
+        |       count(*) FILTER (WHERE p1 AND p2) FROM f""".stripMargin,
     // same bounds, same IEEE bin arithmetic; generate_series supplies
     // the empty bins
     "q164_histogram" ->

@@ -154,7 +154,7 @@ object Cli {
         "bpelearn --merges N\n" +
         "ops: diff --test V2 [--cols a,b] | groupsample --group COL --top N" +
         " | linededup | cardsketch [--cols a,b] | cardmerge -i card1 card2" +
-        " | plot [--score-col C] [--bins N] | gramfrac [--ngram N]")
+        " | plot [--score-col C] [--bins N] | gramfrac [--ngram N] [--keep]")
     var a = Args(argv(0))
     var i = 1
     def isFlag(s: String) = s.startsWith("-") && s.length > 1
@@ -264,9 +264,18 @@ object Cli {
           "stop" -> (TextOps.stopwordRatio(t) >= min.toDouble)
         case Seq("quality", min) =>
           "quality" -> (TextOps.qualityScore(t) >= min.toDouble)
+        // generic numeric-column gates — the seam that lets computed
+        // metrics (gramfrac's dup_frac, a model score column) feed the
+        // funnel: colmax:dup_frac:0.5 drops rows with dup_frac > 0.5.
+        // A NULL metric fails the gate (Funnel's null-is-drop rule).
+        case Seq("colmin", c, v) =>
+          s"colmin_$c" -> (col(c) >= v.toDouble)
+        case Seq("colmax", c, v) =>
+          s"colmax_$c" -> (col(c) <= v.toDouble)
         case other => sys.error(
           s"bad gate '${other.mkString(":")}' (want chars:LO:HI | " +
-            "tokens:LO:HI | lang:CODE | stop:MIN | quality:MIN)")
+            "tokens:LO:HI | lang:CODE | stop:MIN | quality:MIN | " +
+            "colmin:COL:V | colmax:COL:V)")
       }
     }
   }
@@ -649,9 +658,14 @@ object Cli {
           h
         // per-doc duplicate-gram fraction: the memorization-risk
         // threshold metric (share of 8-token windows occurring
-        // verbatim elsewhere in the corpus)
+        // verbatim elsewhere in the corpus). --keep carries the input
+        // columns alongside the metrics so the output feeds straight
+        // into `funnel --gates colmax:dup_frac:0.5` and then
+        // `spandedup` — the gramfrac → funnel → strip curation recipe
         case "gramfrac" =>
-          graft.ops.Dedup.dupGramFraction(df, a.idCol, a.textCol, a.ngram)
+          val m = graft.ops.Dedup.dupGramFraction(
+            df, a.idCol, a.textCol, a.ngram)
+          if (a.keepRows) df.join(m, Seq(a.idCol)) else m
         // subset-duplicate pairs at --threshold containment
         case "containment" =>
           val csh = df.select(col(a.idCol),

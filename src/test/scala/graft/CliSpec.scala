@@ -602,6 +602,29 @@ class CliSpec extends AnyFunSuite {
     val gf = spark.read.json(dir + "/gf")
       .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
     assert(gf === Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.0))
+    // the CURATION RECIPE: gramfrac --keep (docs + metric) → funnel
+    // with the generic colmax gate (report first, then --keep) →
+    // spandedup over the survivors. Docs 1/2 sit at dup_frac 0.5, so
+    // colmax:dup_frac:0.4 drops both and keeps only doc 3.
+    Cli.run(spark, Array("gramfrac", "-i", dir + "/docs.json",
+      "--ngram", "3", "--keep", "-o", dir + "/gfk"))
+    assert(spark.read.json(dir + "/gfk").columns.toSet ===
+      Set("doc_id", "text", "n_windows", "n_dup_windows", "dup_frac"))
+    Cli.run(spark, Array("funnel", "-i", dir + "/gfk",
+      "--gates", "tokens:2:100,colmax:dup_frac:0.4", "-o", dir + "/fr"))
+    val fr = spark.read.json(dir + "/fr")
+      .select($"stage", $"dropped", $"remaining")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, d, r) => k -> ((d, r)) }.toMap
+    assert(fr("ingest") === ((0L, 3L)))
+    assert(fr("colmax_dup_frac") === ((2L, 1L)))
+    Cli.run(spark, Array("funnel", "-i", dir + "/gfk",
+      "--gates", "colmax:dup_frac:0.4", "--keep", "-o", dir + "/fk"))
+    Cli.run(spark, Array("spandedup", "-i", dir + "/fk",
+      "--ngram", "3", "-o", dir + "/fclean"))
+    val fclean = spark.read.json(dir + "/fclean")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(fclean === Map(3L -> "u v w"))
     Cli.run(spark, Array("shuffle", "-i", dir + "/docs.json",
       "--seed", "7", "-o", dir + "/shuf"))
     val pos = spark.read.json(dir + "/shuf")
