@@ -148,12 +148,14 @@ object Multimodal {
   }
 
   /** Output schema of [[resizeNearest]]: dims in/out + the resized
-    * pixels as packed ARGB ints (row-major). */
+    * pixels as packed ARGB ints (row-major) + the fail-capture
+    * `reason` ("ok" on success — same idiom as [[wavStatsSchema]]). */
   def resizeSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("in_w", IntegerType), StructField("in_h", IntegerType),
     StructField("out_w", IntegerType), StructField("out_h", IntegerType),
-    StructField("pixels", ArrayType(IntegerType))))
+    StructField("pixels", ArrayType(IntegerType)),
+    StructField("reason", StringType)))
 
   /** REAL image resize through the decode seam: decode each binary
     * payload with the JDK's `javax.imageio` (the [[ImageIoCodec]]
@@ -164,8 +166,14 @@ object Multimodal {
     * encode→decode→resize round-trips known patterns bit-for-bit —
     * the q133 oracle). Same partition-local lifecycle as [[featurize]]
     * (decoder state per partition, never per row); undecodable
-    * payloads fail-capture as dims −1 with empty pixels, the
-    * schema-stable idiom of [[ImageIoCodec]]. Narrow map, no shuffle;
+    * payloads fail-capture as dims −1 with empty pixels and a
+    * `reason` naming the failure class — "unreadable" when no
+    * registered reader recognizes the payload (ImageIO.read → null:
+    * wrong format, garbage bytes), "decode-error:<ExceptionClass>"
+    * when a reader matched but decoding threw (truncated/corrupt
+    * body) — the same reason-coded schema-stable idiom as
+    * [[decodeWavStats]]; successful rows carry "ok". Narrow map, no
+    * shuffle;
     * output pixel arrays are bounded by outW·outH regardless of input
     * size — the downsample-at-ingest shape that keeps a 100 TB image
     * corpus's feature pass IO-bounded, not pixel-bounded. */
@@ -177,12 +185,19 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
+        var reason: String = null
         val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+          try {
+            val i = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (i == null) reason = "unreadable"
+            i
+          } catch { case e: Exception =>
+            reason = s"decode-error:${e.getClass.getSimpleName}"
+            null
+          }
         if (img == null)
-          Row(r.getLong(0), -1, -1, outW, outH, Seq.empty[Int])
+          Row(r.getLong(0), -1, -1, outW, outH, Seq.empty[Int], reason)
         else {
           val w = img.getWidth; val h = img.getHeight
           val px = new Array[Int](outW * outH)
@@ -196,7 +211,7 @@ object Multimodal {
             }
             y += 1
           }
-          Row(r.getLong(0), w, h, outW, outH, px.toSeq)
+          Row(r.getLong(0), w, h, outW, outH, px.toSeq, "ok")
         }
       }
     }(enc)

@@ -497,17 +497,26 @@ class OpsSpec extends AnyFunSuite {
       bos.toByteArray
     }
     // 4x4 with pixel = x*16 + y in the blue channel
+    val good = png(4, 4)((x, y) => x * 16 + y)
     val df = Seq(
-      (1L, png(4, 4)((x, y) => x * 16 + y)),
-      (2L, Array[Byte](1, 2, 3)) // not an image
-    ).toDF("id", "png")
+      (1L, good),
+      (2L, Array[Byte](1, 2, 3)),       // no reader matches → unreadable
+      (3L, good.take(24))               // PNG magic, truncated body →
+    ).toDF("id", "png")                 //   the reader throws mid-decode
     val out = Multimodal.resizeNearest(df, "id", "png", 2, 2)
-      .select($"id", $"in_w", $"in_h", $"pixels")
-      .as[(Long, Int, Int, Seq[Int])].collect().map(r => r._1 -> r).toMap
+      .select($"id", $"in_w", $"in_h", $"pixels", $"reason")
+      .as[(Long, Int, Int, Seq[Int], String)].collect()
+      .map(r => r._1 -> r).toMap
     assert(out(1L)._2 === 4 && out(1L)._3 === 4)
     // sampled at (0,0), (2,0), (0,2), (2,2) → blue = 0, 32, 2, 34
     assert(out(1L)._4.map(_ & 0xffffff) === Seq(0, 32, 2, 34))
+    assert(out(1L)._5 === "ok")
+    // per-class fail capture, schema-stable (dims -1, empty pixels)
     assert(out(2L)._2 === -1 && out(2L)._4.isEmpty)
+    assert(out(2L)._5 === "unreadable")
+    assert(out(3L)._2 === -1 && out(3L)._4.isEmpty)
+    assert(out(3L)._5.startsWith("decode-error:"),
+      s"want decode-error:*, got ${out(3L)._5}")
   }
 
   test("decodeWavStats: real javax.sound WAV decode, hand-checked " +
