@@ -1156,18 +1156,29 @@ object SparkEntry {
     // boundary rule matched to session_window's half-open windows (a gap
     // of EXACTLY the duration starts a new session).
     "q95_stream_session" -> ((s, dir) => withShuffle(s, 8) {
+      import s.implicits._
       val in = scratch("q95in", dir)
-      val p = java.nio.file.Paths.get(in)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      }
-      val evs = Tpch.raw(s, dir, "events")
+      deleteRec(java.nio.file.Paths.get(in))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      // both microbatch frames are pure functions of the sf dir: the
+      // events copy and the watermark-advance sentinel (max ts + 2h)
+      // are staged once behind _OK stamps and hardlinked per rep —
+      // an events-sized parquet write per rep becomes directory
+      // metadata. `evs` is lazy: fresh stagings never re-read events.
+      lazy val evs = Tpch.raw(s, dir, "events")
         .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp").as("ts"))
-      evs.write.mode("append").parquet(in)
-      val maxTs = evs.agg(max(col("ts"))).head.getTimestamp(0)
+          col("ts").cast("timestamp").as("ts")).localCheckpoint(true)
+      val batches = Seq(
+        stagedInput(s, "q95b1", dir)(evs),
+        stagedInput(s, "q95b2", dir)({
+          val maxTs = evs.agg(max(col("ts"))).head.getTimestamp(0)
+          Seq((-1L, -1L,
+              new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)))
+            .toDF("event_id", "user_id", "ts")
+        }))
+      def feed(src: String): Unit =
+        copyRec(java.nio.file.Paths.get(src), java.nio.file.Paths.get(in))
+      feed(batches(0))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
       val stream = s.readStream.schema(schema).parquet(in)
@@ -1179,11 +1190,7 @@ object SparkEntry {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        import s.implicits._
-        Seq((-1L, -1L, new java.sql.Timestamp(maxTs.getTime + 7200 * 1000L)))
-          .toDF("event_id", "user_id", "ts")
-          .write.mode("append").parquet(in)
-        q.processAllAvailable()
+        feed(batches(1)); q.processAllAvailable()
       } finally q.stop()
       drainSink(s, name)(_.where(col("user_id") >= 0).select(
         col("session_window.start").cast("timestamp_ntz").as("wstart"),
@@ -1828,14 +1835,26 @@ object SparkEntry {
       }
       val emb = Tpch.raw(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
       val table = s"q124idx_${dirTag(dir)}"
       // the ingest loop APPENDS survivors: build once, copy per run
       ivfIndexFromPristine(s, emb.where(col("vec_id") % 10 =!= 0),
         "q124idx", dir, table, scratch("q124idx", dir),
         nCells = 8, iters = 0, centroidInit = "minid", mutates = true)
-      emb.where(col("vec_id") % 10 === 0)
-        .write.mode("append").parquet(in)
+      // both microbatch frames are pure functions of the sf dir (the
+      // %10 slice, and the same slice under offset ids): staged once
+      // behind _OK stamps, hardlinked per rep — two embeddings-slice
+      // parquet writes per rep become directory metadata
+      val batches = Seq(
+        stagedInput(s, "q124b1", dir)(
+          emb.where(col("vec_id") % 10 === 0)),
+        stagedInput(s, "q124b2", dir)({
+          val off = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+          emb.where(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+        }))
+      def feed(src: String): Unit =
+        copyRec(java.nio.file.Paths.get(src), java.nio.file.Paths.get(in))
+      feed(batches(0))
       val stream = s.readStream
         .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(in)
       val q = graft.streaming.StreamingDedup.semanticDedupIngest(
@@ -1845,10 +1864,7 @@ object SparkEntry {
         .start()
       try {
         q.processAllAvailable()
-        emb.where(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + off).as("vec_id"), col("embedding"))
-          .write.mode("append").parquet(in)
-        q.processAllAvailable()
+        feed(batches(1)); q.processAllAvailable()
       } finally q.stop()
       s.read.parquet(outp + "/batch_*")
         .select(col("new_id"), col("corpus_id"))
@@ -1910,26 +1926,37 @@ object SparkEntry {
     // processAllAvailable calls, so microbatch boundaries (and thus
     // watermark advancement points) are deterministic.
     "q76_stream_firstseen" -> ((s, dir) => withShuffle(s, 8) {
-      val in = scratch("q76in", dir)
+      import s.implicits._
       // fresh input dir: batches APPEND files, so a prior run's artifacts
       // would otherwise replay as extra batch-1 data
-      val p = java.nio.file.Paths.get(in)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      }
+      val in = scratch("q76in", dir)
+      deleteRec(java.nio.file.Paths.get(in))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       // one row per distinct fingerprint (min id), so which-copy-wins
-      // inside a batch can never make the output nondeterministic
-      val uniq = graft.ops.Dedup.exact(
+      // inside a batch can never make the output nondeterministic.
+      // All three microbatch frames are pure functions of the sf dir:
+      // staged once behind stamped _OK markers, hardlinked per rep —
+      // the exact-dedup pass + two corpus-sized parquet writes happen
+      // once per sf, not once per bench rep. `uniq` is lazy: fresh
+      // stagings never recompute the dedup.
+      lazy val uniq = graft.ops.Dedup.exact(
         Tpch.raw(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text")
-      def writeBatch(df: DataFrame, batch: Int, ts: String): Unit =
+        "doc_id", "text").localCheckpoint(true)
+      def stamped(df: DataFrame, batch: Int, ts: String): DataFrame =
         df.select(col("doc_id"), col("text"),
-            lit(batch).cast("long").as("batch"),
-            lit(ts).cast("timestamp").as("ts"))
-          .write.mode("append").parquet(in)
-      writeBatch(uniq, 1, "2024-01-01 00:00:00")
+          lit(batch).cast("long").as("batch"),
+          lit(ts).cast("timestamp").as("ts"))
+      val batches = Seq(
+        stagedInput(s, "q76b1", dir)(
+          stamped(uniq, 1, "2024-01-01 00:00:00")),
+        stagedInput(s, "q76b2", dir)(stamped(
+          Seq((-1L, "watermark advance sentinel")).toDF("doc_id", "text"),
+          2, "2024-01-01 01:00:00")),
+        stagedInput(s, "q76b3", dir)(
+          stamped(uniq, 3, "2024-01-01 02:00:00")))
+      def feed(src: String): Unit =
+        copyRec(java.nio.file.Paths.get(src), java.nio.file.Paths.get(in))
+      feed(batches(0))
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, text STRING, batch BIGINT, ts TIMESTAMP")
       val stream = s.readStream.schema(schema).parquet(in)
@@ -1942,13 +1969,8 @@ object SparkEntry {
         .outputMode("append").start()
       try {
         q.processAllAvailable()
-        import s.implicits._
-        writeBatch(
-          Seq((-1L, "watermark advance sentinel")).toDF("doc_id", "text"),
-          2, "2024-01-01 01:00:00")
-        q.processAllAvailable()
-        writeBatch(uniq, 3, "2024-01-01 02:00:00")
-        q.processAllAvailable()
+        feed(batches(1)); q.processAllAvailable()
+        feed(batches(2)); q.processAllAvailable()
       } finally q.stop()
       drainSink(s, name)(_.select(col("doc_id"), col("batch")))
     }),
