@@ -106,10 +106,12 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     var positional = List.empty[String]
     var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    var only = Option.empty[Set[String]]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--only" => only = Some(args(i + 1).split(',').toSet); i += 2
         case p => positional :+= p; i += 1
       }
     }
@@ -316,6 +318,30 @@ object ScaleBench {
             "doc_id", "text", 8)
             .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
             .head; () }),
+      // CONTRAST BASELINE, not a library op: the PRE-r12 window shape
+      // (count(1) over Window.partitionBy(gram hash)) on the same hot
+      // corpus, inlined here so the skew claim is MEASURED on both
+      // shapes. Every occurrence of the planted gram (= every doc)
+      // lands in ONE window partition → one straggler task; expected
+      // superlinear vs dup_gram_frac_hot's flat partial-agg shape.
+      "dup_gram_frac_hot_window" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val hot = d.select(col("doc_id"), concat(col("text"),
+          lit(" h0 h1 h2 h3 h4 h5 h6 h7")).as("text"))
+        val n = 8
+        val gw = hot
+          .select(col("doc_id").as("_id"),
+            split(col("text"), " ").as("_t"))
+          .where(size(col("_t")) >= n)
+          .select(col("_id"), posexplode(
+              transform(sequence(lit(0), size(col("_t")) - n),
+                i => xxhash64(concat_ws(" ", slice(col("_t"), i + 1,
+                  lit(n)))))).as(Seq("_pos", "_gh")))
+        gw.withColumn("_occ",
+            count(lit(1)).over(Window.partitionBy(col("_gh"))))
+          .where(col("_occ") > 1)
+          .groupBy(col("_id")).agg(count(lit(1)).as("_nd"))
+          .agg(sum(col("_nd"))).head; () }),
       "bpe_learn" -> (() =>
         { graft.ops.TextOps.bpeLearn(d, "text", nMerges = 2).count(); () }),
       // the production path: fixed rounds × batched non-interacting
@@ -365,8 +391,13 @@ object ScaleBench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // --only a,b,c scopes the soak (exact workload names); the JSON
+    // then carries just those rows — a scoped re-measure, not a
+    // replacement for the committed full-suite artifact
+    def scope(ws: Seq[(String, () => Unit)]): Seq[(String, () => Unit)] =
+      only.fold(ws)(names => ws.filter(w => names.contains(w._1)))
     // one warm-up pass at 1× (untimed): JIT + codegen + parquet footers
-    workloads(d1, e1, queries1, "warm", ev = ev1)
+    scope(workloads(d1, e1, queries1, "warm", ev = ev1))
       .foreach { case (_, fn) => fn() }
     def timeAll(d: DataFrame, e: DataFrame, q: DataFrame,
         tag: String, es: DataFrame, semK: Int,
@@ -374,7 +405,7 @@ object ScaleBench {
       val acc = scala.collection.mutable.Map
         .empty[String, List[Double]].withDefaultValue(Nil)
       for (_ <- 0 until reps;
-           (name, fn) <- workloads(d, e, q, tag, es, semK, ev)) {
+           (name, fn) <- scope(workloads(d, e, q, tag, es, semK, ev))) {
         val t0 = System.nanoTime()
         fn()
         acc(name) = ((System.nanoTime() - t0) / 1e9) :: acc(name)
@@ -386,7 +417,11 @@ object ScaleBench {
     val t1 = timeAll(d1, e1, queries1, "x1", e1, semK1, ev1)
     val tf = timeAll(docsF, embF, queries1, s"x$factor", embS, semKf, evF)
 
-    val names = workloads(d1, e1, queries1, "x1").map(_._1)
+    // NOTE for --only: probe workloads ride the index the preceding
+    // build workload wrote (incr_neardup <- lsh_index_build, bm25_query
+    // <- text_index_build, ivf_query <- ivf_index_build) — scope probes
+    // together with their builders.
+    val names = scope(workloads(d1, e1, queries1, "x1")).map(_._1)
     def num(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = names.map { n =>
