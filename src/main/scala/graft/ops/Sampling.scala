@@ -303,20 +303,39 @@ object Sampling {
     // probe that picks between them
     val grouped = keyed.groupBy(col("_stk"), col("_bk")).count().persist()
     try {
-      val nGroups = grouped.count()
-      val small = nGroups <= maxStrata.toLong * 256L
+      // the gate is the DISTINCT-STRATA count (what the docstring
+      // promises and what bounds BOTH the broadcast size and the
+      // driver loop below) — NOT the group count: 100k sparse strata
+      // with one occupied bucket each stay under maxStrata·256 groups
+      // while being 25× past the stratum cap. countDistinct skips
+      // NULL, so the null stratum is counted via its group presence.
+      val gateRow = grouped.agg(
+        countDistinct(col("_stk")).as("s"),
+        coalesce(max(col("_stk").isNull), lit(false)).as("hasNull")).head
+      val nStrata = gateRow.getLong(0) +
+        (if (gateRow.getBoolean(1)) 1L else 0L)
+      val small = nStrata <= maxStrata.toLong
       val cumFracs = fracs.init.map(_._2)
       val offDf: DataFrame = if (small) {
         val counts = grouped.collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-        val strata = counts.keys.map(_._1).toSeq.distinct
-        val offsets: Map[(String, String), Long] = strata.flatMap { st =>
-          val buckets = counts.keys.filter(_._1 == st).map(_._2).toSeq.sorted
-          buckets.zip(buckets.scanLeft(0L)((acc, b) => acc + counts((st, b)))
-            .init).map { case (b, off) => (st, b) -> off }
+        // ONE grouping pass over the collected rows — a per-stratum
+        // `counts.keys.filter` walk is O(strata · groups), quadratic
+        // in strata, and single-threaded on the driver (measured: the
+        // 70k-strata events corpus spent an hour here)
+        val byStratum: Map[String, Seq[(String, Long)]] =
+          counts.toSeq.map { case ((st, b), c) => st -> (b, c) }
+            .groupBy(_._1)
+            .map { case (st, xs) => st -> xs.map(_._2).sortBy(_._1) }
+        val offsets: Map[(String, String), Long] = byStratum.flatMap {
+          case (st, buckets) =>
+            buckets.map(_._1)
+              .zip(buckets.scanLeft(0L)((acc, bc) => acc + bc._2)
+                .init)
+              .map { case (b, off) => (st, b) -> off }
         }.toMap
         val nPerStratum: Map[String, Long] =
-          counts.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
+          byStratum.map { case (st, bs) => st -> bs.map(_._2).sum }
         // cumulative ⌊n·f⌋ thresholds per stratum; last split = rest
         val thresholds: Map[String, Seq[Long]] = nPerStratum.map {
           case (st, n) =>
