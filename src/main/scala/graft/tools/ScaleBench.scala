@@ -103,6 +103,33 @@ object ScaleBench {
     }.reduce(_ unionAll _)
   }
 
+  /** TripleStore over an arbitrary documents-shaped frame (same wiring
+    * as Tpch.store, but over the scaled replica corpus): lazy triples
+    * + a pruning TableSource, preResolved single-tx semantics. An
+    * `n_chars` column is derived so the top-k workload ranks on a
+    * numeric cardinality-one attr. */
+  private def docStore(docs: DataFrame): graft.TripleStore = {
+    val df = docs.withColumn("n_chars", length(col("text")))
+    val sp = graft.sources.RowIngest.specFor(df, "documents",
+      Seq("doc_id"), Nil, None)
+    new graft.TripleStore(df.sparkSession,
+      graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas,
+      preResolved = true,
+      source = Some(graft.model.UnionTripleSource(
+        Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+  }
+
+  /** Same, for the (event_id, user_id, ts, value) events frame. */
+  private def eventStore(ev: DataFrame): graft.TripleStore = {
+    val sp = graft.sources.RowIngest.specFor(ev, "events",
+      Seq("event_id"), Nil, None)
+    new graft.TripleStore(ev.sparkSession,
+      graft.sources.RowIngest.tableToTriples(ev, sp), sp.attrSchemas,
+      preResolved = true,
+      source = Some(graft.model.UnionTripleSource(
+        Seq(graft.sources.RowIngest.TableSource(ev, sp)))))
+  }
+
   def main(args: Array[String]): Unit = {
     var positional = List.empty[String]
     var reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
@@ -298,36 +325,41 @@ object ScaleBench {
         { graft.ops.Dedup.dupGramFraction(d, "doc_id", "text")
             .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
             .head; () }),
-      // PLANTED HOT GRAM: the same 8 tokens appended to EVERY doc of
-      // every replica (after replica token-prefixing, so the final
-      // window is corpus-GLOBAL — its occurrence count equals the doc
-      // count, 10× hotter at 10×). The exact skewed-key regime the
-      // combinable-groupBy + semi-join shape exists for: a window over
-      // the gram key would funnel every doc's row into ONE task and
-      // degrade superlinearly; partial aggregation keeps the hot gram
-      // one (hash, count) partial per mapper — predicted ~linear
+      // PLANTED HOT GRAM, AMPLIFIED: the same 8-token block appended
+      // 25× to EVERY doc of every replica (after replica
+      // token-prefixing, so the hot grams are corpus-GLOBAL). The
+      // repeated block's windows cycle through 8 rotations of the
+      // block, so each rotation occurs ~25·ndocs times — ~1.25M rows
+      // PER GRAM KEY at 10×, the skewed-key regime boilerplate
+      // ("all rights reserved …") creates at web scale. A window over
+      // the gram key materializes each hot gram's full row set in ONE
+      // task (see dup_gram_frac_hot_window); partial aggregation
+      // carries one (hash, count) partial per mapper — predicted
+      // ~linear with a flat constant
       "dup_spans_hot" -> (() =>
         { graft.ops.Dedup.duplicateSpans(
             d.select(col("doc_id"), concat(col("text"),
-              lit(" h0 h1 h2 h3 h4 h5 h6 h7")).as("text")),
+              lit(" h0 h1 h2 h3 h4 h5 h6 h7" * 25)).as("text")),
             "doc_id", "text", 8).count(); () }),
       "dup_gram_frac_hot" -> (() =>
         { graft.ops.Dedup.dupGramFraction(
             d.select(col("doc_id"), concat(col("text"),
-              lit(" h0 h1 h2 h3 h4 h5 h6 h7")).as("text")),
+              lit(" h0 h1 h2 h3 h4 h5 h6 h7" * 25)).as("text")),
             "doc_id", "text", 8)
             .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
             .head; () }),
       // CONTRAST BASELINE, not a library op: the PRE-r12 window shape
-      // (count(1) over Window.partitionBy(gram hash)) on the same hot
-      // corpus, inlined here so the skew claim is MEASURED on both
-      // shapes. Every occurrence of the planted gram (= every doc)
-      // lands in ONE window partition → one straggler task; expected
-      // superlinear vs dup_gram_frac_hot's flat partial-agg shape.
+      // (count(1) over Window.partitionBy(gram hash)) on the same
+      // amplified hot corpus, inlined here so the skew claim is
+      // MEASURED on both shapes. Each hot rotation's ~25·ndocs
+      // occurrences land in ONE window partition → 8 straggler tasks
+      // sorting/buffering ~1.25M rows each at 10×; expected a worse
+      // exponent and constant than dup_gram_frac_hot's partial-agg
+      // shape, which never co-locates a gram's raw occurrences.
       "dup_gram_frac_hot_window" -> (() => {
         import org.apache.spark.sql.expressions.Window
         val hot = d.select(col("doc_id"), concat(col("text"),
-          lit(" h0 h1 h2 h3 h4 h5 h6 h7")).as("text"))
+          lit(" h0 h1 h2 h3 h4 h5 h6 h7" * 25)).as("text"))
         val n = 8
         val gw = hot
           .select(col("doc_id").as("_id"),
@@ -383,6 +415,39 @@ object ScaleBench {
       // exchange) — ~linear in the scan
       "group_sample" -> (() =>
         { graft.ops.Sampling.exactNPerGroup(d, "doc_id", "source", 25)
+            .count(); () }),
+
+      // ===== ENGINE CORE: the reference's own match/pull/datalog
+      // surface over a store whose backing table IS the scaled corpus.
+      // Triples generate lazily from the pruned TableSource scan, so
+      // what scales is the query plan itself — the EAV blow-up is
+      // never materialized. selective match (src0 = 1/20th of docs at
+      // either scale) + pull join tree — ~linear in matched entities
+      "eav_match_pull" -> (() =>
+        { docStore(d).pullMany(
+            Seq("documents:source" -> graft.query.MEq("src0")),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:text"))).count(); () }),
+      // top-k pushdown: rank ALL matched eids by one attr-pruned scan,
+      // then pull only k entities — the pull join tree stays k-sized
+      // while the ranking scan scales ~linearly
+      "eav_pull_topk" -> (() =>
+        { docStore(d).pullMany(
+            Seq("documents:doc_id" -> graft.query.MAny),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars")),
+            sortBy = Some("n_chars"), desc = true,
+            limit = Some(100)).count(); () }),
+      // datalog find-aggregate: two EDB clauses joined on ?e, grouped
+      // per user — replica users are disjoint, so groups scale ×factor
+      // and the join carries ~events rows — ~linear
+      "eav_datalog_agg" -> (() =>
+        { eventStore(if (ev == null) sys.error("needs events") else ev)
+            .datalog(find = Seq("?u"),
+              where = Seq(("?e", "events:user_id", "?u"),
+                ("?e", "events:value", "?v")),
+              aggregates = Seq(
+                graft.query.DatalogAgg("count", "?v", "n_events")))
             .count(); () })
     )
 
