@@ -325,41 +325,41 @@ object ScaleBench {
         { graft.ops.Dedup.dupGramFraction(d, "doc_id", "text")
             .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
             .head; () }),
-      // PLANTED HOT GRAM, AMPLIFIED: the same 8-token block appended
-      // 25× to EVERY doc of every replica (after replica
-      // token-prefixing, so the hot grams are corpus-GLOBAL). The
-      // repeated block's windows cycle through 8 rotations of the
-      // block, so each rotation occurs ~25·ndocs times — ~1.25M rows
-      // PER GRAM KEY at 10×, the skewed-key regime boilerplate
-      // ("all rights reserved …") creates at web scale. A window over
-      // the gram key materializes each hot gram's full row set in ONE
-      // task (see dup_gram_frac_hot_window); partial aggregation
-      // carries one (hash, count) partial per mapper — predicted
-      // ~linear with a flat constant
+      // PLANTED HOT GRAM: a SINGLE token repeated 200× per doc of
+      // every replica (after replica token-prefixing, so the gram is
+      // corpus-GLOBAL) — every 8-window inside the run is the SAME
+      // gram key, ~193·ndocs occurrences of ONE key (~9.6M rows at
+      // 10×). This is the skewed-key regime web boilerplate ("all
+      // rights reserved …" × 10⁸ pages) creates, concentrated enough
+      // that one task's budget matters even on local[32]: a window
+      // over the gram key must buffer the whole key's row set in ONE
+      // task (see dup_gram_frac_hot_window), while partial
+      // aggregation reduces it to one (hash, count) partial per
+      // mapper — predicted ~linear with a flat constant
       "dup_spans_hot" -> (() =>
         { graft.ops.Dedup.duplicateSpans(
             d.select(col("doc_id"), concat(col("text"),
-              lit(" h0 h1 h2 h3 h4 h5 h6 h7" * 25)).as("text")),
+              lit(" h0" * 200)).as("text")),
             "doc_id", "text", 8).count(); () }),
       "dup_gram_frac_hot" -> (() =>
         { graft.ops.Dedup.dupGramFraction(
             d.select(col("doc_id"), concat(col("text"),
-              lit(" h0 h1 h2 h3 h4 h5 h6 h7" * 25)).as("text")),
+              lit(" h0" * 200)).as("text")),
             "doc_id", "text", 8)
             .agg(org.apache.spark.sql.functions.sum("n_dup_windows"))
             .head; () }),
       // CONTRAST BASELINE, not a library op: the PRE-r12 window shape
-      // (count(1) over Window.partitionBy(gram hash)) on the same
-      // amplified hot corpus, inlined here so the skew claim is
-      // MEASURED on both shapes. Each hot rotation's ~25·ndocs
-      // occurrences land in ONE window partition → 8 straggler tasks
-      // sorting/buffering ~1.25M rows each at 10×; expected a worse
-      // exponent and constant than dup_gram_frac_hot's partial-agg
-      // shape, which never co-locates a gram's raw occurrences.
+      // (count(1) over Window.partitionBy(gram hash)) on the same hot
+      // corpus, inlined here so the skew claim is MEASURED on both
+      // shapes. The hot key's ~193·ndocs occurrences all land in ONE
+      // window partition → one task buffers ~9.6M rows at 10× while
+      // the rest of the cluster idles; expected a worse exponent and
+      // constant than dup_gram_frac_hot's partial-agg shape, which
+      // never co-locates a gram's raw occurrences.
       "dup_gram_frac_hot_window" -> (() => {
         import org.apache.spark.sql.expressions.Window
         val hot = d.select(col("doc_id"), concat(col("text"),
-          lit(" h0 h1 h2 h3 h4 h5 h6 h7" * 25)).as("text"))
+          lit(" h0" * 200)).as("text"))
         val n = 8
         val gw = hot
           .select(col("doc_id").as("_id"),
