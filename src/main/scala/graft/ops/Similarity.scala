@@ -476,13 +476,21 @@ object Similarity {
     * shuffle; columns: idCol, `scale`, `qvec` (array<int>, values in
     * [−127, 127]). */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = toDouble(col(vecCol))
-    val s = array_max(transform(v, x => abs(x)))
-    df.select(col(idCol), s.as("scale"),
-      when(s === 0.0, transform(v, _ => lit(0)))
-        .otherwise(transform(v,
-          x => floor(x / s * lit(127.0) + lit(0.5)).cast("int")))
-        .as("qvec"))
+    // LET-BIND the cast vector and its max-abs scale via one-element
+    // transforms (same trick as Dedup.shingles): lambda bodies get no
+    // subexpression elimination, so referencing the raw `v`/`s` trees
+    // inside the per-element quantize lambda would re-cast the whole
+    // array and recompute the array_max once PER ELEMENT — O(d²) per
+    // row. Bound as lambda variables they evaluate once per row; the
+    // arithmetic (and thus every emitted code) is unchanged.
+    val q = element_at(transform(array(toDouble(col(vecCol))), v =>
+      element_at(transform(array(array_max(transform(v, x => abs(x)))), s =>
+        struct(s.as("scale"),
+          when(s === 0.0, transform(v, _ => lit(0)))
+            .otherwise(transform(v,
+              x => floor(x / s * lit(127.0) + lit(0.5)).cast("int")))
+            .as("qvec"))), 1)), 1)
+    df.select(col(idCol), q("scale").as("scale"), q("qvec").as("qvec"))
   }
 
   /** EXACT cosine near-duplicate pairs via the full cross product —
