@@ -24,12 +24,21 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup: keep the row with min(idCol) per fingerprint of
-    * `textCol`. One shuffle on the fingerprint. */
+    * `textCol`, as ONE map-side-combinable `min_by` aggregation. A
+    * window (`row_number over partitionBy(fingerprint)`) computes the
+    * same thing but is not combinable: every copy of one fingerprint
+    * lands in a single task, and the whole point of exact dedup is the
+    * corpus where some page is duplicated 10⁸ times — the hot-key
+    * straggler the span family already designs out. With min_by each
+    * mapper pre-reduces to one candidate row per fingerprint, so the
+    * shuffle carries ≤ (#mappers) rows per fingerprint no matter how
+    * viral the document. Ties on idCol pick an arbitrary tied row (the
+    * window form was equally arbitrary among tied ids). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 
   /** QUALITY-aware canonical selection: within each `clusterCol` keep the
@@ -39,14 +48,24 @@ object Dedup {
     * members differ in quality (a near-dup cluster usually holds one
     * full-text doc and several truncated/boilerplate copies; a pipeline
     * wants the best one, not the oldest one). Compose with any clustering
-    * here: exact fingerprints, LSH clusters, or CC components. One window
-    * per cluster key — a single shuffle, parallel across clusters. */
+    * here: exact fingerprints, LSH clusters, or CC components.
+    *
+    * One map-side-combinable `min_by` per cluster key (see [[exact]] for
+    * why not a window: a boilerplate cluster with 10⁸ members must not
+    * serialize through one task). The ordering struct (score is null,
+    * −score, id) reproduces the window's (score desc nulls-last, id asc)
+    * rule exactly for null and real scores; the one corner that moves is
+    * NaN, which the window's descending sort ranked FIRST (NaN greatest)
+    * and min_by now ranks last — a NaN quality score winning its cluster
+    * was a bug, not a contract. */
   def keepBest(df: DataFrame, clusterCol: Column, idCol: String,
       scoreCol: String): DataFrame = {
-    val w = Window.partitionBy(clusterCol)
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+    val cols = df.columns.toSeq
+    df.groupBy(clusterCol.as("_ck"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(scoreCol).isNull, negate(col(scoreCol)), col(idCol)))
+        .as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 
   /** Incremental (cross-batch) exact dedup — the daily-ingest shape: a
@@ -61,14 +80,16 @@ object Dedup {
       idCol: String, textCol: String): DataFrame = {
     val known = corpus
       .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
-    // fingerprint ONCE per batch row: the window key and the anti-join
-    // key share the projected column instead of re-normalizing the text
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    // fingerprint ONCE per batch row (the min_by key and the anti-join
+    // key share the projected column), and select-within-batch via the
+    // same combinable min_by as [[exact]] — the anti-join then runs on
+    // the slim one-row-per-fingerprint frame before the row expands
+    val cols = batch.columns.toSeq
     batch.withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
       .join(known, Seq("_fp"), "left_anti")
-      .drop("_fp")
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 
   /** PERSISTED LSH band-bucket index — the incremental NEAR-dup analogue

@@ -52,6 +52,17 @@ object ScaleBench {
     }.reduce(_ unionAll _)
   }
 
+  /** 20 copies per corpus doc of ONE fixed boilerplate text, under ids
+    * disjoint from every replica's — the planted hot-fingerprint corpus
+    * for the exact_dedup_hot workloads. */
+  def viralDocs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(sequence(lit(0L), lit(19L))).as("_k"))
+      .select((col("doc_id") * 20 + col("_k") + lit(2000000000L))
+          .as("doc_id"),
+        lit(("all rights reserved boilerplate footer " * 4).trim)
+          .as("text"),
+        lit("viral").as("source"))
+
   /** factor× embeddings: offset ids, small index-dependent perturbation
     * (deterministic; keeps vectors near — but not equal to — their
     * originals). */
@@ -189,6 +200,30 @@ object ScaleBench {
         semClusters: Int = 24, ev: DataFrame = null): Seq[(String, () => Unit)] = Seq(
       "exact_dedup" -> (() =>
         { graft.ops.Dedup.exact(d, "doc_id", "text").count(); () }),
+      // PLANTED VIRAL DOC: 20 copies of ONE fixed text per corpus doc
+      // (distinct ids, identical fingerprint) — ~20·ndocs rows of a
+      // single fingerprint key (2M at 10×), the regime a boilerplate
+      // page duplicated 10⁸ times creates. exact()'s min_by pre-reduces
+      // to one candidate row per fingerprint per mapper, so the viral
+      // key's shuffle contribution is ~#mappers rows regardless of copy
+      // count — predicted ~linear with a flat constant.
+      "exact_dedup_hot" -> (() =>
+        { graft.ops.Dedup.exact(d.unionByName(viralDocs(d)),
+            "doc_id", "text").count(); () }),
+      // CONTRAST BASELINE, not a library op: the pre-r12 window shape
+      // (row_number over partitionBy(fingerprint)) on the same viral
+      // corpus — every copy of the hot fingerprint lands in ONE window
+      // partition, so one task sorts/buffers the whole viral set while
+      // the rest of the cluster idles. Expected a worse exponent and
+      // constant than exact_dedup_hot's combinable min_by.
+      "exact_dedup_hot_window" -> (() => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window
+          .partitionBy(graft.ops.TextOps.fingerprint(col("text")))
+          .orderBy(col("doc_id"))
+        d.unionByName(viralDocs(d))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).count(); () }),
       "neardup_lsh" -> (() =>
         { graft.ops.Dedup.nearDupPairs(d, "doc_id", "text", 0.5).count(); () }),
       "ppjoin_jaccard" -> (() => {

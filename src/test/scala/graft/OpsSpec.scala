@@ -424,6 +424,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set(2L, 4L))
   }
 
+  test("keepBest: null scores lose to any real score; all-null cluster " +
+      "falls back to min id") {
+    val df = Seq((1L, "c1", Some(1L)), (2L, "c1", None),
+      (7L, "c2", None), (5L, "c2", None)).toDF("doc_id", "cl", "score")
+    val out = Dedup.keepBest(df, col("cl"), "doc_id", "score")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 5L))
+  }
+
+  test("exact/keepBest plan as combinable aggregates, never a window " +
+      "over the fingerprint/cluster key") {
+    val df = Seq((1L, "x", 1L)).toDF("doc_id", "text", "score")
+    for (plan <- Seq(
+        Dedup.exact(df, "doc_id", "text"),
+        Dedup.keepBest(df, col("text"), "doc_id", "score"),
+        Dedup.incrementalExact(df, df, "doc_id", "text"))) {
+      val phys = plan.queryExecution.executedPlan.toString
+      assert(!phys.contains("Window"), phys)
+      assert(phys.contains("Aggregate"), phys)
+    }
+  }
+
   test("collocations: lift ranks rare-but-bound pairs over frequent ones") {
     val df = Seq((1L, "a b a b"), (2L, "c d")).toDF("doc_id", "text")
     // unigrams a2 b2 c1 d1, T=6; bigrams "a b"x2, "b a"x1, "c d"x1
