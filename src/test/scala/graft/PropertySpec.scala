@@ -81,6 +81,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: exact/keepBest/incrementalExact == driver keep-one " +
+      "models (random dup fingerprints, null scores, score ties)") {
+    // small text pool → heavy fingerprint collisions; normalization
+    // mirrored in the driver model (lowercase + whitespace collapse)
+    val textPool = Seq("Alpha  Beta", "alpha beta", "GAMMA", "gamma",
+      "delta eps", "zeta")
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ")
+    val rowGen = for {
+      id <- Gen.choose(0L, 40L)
+      t <- Gen.oneOf(textPool)
+      score <- Gen.option(Gen.choose(0L, 3L))
+    } yield (id, t, score)
+    (0 until 3).foreach { i =>
+      val rows = Gen.nonEmptyListOf(rowGen).map(_.take(24).distinct)
+        .pureApply(Gen.Parameters.default.withSize(24), Seed(777L + i))
+      // UNIQUE ids: the keep-one selectors are arbitrary among tied ids
+      val uniq = rows.groupBy(_._1).map(_._2.head).toSeq
+      val df = uniq.toDF("doc_id", "text", "score")
+
+      val gotExact = graft.ops.Dedup.exact(df, "doc_id", "text")
+        .select($"doc_id").as[Long].collect().toSet
+      val wantExact = uniq.groupBy(r => norm(r._2))
+        .map(_._2.map(_._1).min).toSet
+      assert(gotExact === wantExact, s"exact, rows=$uniq")
+
+      // keepBest clustered on the normalized text: max score wins,
+      // nulls lose to any real score, min id breaks ties
+      val gotBest = graft.ops.Dedup.keepBest(df,
+          graft.ops.TextOps.fingerprint($"text"), "doc_id", "score")
+        .select($"doc_id").as[Long].collect().toSet
+      val wantBest = uniq.groupBy(r => norm(r._2)).map { case (_, g) =>
+        val best = g.map(_._3).max(Ordering[Option[Long]]) // None < Some
+        g.filter(_._3 == best).map(_._1).min
+      }.toSet
+      assert(gotBest === wantBest, s"keepBest, rows=$uniq")
+
+      val (corpus, batch) = uniq.splitAt(uniq.size / 2)
+      if (corpus.nonEmpty && batch.nonEmpty) {
+        val gotIncr = graft.ops.Dedup.incrementalExact(
+            batch.toDF("doc_id", "text", "score"),
+            corpus.toDF("doc_id", "text", "score"), "doc_id", "text")
+          .select($"doc_id").as[Long].collect().toSet
+        val known = corpus.map(r => norm(r._2)).toSet
+        val wantIncr = batch.groupBy(r => norm(r._2))
+          .filterNot { case (fp, _) => known(fp) }
+          .map(_._2.map(_._1).min).toSet
+        assert(gotIncr === wantIncr, s"incr, corpus=$corpus batch=$batch")
+      }
+    }
+  }
+
   test("property: re-asserting a batch is a no-op (set semantics)") {
     cases(3).foreach { docs =>
       val once = storeOf(docs).resolved.count()
