@@ -57,7 +57,8 @@ object Dedup {
     * rule exactly for null and real scores; the one corner that moves is
     * NaN, which the window's descending sort ranked FIRST (NaN greatest)
     * and min_by now ranks last — a NaN quality score winning its cluster
-    * was a bug, not a contract. */
+    * was a bug, not a contract. `scoreCol` must be NUMERIC (the ordering
+    * negates it); every quality score in this codebase is. */
   def keepBest(df: DataFrame, clusterCol: Column, idCol: String,
       scoreCol: String): DataFrame = {
     val cols = df.columns.toSeq
