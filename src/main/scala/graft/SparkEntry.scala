@@ -194,7 +194,7 @@ object SparkEntry {
     // the marker RECORDS the build params + format version: /tmp outlives
     // code changes (driver rounds reuse the box), and a stale pristine
     // built by older hashing code must be rebuilt, not silently reused
-    val stamp = s"lshv1 k=$k bands=$bands rpb=$rowsPerBand " +
+    val stamp = s"lshv2 k=$k bands=$bands rpb=$rowsPerBand " +
       s"src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
@@ -848,7 +848,7 @@ object SparkEntry {
       // pass (SortedIntersectSize), no per-pair hash-set builds
       // one shingle pass, shared by candidate generation and verification
       val sh = docs.select(col("doc_id"), col("source"),
-        sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
+        graft.ops.Dedup.shinglesHashed(col("text")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ppJoin verifies BEFORE checkpointing: only the small verified
       // pair set is materialized; prefixes release inside, sh here
@@ -2685,7 +2685,7 @@ object SparkEntry {
             array_join(slice(split(col("text"), " "), lit(1), half), " ")
               .as("text")))
       val sh = planted.select(col("doc_id"),
-        sort_array(graft.ops.Dedup.shingles(col("text"))).as("sh"))
+        graft.ops.Dedup.shinglesHashed(col("text")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.CacheScope.around(sh) {
         graft.ops.Dedup.containmentJoin(sh, "doc_id", "sh", 0.8)

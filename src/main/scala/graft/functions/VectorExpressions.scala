@@ -107,15 +107,31 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_sorted_intersect_size"
 
+  // element type chosen at plan time: array<long> (hashed shingles — the
+  // pipeline form, long compares) or array<string> (raw shingles); both
+  // sides must agree, callers guarantee it
+  @transient private lazy val longElems: Boolean =
+    left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.LongType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val n = x.numElements(); val m = y.numElements()
-    while (i < n && j < m) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (longElems) {
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -123,15 +139,28 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val c = ctx.freshName("c")
       val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val body = if (longElems) {
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+           |if ($xv == $yv) { $c++; $i++; $j++; }
+           |else if ($xv < $yv) { $i++; } else { $j++; }
+         """.stripMargin
+      } else {
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+           |if ($cmp == 0) { $c++; $i++; $j++; }
+           |else if ($cmp < 0) { $i++; } else { $j++; }
+         """.stripMargin
+      }
       s"""
          |int $i = 0; int $j = 0; int $c = 0;
          |int $n = $x.numElements(); int $m = $y.numElements();
          |while ($i < $n && $j < $m) {
-         |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |$body
          |}
          |${ev.value} = $c;
        """.stripMargin
@@ -235,6 +264,15 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
       org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sigs"
 
+  // array<long> input (pre-hashed shingles, Dedup.shinglesHashed): the
+  // per-element hash is XXH64.hashLong — identical to SQL
+  // `xxhash64(lit(j_seed), longEl)`'s inner step and ~4× cheaper than
+  // re-hashing a 20-byte string per seed. array<string> keeps the
+  // original hashUTF8String chain (bit-compat with the pre-lshv2 form).
+  @transient private lazy val longElems: Boolean =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.LongType
+
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(j =>
       org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, 42L))
@@ -245,13 +283,23 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = x.getUTF8String(i)
       var j = 0
-      while (j < k) {
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUTF8String(s, seeds(j))
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (longElems) {
+        val l = x.getLong(i)
+        while (j < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(l, seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      } else {
+        val s = x.getUTF8String(i)
+        while (j < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUTF8String(s, seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -263,18 +311,34 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, x => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
-      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val h = ctx.freshName("h")
+      val perElem = if (longElems) {
+        val l = ctx.freshName("l")
+        s"""
+           |long $l = $x.getLong($i);
+           |for (int $j = 0; $j < $k; $j++) {
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+           |    .hashLong($l, $seedsRef[$j]);
+           |  if ($h < $mins[$j]) $mins[$j] = $h;
+           |}
+         """.stripMargin
+      } else {
+        val s = ctx.freshName("s")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $s = $x.getUTF8String($i);
+           |for (int $j = 0; $j < $k; $j++) {
+           |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+           |    .hashUTF8String($s, $seedsRef[$j]);
+           |  if ($h < $mins[$j]) $mins[$j] = $h;
+           |}
+         """.stripMargin
+      }
       s"""
          |int $n = $x.numElements();
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $x.getUTF8String($i);
-         |  for (int $j = 0; $j < $k; $j++) {
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashUTF8String($s, $seedsRef[$j]);
-         |    if ($h < $mins[$j]) $mins[$j] = $h;
-         |  }
+         |$perElem
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * MinHash+LSH, SimHash, and n-gram Jaccard verification.
   *
   * Scale posture (the whole point at 100 TB):
-  *  - exact dedup = one hash-partitioned groupBy on the fingerprint —
-  *    the minimum possible single shuffle;
-  *  - MinHash signatures are ONE explode + ONE groupBy (k mins computed
-  *    as k aggregates in the same pass, NOT k passes);
+  *  - exact dedup = one map-side-combinable min_by aggregation on the
+  *    fingerprint — the minimum possible single shuffle, hot-key-proof;
+  *  - the LSH pipeline runs on SORTED 64-BIT SHINGLE HASHES
+  *    ([[shinglesHashed]]): signatures are a NARROW MAP (one codegen'd
+  *    traversal computes all k mins per doc, hashing a fixed-width long
+  *    per seed), and verification is a codegen'd sorted-merge over
+  *    longs — no string ever shuffles past the shingle projection;
   *  - LSH banding turns the quadratic all-pairs problem into an
   *    equi-join on (band, bandHash) — only same-bucket pairs are
   *    generated, then verified with EXACT Jaccard so false positives
@@ -113,7 +116,7 @@ object Dedup {
     require(bands * rowsPerBand <= k,
       s"bands*rowsPerBand (${bands * rowsPerBand}) must be <= k ($k)")
     val sh = corpus.select(col(idCol).as("corpus_id"),
-        sort_array(shingles(col(textCol))).as("_sh"))
+        shinglesHashed(col(textCol)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs = minhashSignaturesSh(sh, "corpus_id", k)
@@ -159,7 +162,7 @@ object Dedup {
           "first (incrementalNearDups + anti-join) or pass checkIds=false")
     }
     val sh = batch.select(col(idCol).as("corpus_id"),
-        sort_array(shingles(col(textCol))).as("_sh"))
+        shinglesHashed(col(textCol)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs = minhashSignaturesSh(sh, "corpus_id", k)
@@ -196,7 +199,7 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 2,
       maxPruneLiterals: Int = 4096): DataFrame = {
     val bsh = batch.select(col(idCol).as("new_id"),
-        sort_array(shingles(col(textCol))).as("_sh"))
+        shinglesHashed(col(textCol)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CacheScope.releasing(bsh) {
       incrementalNearDupsLazy(bsh, table, threshold, k, bands,
@@ -289,6 +292,19 @@ object Dedup {
     }), 1)
   }
 
+  /** SORTED 64-bit shingle hashes — the PIPELINE form of [[shingles]]:
+    * each distinct n-gram maps to `xxhash64(gram)` and the array sorts
+    * ascending, so every downstream stage works on fixed-width longs
+    * instead of ~20-byte strings — signatures hash a long per seed
+    * (MinHashSigs' hashLong arm), sorted-merge verification compares
+    * longs, and the persisted `_sh` index column shrinks ~2.5×. Set
+    * identity is preserved up to 64-bit collisions (birthday ~1e-9 at
+    * 1e5 distinct grams per blocking scope); the correctness gate's
+    * string-computed oracles certify collision-freedom on every corpus
+    * they run (same argument as the span family's `_gh`). */
+  def shinglesHashed(text: Column, n: Int = 3): Column =
+    sort_array(transform(shingles(text, n), s => xxhash64(s)))
+
   /** MinHash signature columns h0..h{k-1}: min over the doc's shingles of
     * xxhash64(seed_j, shingle) — a NARROW MAP (one codegen'd traversal
     * computes all k values per doc, graft.functions.MinHashSigs), where
@@ -348,7 +364,7 @@ object Dedup {
   def jaccardVerify(df: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame =
     jaccardVerifySh(
-      df.select(col(idCol), sort_array(shingles(col(textCol))).as("_sh")),
+      df.select(col(idCol), shinglesHashed(col(textCol)).as("_sh")),
       candidates, idCol, threshold)
 
   /** As [[jaccardVerify]] but over precomputed SORTED shingle arrays
@@ -520,7 +536,7 @@ object Dedup {
       threshold: Double = 0.5, k: Int = 32,
       bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     val sh = df.select(col(idCol),
-      sort_array(shingles(col(textCol))).as("_sh"))
+      shinglesHashed(col(textCol)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sigs feed BOTH sides of the banding self-join; the bucket-column
     // rename defeats identical-subtree exchange reuse, so persist

@@ -669,8 +669,7 @@ object Cli {
         // subset-duplicate pairs at --threshold containment
         case "containment" =>
           val csh = df.select(col(a.idCol),
-            org.apache.spark.sql.functions.sort_array(
-              graft.ops.Dedup.shingles(col(a.textCol))).as("_csh"))
+            graft.ops.Dedup.shinglesHashed(col(a.textCol)).as("_csh"))
           graft.ops.Dedup.containmentJoin(csh, a.idCol, "_csh",
             a.threshold)
       }

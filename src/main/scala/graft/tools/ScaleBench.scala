@@ -228,7 +228,7 @@ object ScaleBench {
         { graft.ops.Dedup.nearDupPairs(d, "doc_id", "text", 0.5).count(); () }),
       "ppjoin_jaccard" -> (() => {
         val sh = d.select(col("doc_id"), col("source"),
-          sort_array(graft.ops.Dedup.shingles(col("text"))).as("_sh"))
+          graft.ops.Dedup.shinglesHashed(col("text")).as("_sh"))
         graft.ops.Dedup.ppJoin(sh, "doc_id", "_sh", 0.3, Seq("source"))
           .count(); ()
       }),

@@ -324,6 +324,20 @@ class PropertySpec extends AnyFunSuite {
     val legacy = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toList).toMap
     assert(native === legacy)
+
+    // the array<long> arm (shinglesHashed — the pipeline form) against
+    // the same SQL formulation over the hashed elements
+    val shH = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.Dedup.shinglesHashed(col("text")).as("_sh"))
+    val nativeH = graft.ops.Dedup.minhashSignaturesSh(shH, "doc_id", k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toList).toMap
+    val explodedH = shH.select(col("doc_id"), explode(col("_sh")).as("_el"))
+    val aggsH = (0 until k).map(j =>
+      min(xxhash64(lit(j), col("_el"))).as(s"h$j"))
+    val legacyH = explodedH.groupBy(col("doc_id")).agg(aggsH.head, aggsH.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toList).toMap
+    assert(nativeH === legacyH)
   }
 
   test("property: stripBoilerplate == driver-computed frequent-line filter") {
