@@ -39,7 +39,10 @@ object Dedup {
     * window form was equally arbitrary among tied ids). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = df.columns.toSeq
-    df.groupBy(TextOps.fingerprint(col(textCol)).as("_fp"))
+    // the key is internal (never output): xxhash64 of the normalized
+    // text shuffles 8 bytes per group where the md5 hex form shuffles
+    // 32 — the same fixed-width-key discipline as shinglesHashed
+    df.groupBy(xxhash64(TextOps.normalized(col(textCol))).as("_fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
@@ -82,14 +85,19 @@ object Dedup {
     * StreamingDedup.firstSeen. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // the corpus side is the BIG side at scale: its distinct-fingerprint
+    // shuffle carries one 8-byte xxhash64 per known document (the md5
+    // hex form carried 32 bytes — 4× the bytes for the same identity,
+    // and the fingerprint never reaches the output)
     val known = corpus
-      .select(TextOps.fingerprint(col(textCol)).as("_fp")).distinct()
+      .select(xxhash64(TextOps.normalized(col(textCol))).as("_fp"))
+      .distinct()
     // fingerprint ONCE per batch row (the min_by key and the anti-join
     // key share the projected column), and select-within-batch via the
     // same combinable min_by as [[exact]] — the anti-join then runs on
     // the slim one-row-per-fingerprint frame before the row expands
     val cols = batch.columns.toSeq
-    batch.withColumn("_fp", TextOps.fingerprint(col(textCol)))
+    batch.withColumn("_fp", xxhash64(TextOps.normalized(col(textCol))))
       .groupBy(col("_fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
       .join(known, Seq("_fp"), "left_anti")
@@ -612,7 +620,8 @@ object Dedup {
   def leakageAudit(df: DataFrame, idCol: String, textCol: String,
       splitCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("_id"), col(splitCol).as("_sp"),
-      TextOps.fingerprint(col(textCol)).as("_fp"))
+      // internal join key: 8-byte xxhash64, not 32-char md5 hex
+      xxhash64(TextOps.normalized(col(textCol))).as("_fp"))
     val a = keyed.select(col("_fp"), col("_id").as("_ida"),
       col("_sp").as("_spa"))
     val b = keyed.select(col("_fp"), col("_id").as("_idb"),

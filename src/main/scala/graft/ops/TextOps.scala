@@ -1203,6 +1203,12 @@ object TextOps {
   /** Document fingerprint: hash of whitespace-normalized lowercase text.
     * (The rolling-hash shingle variant lives in Dedup.shingles; this is
     * the whole-doc exact-dup key.) */
-  def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(text, "\\s+", " ")))
+  /** The normalization under [[fingerprint]] (lowercase + whitespace
+    * collapse), exposed so internal keys can hash it with xxhash64
+    * (8-byte shuffle keys) while user-facing fingerprints keep the
+    * md5 hex form. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
+
+  def fingerprint(text: Column): Column = md5(normalized(text))
 }

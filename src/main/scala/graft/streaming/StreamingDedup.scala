@@ -43,7 +43,9 @@ object StreamingDedup {
   def firstSeen(stream: DataFrame, textCol: String, eventTime: String,
       watermarkDelay: String = "10 minutes"): DataFrame =
     stream
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      // state key: 8-byte xxhash64 of the normalized text, not the
+      // 32-char md5 hex — 4× less state per in-horizon fingerprint
+      .withColumn("_fp", xxhash64(TextOps.normalized(col(textCol))))
       .withWatermark(eventTime, watermarkDelay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
