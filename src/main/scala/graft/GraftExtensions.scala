@@ -70,10 +70,15 @@ object GraftFunctions {
       }),
     ("graft_sorted_intersect_size",
       info("graft_sorted_intersect_size",
-        "graft_sorted_intersect_size(a, b) - merge-intersection size of two SORTED string arrays"),
+        "graft_sorted_intersect_size(a, b) - merge-intersection size of two SORTED arrays (both array<string> or both array<long>)"),
       (args: Seq[Expression]) => {
         arity("graft_sorted_intersect_size", args, 2)
-        SortedIntersectSize(strs(args(0)), strs(args(1)))
+        // NO blanket string cast: a long array cast to strings sorts
+        // DIFFERENTLY ("-5" < "3" lexically, -5 < 3 numerically), so a
+        // silent cast would quietly break the sorted-merge contract.
+        // The expression's checkInputDataTypes rejects anything that is
+        // not two equal-typed long/string arrays at analysis.
+        SortedIntersectSize(args(0), args(1))
       }),
     ("graft_hyperplane_sign_bits",
       info("graft_hyperplane_sign_bits",
@@ -88,10 +93,13 @@ object GraftFunctions {
       }),
     ("graft_minhash_sigs",
       info("graft_minhash_sigs",
-        "graft_minhash_sigs(shingles, k) - all-k MinHash signature array"),
+        "graft_minhash_sigs(shingles, k) - all-k MinHash signature array over array<string> or pre-hashed array<long> shingles"),
       (args: Seq[Expression]) => {
         arity("graft_minhash_sigs", args, 2)
-        MinHashSigs(strs(args(0)), intLit("graft_minhash_sigs", args(1)))
+        // no blanket cast (see graft_sorted_intersect_size): the string
+        // and long arms produce DIFFERENT signature families by design,
+        // so the caller must say which one they mean
+        MinHashSigs(args(0), intLit("graft_minhash_sigs", args(1)))
       }),
     ("graft_simhash64",
       info("graft_simhash64",

@@ -108,11 +108,27 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_intersect_size"
 
   // element type chosen at plan time: array<long> (hashed shingles — the
-  // pipeline form, long compares) or array<string> (raw shingles); both
-  // sides must agree, callers guarantee it
+  // pipeline form, long compares) or array<string> (raw shingles)
   @transient private lazy val longElems: Boolean =
     left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == org.apache.spark.sql.types.LongType
+
+  // a type mismatch must fail AT ANALYSIS, not read garbage at runtime
+  // (getLong on a string array would): both sides the same array type,
+  // elements long or string
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r && (l == LongType || l == StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two array<long> or two array<string> " +
+            s"operands, got ${l.simpleString} and ${r.simpleString}")
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -272,6 +288,21 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
   @transient private lazy val longElems: Boolean =
     child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
       .elementType == org.apache.spark.sql.types.LongType
+
+  // fail unsupported element types at analysis (getUTF8String on an
+  // int array would read garbage at runtime)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    child.dataType match {
+      case ArrayType(e, _) if e == LongType || e == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<long> or array<string>, got " +
+            t.simpleString)
+    }
+  }
 
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(j =>

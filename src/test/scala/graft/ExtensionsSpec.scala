@@ -54,6 +54,28 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dual-type kernels reject mismatched/unsupported element types " +
+      "at analysis (never read garbage at runtime)") {
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    import s2.implicits._
+    Seq((Seq(1L, 2L), Seq("a", "b"), Seq(1, 2)))
+      .toDF("la", "sa", "ia").createOrReplaceTempView("graft_dt_t")
+    // long ∩ long and string ∩ string both work...
+    assert(s2.sql("SELECT graft_sorted_intersect_size(la, la) FROM graft_dt_t")
+      .head().getInt(0) === 2)
+    // ...but long ∩ string and array<int> fail at analysis
+    for (bad <- Seq(
+        "SELECT graft_sorted_intersect_size(la, sa) FROM graft_dt_t",
+        "SELECT graft_sorted_intersect_size(ia, ia) FROM graft_dt_t",
+        "SELECT graft_minhash_sigs(ia, 4) FROM graft_dt_t")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql(bad).head()
+      }
+      assert(e.getMessage.contains("array<long>"), bad)
+    }
+  }
+
   test("GraftExtensions delegates the same registrations (the " +
       "spark.sql.extensions entry point)") {
     // apply() must inject every function without throwing; the builders

@@ -223,7 +223,7 @@ class LayoutSpec extends AnyFunSuite {
     // the lazy formulation it wraps (the _sh verification scan carries no
     // IN-list, so require that SOME scan pruned strictly)
     val bsh = batch.select($"doc_id".as("new_id"),
-      sort_array(graft.ops.Dedup.shingles($"text")).as("_sh"))
+      graft.ops.Dedup.shinglesHashed($"text").as("_sh"))
     val lazyPlan = graft.ops.Dedup.incrementalNearDupsLazy(bsh,
         "lsh_idx_test", 0.5, 32, 16, 2, 4096)
       .queryExecution.executedPlan.toString
