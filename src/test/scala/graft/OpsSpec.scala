@@ -16,6 +16,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) === Seq("x y"))
   }
 
+  test("shinglesHashed == sorted xxhash64 of the string shingles " +
+      "(short docs, empty text, duplicate grams included)") {
+    val df = Seq((1L, "a b c d a b c"), (2L, "x y"), (3L, ""))
+      .toDF("id", "text")
+    val got = df.select($"id", Dedup.shinglesHashed($"text").as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = df.select($"id",
+        sort_array(transform(Dedup.shingles($"text"), s => xxhash64(s)))
+          .as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got === want)
+    assert(got(1L).size === 4) // "a b c" repeats → distinct keeps 4 of 5
+    assert(got(2L).size === 1) // whole short text is the one shingle
+    assert(got(3L).size === 1) // empty text → one empty-string shingle
+    assert(got(1L) === got(1L).sorted)
+  }
+
   test("minhash+LSH finds a planted near-dup and skips unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = base.replace("tok40", "tokX") // 37/39 shared shingles
