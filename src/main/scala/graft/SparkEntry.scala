@@ -564,9 +564,9 @@ object SparkEntry {
           col("nn.name").as("nation_name"))),
 
     // ROOT-BATCHED reachable (the dense-graph form of q13: per-root BFS
-    // state bounded by rootBatchSize per sequential batch, shared
-    // persisted edge projection, union == the unbatched closure) — same
-    // depth histogram, same oracle as q13
+    // state bounded by rootBatchSize × batchParallelism, batches run
+    // CONCURRENTLY over a shared persisted edge projection, union ==
+    // the unbatched closure) — same depth histogram, same oracle as q13
     "q106_reachable_batched" -> ((s, dir) => {
       val ts = Tpch.store(s, dir, "customer", "nation", "region")
       val roots = ts.matchEntities(Seq(Triples.TypeAttr -> MEq("customer")))

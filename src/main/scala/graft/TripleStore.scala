@@ -1155,21 +1155,33 @@ class TripleStore(
     * failing at `maxFrontier`, partition the ROOT SET into
     * ⌈|roots|/rootBatchSize⌉ deterministic hash-batches and run the BFS
     * once per batch against ONE shared persisted edge projection — peak
-    * frontier state is bounded by O(|V|·rootBatchSize) regardless of how
-    * many roots the caller passes, turning the valve into a scheduling
-    * knob. Batches run sequentially from the driver (each materializes
-    * via the BFS's own per-iteration checkpoints), so peak cluster state
-    * is one batch's, and the union of batch results is exactly the
-    * unbatched answer: per-root traversals are independent — batching
-    * cannot change any root's closure, only when it is computed
-    * (property-tested against [[reachable]] on random dense graphs). */
+    * frontier state is bounded by O(|V|·rootBatchSize·batchParallelism)
+    * regardless of how many roots the caller passes, turning the valve
+    * into a scheduling knob. Up to `batchParallelism` batches run
+    * CONCURRENTLY (driver threads, each submitting its own BFS jobs
+    * into scheduler pool "graft_reachable" — under a FAIR-configured
+    * cluster the batches share executors fairly; under FIFO their jobs
+    * still interleave): each batch's BFS is a chain of small blocking
+    * jobs (per-level join + checkpoint), so running them one at a time
+    * serializes the cluster into idle-gapped sequential jobs — at 1.5 M
+    * roots that is ~1000 batches of dead time, while k concurrent
+    * batches keep the executors saturated at k× one batch's bounded
+    * state (both knobs stay caller-visible). The union of batch results
+    * is exactly the unbatched answer: per-root traversals are
+    * independent — batching cannot change any root's closure, only when
+    * it is computed (property-tested against [[reachable]] on random
+    * dense graphs, concurrent path included). A failed batch
+    * (maxFrontier trip) propagates after in-flight batches drain, so
+    * the shared edge cache is never dropped under a live job. */
   def reachableBatched(
       roots: DataFrame,
       attrs: Option[Seq[String]] = None,
       maxIters: Int = 20,
       rootBatchSize: Int = 1024,
-      maxFrontier: Option[Long] = None): DataFrame = {
+      maxFrontier: Option[Long] = None,
+      batchParallelism: Int = 4): DataFrame = {
     require(rootBatchSize >= 1)
+    require(batchParallelism >= 1)
     val r = roots.select($"e").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val es = edgesFor(attrs).select($"e".as("_src"), $"vref".as("_dst"))
@@ -1177,10 +1189,40 @@ class TripleStore(
     try {
       val n = r.count()
       val nBatches = math.max(1L, (n + rootBatchSize - 1) / rootBatchSize).toInt
-      (0 until nBatches).map { b =>
+      def runBatch(b: Int): DataFrame =
         bfsFrom(r.where(pmod(xxhash64($"e"), lit(nBatches)) === b),
           es, maxIters, maxFrontier)
-      }.reduce(_ unionByName _)
+      val k = math.min(batchParallelism, nBatches)
+      val results: Seq[DataFrame] =
+        if (k <= 1) (0 until nBatches).map(runBatch)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+          try {
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutorService(pool)
+            val sc = spark.sparkContext
+            val settled = Await.result(
+              Future.sequence((0 until nBatches).map { b =>
+                Future {
+                  // thread-local job metadata: batches share a FAIR pool
+                  // and stay attributable in the UI
+                  sc.setLocalProperty("spark.scheduler.pool",
+                    "graft_reachable")
+                  sc.setJobDescription(
+                    s"reachableBatched batch ${b + 1}/$nBatches")
+                  runBatch(b)
+                  // settle (never fail) the sequence so Await drains ALL
+                  // batches before any failure propagates — the finally
+                  // below unpersists the shared caches, which must not
+                  // happen under a still-running batch
+                }.transform(scala.util.Success(_))
+              }), Duration.Inf)
+            settled.map(_.get)
+          } finally pool.shutdown()
+        }
+      results.reduce(_ unionByName _)
     } finally {
       r.unpersist(blocking = false)
       es.unpersist(blocking = false)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -36,20 +36,27 @@ object Dedup {
     * mapper pre-reduces to one candidate row per fingerprint, so the
     * shuffle carries ≤ (#mappers) rows per fingerprint no matter how
     * viral the document. Ties on idCol pick an arbitrary tied row (the
-    * window form was equally arbitrary among tied ids). */
+    * window form was equally arbitrary among tied ids). NULL ids rank
+    * LAST (null-safe ordering struct — min_by skips rows whose raw
+    * ordering value is null, so a group of all-null ids must still keep
+    * a real row); rows with a non-null id always beat null-id rows. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = df.columns.toSeq
-    // the key is internal (never output): xxhash64 of the normalized
-    // text shuffles 8 bytes per group where the md5 hex form shuffles
-    // 32 — the same fixed-width-key discipline as shinglesHashed
-    df.groupBy(xxhash64(TextOps.normalized(col(textCol))).as("_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+    // the key is internal (never output): 16-byte binary md5 of the
+    // normalized text — EXACT identity (128-bit, no birthday risk at
+    // 10^10 docs; see TextOps.fingerprintBin) at half the hex form's
+    // shuffle bytes. xxhash64 is reserved for probabilistic keys.
+    df.groupBy(TextOps.fingerprintBin(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(idCol).isNull, col(idCol))).as("_row"))
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 
   /** QUALITY-aware canonical selection: within each `clusterCol` keep the
     * row maximizing `scoreCol` (ties broken by min `idCol`, so the choice
-    * is total and deterministic). [[exact]] and `canonicalize` keep the
+    * is total and deterministic; null scores rank last; integral scores
+    * are cast to double before negation, so Long.MinValue cannot
+    * overflow-wrap into "best"). [[exact]] and `canonicalize` keep the
     * MIN-ID representative — right for idempotent ids, wrong when cluster
     * members differ in quality (a near-dup cluster usually holds one
     * full-text doc and several truncated/boilerplate copies; a pipeline
@@ -69,8 +76,13 @@ object Dedup {
       scoreCol: String): DataFrame = {
     val cols = df.columns.toSeq
     df.groupBy(clusterCol.as("_ck"))
+      // cast-then-negate: negate(Long.MinValue) overflows (wraps in
+      // non-ANSI mode, throws under ANSI); in double the negation is
+      // always exact-enough for ORDERING (monotone), and NaN keeps its
+      // documented rank-last behavior (NaN > all in Spark's ordering)
       .agg(min_by(struct(cols.map(col): _*),
-        struct(col(scoreCol).isNull, negate(col(scoreCol)), col(idCol)))
+        struct(col(scoreCol).isNull,
+          negate(col(scoreCol).cast("double")), col(idCol)))
         .as("_row"))
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
@@ -78,28 +90,31 @@ object Dedup {
   /** Incremental (cross-batch) exact dedup — the daily-ingest shape: a
     * new `batch` dedups against the ACCUMULATED `corpus` (drop any row
     * whose fingerprint already exists there) and against itself
-    * (min-id-wins, as [[exact]]). The corpus side prunes to its distinct
-    * fingerprint column before the anti-join, so the shuffle carries one
-    * 32-char hash per known document — not the corpus — and the batch
-    * side is one window + one anti-join. Streaming sibling:
+    * (min-id-wins, as [[exact]]; null ids rank last, null-safe). The
+    * corpus side prunes to its distinct fingerprint column before the
+    * anti-join, so the shuffle carries one 16-byte binary hash per known
+    * document — not the corpus — and the batch side is one combinable
+    * aggregation + one anti-join. Streaming sibling:
     * StreamingDedup.firstSeen. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     // the corpus side is the BIG side at scale: its distinct-fingerprint
-    // shuffle carries one 8-byte xxhash64 per known document (the md5
-    // hex form carried 32 bytes — 4× the bytes for the same identity,
-    // and the fingerprint never reaches the output)
+    // shuffle carries one 16-byte md5 binary per known document — EXACT
+    // identity (a lone 64-bit xxhash64 here would silently drop distinct
+    // batch docs on birthday collisions: ~3 expected at 10^10 corpus
+    // docs), at half the md5-hex form's bytes
     val known = corpus
-      .select(xxhash64(TextOps.normalized(col(textCol))).as("_fp"))
+      .select(TextOps.fingerprintBin(col(textCol)).as("_fp"))
       .distinct()
     // fingerprint ONCE per batch row (the min_by key and the anti-join
     // key share the projected column), and select-within-batch via the
     // same combinable min_by as [[exact]] — the anti-join then runs on
     // the slim one-row-per-fingerprint frame before the row expands
     val cols = batch.columns.toSeq
-    batch.withColumn("_fp", xxhash64(TextOps.normalized(col(textCol))))
+    batch.withColumn("_fp", TextOps.fingerprintBin(col(textCol)))
       .groupBy(col("_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(idCol).isNull, col(idCol))).as("_row"))
       .join(known, Seq("_fp"), "left_anti")
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
@@ -117,7 +132,19 @@ object Dedup {
     *    corpus_id for the shuffle-free verification join.
     * Same write-once-join-often contract and session-catalog caveat as
     * Layout.saveBucketed / Similarity.buildIvfIndex (a new session
-    * re-registers via Layout.registerBucketed; no data rewrite). */
+    * re-registers via Layout.registerBucketed; no data rewrite).
+    *
+    * FORMAT (v2, since the hashed-shingle change): `_bh` is LONG
+    * (xxhash64 over long signature rows) and `_sh` is ARRAY<LONG>
+    * (sorted xxhash64 shingles). Indexes built by the v1
+    * string-shingle format are INCOMPATIBLE — band hashes come from a
+    * different hash family, so v1 buckets would silently never match a
+    * v2 batch even where types happen to align. Every reader
+    * ([[incrementalNearDups]], [[appendLshIndex]], [[indexedIds]])
+    * checks the schema at entry and fails fast with a rebuild message
+    * instead of returning empty candidate sets. Migration: rebuild via
+    * [[buildLshIndex]] from the source corpus (the index is derived
+    * data; there is no in-place upgrade of v1 band hashes). */
   def buildLshIndex(corpus: DataFrame, idCol: String, textCol: String,
       table: String, path: String, k: Int = 32, bands: Int = 16,
       rowsPerBand: Int = 2, buckets: Int = 16): Unit = {
@@ -160,6 +187,7 @@ object Dedup {
       buckets: Int = 16, checkIds: Boolean = true): Unit = {
     require(bands * rowsPerBand <= k,
       s"bands*rowsPerBand (${bands * rowsPerBand}) must be <= k ($k)")
+    requireLshV2(batch.sparkSession, table)
     if (checkIds) {
       val dups = indexedIds(batch, idCol, table).limit(5).collect()
         .map(_.get(0))
@@ -224,6 +252,7 @@ object Dedup {
       threshold: Double, k: Int, bands: Int, rowsPerBand: Int,
       maxPruneLiterals: Int): DataFrame = {
     val spark = bsh.sparkSession
+    requireLshV2(spark, table)
     val sigs = minhashSignaturesSh(bsh, "new_id", k)
     val bb = sigs.select(col("new_id"),
         explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
@@ -267,9 +296,32 @@ object Dedup {
     * a corpus scan); past `maxPruneLiterals` distinct ids it degrades to
     * a semi-join (the batch side stays the small broadcast side).
     * Output: one `corpus_id` row per batch id already indexed. */
+  /** Fail-fast FORMAT guard for [[buildLshIndex]] table pairs (see the
+    * FORMAT note there): a v1 string-shingle index surfaces here as
+    * array<string> `_sh` / non-long `_bh` — without this check a reader
+    * either dies in a deep analysis-time type error or (band rows
+    * alone) returns a silently EMPTY candidate set, because v1 band
+    * hashes come from a different hash family. Plan-time catalog schema
+    * lookups only; no job runs. */
+  private[graft] def requireLshV2(spark: SparkSession, table: String): Unit = {
+    def tpe(t: String, c: String) = spark.table(t).schema(c).dataType
+    val ok = tpe(table, "_bh") == LongType &&
+      (tpe(table + "_sh", "_sh") match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+    if (!ok) throw new IllegalStateException(
+      s"LSH index '$table' is not in the v2 hashed-shingle format " +
+        "(_bh LONG, _sh ARRAY<LONG>): it predates the sorted-xxhash64 " +
+        "shingle pipeline, whose band hashes come from a different hash " +
+        "family — querying it would return empty candidate sets. " +
+        "Rebuild with buildLshIndex; there is no in-place upgrade.")
+  }
+
   private[graft] def indexedIds(batch: DataFrame, idCol: String,
       table: String, maxPruneLiterals: Int = 4096): DataFrame = {
     val spark = batch.sparkSession
+    requireLshV2(spark, table)
     val ids = batch.select(col(idCol).as("corpus_id")).distinct()
     val vals = ids.limit(maxPruneLiterals + 1).collect().map(_.get(0))
     val shTable = spark.table(table + "_sh").select(col("corpus_id"))
@@ -620,8 +672,11 @@ object Dedup {
   def leakageAudit(df: DataFrame, idCol: String, textCol: String,
       splitCol: String): DataFrame = {
     val keyed = df.select(col(idCol).as("_id"), col(splitCol).as("_sp"),
-      // internal join key: 8-byte xxhash64, not 32-char md5 hex
-      xxhash64(TextOps.normalized(col(textCol))).as("_fp"))
+      // internal join key: 16-byte md5 binary — EXACT identity (a
+      // 64-bit hash would report false cross-split leaks on birthday
+      // collisions, poisoning the very audit this produces), at half
+      // the hex form's shuffle bytes
+      TextOps.fingerprintBin(col(textCol)).as("_fp"))
     val a = keyed.select(col("_fp"), col("_id").as("_ida"),
       col("_sp").as("_spa"))
     val b = keyed.select(col("_fp"), col("_id").as("_idb"),

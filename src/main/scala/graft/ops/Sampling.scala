@@ -282,8 +282,10 @@ object Sampling {
     * never exceed 256 rows regardless of strata count) and a plain
     * shuffle join back on (stratum, bucket) — so url-host-grade
     * stratum columns run distributed instead of failing or flooding
-    * the driver. The cardinality check itself is distributed-side (the
-    * cached grouped count), never a collect-then-discover. */
+    * the driver. The path choice costs ONE bounded eager job (a
+    * collect of the counts frame capped at maxStrata·256+1 rows —
+    * decisive because nGroups ≤ nStrata·256); on the small path that
+    * same collect IS the offsets source, so no second action runs. */
   def stratifiedSplit(df: DataFrame, stratumCol: String, idCol: String,
       fracs: Seq[(String, Double)], seed: Long = 42L,
       maxStrata: Int = 4000): DataFrame = {
@@ -298,26 +300,30 @@ object Sampling {
       // stratum keys travel as strings internally (offset-frame join
       // key); the output keeps the original column
       .withColumn("_stk", col(stratumCol).cast("string"))
-    // pass 1: per-(stratum, bucket) counts, cached once — the offset
-    // source for either path, and the distributed-side cardinality
-    // probe that picks between them
-    val grouped = keyed.groupBy(col("_stk"), col("_bk")).count().persist()
-    try {
-      // the gate is the DISTINCT-STRATA count (what the docstring
-      // promises and what bounds BOTH the broadcast size and the
-      // driver loop below) — NOT the group count: 100k sparse strata
-      // with one occupied bucket each stay under maxStrata·256 groups
-      // while being 25× past the stratum cap. countDistinct skips
-      // NULL, so the null stratum is counted via its group presence.
-      val gateRow = grouped.agg(
-        countDistinct(col("_stk")).as("s"),
-        coalesce(max(col("_stk").isNull), lit(false)).as("hasNull")).head
-      val nStrata = gateRow.getLong(0) +
-        (if (gateRow.getBoolean(1)) 1L else 0L)
+    // pass 1: per-(stratum, bucket) counts — the offset source for
+    // either path AND the small/distributed gate, in ONE bounded
+    // action. The gate is the DISTINCT-STRATA count (what the
+    // docstring promises and what bounds both the broadcast size and
+    // the driver loop below) — NOT the group count: 100k sparse strata
+    // with one occupied bucket each stay under maxStrata·256 groups
+    // while being 25× past the stratum cap. But since every stratum
+    // occupies ≤256 buckets, nGroups ≤ nStrata·256 — so a collect
+    // capped at maxStrata·256+1 rows is decisive: truncated ⇒
+    // nStrata > maxStrata (distributed path), complete ⇒ the probe IS
+    // the full counts collect, and the strata count is computed from
+    // it driver-side. One eager job, no persist, no separate
+    // countDistinct pass (a second gate action tripled q137's cost).
+    val grouped = keyed.groupBy(col("_stk"), col("_bk")).count()
+    locally {
+      val groupCap = maxStrata * 256 + 1
+      val probe = grouped.limit(groupCap).collect()
+      val nStrata =
+        if (probe.length >= groupCap) maxStrata.toLong + 1L
+        else probe.iterator.map(r => Option(r.getString(0))).toSet.size.toLong
       val small = nStrata <= maxStrata.toLong
       val cumFracs = fracs.init.map(_._2)
       val offDf: DataFrame = if (small) {
-        val counts = grouped.collect()
+        val counts = probe
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         // ONE grouping pass over the collected rows — a per-stratum
         // `counts.keys.filter` walk is O(strata · groups), quadratic
@@ -379,12 +385,9 @@ object Sampling {
           val cut = col("_rk") < element_at(col("_cuts"), i + 1)
           Some(acc.fold(when(cut, name))(_.when(cut, name)))
       }.fold(lit(names.head): Column)(_.otherwise(names.last))
-      // dropping the cache below is safe for the returned plan: the
-      // distributed path re-derives the (deterministic) counts from
-      // the scan at execution — one extra agg pass, no wrong answers
       ranked.withColumn("split", split)
         .drop("_sk", "_bk", "_stk", "_off", "_cuts", "_rk")
-    } finally grouped.unpersist()
+    }
   }
 
   /** DETERMINISTIC GLOBAL SHUFFLE — the training-order primitive: a

@@ -490,7 +490,15 @@ object Similarity {
             .otherwise(transform(v,
               x => floor(x / s * lit(127.0) + lit(0.5)).cast("int")))
             .as("qvec"))), 1)), 1)
-    df.select(col(idCol), q("scale").as("scale"), q("qvec").as("qvec"))
+    // the struct materializes in its OWN projection before the field
+    // selects slice it: lambda-bearing trees are excluded from
+    // subexpression elimination, so referencing `q` twice in one select
+    // would run the whole quantize pass twice per row. CollapseProject
+    // keeps a multi-referenced non-trivial alias (the same boundary
+    // minhashSignaturesSh relies on), so the pass runs exactly once.
+    df.select(col(idCol), q.as("_q"))
+      .select(col(idCol), col("_q")("scale").as("scale"),
+        col("_q")("qvec").as("qvec"))
   }
 
   /** EXACT cosine near-duplicate pairs via the full cross product —

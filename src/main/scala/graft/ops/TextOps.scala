@@ -1204,11 +1204,23 @@ object TextOps {
     * (The rolling-hash shingle variant lives in Dedup.shingles; this is
     * the whole-doc exact-dup key.) */
   /** The normalization under [[fingerprint]] (lowercase + whitespace
-    * collapse), exposed so internal keys can hash it with xxhash64
-    * (8-byte shuffle keys) while user-facing fingerprints keep the
-    * md5 hex form. */
+    * collapse), exposed so internal keys can hash it (xxhash64 for
+    * probabilistic/bucketing keys, [[fingerprintBin]] for exact
+    * identity) while user-facing fingerprints keep the md5 hex form. */
   def normalized(text: Column): Column =
     lower(regexp_replace(text, "\\s+", " "))
 
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 16-byte BINARY form of [[fingerprint]] — the EXACT-identity key.
+    * Half the bytes of the hex string with zero collision loss; at 128
+    * bits, birthday collisions are negligible at any corpus size this
+    * engine targets (~5e-19 expected colliding pairs at 10^10 docs),
+    * so paths documented as "exact" (Dedup.exact / incrementalExact /
+    * leakageAudit, StreamingDedup.firstSeen) may treat it as identity.
+    * A single 64-bit xxhash64 does NOT qualify there (~3 expected
+    * collisions at 10^10 docs would silently drop distinct documents);
+    * xxhash64 stays the key for probabilistic stages (shingles, LSH
+    * bands) whose contracts already state a collision bound. */
+  def fingerprintBin(text: Column): Column = unhex(fingerprint(text))
 }

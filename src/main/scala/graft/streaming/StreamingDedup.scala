@@ -43,9 +43,11 @@ object StreamingDedup {
   def firstSeen(stream: DataFrame, textCol: String, eventTime: String,
       watermarkDelay: String = "10 minutes"): DataFrame =
     stream
-      // state key: 8-byte xxhash64 of the normalized text, not the
-      // 32-char md5 hex — 4× less state per in-horizon fingerprint
-      .withColumn("_fp", xxhash64(TextOps.normalized(col(textCol))))
+      // state key: 16-byte md5 BINARY of the normalized text — exact
+      // identity (this operator's contract is "drop only true repeats";
+      // a 64-bit key would silently drop distinct docs on birthday
+      // collisions), at half the hex form's state bytes
+      .withColumn("_fp", TextOps.fingerprintBin(col(textCol)))
       .withWatermark(eventTime, watermarkDelay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")

@@ -943,9 +943,17 @@ class TripleStoreSpec extends AnyFunSuite {
     val roots = vs.toDF("e")
     val want = ts.reachable(roots)
       .as[(String, String, Int)].collect().toSet
+    // CONCURRENT batches (default batchParallelism=4 over 7 batches)
+    // and the sequential k=1 path must both equal the unbatched
+    // closure — per-root traversals are independent, so neither batch
+    // membership nor execution order can change any root's closure
     val got = ts.reachableBatched(roots, rootBatchSize = 3)
       .as[(String, String, Int)].collect().toSet
     assert(got === want)
+    val gotSeq = ts.reachableBatched(roots, rootBatchSize = 3,
+        batchParallelism = 1)
+      .as[(String, String, Int)].collect().toSet
+    assert(gotSeq === want)
     // K4 with all roots: one hop = 12 (entity, root) pairs, so the
     // unbatched valve trips at 11 — while root batches keep the per-batch
     // frontier under the SAME cap and the traversal completes
