@@ -364,4 +364,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
       s"incremental semantic dedup lost bucket pruning:\n$plan")
   }
+
+  test("skew fences: no Window over a corpus-wide key in exact/" +
+      "duplicateSpans/dupGramFraction plans; gram counts and keep-one " +
+      "selection aggregate PARTIALLY (map-side combine)") {
+    // These shapes were deliberate r12 skew fixes (window -> combinable
+    // aggregation) and are one refactor away from silently regressing:
+    // a Window partitioned by a corpus-wide key (fingerprint, gram
+    // hash) funnels every occurrence of a viral doc/boilerplate gram
+    // through ONE task. Fence the executed plans.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"),
+      (4L, "a b c d q r")).toDF("doc_id", "text")
+
+    // exact(): ONE min_by aggregation with a partial (map-side) phase,
+    // and no Window anywhere
+    val ex = graft.ops.Dedup.exact(docs, "doc_id", "text")
+    assert(ex.count() === 3)
+    val exPlan = ex.queryExecution.executedPlan.toString
+    assert(!exPlan.contains("windowspecdefinition"),
+      s"exact() regressed to a window:\n$exPlan")
+    assert(exPlan.contains("partial_min_by"),
+      s"exact() keep-one selection lost partial aggregation:\n$exPlan")
+
+    // duplicateSpans / dupGramFraction: the only Window allowed is
+    // mergeIslands' per-doc one (_id) — never the gram hash (_gh); and
+    // the corpus-wide gram count must show a partial_count phase
+    for ((name, out) <- Seq(
+        "duplicateSpans" ->
+          graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text", n = 2),
+        "dupGramFraction" ->
+          graft.ops.Dedup.dupGramFraction(docs, "doc_id", "text", n = 2))) {
+      assert(out.count() > 0)
+      val plan = out.queryExecution.executedPlan.toString
+      val windowLines = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toList
+      assert(windowLines.forall(l => !l.contains("_gh")),
+        s"$name has a Window over the gram hash:\n${windowLines.mkString("\n")}")
+      assert(plan.contains("partial_count"),
+        s"$name gram count lost partial aggregation:\n$plan")
+    }
+  }
 }
