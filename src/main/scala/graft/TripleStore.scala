@@ -64,7 +64,13 @@ class TripleStore(
       * upsert-resolve (latest tx wins) and pull as a scalar. Set via the
       * bootstrap kwarg or the in-band `db:schema / db.cardinality:default`
       * fact (kwargs > in-band > default-many). */
-    val defaultCardOne: Boolean = false) {
+    val defaultCardOne: Boolean = false,
+    /** Catalog name of a [[ValueIndex]] built FROM THIS STORE'S facts
+      * (the snapshot contract — see ValueIndex's scaladoc): when set,
+      * descending sort+limit pulls probe it for a sub-linear top-k
+      * instead of the linear attr scan. Write ops return stores with
+      * this dropped, like [[source]]: a snapshot can't see the write. */
+    val valueIndex: Option[String] = None) {
   import spark.implicits._
 
   /** Pruned scan for the given attributes: generate-only-what's-asked
@@ -145,7 +151,7 @@ class TripleStore(
     * uniformly. */
   def refEdges(attr: String): DataFrame = edgesFor(Some(Seq(attr)))
 
-  private def schemaOf(attr: String): AttrSchema =
+  private[graft] def schemaOf(attr: String): AttrSchema =
     schemas.getOrElse(attr, TripleStore.BaseSchema.getOrElse(attr,
       AttrSchema(attr, cardOne = defaultCardOne, isRef = false, Triples.VStr)))
 
@@ -330,6 +336,24 @@ class TripleStore(
       .sortWithinPartitions("ns", "a", "e")
       .write.mode("overwrite").partitionBy("ns").parquet(path)
   }
+
+  /** Build a [[ValueIndex]] over this store's facts for `attrs` (each
+    * cardinality-one numeric) and return a store handle that probes it
+    * — see ValueIndex's scaladoc for the layout, the sub-linear top-k
+    * argument, and the snapshot contract. */
+  def buildValueIndex(table: String, path: String, attrs: Seq[String],
+      nBuckets: Int = 64): TripleStore = {
+    ValueIndex.build(this, table, path, attrs, nBuckets)
+    withValueIndex(table)
+  }
+
+  /** This store reading an ALREADY-BUILT [[ValueIndex]] (catalog name).
+    * Caller contract: the index covers this store's current facts for
+    * its attributes (built from it, plus [[ValueIndex.append]] per
+    * ingested batch). */
+  def withValueIndex(table: String): TripleStore =
+    new TripleStore(spark, triples, schemas, preResolved, source,
+      lazyRefs, defaultCardOne, Some(table))
 
   // ---------------------------------------------------------------------
   // match (Q1/Q2): conjunctive pattern → entity ids
@@ -622,15 +646,30 @@ class TripleStore(
   /** The `limit`-sized eid subset that a sort on `attr` selects: one
     * attr-pruned scan + per-entity aggregate + TakeOrderedAndProject —
     * entities missing the attr sort as SQL nulls (first asc / last
-    * desc), matching the post-pull column sort they replace. */
+    * desc), matching the post-pull column sort they replace.
+    *
+    * When the store carries a [[ValueIndex]] covering `attr`, a
+    * DESCENDING top-k probes it first: the manifest picks a value
+    * threshold provably covering the top k, the scan partition-prunes
+    * to the few highest buckets, and the linear pass disappears —
+    * sub-linear in the attribute's fact count. The probe declines
+    * (None → this fallback) for ascending sorts (nulls-FIRST semantics
+    * rank missing-attr entities ahead of every indexed value) and when
+    * `ents` is so selective the whole range holds < k matches. */
   private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
       limit: Int): DataFrame = {
-    val vc = col(valueCol(attr))
-    val vals = scanFor(Seq(attr)).join(ents, Seq("e"), "left_semi")
-      .groupBy($"e").agg(max(when($"a" === attr, vc)).as("_sortv"))
-    ents.join(vals, Seq("e"), "left")
-      .orderBy(if (desc) col("_sortv").desc else col("_sortv").asc)
-      .limit(limit).select($"e")
+    val viaIndex =
+      if (desc) valueIndex.flatMap(t =>
+        ValueIndex.topKDescEids(spark, t, attr, valueCol(attr), ents, limit))
+      else None
+    viaIndex.getOrElse {
+      val vc = col(valueCol(attr))
+      val vals = scanFor(Seq(attr)).join(ents, Seq("e"), "left_semi")
+        .groupBy($"e").agg(max(when($"a" === attr, vc)).as("_sortv"))
+      ents.join(vals, Seq("e"), "left")
+        .orderBy(if (desc) col("_sortv").desc else col("_sortv").asc)
+        .limit(limit).select($"e")
+    }
   }
 
   /** Q8 — pull_many over an EXPLICIT eid list (tripl.py:729: pull_many

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Triples
+
+/** Persisted VALUE-ORDERED projection of cardinality-one numeric
+  * attributes — the ORDER BY analogue of the attribute-pruned scan, and
+  * the index that makes a sort+limit pull SUB-LINEAR (the reference
+  * leaves sort efficiency as its own TODO, tripl.py:730-732; the
+  * technique is the classic zone-map / small-materialized-aggregates
+  * design: data range-bucketed on the value with a tiny per-bucket
+  * (min, max, count) manifest that turns "top k" into "which buckets
+  * can hold the top k").
+  *
+  * Layout: one parquet table partitioned by (attr, range-bucket) — the
+  * bucket of a fact is the number of build-time value quantiles below
+  * it, so directories hold disjoint-ish value ranges and a top-k probe
+  * PARTITION-PRUNES to the few highest buckets at planning time —
+  * plus a `<table>_manifest` sidecar of per-(attr, bucket)
+  * (min, max, count) rows. Probe correctness needs NO disjointness:
+  * from the manifest pick a threshold t with (provably) at least k
+  * facts ≥ t — walk buckets by min descending, accumulate counts to k,
+  * t = the last bucket's min; every one of those rows is ≥ t — then
+  * scan exactly the buckets whose max reaches t. Any value in the true
+  * top k is ≥ the k-th largest ≥ t, so it lives in a scanned bucket;
+  * appended buckets may OVERLAP the build ranges (they are assigned by
+  * the stale manifest cuts) and the argument never notices. Thresholds
+  * compare on a double shadow of the value (monotone in the native
+  * long/double, so pruning can only widen the scan); the final order
+  * uses the NATIVE column, exact at full 64-bit precision.
+  *
+  * Scale shape at 100 TB: the manifest is O(attrs × buckets) rows (a
+  * broadcast-sized driver read), the probe scans O(k + bucket width)
+  * rows instead of every fact of the attribute, and the build is one
+  * linear pass (quantile sketch + range shuffle) paid once and
+  * append-maintained after ([[append]] never rewrites or re-reads the
+  * existing data — same contract as the LSH/text/IVF index family).
+  *
+  * SNAPSHOT CONTRACT (same as [[TripleStore.source]]): the index must
+  * cover the store's current facts for its attributes — build it from
+  * the store you query, [[append]] every ingested batch, and note that
+  * every TripleStore write op returns a store with the index handle
+  * DROPPED (a snapshot can't see the write). A store queries it only
+  * through [[TripleStore.withValueIndex]]. */
+object ValueIndex {
+  /** Bump when the table layout changes incompatibly — probes fail fast
+    * with a rebuild message instead of silently mis-reading (the lshv2
+    * lesson: a format change with no stamp strands old persisted
+    * tables). */
+  private val Fmt = 1
+
+  /** Build the index for `attrs` (each must be declared cardinality-one
+    * with a numeric value type — long or double). One pass computes
+    * per-attr value quantiles (the bucket cuts), one range-partitioned
+    * write lays the data out, and the manifest aggregates from the same
+    * scan. */
+  def build(store: TripleStore, table: String, path: String,
+      attrs: Seq[String], nBuckets: Int = 64): Unit = {
+    require(attrs.nonEmpty && nBuckets >= 2)
+    val spark = store.spark
+    attrs.foreach { a =>
+      val s = store.schemaOf(a)
+      require(s.cardOne && (s.vtype == Triples.VLong || s.vtype == Triples.VDbl),
+        s"valueIndex attr $a must be cardinality-one numeric " +
+          s"(got card-${if (s.cardOne) "one" else "many"} ${s.vtype})")
+    }
+    val base = store.scanFor(attrs)
+      .select(col("a"), col("e"), col("vlong"), col("vdbl"),
+        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"))
+      .where(col("vnum").isNotNull)
+      .persist()
+    try {
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+      val cuts: Map[String, Seq[Double]] = base.groupBy(col("a"))
+        .agg(percentile_approx(col("vnum"),
+          array(probs.map(lit): _*), lit(10000)).as("cuts"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+      val data = base.withColumn("bkt", bucketOf(cuts))
+      data.repartition(col("a"), col("bkt"))
+        .sortWithinPartitions(col("a"), col("bkt"), col("vnum"))
+        .write.mode("overwrite").option("path", path)
+        .partitionBy("a", "bkt").format("parquet").saveAsTable(table)
+      manifestOf(data)
+        .write.mode("overwrite").option("path", path + "_manifest")
+        .format("parquet").saveAsTable(table + "_manifest")
+    } finally base.unpersist()
+  }
+
+  /** Append a batch store's facts for the index's attributes: the batch
+    * alone is scanned, bucketed by the EXISTING manifest's cuts (per
+    * attr, the per-bucket min values — an appended row between two old
+    * buckets' ranges lands in one of them; the probe's threshold
+    * argument tolerates the overlap), and appended to both tables. The
+    * existing corpus is never read or rewritten. */
+  def append(batch: TripleStore, table: String): Unit = {
+    val spark = batch.spark
+    val man = readManifest(spark, table)
+    val cuts: Map[String, Seq[Double]] = man.groupBy(col("a"))
+      .agg(sort_array(collect_list(col("minv"))).as("cuts"))
+      .collect()
+      // drop the lowest bucket's min: k cut points make k+1 buckets,
+      // and values below every cut belong in bucket 0
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq.drop(1)).toMap
+    require(cuts.nonEmpty, s"valueIndex $table has an empty manifest")
+    val base = batch.scanFor(cuts.keys.toSeq)
+      .select(col("a"), col("e"), col("vlong"), col("vdbl"),
+        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"))
+      .where(col("vnum").isNotNull)
+      .persist()
+    try {
+      val data = base.withColumn("bkt", bucketOf(cuts))
+      data.select(col("e"), col("vlong"), col("vdbl"), col("vnum"),
+          col("a"), col("bkt"))
+        .write.mode("append").format("parquet").insertInto(table)
+      manifestOf(data)
+        .write.mode("append").format("parquet")
+        .insertInto(table + "_manifest")
+    } finally base.unpersist()
+  }
+
+  /** bucket = number of this attr's cut points strictly below the value
+    * (0 .. |cuts|), as one literal-map lookup + bounded HOF — no shuffle,
+    * no UDF. */
+  private def bucketOf(cuts: Map[String, Seq[Double]]) = {
+    val cutsMap = map_from_arrays(
+      array(cuts.keys.toSeq.map(lit): _*),
+      array(cuts.values.toSeq.map(cs => array(cs.map(lit): _*)): _*))
+    size(filter(element_at(cutsMap, col("a")),
+      c => col("vnum") > c)).cast("int")
+  }
+
+  private def manifestOf(data: DataFrame): DataFrame =
+    data.groupBy(col("a"), col("bkt"))
+      .agg(min(col("vnum")).as("minv"), max(col("vnum")).as("maxv"),
+        count(lit(1)).as("cnt"))
+      .select(col("minv"), col("maxv"), col("cnt"),
+        lit(Fmt).as("fmt"), col("a"), col("bkt"))
+
+  private def readManifest(spark: SparkSession, table: String): DataFrame = {
+    val man = spark.table(table + "_manifest")
+    require(man.columns.contains("fmt"),
+      s"valueIndex $table predates format v$Fmt — rebuild it with " +
+        "ValueIndex.build (old tables carry no version stamp)")
+    man
+  }
+
+  /** The top-`k` DESCENDING eids of `ents` by `attr`, through the index
+    * — or None when the index can't answer (attr not indexed, or `ents`
+    * so selective that even the full value range holds < k matches;
+    * the caller falls back to the linear scan, which also owns the
+    * missing-attr null-fill). Ascending stays on the fallback by
+    * design: asc ranks entities MISSING the attr first (SQL nulls-first
+    * semantics, see [[TripleStore.pullMany]]), and a value index
+    * fundamentally cannot enumerate absent facts.
+    *
+    * Driver work is bounded: the aggregated manifest (≤ nBuckets rows
+    * per attr) is collected once; each widening round is one
+    * partition-pruned count, and the target 4×s per round, so rounds ≤
+    * log₄(nBuckets·maxBucket) even against a hostile `ents`. */
+  private[graft] def topKDescEids(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, ents: DataFrame,
+      k: Int): Option[DataFrame] = {
+    val buckets = readManifest(spark, table)
+      .where(col("fmt") === Fmt && col("a") === attr)
+      .groupBy(col("bkt"))
+      .agg(min(col("minv")).as("minv"), max(col("maxv")).as("maxv"),
+        sum(col("cnt")).as("cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    if (buckets.isEmpty) return None
+    val byMinDesc = buckets.sortBy(-_._2)
+    val total = buckets.map(_._4).sum
+    var target = k.toLong
+    while (true) {
+      // threshold t: walk buckets by min desc until their counts cover
+      // the target — every row of those buckets is >= t, so at least
+      // `target` rows are >= t and the true top-k all are too
+      val t = {
+        var acc = 0L; var cut = Double.NegativeInfinity
+        val it = byMinDesc.iterator
+        while (acc < target && it.hasNext) {
+          val b = it.next(); acc += b._4; cut = b._2
+        }
+        if (acc < target) Double.NegativeInfinity else cut
+      }
+      val bkts = buckets.filter(_._3 >= t).map(_._1)
+      val cand = spark.table(table)
+        .where(col("a") === attr && col("bkt").isInCollection(bkts) &&
+          col("vnum") >= t)
+        .join(ents, Seq("e"), "left_semi")
+      if (cand.count() >= k)
+        return Some(cand.orderBy(col(nativeCol).desc).limit(k).select(col("e")))
+      if (target >= total) return None
+      target = math.min(total, target * 4)
+    }
+    None // unreachable
+  }
+}

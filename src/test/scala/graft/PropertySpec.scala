@@ -994,4 +994,47 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("property: ValueIndex desc top-k == driver model on random " +
+      "values (duplicates, negatives, selective ents)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx_p").toString
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(1250L + trial)
+      val n = 80 + rnd.nextInt(150)
+      // small value range → plenty of ties; negatives included
+      val rows = (0 until n).map(i =>
+        (f"e$i%04d", (rnd.nextInt(60) - 20).toLong))
+      val store = {
+        val triples = rows.toDF("e", "vlong")
+          .withColumn("a", lit("p:n"))
+          .withColumn("vtype", lit(graft.model.Triples.VLong))
+          .withColumn("vstr", lit(null).cast("string"))
+          .withColumn("vdbl", lit(null).cast("double"))
+          .withColumn("vbool", lit(null).cast("boolean"))
+          .withColumn("vts", lit(null).cast("timestamp_ntz"))
+          .withColumn("vref", lit(null).cast("string"))
+          .withColumn("vbin", lit(null).cast("binary"))
+          .withColumn("txId", lit(0L))
+          .select(graft.model.Triples.columns.map(col): _*)
+        new TripleStore(spark, triples, Map("p:n" ->
+          graft.model.AttrSchema("p:n", cardOne = true, isRef = false,
+            graft.model.Triples.VLong)))
+      }
+      store.buildValueIndex(s"vidx_prop_$trial", s"$dir/t$trial",
+        Seq("p:n"), nBuckets = 4 + rnd.nextInt(12))
+      val entIds = rows.map(_._1).filter(_ => rnd.nextInt(3) > 0)
+      val k = 1 + rnd.nextInt(30)
+      val got = ValueIndex.topKDescEids(spark, s"vidx_prop_$trial",
+        "p:n", "vlong", entIds.toDF("e"), k)
+      val byId = rows.toMap
+      val matchedVals = entIds.map(byId).sorted.reverse
+      if (matchedVals.size < k) assert(got.isEmpty, s"trial $trial")
+      else {
+        assert(got.isDefined, s"trial $trial")
+        val gotVals = got.get.as[String].collect().toSeq
+          .map(byId).sorted.reverse
+        assert(gotVals === matchedVals.take(k), s"trial $trial")
+      }
+    }
+  }
 }

@@ -972,4 +972,123 @@ class TripleStoreSpec extends AnyFunSuite {
     val b = tinyStore(Seq(("e1", "k:x", "v", 0L), ("e2", "k:x", "w", 0L)))
     assert(a.merge(b).resolved.count() === 2)
   }
+
+  /** Store of long-valued card-one facts `n:v` plus a string tag
+    * `n:tag`, for the [[ValueIndex]] suite. */
+  def numStore(rows: Seq[(String, Long)]): TripleStore = {
+    val triples = rows.toDF("e", "vlong")
+      .withColumn("a", lit("n:v"))
+      .withColumn("vtype", lit(Triples.VLong))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val tags = rows.map(_._1).toDF("e")
+      .withColumn("a", lit("n:tag")).withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vstr", lit("t")).withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    new TripleStore(spark, triples.unionByName(tags), Map(
+      "n:v" -> AttrSchema("n:v", cardOne = true, isRef = false, Triples.VLong),
+      "n:tag" -> AttrSchema("n:tag", cardOne = true, isRef = false,
+        Triples.VStr)))
+  }
+
+  test("valueIndex: desc top-k probes the index, equals the fallback " +
+      "(ties included), and partition-prunes to few buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+    // values 0..180 with a 20-wide tie PLATEAU at 180: a k inside the
+    // plateau picks interchangeable eids, but the top-k VALUE multiset
+    // is deterministic — that is what both paths must agree on
+    val rows = (0 until 200).map(i => (f"e$i%03d", math.min(i, 180).toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_t1", s"$dir/v1", Seq("n:v"),
+      nBuckets = 8)
+    def topVals(s: TripleStore, k: Int) = s.pullMany(Seq("n:tag" -> MAny),
+        Seq(PAttr("n:v"), PWild), sortBy = Some("v"), desc = true,
+        limit = Some(k))
+      .select($"v").as[Long].collect().toList.sorted
+    assert(topVals(ts, 10) === topVals(plain, 10)) // k inside the plateau
+    assert(topVals(ts, 50) === topVals(plain, 50)) // k spanning plateau+tail
+    // the probe itself: answers, and its scan partition-prunes on bkt
+    val probe = ValueIndex.topKDescEids(spark, "vidx_t1", "n:v", "vlong",
+      plain.resolved.select($"e").distinct(), 10)
+    assert(probe.isDefined)
+    val plan = probe.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"expected a bkt-partition-pruned scan:\n$plan")
+  }
+
+  test("valueIndex: selective ents widen the threshold; ents with < k " +
+      "matches fall back (missing-attr null-fill preserved)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx2").toString
+    val rows = (0 until 400).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_t2", s"$dir/v2", Seq("n:v"),
+      nBuckets = 16)
+    // only the LOWEST 5% of values match → first threshold rounds find
+    // nothing; the widening loop must still land the exact answer
+    val lowEnts = (0 until 20).map(i => f"e$i%03d").toDF("e")
+    val viaIdx = ValueIndex.topKDescEids(spark, "vidx_t2", "n:v", "vlong",
+      lowEnts, 10)
+    assert(viaIdx.isDefined)
+    assert(viaIdx.get.as[String].collect().toSet ===
+      (10 until 20).map(i => f"e$i%03d").toSet)
+    // fewer matches than k in the ENTIRE range → None (fallback owns it)
+    assert(ValueIndex.topKDescEids(spark, "vidx_t2", "n:v", "vlong",
+      (0 until 5).map(i => f"e$i%03d").toDF("e"), 10).isEmpty)
+    // end-to-end: the fallback fills with missing-attr entities exactly
+    // as an unindexed store does
+    val extra = tinyStore(Seq(("x1", "n:tag", "t", 0L)))
+    val merged = ts.merge(extra)
+    assert(merged.valueIndex.isEmpty) // writes drop the index handle
+  }
+
+  test("valueIndex: append buckets a batch by the existing cuts; " +
+      "probe over the union equals the fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx3").toString
+    val first = (0 until 150).map(i => (f"e$i%03d", (i * 3 % 200).toLong))
+    val second = (150 until 250).map(i => (f"e$i%03d", (i * 7 % 300).toLong))
+    val base = numStore(first)
+    base.buildValueIndex("vidx_t3", s"$dir/v3", Seq("n:v"), nBuckets = 8)
+    ValueIndex.append(numStore(second), "vidx_t3")
+    val union = numStore(first ++ second)
+    val ts = union.withValueIndex("vidx_t3")
+    def topVals(s: TripleStore) = s.pullMany(Seq("n:tag" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = true, limit = Some(17))
+      .select($"v").as[Long].collect().toList.sorted
+    assert(topVals(ts) === topVals(union))
+  }
+
+  test("valueIndex: build rejects card-many and non-numeric attrs; " +
+      "unstamped manifests fail fast with a rebuild message") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx4").toString
+    val ts = numStore(Seq(("e1", 1L)))
+    intercept[IllegalArgumentException] {
+      ts.buildValueIndex("vidx_bad", s"$dir/bad", Seq("n:tag"))
+    }
+    val many = tinyStore(Seq(("e1", "m:x", "a", 0L)))
+    intercept[IllegalArgumentException] {
+      many.buildValueIndex("vidx_bad2", s"$dir/bad2", Seq("m:x"))
+    }
+    // a pre-v1 manifest (no fmt column) must error loudly, not read as
+    // empty (the lshv2 lesson)
+    Seq(("n:v", 0, 0.0, 1.0, 5L)).toDF("a", "bkt", "minv", "maxv", "cnt")
+      .write.mode("overwrite").option("path", s"$dir/old_manifest")
+      .format("parquet").saveAsTable("vidx_old_manifest")
+    val err = intercept[IllegalArgumentException] {
+      ValueIndex.topKDescEids(spark, "vidx_old", "n:v", "vlong",
+        Seq("e1").toDF("e"), 1)
+    }
+    assert(err.getMessage.contains("rebuild"))
+  }
 }
