@@ -968,10 +968,17 @@ object TextOps {
     * base vocab is cached ONCE, each round is ONE job (the candidate
     * count), and periodic lineage truncation keeps per-round cost
     * FLAT in the round number (see [[bpeLearnCore]]) — a 30k-merge
-    * vocabulary at batchK=256 is ~120 rounds, not 30k (measured:
-    * 64 rounds / 1024 merges in ~16 s on local[32] at a 4k-word
-    * vocab, ~0.25 s/round with no late-round growth — the deep-run
-    * spec in OpsSpec).
+    * vocabulary at batchK=256 is ~120 rounds, not 30k. Measured, both
+    * regimes (graft.tools.BpeDeep, local[32]): 64 rounds / 1024 merges
+    * in ~16 s at a 4k-word vocab (~0.25 s/round, no late-round growth
+    * — the deep-run spec in OpsSpec), and the production point itself:
+    * 30,000 merges at batchK=256 = 118 rounds in 742 s over a 40k-word
+    * corpus — ~6.3 s/round steady-state, flat in the round number but
+    * NOT in batchK: the live encode chain between truncations is up to
+    * checkpointEvery·batchK replaces (~3k at 256), past the JVM's
+    * 64 KB codegen method limit, so those stages run interpreted —
+    * the cost is per-window-constant, which is exactly what the
+    * truncation guarantees.
     *
     * Symbol sequences are encoded as strings — `" s1  s2  …  sn "`,
     * two spaces between symbols, one at each end — chosen so applying
