@@ -2247,6 +2247,29 @@ object SparkEntry {
         "dup" -> (col("dup_frac") <= 0.5)))
     }),
 
+    // INDEXED top-k pull (ValueIndex): q105's shape but DESCENDING
+    // through a value-ordered attr projection — the manifest picks a
+    // threshold covering the top k, the scan partition-prunes to the
+    // highest value-range buckets, and no full attr scan runs (the
+    // sub-linear realization of the reference's sort TODO,
+    // tripl.py:730-732; asc stays on the fallback — nulls-first). The
+    // index builds fresh per run into scratch: build cost is the point
+    // at which production amortizes, correctness is what this verifies.
+    "q167_pull_topk_indexed" -> ((s, dir) => {
+      val ts = Tpch.store(s, dir, "customer", "nation")
+        .buildValueIndex("q167_vidx", scratch("q167_vidx", dir),
+          Seq("customer:custkey"), nBuckets = 16)
+      ts.pullMany(
+          Seq(Triples.TypeAttr -> MEq("customer")),
+          Seq(PAttr("customer:custkey"), PAttr("customer:acctbal"),
+            PNest("customer:nation", Seq(PAttr("nation:name")))),
+          sortBy = Some("custkey"), desc = true, limit = Some(10))
+        .select(col("custkey"), col("acctbal"),
+          explode(col("nation")).as("nn"))
+        .select(col("custkey"), col("acctbal"),
+          col("nn.name").as("nation_name"))
+    }),
+
     // distributed equal-width histogram (Profile.histogram — the
     // compute side of the reference's planned-only `plot` subcommand,
     // cli.py:46-51): doc lengths in 16 bins over an explicit range so
@@ -4642,6 +4665,13 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'dup',
         |       count(*) FILTER (WHERE p1 AND NOT p2),
         |       count(*) FILTER (WHERE p1 AND p2) FROM f""".stripMargin,
+    // q105 descending: custkey is unique, so the boundary is tie-free
+    // and the indexed probe's answer is deterministic
+    "q167_pull_topk_indexed" ->
+      """SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+        |       n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey DESC LIMIT 10""".stripMargin,
     // same bounds, same IEEE bin arithmetic; generate_series supplies
     // the empty bins
     "q164_histogram" ->

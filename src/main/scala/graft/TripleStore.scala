@@ -133,12 +133,14 @@ class TripleStore(
     // TripleSource trait documents the obligation), so a source-backed
     // store derives the set from the PRUNED ident scan — one
     // attribute's generation, not the full triple blow-up the
-    // resolved-distinct fallback pays. identScanNonEmpty guards the
-    // contract: a source that skipped db:ident would otherwise
-    // silently drop every lazy edge (empty semi-join), so it falls
-    // back to the resolved scan instead.
+    // resolved-distinct fallback pays. Shipped sources DECLARE the
+    // contract (assertsIdents — no runtime cost); for custom sources
+    // identScanNonEmpty guards it with a one-row probe, since a source
+    // that skipped db:ident would otherwise silently drop every lazy
+    // edge (empty semi-join) — it falls back to the resolved scan
+    // instead.
     val ids = (source match {
-      case Some(_) if preResolved && identScanNonEmpty =>
+      case Some(s) if preResolved && (s.assertsIdents || identScanNonEmpty) =>
         scanFor(Seq(Triples.IdentAttr)).select($"e")
       case _ => resolved.select($"e")
     }).distinct().select($"e".as("vstr"))
@@ -634,7 +636,15 @@ class TripleStore(
           case (Some(k), Some(n)) =>
             specs.collectFirst {
               case p: PAttr if p.name == k && schemaOf(p.attr).cardOne =>
-                topKEids(ents, p.attr, desc, n)
+                // single-clause `(sortAttr, any)` match: the entity set
+                // IS the sort attr's fact universe, so an index probe
+                // may skip the ents semi-join entirely (provably an
+                // identity — see ValueIndex.topKDescEids)
+                val universe = pattern match {
+                  case Seq((a, MAny)) if a == p.attr => true
+                  case _ => false
+                }
+                topKEids(ents, p.attr, desc, n, entsIsUniverse = universe)
             }.getOrElse(ents)
           case _ => ents
         }
@@ -657,10 +667,11 @@ class TripleStore(
     * rank missing-attr entities ahead of every indexed value) and when
     * `ents` is so selective the whole range holds < k matches. */
   private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
-      limit: Int): DataFrame = {
+      limit: Int, entsIsUniverse: Boolean = false): DataFrame = {
     val viaIndex =
       if (desc) valueIndex.flatMap(t =>
-        ValueIndex.topKDescEids(spark, t, attr, valueCol(attr), ents, limit))
+        ValueIndex.topKDescEids(spark, t, attr, valueCol(attr),
+          if (entsIsUniverse) None else Some(ents), limit))
       else None
     viaIndex.getOrElse {
       val vc = col(valueCol(attr))

@@ -147,21 +147,31 @@ object ValueIndex {
     man
   }
 
-  /** The top-`k` DESCENDING eids of `ents` by `attr`, through the index
-    * — or None when the index can't answer (attr not indexed, or `ents`
-    * so selective that even the full value range holds < k matches;
-    * the caller falls back to the linear scan, which also owns the
-    * missing-attr null-fill). Ascending stays on the fallback by
-    * design: asc ranks entities MISSING the attr first (SQL nulls-first
-    * semantics, see [[TripleStore.pullMany]]), and a value index
-    * fundamentally cannot enumerate absent facts.
+  /** The top-`k` DESCENDING eids by `attr` through the index, restricted
+    * to `ents` when given — or None when the index can't answer (attr
+    * not indexed, or `ents` so selective that even the full value range
+    * holds < k matches; the caller falls back to the linear scan, which
+    * also owns the missing-attr null-fill). Ascending stays on the
+    * fallback by design: asc ranks entities MISSING the attr first (SQL
+    * nulls-first semantics, see [[TripleStore.pullMany]]), and a value
+    * index fundamentally cannot enumerate absent facts.
     *
-    * Driver work is bounded: the aggregated manifest (≤ nBuckets rows
-    * per attr) is collected once; each widening round is one
-    * partition-pruned count, and the target 4×s per round, so rounds ≤
-    * log₄(nBuckets·maxBucket) even against a hostile `ents`. */
+    * `ents = None` means the caller PROVED the entity set is exactly
+    * this attribute's fact universe (pullMany does when the match
+    * pattern is the single clause `(attr, any)` — the index holds one
+    * row per entity of a card-one attr, so the semi-join is an
+    * identity). Then manifest counts are exact, the first threshold is
+    * decisive, and the probe is FULLY LAZY — one partition-pruned
+    * TakeOrdered job when the pull executes, no counting round-trips:
+    * the whole query becomes sub-linear, not just the ranking half.
+    *
+    * With `ents`, driver work is bounded: the aggregated manifest (≤
+    * nBuckets rows per attr) is collected once; each widening round is
+    * one partition-pruned count, and the target 4×s per round, so
+    * rounds ≤ log₄ of the attr's fact count even against a hostile
+    * `ents`. */
   private[graft] def topKDescEids(spark: SparkSession, table: String,
-      attr: String, nativeCol: String, ents: DataFrame,
+      attr: String, nativeCol: String, ents: Option[DataFrame],
       k: Int): Option[DataFrame] = {
     val buckets = readManifest(spark, table)
       .where(col("fmt") === Fmt && col("a") === attr)
@@ -173,29 +183,43 @@ object ValueIndex {
     if (buckets.isEmpty) return None
     val byMinDesc = buckets.sortBy(-_._2)
     val total = buckets.map(_._4).sum
-    var target = k.toLong
-    while (true) {
-      // threshold t: walk buckets by min desc until their counts cover
-      // the target — every row of those buckets is >= t, so at least
-      // `target` rows are >= t and the true top-k all are too
-      val t = {
-        var acc = 0L; var cut = Double.NegativeInfinity
-        val it = byMinDesc.iterator
-        while (acc < target && it.hasNext) {
-          val b = it.next(); acc += b._4; cut = b._2
-        }
-        if (acc < target) Double.NegativeInfinity else cut
+    // threshold t(target): walk buckets by min desc until their counts
+    // cover the target — every row of those buckets is >= t, so at
+    // least `target` rows are >= t and the true top-target all are too
+    def thresholdFor(target: Long): Double = {
+      var acc = 0L; var cut = Double.NegativeInfinity
+      val it = byMinDesc.iterator
+      while (acc < target && it.hasNext) {
+        val b = it.next(); acc += b._4; cut = b._2
       }
+      if (acc < target) Double.NegativeInfinity else cut
+    }
+    def scanAbove(t: Double): DataFrame = {
       val bkts = buckets.filter(_._3 >= t).map(_._1)
-      val cand = spark.table(table)
+      spark.table(table)
         .where(col("a") === attr && col("bkt").isInCollection(bkts) &&
           col("vnum") >= t)
-        .join(ents, Seq("e"), "left_semi")
-      if (cand.count() >= k)
-        return Some(cand.orderBy(col(nativeCol).desc).limit(k).select(col("e")))
-      if (target >= total) return None
-      target = math.min(total, target * 4)
     }
-    None // unreachable
+    ents match {
+      case None =>
+        // exact counts → one decisive threshold, no actions here (if
+        // the whole universe holds < k facts, the un-thresholded scan
+        // IS the full answer set and limit(k) is a no-op)
+        val t = thresholdFor(math.min(k.toLong, total))
+        Some(scanAbove(t).orderBy(col(nativeCol).desc).limit(k)
+          .select(col("e")))
+      case Some(es) =>
+        var target = k.toLong
+        while (true) {
+          val cand = scanAbove(thresholdFor(target))
+            .join(es, Seq("e"), "left_semi")
+          if (cand.count() >= k)
+            return Some(cand.orderBy(col(nativeCol).desc).limit(k)
+              .select(col("e")))
+          if (target >= total) return None
+          target = math.min(total, target * 4)
+        }
+        None // unreachable
+    }
   }
 }

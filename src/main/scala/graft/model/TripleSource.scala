@@ -31,10 +31,19 @@ trait TripleSource {
     * with a one-row probe and falls back to the resolved scan, but
     * the fallback pays full triple generation, so emit db:ident. */
   def scan(attrs: Option[Seq[String]]): DataFrame
+
+  /** True when this source GUARANTEES the db:ident contract above by
+    * construction — shipped sources override it and skip the store's
+    * one-row runtime probe (one blocking job per store, paid before the
+    * first lazy-edge query; measurable when a harness builds a fresh
+    * store per query). Leave false for custom sources: the probe then
+    * guards the contract at the cost of that one job. */
+  def assertsIdents: Boolean = false
 }
 
 /** Union of sources (a store over several ingested tables). */
 final case class UnionTripleSource(sources: Seq[TripleSource]) extends TripleSource {
   def scan(attrs: Option[Seq[String]]): DataFrame =
     sources.map(_.scan(attrs)).reduce(_ unionByName _)
+  override def assertsIdents: Boolean = sources.forall(_.assertsIdents)
 }

@@ -38,6 +38,11 @@ final case class ParquetTripleSource(spark: SparkSession, path: String)
         .drop("ns")
     case None => raw.drop("ns")
   }
+
+  // persisted stores carry every ingest path's db:ident facts through
+  // save/load (TripleStore.save never filters them) — contract holds
+  // by construction
+  override def assertsIdents: Boolean = true
 }
 
 object ParquetTripleSource {

@@ -138,5 +138,8 @@ object RowIngest {
       extends graft.model.TripleSource {
     def scan(attrs: Option[Seq[String]]): DataFrame =
       tableToTriples(df, spec, 0L, attrs)
+    // tableToTriples emits db:ident per entity (metaStructs) — the
+    // contract holds by construction, no runtime probe needed
+    override def assertsIdents: Boolean = true
   }
 }

@@ -463,12 +463,36 @@ object ScaleBench {
             Seq("documents:source" -> graft.query.MEq("src0")),
             Seq(graft.query.PAttr("documents:doc_id"),
               graft.query.PAttr("documents:text"))).count(); () }),
-      // top-k pushdown: rank ALL matched eids by one attr-pruned scan,
-      // then pull only k entities — the pull join tree stays k-sized
-      // while the ranking scan scales ~linearly
+      // value-index build over the scaled corpus: quantile sketch +
+      // one range-bucketed write + the manifest agg — ~linear by
+      // construction, paid once then append-maintained
+      "eav_value_index_build" -> (() => {
+        runSeq += 1
+        graft.ValueIndex.build(docStore(d), s"scale_vidx_$tag",
+          s"$scratch/vidx_${tag}_$runSeq", Seq("documents:n_chars"),
+          nBuckets = 64); ()
+      }),
+      // top-k pull through the index the previous workload built,
+      // single-clause match ON the sort attr — the universe form: the
+      // semi-join is provably an identity and skipped, the manifest
+      // picks the value threshold with exact counts (no counting
+      // round-trips), the scan partition-prunes to the top buckets —
+      // predicted ~flat (reads O(k + bucket) rows regardless of
+      // corpus size; only the k-entity pull tree remains)
       "eav_pull_topk" -> (() =>
+        { docStore(d).withValueIndex(s"scale_vidx_$tag").pullMany(
+            Seq("documents:n_chars" -> graft.query.MAny),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars")),
+            sortBy = Some("n_chars"), desc = true,
+            limit = Some(100)).count(); () }),
+      // CONTRAST BASELINE: the identical query with NO index — rank
+      // ALL matched eids by one attr-pruned scan (TakeOrdered over
+      // every n_chars fact, the pre-index shape) — ~linear, the
+      // exponent the index is beating
+      "eav_pull_topk_scan" -> (() =>
         { docStore(d).pullMany(
-            Seq("documents:doc_id" -> graft.query.MAny),
+            Seq("documents:n_chars" -> graft.query.MAny),
             Seq(graft.query.PAttr("documents:doc_id"),
               graft.query.PAttr("documents:n_chars")),
             sortBy = Some("n_chars"), desc = true,

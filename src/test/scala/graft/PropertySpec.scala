@@ -1025,7 +1025,13 @@ class PropertySpec extends AnyFunSuite {
       val entIds = rows.map(_._1).filter(_ => rnd.nextInt(3) > 0)
       val k = 1 + rnd.nextInt(30)
       val got = ValueIndex.topKDescEids(spark, s"vidx_prop_$trial",
-        "p:n", "vlong", entIds.toDF("e"), k)
+        "p:n", "vlong", Some(entIds.toDF("e")), k)
+      // universe form on the same index: matches the full-ents model
+      val uniVals = ValueIndex.topKDescEids(spark, s"vidx_prop_$trial",
+          "p:n", "vlong", None, k).get
+        .as[String].collect().toSeq.map(rows.toMap).sorted.reverse
+      assert(uniVals ===
+        rows.map(_._2).sorted.reverse.take(k), s"trial $trial universe")
       val byId = rows.toMap
       val matchedVals = entIds.map(byId).sorted.reverse
       if (matchedVals.size < k) assert(got.isEmpty, s"trial $trial")

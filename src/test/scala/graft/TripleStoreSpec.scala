@@ -1021,11 +1021,20 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(topVals(ts, 50) === topVals(plain, 50)) // k spanning plateau+tail
     // the probe itself: answers, and its scan partition-prunes on bkt
     val probe = ValueIndex.topKDescEids(spark, "vidx_t1", "n:v", "vlong",
-      plain.resolved.select($"e").distinct(), 10)
+      Some(plain.resolved.select($"e").distinct()), 10)
     assert(probe.isDefined)
     val plan = probe.get.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
       s"expected a bkt-partition-pruned scan:\n$plan")
+    // universe form (ents proven == the attr's fact universe): same
+    // answer, no semi-join, fully lazy
+    val uni = ValueIndex.topKDescEids(spark, "vidx_t1", "n:v", "vlong",
+      None, 10)
+    assert(uni.isDefined)
+    assert(uni.get.as[String].collect().map(k => rows.toMap.apply(k))
+      .sorted.toList === topVals(plain, 10))
+    assert(!uni.get.queryExecution.executedPlan.toString.contains("Join"),
+      "universe probe must not semi-join")
   }
 
   test("valueIndex: selective ents widen the threshold; ents with < k " +
@@ -1039,13 +1048,13 @@ class TripleStoreSpec extends AnyFunSuite {
     // nothing; the widening loop must still land the exact answer
     val lowEnts = (0 until 20).map(i => f"e$i%03d").toDF("e")
     val viaIdx = ValueIndex.topKDescEids(spark, "vidx_t2", "n:v", "vlong",
-      lowEnts, 10)
+      Some(lowEnts), 10)
     assert(viaIdx.isDefined)
     assert(viaIdx.get.as[String].collect().toSet ===
       (10 until 20).map(i => f"e$i%03d").toSet)
     // fewer matches than k in the ENTIRE range → None (fallback owns it)
     assert(ValueIndex.topKDescEids(spark, "vidx_t2", "n:v", "vlong",
-      (0 until 5).map(i => f"e$i%03d").toDF("e"), 10).isEmpty)
+      Some((0 until 5).map(i => f"e$i%03d").toDF("e")), 10).isEmpty)
     // end-to-end: the fallback fills with missing-attr entities exactly
     // as an unindexed store does
     val extra = tinyStore(Seq(("x1", "n:tag", "t", 0L)))
@@ -1087,7 +1096,7 @@ class TripleStoreSpec extends AnyFunSuite {
       .format("parquet").saveAsTable("vidx_old_manifest")
     val err = intercept[IllegalArgumentException] {
       ValueIndex.topKDescEids(spark, "vidx_old", "n:v", "vlong",
-        Seq("e1").toDF("e"), 1)
+        Some(Seq("e1").toDF("e")), 1)
     }
     assert(err.getMessage.contains("rebuild"))
   }
