@@ -450,10 +450,34 @@ class TripleStore(
     * unordered; we fix an order so distributed runs are reproducible).
     */
   def pull(entities: DataFrame, specs: Seq[PullSpec],
-      entitiesDistinct: Boolean = false): DataFrame = {
+      entitiesDistinct: Boolean = false): DataFrame =
+    pullImpl(entities, specs, entitiesDistinct, None)
+
+  /** [[pull]] with an optional LITERAL entity set: when the caller holds
+    * the (bounded, already-collected) eids — the sort+limit path does —
+    * every triple scan filters `e IN (ids)` instead of semi-joining a
+    * computed frame. Two wins the join can't give: (1) on a persisted
+    * store the IN predicate pushes into the parquet scan, and the
+    * [[save]] layout sorts by (ns, a, e) within files, so row-group
+    * min/max stats prune the read to O(k) row groups per attr — a
+    * k-entity pull touches ~k row groups of a 100 TB store, not every
+    * fact of the pulled attrs; (2) the ranking subtree that produced the
+    * ids is not re-evaluated once per pull branch (flat + each nest).
+    * Parquet converts an IN to an or-of-eq row-group check only up to
+    * `spark.sql.parquet.pushdown.inFilterThreshold` values (default 10;
+    * past it the pushed filter degrades to a min/max range, useless for
+    * random eids) — the harness mains set it to [[TripleStore.TopKLiteralCap]];
+    * production deployments should size it >= their top-k limits. */
+  private def pullImpl(entities: DataFrame, specs: Seq[PullSpec],
+      entitiesDistinct: Boolean, entLiterals: Option[Seq[String]]): DataFrame = {
     val ents =
       if (entitiesDistinct) entities.select($"e")
       else entities.select($"e").distinct()
+    // e IN (ids) where literals are known, else the left-semi join
+    def restrict(df: DataFrame): DataFrame = entLiterals match {
+      case Some(ids) if ids.nonEmpty => df.where($"e".isInCollection(ids))
+      case _ => df.join(ents, Seq("e"), "left_semi")
+    }
     // Q7e '...' — resolve each recursive spec's ACTUAL depth over this
     // entity set, then unroll to plain PNest levels (see PRec scaladoc).
     if (specs.exists(_.isInstanceOf[PRec])) {
@@ -461,14 +485,13 @@ class TripleStore(
         case p: PRec => expandRec(specs, p, recDepth(ents, p))
         case s => s
       }
-      return pull(ents, expanded, entitiesDistinct = true)
+      return pullImpl(ents, expanded, entitiesDistinct = true, entLiterals)
     }
     val flat = specs.collect { case p: PAttr => p }
     val others = specs.filterNot(_.isInstanceOf[PAttr])
 
     val flatDf: Option[DataFrame] = if (flat.isEmpty) None else Some {
-      val relevant = scanFor(flat.map(_.attr))
-        .join(ents, Seq("e"), "left_semi")
+      val relevant = restrict(scanFor(flat.map(_.attr)))
       val aggs = flat.map { p =>
         val vc = col(valueCol(p.attr))
         if (schemaOf(p.attr).cardOne)
@@ -489,7 +512,7 @@ class TripleStore(
     val otherDfs: Seq[DataFrame] = others.map {
       case PWild =>
         // attr → sorted [values as string] map (dynamic schema, Q7b)
-        val base = resolved.join(ents, Seq("e"), "left_semi")
+        val base = restrict(resolved)
         val scoped =
           if (explicitAttrs.isEmpty) base
           else base.where(!$"a".isInCollection(explicitAttrs))
@@ -501,9 +524,8 @@ class TripleStore(
             .as(PWild.name))
       case p: PRevIds =>
         // who points at me through attr (Q7c): sorted eid array
-        edgesFor(Some(Seq(p.attr)))
-          .select($"vref".as("e"), $"e".as("_src"))
-          .join(ents, Seq("e"), "left_semi")
+        restrict(edgesFor(Some(Seq(p.attr)))
+          .select($"vref".as("e"), $"e".as("_src")))
           .groupBy($"e").agg(sort_array(collect_set($"_src")).as(p.name))
       case p: PNest =>
         // nested descent (Q7d): one edge join + recursive child pull +
@@ -513,7 +535,7 @@ class TripleStore(
         val edge =
           if (p.reverse) edge0.select($"vref".as("e"), $"e".as("_child"))
           else edge0.select($"e", $"vref".as("_child"))
-        val scoped = edge.join(ents, Seq("e"), "left_semi")
+        val scoped = restrict(edge)
         val childDf = pull(scoped.select($"_child".as("e")), p.sub)
         val childCols = childDf.columns.filter(_ != "e")
         scoped.join(childDf.withColumnRenamed("e", "_child"), Seq("_child"))
@@ -648,8 +670,19 @@ class TripleStore(
             }.getOrElse(ents)
           case _ => ents
         }
-        sortLimit(pull(pruned, specs, entitiesDistinct = true),
-          sortBy, desc, limit)
+        // the top-k prune yields <= limit eids: collect them ONCE (a
+        // bounded action — the ranking job that would otherwise re-run
+        // inside every pull branch) and pull by literal IN, which on a
+        // persisted store row-group-prunes each attr scan to ~k row
+        // groups (see pullImpl). Past the cap, the semi-join plan owns
+        // it unchanged.
+        val pulled =
+          if ((pruned ne ents) && limit.exists(_ <= TripleStore.TopKLiteralCap)) {
+            import spark.implicits._
+            val ids = pruned.select($"e").as[String].collect().toSeq
+            pullImpl(ids.toDF("e"), specs, entitiesDistinct = true, Some(ids))
+          } else pull(pruned, specs, entitiesDistinct = true)
+        sortLimit(pulled, sortBy, desc, limit)
     }
   }
 
@@ -1333,6 +1366,13 @@ class TripleStore(
 }
 
 object TripleStore {
+  /** Largest sort+limit `limit` that [[TripleStore.pullMany]] turns into
+    * a literal-IN pull (bounded driver collect; see `pullImpl`). Also the
+    * value the harness mains give `spark.sql.parquet.pushdown
+    * .inFilterThreshold` so the pushed IN keeps or-of-eq row-group
+    * semantics at the cap. */
+  val TopKLiteralCap = 1024
+
   /** The reference's base_schema (tripl.py:283-297): declarations present
     * BEFORE any user facts load. `db.schema:types` /
     * `db.schema:attributes` are card-MANY refs there, so they must stay

@@ -828,6 +828,10 @@ object Cli {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       // timestamps render/convert identically on any machine
       .config("spark.sql.session.timeZone", "UTC")
+      // pushed INs keep or-of-eq row-group semantics up to the top-k
+      // literal cap (see TripleStore.TopKLiteralCap)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.TripleStore.TopKLiteralCap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, argv)

@@ -12,6 +12,8 @@ object Probe {
     val spark = SparkSession.builder()
       .appName("probe").master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.TripleStore.TopKLiteralCap)
       .config("spark.ui.enabled", false)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -160,6 +160,8 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold",
+        graft.TripleStore.TopKLiteralCap)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -463,35 +465,47 @@ object ScaleBench {
             Seq("documents:source" -> graft.query.MEq("src0")),
             Seq(graft.query.PAttr("documents:doc_id"),
               graft.query.PAttr("documents:text"))).count(); () }),
-      // value-index build over the scaled corpus: quantile sketch +
+      // persist the ingested store to the engine-native layout (ns-
+      // partitioned, (ns, a, e)-sorted files — TripleStore.save): the
+      // resolve + range-partitioned write, ~linear, paid once. The
+      // three workloads below run over the REOPENED store — the 100 TB
+      // deployment shape, and the only one where the sub-linear top-k
+      // machinery can fire (a TableSource-backed store answers all-flat
+      // pulls through fusedPullMany's base-table projection, which is
+      // already optimal there but linear by nature).
+      "eav_store_save" -> (() =>
+        { docStore(d).save(s"$scratch/eavstore_$tag"); () }),
+      // value-index build over the persisted corpus: quantile sketch +
       // one range-bucketed write + the manifest agg — ~linear by
       // construction, paid once then append-maintained
       "eav_value_index_build" -> (() => {
-        runSeq += 1
-        graft.ValueIndex.build(docStore(d), s"scale_vidx_$tag",
-          s"$scratch/vidx_${tag}_$runSeq", Seq("documents:n_chars"),
-          nBuckets = 64); ()
+        graft.ValueIndex.build(
+          graft.TripleStore.load(spark, s"$scratch/eavstore_$tag"),
+          s"scale_vidx_$tag", s"$scratch/vidx_$tag",
+          Seq("documents:n_chars"), nBuckets = 64); ()
       }),
-      // top-k pull through the index the previous workload built,
-      // single-clause match ON the sort attr — the universe form: the
-      // semi-join is provably an identity and skipped, the manifest
-      // picks the value threshold with exact counts (no counting
-      // round-trips), the scan partition-prunes to the top buckets —
-      // predicted ~flat (reads O(k + bucket) rows regardless of
-      // corpus size; only the k-entity pull tree remains)
+      // top-k pull through the index, single-clause match ON the sort
+      // attr — the universe form: the semi-join is provably an identity
+      // and skipped, the manifest picks the threshold with exact counts
+      // (no counting round-trips), the ranking is ONE partition-pruned
+      // TakeOrdered over the top value-range buckets, and the k-entity
+      // pull pushes the k eids as an IN into the (a, e)-sorted layout
+      // (row-group pruning) — predicted ~flat: no stage reads O(n)
       "eav_pull_topk" -> (() =>
-        { docStore(d).withValueIndex(s"scale_vidx_$tag").pullMany(
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .withValueIndex(s"scale_vidx_$tag").pullMany(
             Seq("documents:n_chars" -> graft.query.MAny),
             Seq(graft.query.PAttr("documents:doc_id"),
               graft.query.PAttr("documents:n_chars")),
             sortBy = Some("n_chars"), desc = true,
             limit = Some(100)).count(); () }),
-      // CONTRAST BASELINE: the identical query with NO index — rank
-      // ALL matched eids by one attr-pruned scan (TakeOrdered over
-      // every n_chars fact, the pre-index shape) — ~linear, the
-      // exponent the index is beating
+      // CONTRAST BASELINE: the identical query on the same persisted
+      // store with NO index — rank ALL eids by one attr-pruned scan
+      // (TakeOrdered over every n_chars fact, the pre-index shape) —
+      // ~linear in the attr's facts, the exponent the index is beating
       "eav_pull_topk_scan" -> (() =>
-        { docStore(d).pullMany(
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .pullMany(
             Seq("documents:n_chars" -> graft.query.MAny),
             Seq(graft.query.PAttr("documents:doc_id"),
               graft.query.PAttr("documents:n_chars")),

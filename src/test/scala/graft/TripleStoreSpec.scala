@@ -1078,6 +1078,37 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(topVals(ts) === topVals(union))
   }
 
+  test("persisted store: top-k pull pushes the k eids as an IN into the " +
+      "(a, e)-sorted parquet layout; no semi-join; answers match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_litpull").toString
+    // distinct values → the top-8 id set is deterministic
+    val rows = (0 until 200).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    plain.save(s"$dir/store")
+    val re = TripleStore.load(spark, s"$dir/store")
+    def top(s: TripleStore) = s.pullMany(Seq("n:v" -> MAny),
+      Seq(PAttr("n:v"), PAttr("n:tag")), sortBy = Some("v"), desc = true,
+      limit = Some(8))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"e", $"v", $"tag").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+    assert(rowsOf(top(re)) === rowsOf(top(plain)))
+    // plan fence: the pull scans carry the pushed IN(e, …) — 8 literals
+    // stay under parquet's default or-of-eq threshold (10), and the
+    // (ns, a, e)-sorted files make that a row-group prune at scale. The
+    // ranking subtree was collected once; no per-branch semi-join runs.
+    val plan = top(re).queryExecution.executedPlan.toString
+    assert(plan.contains("In(e, ") && plan.contains("PushedFilters"),
+      s"expected a pushed eid IN filter:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"literal pull must not semi-join:\n$plan")
+    // same through a value index: probe picks the eids sub-linearly,
+    // the pull is the same literal-IN shape
+    val idx = re.buildValueIndex("vidx_lit", s"$dir/vidx", Seq("n:v"),
+      nBuckets = 8)
+    assert(rowsOf(top(idx)) === rowsOf(top(plain)))
+  }
+
   test("valueIndex: build rejects card-many and non-numeric attrs; " +
       "unstamped manifests fail fast with a rebuild message") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx4").toString
