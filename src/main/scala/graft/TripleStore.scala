@@ -661,7 +661,7 @@ class TripleStore(
                 // single-clause `(sortAttr, any)` match: the entity set
                 // IS the sort attr's fact universe, so an index probe
                 // may skip the ents semi-join entirely (provably an
-                // identity — see ValueIndex.topKDescEids)
+                // identity — see ValueIndex.topKEids)
                 val universe = pattern match {
                   case Seq((a, MAny)) if a == p.attr => true
                   case _ => false
@@ -695,16 +695,17 @@ class TripleStore(
     * DESCENDING top-k probes it first: the manifest picks a value
     * threshold provably covering the top k, the scan partition-prunes
     * to the few highest buckets, and the linear pass disappears —
-    * sub-linear in the attribute's fact count. The probe declines
-    * (None → this fallback) for ascending sorts (nulls-FIRST semantics
-    * rank missing-attr entities ahead of every indexed value) and when
-    * `ents` is so selective the whole range holds < k matches. */
+    * sub-linear in the attribute's fact count. ASCENDING probes only in
+    * the universe form (there every entity provably has the attr, so
+    * nulls-FIRST ranking of missing-attr entities is vacuous); a
+    * non-universe asc, and an `ents` so selective the whole range holds
+    * < k matches, decline (None → this fallback). */
   private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
       limit: Int, entsIsUniverse: Boolean = false): DataFrame = {
     val viaIndex =
-      if (desc) valueIndex.flatMap(t =>
-        ValueIndex.topKDescEids(spark, t, attr, valueCol(attr),
-          if (entsIsUniverse) None else Some(ents), limit))
+      if (desc || entsIsUniverse) valueIndex.flatMap(t =>
+        ValueIndex.topKEids(spark, t, attr, valueCol(attr),
+          if (entsIsUniverse) None else Some(ents), limit, desc))
       else None
     viaIndex.getOrElse {
       val vc = col(valueCol(attr))

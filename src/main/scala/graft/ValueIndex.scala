@@ -147,14 +147,12 @@ object ValueIndex {
     man
   }
 
-  /** The top-`k` DESCENDING eids by `attr` through the index, restricted
-    * to `ents` when given — or None when the index can't answer (attr
-    * not indexed, or `ents` so selective that even the full value range
-    * holds < k matches; the caller falls back to the linear scan, which
-    * also owns the missing-attr null-fill). Ascending stays on the
-    * fallback by design: asc ranks entities MISSING the attr first (SQL
-    * nulls-first semantics, see [[TripleStore.pullMany]]), and a value
-    * index fundamentally cannot enumerate absent facts.
+  /** The top-`k` eids by `attr` through the index (descending when
+    * `desc`, else ascending), restricted to `ents` when given — or None
+    * when the index can't answer (attr not indexed, or `ents` so
+    * selective that even the full value range holds < k matches; the
+    * caller falls back to the linear scan, which also owns the
+    * missing-attr null-fill).
     *
     * `ents = None` means the caller PROVED the entity set is exactly
     * this attribute's fact universe (pullMany does when the match
@@ -164,15 +162,21 @@ object ValueIndex {
     * decisive, and the probe is FULLY LAZY — one partition-pruned
     * TakeOrdered job when the pull executes, no counting round-trips:
     * the whole query becomes sub-linear, not just the ranking half.
+    * ASCENDING is served ONLY in this universe form: every universe
+    * entity has the attr by definition, so SQL's nulls-first ranking of
+    * missing-attr entities (see [[TripleStore.pullMany]]) is vacuous;
+    * with a general `ents` the probe declines asc — a value index
+    * fundamentally cannot enumerate absent facts.
     *
     * With `ents`, driver work is bounded: the aggregated manifest (≤
     * nBuckets rows per attr) is collected once; each widening round is
     * one partition-pruned count, and the target 4×s per round, so
     * rounds ≤ log₄ of the attr's fact count even against a hostile
     * `ents`. */
-  private[graft] def topKDescEids(spark: SparkSession, table: String,
+  private[graft] def topKEids(spark: SparkSession, table: String,
       attr: String, nativeCol: String, ents: Option[DataFrame],
-      k: Int): Option[DataFrame] = {
+      k: Int, desc: Boolean = true): Option[DataFrame] = {
+    if (!desc && ents.isDefined) return None
     val buckets = readManifest(spark, table)
       .where(col("fmt") === Fmt && col("a") === attr)
       .groupBy(col("bkt"))
@@ -181,41 +185,50 @@ object ValueIndex {
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
     if (buckets.isEmpty) return None
-    val byMinDesc = buckets.sortBy(-_._2)
+    // walk order: best-bucket-first. Desc walks by min DESC and cuts on
+    // the min (every row of a walked bucket is >= cut); asc mirrors —
+    // by max ASC, cutting on the max (every row is <= cut).
+    val walk =
+      if (desc) buckets.sortBy(-_._2) else buckets.sortBy(_._3)
     val total = buckets.map(_._4).sum
-    // threshold t(target): walk buckets by min desc until their counts
-    // cover the target — every row of those buckets is >= t, so at
-    // least `target` rows are >= t and the true top-target all are too
+    // threshold t(target): walk buckets until their counts cover the
+    // target — at least `target` rows sit on the kept side of t, so the
+    // true top-target all do too
     def thresholdFor(target: Long): Double = {
-      var acc = 0L; var cut = Double.NegativeInfinity
-      val it = byMinDesc.iterator
+      var acc = 0L
+      var cut = if (desc) Double.NegativeInfinity else Double.PositiveInfinity
+      val it = walk.iterator
       while (acc < target && it.hasNext) {
-        val b = it.next(); acc += b._4; cut = b._2
+        val b = it.next(); acc += b._4; cut = if (desc) b._2 else b._3
       }
-      if (acc < target) Double.NegativeInfinity else cut
+      if (acc < target)
+        (if (desc) Double.NegativeInfinity else Double.PositiveInfinity)
+      else cut
     }
-    def scanAbove(t: Double): DataFrame = {
-      val bkts = buckets.filter(_._3 >= t).map(_._1)
+    // the kept side of t, partition-pruned to buckets that can reach it
+    def scanPast(t: Double): DataFrame = {
+      val bkts =
+        if (desc) buckets.filter(_._3 >= t).map(_._1)
+        else buckets.filter(_._2 <= t).map(_._1)
       spark.table(table)
         .where(col("a") === attr && col("bkt").isInCollection(bkts) &&
-          col("vnum") >= t)
+          (if (desc) col("vnum") >= t else col("vnum") <= t))
     }
+    def ordered(df: DataFrame): DataFrame =
+      df.orderBy(if (desc) col(nativeCol).desc else col(nativeCol).asc)
+        .limit(k).select(col("e"))
     ents match {
       case None =>
         // exact counts → one decisive threshold, no actions here (if
         // the whole universe holds < k facts, the un-thresholded scan
         // IS the full answer set and limit(k) is a no-op)
-        val t = thresholdFor(math.min(k.toLong, total))
-        Some(scanAbove(t).orderBy(col(nativeCol).desc).limit(k)
-          .select(col("e")))
+        Some(ordered(scanPast(thresholdFor(math.min(k.toLong, total)))))
       case Some(es) =>
         var target = k.toLong
         while (true) {
-          val cand = scanAbove(thresholdFor(target))
+          val cand = scanPast(thresholdFor(target))
             .join(es, Seq("e"), "left_semi")
-          if (cand.count() >= k)
-            return Some(cand.orderBy(col(nativeCol).desc).limit(k)
-              .select(col("e")))
+          if (cand.count() >= k) return Some(ordered(cand))
           if (target >= total) return None
           target = math.min(total, target * 4)
         }

@@ -1024,14 +1024,24 @@ class PropertySpec extends AnyFunSuite {
         Seq("p:n"), nBuckets = 4 + rnd.nextInt(12))
       val entIds = rows.map(_._1).filter(_ => rnd.nextInt(3) > 0)
       val k = 1 + rnd.nextInt(30)
-      val got = ValueIndex.topKDescEids(spark, s"vidx_prop_$trial",
+      val got = ValueIndex.topKEids(spark, s"vidx_prop_$trial",
         "p:n", "vlong", Some(entIds.toDF("e")), k)
       // universe form on the same index: matches the full-ents model
-      val uniVals = ValueIndex.topKDescEids(spark, s"vidx_prop_$trial",
+      val uniVals = ValueIndex.topKEids(spark, s"vidx_prop_$trial",
           "p:n", "vlong", None, k).get
         .as[String].collect().toSeq.map(rows.toMap).sorted.reverse
       assert(uniVals ===
         rows.map(_._2).sorted.reverse.take(k), s"trial $trial universe")
+      // ascending universe form: bottom-k value multiset, same model
+      val uniAsc = ValueIndex.topKEids(spark, s"vidx_prop_$trial",
+          "p:n", "vlong", None, k, desc = false).get
+        .as[String].collect().toSeq.map(rows.toMap).sorted
+      assert(uniAsc === rows.map(_._2).sorted.take(k),
+        s"trial $trial universe asc")
+      // asc with a general ents declines (nulls-first fallback owns it)
+      assert(ValueIndex.topKEids(spark, s"vidx_prop_$trial", "p:n",
+        "vlong", Some(entIds.toDF("e")), k, desc = false).isEmpty,
+        s"trial $trial asc+ents must decline")
       val byId = rows.toMap
       val matchedVals = entIds.map(byId).sorted.reverse
       if (matchedVals.size < k) assert(got.isEmpty, s"trial $trial")

@@ -1020,7 +1020,7 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(topVals(ts, 10) === topVals(plain, 10)) // k inside the plateau
     assert(topVals(ts, 50) === topVals(plain, 50)) // k spanning plateau+tail
     // the probe itself: answers, and its scan partition-prunes on bkt
-    val probe = ValueIndex.topKDescEids(spark, "vidx_t1", "n:v", "vlong",
+    val probe = ValueIndex.topKEids(spark, "vidx_t1", "n:v", "vlong",
       Some(plain.resolved.select($"e").distinct()), 10)
     assert(probe.isDefined)
     val plan = probe.get.queryExecution.executedPlan.toString
@@ -1028,13 +1028,23 @@ class TripleStoreSpec extends AnyFunSuite {
       s"expected a bkt-partition-pruned scan:\n$plan")
     // universe form (ents proven == the attr's fact universe): same
     // answer, no semi-join, fully lazy
-    val uni = ValueIndex.topKDescEids(spark, "vidx_t1", "n:v", "vlong",
+    val uni = ValueIndex.topKEids(spark, "vidx_t1", "n:v", "vlong",
       None, 10)
     assert(uni.isDefined)
     assert(uni.get.as[String].collect().map(k => rows.toMap.apply(k))
       .sorted.toList === topVals(plain, 10))
     assert(!uni.get.queryExecution.executedPlan.toString.contains("Join"),
       "universe probe must not semi-join")
+    // ascending universe form end-to-end: pullMany single-clause match
+    // on the sort attr, asc — the index serves it (every universe
+    // entity has the attr; no nulls to rank first), same answer as the
+    // unindexed store
+    def botVals(s: TripleStore, k: Int) = s.pullMany(Seq("n:v" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = false,
+        limit = Some(k))
+      .select($"v").as[Long].collect().toList.sorted
+    assert(botVals(ts, 10) === botVals(plain, 10))
+    assert(botVals(ts, 50) === botVals(plain, 50))
   }
 
   test("valueIndex: selective ents widen the threshold; ents with < k " +
@@ -1047,13 +1057,13 @@ class TripleStoreSpec extends AnyFunSuite {
     // only the LOWEST 5% of values match → first threshold rounds find
     // nothing; the widening loop must still land the exact answer
     val lowEnts = (0 until 20).map(i => f"e$i%03d").toDF("e")
-    val viaIdx = ValueIndex.topKDescEids(spark, "vidx_t2", "n:v", "vlong",
+    val viaIdx = ValueIndex.topKEids(spark, "vidx_t2", "n:v", "vlong",
       Some(lowEnts), 10)
     assert(viaIdx.isDefined)
     assert(viaIdx.get.as[String].collect().toSet ===
       (10 until 20).map(i => f"e$i%03d").toSet)
     // fewer matches than k in the ENTIRE range → None (fallback owns it)
-    assert(ValueIndex.topKDescEids(spark, "vidx_t2", "n:v", "vlong",
+    assert(ValueIndex.topKEids(spark, "vidx_t2", "n:v", "vlong",
       Some((0 until 5).map(i => f"e$i%03d").toDF("e")), 10).isEmpty)
     // end-to-end: the fallback fills with missing-attr entities exactly
     // as an unindexed store does
@@ -1126,7 +1136,7 @@ class TripleStoreSpec extends AnyFunSuite {
       .write.mode("overwrite").option("path", s"$dir/old_manifest")
       .format("parquet").saveAsTable("vidx_old_manifest")
     val err = intercept[IllegalArgumentException] {
-      ValueIndex.topKDescEids(spark, "vidx_old", "n:v", "vlong",
+      ValueIndex.topKEids(spark, "vidx_old", "n:v", "vlong",
         Some(Seq("e1").toDF("e")), 1)
     }
     assert(err.getMessage.contains("rebuild"))
