@@ -337,6 +337,56 @@ object SparkEntry {
     registerPlainTable(s, table + "_centroids", loc + "_centroids")
   }
 
+  /** [[lshIndexFromPristine]]'s shape for [[graft.ValueIndex]] tables:
+    * the quantile-cut + range-bucketed write runs once per (tag, sf);
+    * probes are read-only, so consumers register the (a, bkt)-
+    * partitioned data + the manifest sidecar straight over the pristine
+    * files — no per-run copy. Production analogue: the index already
+    * exists, append-maintained (ScaleBench times the build itself). */
+  private def valueIndexFromPristine(s: SparkSession,
+      store: => graft.TripleStore, tag: String, dir: String,
+      table: String, attrs: Seq[String], nBuckets: Int): Unit = {
+    val pristine = scratch(tag + "_pristine", dir)
+    val marker = java.nio.file.Paths.get(pristine + "_OK")
+    val stamp = s"vidxv1 attrs=${attrs.mkString(",")} nb=$nBuckets " +
+      s"src=${dirFingerprint(dir)}"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      for (suffix <- Seq("", "_manifest"))
+        deleteRec(java.nio.file.Paths.get(pristine + suffix))
+      graft.ValueIndex.build(store, table + "_pristine", pristine,
+        attrs, nBuckets)
+      java.nio.file.Files.writeString(marker, stamp)
+    }
+    registerPartitionedTable(s, table, pristine, Seq("a", "bkt"))
+    registerPlainTable(s, table + "_manifest", pristine + "_manifest")
+  }
+
+  /** [[registerPlainTable]] for a directory-PARTITIONED parquet
+    * location: partition columns become catalog partitions (the probe's
+    * partition pruning needs them in the catalog) and a recover scans
+    * the directory layout once at registration. */
+  private def registerPartitionedTable(s: SparkSession, table: String,
+      path: String, partCols: Seq[String]): Unit = {
+    val same = try {
+      s.catalog.tableExists(table) && {
+        val m = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        m.storage.locationUri.exists(u =>
+          new java.io.File(u).getAbsolutePath ==
+            new java.io.File(path).getAbsolutePath)
+      }
+    } catch { case _: Exception => false }
+    if (same) { s.sql(s"REFRESH TABLE $table"); return }
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = s.read.parquet(path).schema
+    s.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
+      s"PARTITIONED BY (${partCols.mkString(", ")}) LOCATION '$path'")
+    s.sql(s"MSCK REPAIR TABLE $table")
+  }
+
   /** Reference-surface operators (SURVEY.md §2.2-2.5). */
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1/Q2/Q7a: single-attr equality match + flat pull
@@ -2273,13 +2323,16 @@ object SparkEntry {
     // threshold covering the top k, the scan partition-prunes to the
     // highest value-range buckets, and no full attr scan runs (the
     // sub-linear realization of the reference's sort TODO,
-    // tripl.py:730-732; asc stays on the fallback — nulls-first). The
-    // index builds fresh per run into scratch: build cost is the point
-    // at which production amortizes, correctness is what this verifies.
+    // tripl.py:730-732; a non-universe asc stays on the fallback —
+    // nulls-first). The index builds once per (tag, sf) behind a
+    // pristine marker — production's "the index already exists";
+    // ScaleBench's eav_value_index_build times the build itself.
     "q167_pull_topk_indexed" -> ((s, dir) => {
+      valueIndexFromPristine(s, Tpch.store(s, dir, "customer", "nation"),
+        "q167_vidx", dir, "q167_vidx", Seq("customer:custkey"),
+        nBuckets = 16)
       val ts = Tpch.store(s, dir, "customer", "nation")
-        .buildValueIndex("q167_vidx", scratch("q167_vidx", dir),
-          Seq("customer:custkey"), nBuckets = 16)
+        .withValueIndex("q167_vidx")
       ts.pullMany(
           Seq(Triples.TypeAttr -> MEq("customer")),
           Seq(PAttr("customer:custkey"), PAttr("customer:acctbal"),
