@@ -374,12 +374,21 @@ class TripleStoreSpec extends AnyFunSuite {
       sortBy = Some("rank"), desc = true, limit = Some(3))
     assert(out.select($"rank").as[String].collect().toList ===
       List("r20", "r19", "r18"))
-    // TWO TakeOrderedAndProject nodes: the eid pre-selection (below the
-    // pull joins — the pushdown) and the final output ordering. Without
-    // the pushdown the plan has exactly one, above everything.
+    // The eid pre-selection ran EAGERLY (its own TakeOrdered job) and
+    // fed the pull a ≤ limit LITERAL entity relation — so the FINAL plan
+    // holds exactly one TakeOrderedAndProject (the output ordering) and
+    // its pull tree is rooted at a local relation of the k collected
+    // eids, not at a match subtree re-ranking every entity. Without the
+    // pushdown the single TakeOrdered would sit above a full-match pull.
     val plan = out.queryExecution.executedPlan.toString
     val n = "TakeOrderedAndProject".r.findAllMatchIn(plan).size
-    assert(n >= 2, s"expected pushed-down TakeOrderedAndProject, got $n:\n$plan")
+    assert(n === 1, s"expected one final TakeOrderedAndProject, got $n:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"expected the pull rooted at the collected literal eids:\n$plan")
+    // and the ranking subtree (resolution window over p:rank) must NOT
+    // appear under the final TakeOrdered more than the pull itself needs
+    assert(!plan.contains("LeftSemi"),
+      s"literal pull must not re-rank via semi-joins:\n$plan")
   }
 
   test("asOf time travel: later upserts un-happen; views are full stores") {
