@@ -126,6 +126,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids() === List(1L, 2L, 4L))
   }
 
+  test("first-seen dedup restart survival holds on the RocksDB state " +
+      "store (the provider the bench harness pins)") {
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val oldP = spark.conf.getOption(pkey)
+    spark.conf.set(pkey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+      val data = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+      def write(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+        rows.toDF("id", "text", "ts").coalesce(1)
+          .write.mode("append").parquet(data)
+      def start() = {
+        val stream = spark.readStream
+          .schema("id BIGINT, text STRING, ts TIMESTAMP")
+          .parquet(data)
+        graft.streaming.StreamingDedup
+          .firstSeen(stream, "text", "ts", watermarkDelay = "1 hour")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+      }
+      def ids() = spark.read.parquet(out).select($"id")
+        .as[Long].collect().toList.sorted
+      write(Seq((1L, "a b", ts(1)), (2L, "other", ts(2))))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      assert(ids() === List(1L, 2L))
+      // restart from the same checkpoint: RocksDB snapshots + changelog
+      // must reload the dedup state, not just an in-heap map
+      write(Seq((3L, "A  b", ts(10)), (4L, "fresh", ts(11))))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(ids() === List(1L, 2L, 4L))
+    } finally oldP match {
+      case Some(p) => spark.conf.set(pkey, p)
+      case None => spark.conf.unset(pkey)
+    }
+  }
+
   test("session_window state survives a checkpoint restart and merges " +
       "across runs") {
     val base = java.nio.file.Files.createTempDirectory("graft_sess").toString
