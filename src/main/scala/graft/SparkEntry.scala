@@ -110,6 +110,9 @@ object SparkEntry {
     val oldP = s.conf.getOption(pkey)
     s.conf.set(key, n.toString)
     s.conf.set(pkey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     try body finally {
       s.conf.set(key, old)
       oldP match {
