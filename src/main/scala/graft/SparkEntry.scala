@@ -363,31 +363,7 @@ object SparkEntry {
         attrs, nBuckets)
       java.nio.file.Files.writeString(marker, stamp)
     }
-    registerPartitionedTable(s, table, pristine, Seq("a", "bkt"))
-    registerPlainTable(s, table + "_manifest", pristine + "_manifest")
-  }
-
-  /** [[registerPlainTable]] for a directory-PARTITIONED parquet
-    * location: partition columns become catalog partitions (the probe's
-    * partition pruning needs them in the catalog) and a recover scans
-    * the directory layout once at registration. */
-  private def registerPartitionedTable(s: SparkSession, table: String,
-      path: String, partCols: Seq[String]): Unit = {
-    val same = try {
-      s.catalog.tableExists(table) && {
-        val m = s.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))
-        m.storage.locationUri.exists(u =>
-          new java.io.File(u).getAbsolutePath ==
-            new java.io.File(path).getAbsolutePath)
-      }
-    } catch { case _: Exception => false }
-    if (same) { s.sql(s"REFRESH TABLE $table"); return }
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val schema = s.read.parquet(path).schema
-    s.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
-      s"PARTITIONED BY (${partCols.mkString(", ")}) LOCATION '$path'")
-    s.sql(s"MSCK REPAIR TABLE $table")
+    graft.ValueIndex.register(s, table, pristine)
   }
 
   /** Reference-surface operators (SURVEY.md §2.2-2.5). */

@@ -121,6 +121,88 @@ object ValueIndex {
     } finally base.unpersist()
   }
 
+  /** Register catalog entries for an EXISTING index layout: `table`
+    * over the (a, bkt)-partitioned data at `path` (partition recovery
+    * included — the probe's partition pruning needs the partitions in
+    * the catalog) and `table_manifest` over the sidecar at
+    * `path + "_manifest"`. The catalog is per-session; a persisted
+    * index reopens in a new session through this, with no data read
+    * beyond one schema inference. */
+  def register(spark: SparkSession, table: String, path: String): Unit =
+    registerAt(spark, table, path, path + "_manifest")
+
+  private def registerAt(spark: SparkSession, table: String,
+      dataPath: String, manPath: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val schema = spark.read.parquet(dataPath).schema
+    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
+      s"PARTITIONED BY (a, bkt) LOCATION '$dataPath'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
+    val mSchema = spark.read.parquet(manPath).schema
+    spark.sql(s"CREATE TABLE ${table}_manifest (${mSchema.toDDL}) " +
+      s"USING PARQUET LOCATION '$manPath'")
+  }
+
+  /** Re-cut and rewrite the index into `newPath` — the MAINTENANCE
+    * VALVE for the append path. [[append]] harvests its cut points from
+    * the manifest (which already holds prior appends' rows), so cuts
+    * trail the data: drifted batches open fresh edge buckets past the
+    * build-time ids, every append adds one file and one manifest row
+    * per touched bucket (the small-file fragmentation every
+    * append-maintained layout accrues), and as harvested cuts shift,
+    * bucket VALUE RANGES smear across ids. Probes stay EXACT throughout
+    * (the threshold argument never needed bucket disjointness) but the
+    * partition-pruned scan and the manifest read widen with the
+    * fragmentation. Compaction recomputes the quantile cuts over the
+    * CURRENT rows and rewrites both tables — back to nBuckets tight
+    * buckets, one file and one manifest row each; O(index) work,
+    * index-only (the store is never re-scanned) — then swaps the
+    * catalog entries to the new location, restoring the old
+    * registration if the swap fails (the [[graft.ops.Layout
+    * .compactBucketed]] discipline). Returns the old (data, manifest)
+    * locations for [[graft.ops.Layout.vacuum]] once readers drain. */
+  def compact(spark: SparkSession, table: String, newPath: String,
+      nBuckets: Int = 64): (String, String) = {
+    readManifest(spark, table) // fmt check before any writes
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def loc(t: String) = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(t)).location.toString
+    val oldData = loc(table); val oldMan = loc(table + "_manifest")
+    val base = spark.table(table)
+      .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vnum"))
+      .persist()
+    try {
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+      val cuts: Map[String, Seq[Double]] = base.groupBy(col("a"))
+        .agg(percentile_approx(col("vnum"),
+          array(probs.map(lit): _*), lit(10000)).as("cuts"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+      val data = base.withColumn("bkt", bucketOf(cuts))
+      val tmp = table + "_compacting"
+      for (s <- Seq("", "_manifest"))
+        spark.sql(s"DROP TABLE IF EXISTS $tmp$s")
+      data.repartition(col("a"), col("bkt"))
+        .sortWithinPartitions(col("a"), col("bkt"), col("vnum"))
+        .write.mode("overwrite").option("path", newPath)
+        .partitionBy("a", "bkt").format("parquet").saveAsTable(tmp)
+      manifestOf(data)
+        .write.mode("overwrite").option("path", newPath + "_manifest")
+        .format("parquet").saveAsTable(tmp + "_manifest")
+      // external tables: DROP removes catalog entries only, files stay
+      for (s <- Seq("", "_manifest")) spark.sql(s"DROP TABLE $tmp$s")
+      for (s <- Seq("", "_manifest")) spark.sql(s"DROP TABLE $table$s")
+      try register(spark, table, newPath)
+      catch { case e: Throwable =>
+        // never lose the live entries: restore the old locations
+        registerAt(spark, table, oldData, oldMan)
+        throw e
+      }
+      (oldData, oldMan)
+    } finally base.unpersist()
+  }
+
   /** bucket = number of this attr's cut points strictly below the value
     * (0 .. |cuts|), as one literal-map lookup + bounded HOF — no shuffle,
     * no UDF. */

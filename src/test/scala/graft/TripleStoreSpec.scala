@@ -1097,6 +1097,44 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(topVals(ts) === topVals(union))
   }
 
+  test("valueIndex: appends fragment the layout and open drift buckets; " +
+      "compact re-cuts and swaps the catalog; probe exact throughout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidx5").toString
+    val base = numStore((0 until 200).map(i => (f"e$i%03d", i.toLong)))
+    base.buildValueIndex("vidx_t5", s"$dir/v5", Seq("n:v"), nBuckets = 8)
+    // three drifted batches, every value past the build-time max —
+    // harvested cuts trail the data, so each batch opens fresh edge
+    // buckets and adds manifest rows / files
+    val drifts = (1 to 3).map(b =>
+      (0 until 100).map(i => (f"d$b%d_$i%03d", (1000 * b + i).toLong)))
+    drifts.foreach(rows => ValueIndex.append(numStore(rows), "vidx_t5"))
+    def manifestRows() = spark.table("vidx_t5_manifest").count()
+    def maxBkt() = spark.table("vidx_t5_manifest")
+      .agg(max($"bkt")).as[Int].head()
+    assert(manifestRows() >= 8 + 3, "appends must add manifest rows")
+    assert(maxBkt() > 7, "drift must open buckets past the build ids")
+    val union = numStore(
+      (0 until 200).map(i => (f"e$i%03d", i.toLong)) ++ drifts.flatten)
+    val ts = union.withValueIndex("vidx_t5")
+    def topVals(s: TripleStore) = s.pullMany(Seq("n:v" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = true,
+        limit = Some(12))
+      .select($"v").as[Long].collect().toList.sorted
+    // probes stay EXACT under drift (threshold never needed disjointness)
+    assert(topVals(ts) === topVals(union))
+    // compact: re-cut over current rows, swap catalog, old paths return
+    val (oldData, oldMan) = ValueIndex.compact(spark, "vidx_t5",
+      s"$dir/v5c", nBuckets = 8)
+    assert(manifestRows() <= 8, "compaction must collapse the manifest")
+    assert(maxBkt() <= 7, "compaction must restore the bucket-id range")
+    assert(topVals(ts) === topVals(union))
+    // the swap really moved the files: vacuuming the old locations
+    // leaves the probe intact
+    graft.ops.Layout.vacuum(spark, oldData)
+    graft.ops.Layout.vacuum(spark, oldMan)
+    assert(topVals(ts) === topVals(union))
+  }
+
   test("persisted store: top-k pull pushes the k eids as an IN into the " +
       "(a, e)-sorted parquet layout; no semi-join; answers match") {
     val dir = java.nio.file.Files.createTempDirectory("graft_litpull").toString
