@@ -133,6 +133,23 @@ object ValueIndex {
 
   private def registerAt(spark: SparkSession, table: String,
       dataPath: String, manPath: String): Unit = {
+    // same-location fast path: REFRESH instead of drop + re-create +
+    // partition recovery (MSCK re-lists every (a, bkt) directory — at
+    // thousands of partitions that is a real metadata scan per call)
+    val same = try {
+      spark.catalog.tableExists(table) && {
+        val m = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        m.storage.locationUri.exists(u =>
+          new java.io.File(u).getAbsolutePath ==
+            new java.io.File(dataPath).getAbsolutePath)
+      }
+    } catch { case _: Exception => false }
+    if (same) {
+      spark.sql(s"REFRESH TABLE $table")
+      spark.sql(s"REFRESH TABLE ${table}_manifest")
+      return
+    }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val schema = spark.read.parquet(dataPath).schema
     spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
