@@ -106,19 +106,22 @@ object SparkEntry {
   private def withShuffle[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val ckey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val old = s.conf.get(key)
     val oldP = s.conf.getOption(pkey)
+    val oldC = s.conf.getOption(ckey)
     s.conf.set(key, n.toString)
     s.conf.set(pkey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-      "true")
+    s.conf.set(ckey, "true")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(p) => s.conf.set(k, p)
+      case None => s.conf.unset(k)
+    }
     try body finally {
       s.conf.set(key, old)
-      oldP match {
-        case Some(p) => s.conf.set(pkey, p)
-        case None => s.conf.unset(pkey)
-      }
+      restore(pkey, oldP)
+      restore(ckey, oldC)
     }
   }
 
@@ -351,7 +354,7 @@ object SparkEntry {
       table: String, attrs: Seq[String], nBuckets: Int): Unit = {
     val pristine = scratch(tag + "_pristine", dir)
     val marker = java.nio.file.Paths.get(pristine + "_OK")
-    val stamp = s"vidxv1 attrs=${attrs.mkString(",")} nb=$nBuckets " +
+    val stamp = s"vidxv2 attrs=${attrs.mkString(",")} nb=$nBuckets " +
       s"src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp

@@ -1287,22 +1287,35 @@ class TripleStore(
             implicit val ec: ExecutionContext =
               ExecutionContext.fromExecutorService(pool)
             val sc = spark.sparkContext
+            // first failure flips this; QUEUED batches then no-op — at
+            // ~1000 batches a maxFrontier trip on batch 3 must not burn
+            // the remaining ~997 full BFS fixpoints before propagating.
+            // In-flight batches still drain (the settle below), so the
+            // shared caches never drop under a live job.
+            val failed = new java.util.concurrent.atomic.AtomicBoolean
+            final class BatchSkipped extends IllegalStateException(
+              "batch skipped: an earlier batch failed")
             val settled = Await.result(
               Future.sequence((0 until nBatches).map { b =>
                 Future {
+                  if (failed.get()) throw new BatchSkipped
                   // thread-local job metadata: batches share a FAIR pool
                   // and stay attributable in the UI
                   sc.setLocalProperty("spark.scheduler.pool",
                     "graft_reachable")
                   sc.setJobDescription(
                     s"reachableBatched batch ${b + 1}/$nBatches")
-                  runBatch(b)
+                  try runBatch(b)
+                  catch { case e: Throwable => failed.set(true); throw e }
                   // settle (never fail) the sequence so Await drains ALL
-                  // batches before any failure propagates — the finally
-                  // below unpersists the shared caches, which must not
-                  // happen under a still-running batch
+                  // in-flight batches before any failure propagates
                 }.transform(scala.util.Success(_))
               }), Duration.Inf)
+            // propagate the ROOT failure, not a batch-skipped marker
+            settled.collectFirst {
+              case scala.util.Failure(e) if !e.isInstanceOf[BatchSkipped] =>
+                throw e
+            }
             settled.map(_.get)
           } finally pool.shutdown()
         }

@@ -40,7 +40,9 @@ import graft.model.Triples
   *
   * SNAPSHOT CONTRACT (same as [[TripleStore.source]]): the index must
   * cover the store's current facts for its attributes — build it from
-  * the store you query, [[append]] every ingested batch, and note that
+  * the store you query, [[append]] every ingested batch (NEW
+  * (entity, attr) facts only between compactions — see append's upsert
+  * caveat and [[compact]]'s latest-txId reconciliation), and note that
   * every TripleStore write op returns a store with the index handle
   * DROPPED (a snapshot can't see the write). A store queries it only
   * through [[TripleStore.withValueIndex]]. */
@@ -49,7 +51,7 @@ object ValueIndex {
     * with a rebuild message instead of silently mis-reading (the lshv2
     * lesson: a format change with no stamp strands old persisted
     * tables). */
-  private val Fmt = 1
+  private val Fmt = 2 // v2: data rows carry txId (compact reconciles upserts)
 
   /** Build the index for `attrs` (each must be declared cardinality-one
     * with a numeric value type — long or double). One pass computes
@@ -68,7 +70,8 @@ object ValueIndex {
     }
     val base = store.scanFor(attrs)
       .select(col("a"), col("e"), col("vlong"), col("vdbl"),
-        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"))
+        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"),
+        col("txId"))
       .where(col("vnum").isNotNull)
       .persist()
     try {
@@ -94,7 +97,14 @@ object ValueIndex {
     * attr, the per-bucket min values — an appended row between two old
     * buckets' ranges lands in one of them; the probe's threshold
     * argument tolerates the overlap), and appended to both tables. The
-    * existing corpus is never read or rewritten. */
+    * existing corpus is never read or rewritten — which also means a
+    * batch that RE-asserts a card-one attr for an already-indexed
+    * entity leaves the stale row beside the new one: probes in that
+    * window can rank the entity by the old value (and return it twice).
+    * [[compact]] reconciles (latest txId per (a, e) wins, the store's
+    * own resolution rule); until then append is exact only for batches
+    * asserting NEW (entity, attr) facts — the append-only norm of a
+    * training-corpus ingest. */
   def append(batch: TripleStore, table: String): Unit = {
     val spark = batch.spark
     val man = readManifest(spark, table)
@@ -107,13 +117,14 @@ object ValueIndex {
     require(cuts.nonEmpty, s"valueIndex $table has an empty manifest")
     val base = batch.scanFor(cuts.keys.toSeq)
       .select(col("a"), col("e"), col("vlong"), col("vdbl"),
-        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"))
+        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"),
+        col("txId"))
       .where(col("vnum").isNotNull)
       .persist()
     try {
       val data = base.withColumn("bkt", bucketOf(cuts))
       data.select(col("e"), col("vlong"), col("vdbl"), col("vnum"),
-          col("a"), col("bkt"))
+          col("txId"), col("a"), col("bkt"))
         .write.mode("append").format("parquet").insertInto(table)
       manifestOf(data)
         .write.mode("append").format("parquet")
@@ -135,14 +146,20 @@ object ValueIndex {
       dataPath: String, manPath: String): Unit = {
     // same-location fast path: REFRESH instead of drop + re-create +
     // partition recovery (MSCK re-lists every (a, bkt) directory — at
-    // thousands of partitions that is a real metadata scan per call)
+    // thousands of partitions that is a real metadata scan per call).
+    // Locations compare as FS-qualified URIs, not java.io.File paths —
+    // the index lives on hdfs:// or s3a:// in the deployment this
+    // exists for, and File(uri) throws on any non-file scheme.
     val same = try {
       spark.catalog.tableExists(table) && {
         val m = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(table))
+        val conf = spark.sessionState.newHadoopConf()
+        def qualified(p: org.apache.hadoop.fs.Path) =
+          p.getFileSystem(conf).makeQualified(p).toUri
         m.storage.locationUri.exists(u =>
-          new java.io.File(u).getAbsolutePath ==
-            new java.io.File(dataPath).getAbsolutePath)
+          qualified(new org.apache.hadoop.fs.Path(u)) ==
+            qualified(new org.apache.hadoop.fs.Path(dataPath)))
       }
     } catch { case _: Exception => false }
     if (same) {
@@ -186,9 +203,22 @@ object ValueIndex {
     def loc(t: String) = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(t)).location.toString
     val oldData = loc(table); val oldMan = loc(table + "_manifest")
-    val base = spark.table(table)
-      .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vnum"))
-      .persist()
+    // RECONCILE UPSERTS: append never reads the existing corpus, so a
+    // batch that re-asserted a card-one attr for an already-indexed
+    // entity left the stale row beside the new one (probes between that
+    // append and this compact see both). Keep the latest txId per
+    // (a, e) — map-side-combinable max_by, vnum tie-break for
+    // determinism on equal-tx duplicates — exactly the store's own
+    // latest-tx-wins resolution, applied to the index's rows.
+    val latest = spark.table(table)
+      .groupBy(col("a"), col("e"))
+      .agg(max_by(
+        struct(col("vlong"), col("vdbl"), col("vnum"), col("txId")),
+        struct(col("txId"), col("vnum"))).as("_m"))
+      .select(col("a"), col("e"), col("_m.vlong").as("vlong"),
+        col("_m.vdbl").as("vdbl"), col("_m.vnum").as("vnum"),
+        col("_m.txId").as("txId"))
+    val base = latest.persist()
     try {
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
       val cuts: Map[String, Seq[Double]] = base.groupBy(col("a"))
@@ -283,32 +313,54 @@ object ValueIndex {
         sum(col("cnt")).as("cnt"))
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-    if (buckets.isEmpty) return None
+    if (buckets.isEmpty) {
+      // distinguish "attr not indexed" (decline → fallback owns it)
+      // from "indexed under an old format" (fail LOUD — a silent
+      // fallback would hide that a rebuild is required; the lshv2
+      // lesson)
+      val stale = readManifest(spark, table)
+        .where(col("a") === attr && col("fmt") =!= Fmt)
+        .limit(1).count() > 0
+      require(!stale, s"valueIndex $table holds pre-v$Fmt rows for " +
+        s"$attr — rebuild with ValueIndex.build (v$Fmt data rows " +
+        "carry txId so compact can reconcile upserts)")
+      return None
+    }
+    // ALL driver-side value comparisons use java.lang.Double.compare —
+    // the total order with NaN LARGEST, which is exactly Spark SQL's
+    // ordering AND predicate semantics for NaN. Scala's IEEE operators
+    // would disagree (NaN >= t is false), silently pruning the bucket
+    // holding a double attr's NaN facts out of a desc scan while the
+    // fallback ranks them first.
+    def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
     // walk order: best-bucket-first. Desc walks by min DESC and cuts on
     // the min (every row of a walked bucket is >= cut); asc mirrors —
     // by max ASC, cutting on the max (every row is <= cut).
     val walk =
-      if (desc) buckets.sortBy(-_._2) else buckets.sortBy(_._3)
+      if (desc) buckets.sortWith((x, y) => cmp(x._2, y._2) > 0)
+      else buckets.sortWith((x, y) => cmp(x._3, y._3) < 0)
     val total = buckets.map(_._4).sum
+    // "no threshold" sentinels are the order's minimum/maximum: -Inf for
+    // desc, NaN (Spark's largest value) for asc — both make scanPast
+    // keep every bucket and every row, NaN facts included
+    val noCut = if (desc) Double.NegativeInfinity else Double.NaN
     // threshold t(target): walk buckets until their counts cover the
     // target — at least `target` rows sit on the kept side of t, so the
     // true top-target all do too
     def thresholdFor(target: Long): Double = {
       var acc = 0L
-      var cut = if (desc) Double.NegativeInfinity else Double.PositiveInfinity
+      var cut = noCut
       val it = walk.iterator
       while (acc < target && it.hasNext) {
         val b = it.next(); acc += b._4; cut = if (desc) b._2 else b._3
       }
-      if (acc < target)
-        (if (desc) Double.NegativeInfinity else Double.PositiveInfinity)
-      else cut
+      if (acc < target) noCut else cut
     }
     // the kept side of t, partition-pruned to buckets that can reach it
     def scanPast(t: Double): DataFrame = {
       val bkts =
-        if (desc) buckets.filter(_._3 >= t).map(_._1)
-        else buckets.filter(_._2 <= t).map(_._1)
+        if (desc) buckets.filter(b => cmp(b._3, t) >= 0).map(_._1)
+        else buckets.filter(b => cmp(b._2, t) <= 0).map(_._1)
       spark.table(table)
         .where(col("a") === attr && col("bkt").isInCollection(bkts) &&
           (if (desc) col("vnum") >= t else col("vnum") <= t))

@@ -39,10 +39,12 @@ final case class ParquetTripleSource(spark: SparkSession, path: String)
     case None => raw.drop("ns")
   }
 
-  // persisted stores carry every ingest path's db:ident facts through
-  // save/load (TripleStore.save never filters them) — contract holds
-  // by construction
-  override def assertsIdents: Boolean = true
+  // NO assertsIdents override: save() persists whatever facts the store
+  // held, and a store built from raw triples (the public constructor)
+  // may hold no db:ident facts at all — a loaded store must keep the
+  // one-row runtime probe or every lazy-ref edge would silently
+  // semi-join to empty. The probe is cheap here: it scans only the
+  // directory-pruned `db` namespace partition.
 }
 
 object ParquetTripleSource {

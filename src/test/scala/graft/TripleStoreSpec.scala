@@ -984,7 +984,7 @@ class TripleStoreSpec extends AnyFunSuite {
 
   /** Store of long-valued card-one facts `n:v` plus a string tag
     * `n:tag`, for the [[ValueIndex]] suite. */
-  def numStore(rows: Seq[(String, Long)]): TripleStore = {
+  def numStore(rows: Seq[(String, Long)], tx: Long = 0L): TripleStore = {
     val triples = rows.toDF("e", "vlong")
       .withColumn("a", lit("n:v"))
       .withColumn("vtype", lit(Triples.VLong))
@@ -994,7 +994,7 @@ class TripleStoreSpec extends AnyFunSuite {
       .withColumn("vts", lit(null).cast("timestamp_ntz"))
       .withColumn("vref", lit(null).cast("string"))
       .withColumn("vbin", lit(null).cast("binary"))
-      .withColumn("txId", lit(0L))
+      .withColumn("txId", lit(tx))
       .select(Triples.columns.map(col): _*)
     val tags = rows.map(_._1).toDF("e")
       .withColumn("a", lit("n:tag")).withColumn("vtype", lit(Triples.VStr))
@@ -1097,6 +1097,45 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(topVals(ts) === topVals(union))
   }
 
+  test("valueIndex: double attrs with NaN facts — probe == fallback " +
+      "under Spark's NaN-largest order (desc ranks NaN first)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxn").toString
+    def dblStore(rows: Seq[(String, Double)]): TripleStore = {
+      val triples = rows.toDF("e", "vdbl")
+        .withColumn("a", lit("d:v"))
+        .withColumn("vtype", lit(Triples.VDbl))
+        .withColumn("vstr", lit(null).cast("string"))
+        .withColumn("vlong", lit(null).cast("long"))
+        .withColumn("vbool", lit(null).cast("boolean"))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vref", lit(null).cast("string"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .withColumn("txId", lit(0L))
+        .select(Triples.columns.map(col): _*)
+      new TripleStore(spark, triples, Map("d:v" ->
+        AttrSchema("d:v", cardOne = true, isRef = false, Triples.VDbl)))
+    }
+    val rows = (0 until 60).map(i => (f"e$i%03d", i.toDouble)) ++
+      Seq(("nanA", Double.NaN), ("nanB", Double.NaN))
+    val plain = dblStore(rows)
+    val ts = plain.buildValueIndex("vidx_nan", s"$dir/vn", Seq("d:v"),
+      nBuckets = 8)
+    def top(s: TripleStore, k: Int, d: Boolean) = s.pullMany(
+        Seq("d:v" -> MAny), Seq(PAttr("d:v")),
+        sortBy = Some("v"), desc = d, limit = Some(k))
+      .select($"v").collect().map(_.getDouble(0)).toList
+    // render through Double.compare's total order: NaN-safe multiset eq
+    def norm(xs: List[Double]) =
+      xs.sortWith(java.lang.Double.compare(_, _) < 0).map(_.toString)
+    // desc: NaN ranks FIRST (Spark's largest value) — the probe must
+    // surface the NaN facts, not prune their bucket away
+    assert(norm(top(ts, 5, d = true)) === norm(top(plain, 5, d = true)))
+    assert(top(ts, 5, d = true).count(_.isNaN) === 2)
+    assert(norm(top(ts, 30, d = true)) === norm(top(plain, 30, d = true)))
+    // asc universe form: NaN ranks last, bottom-k is NaN-free here
+    assert(norm(top(ts, 5, d = false)) === norm(top(plain, 5, d = false)))
+  }
+
   test("valueIndex: appends fragment the layout and open drift buckets; " +
       "compact re-cuts and swaps the catalog; probe exact throughout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx5").toString
@@ -1122,17 +1161,34 @@ class TripleStoreSpec extends AnyFunSuite {
       .select($"v").as[Long].collect().toList.sorted
     // probes stay EXACT under drift (threshold never needed disjointness)
     assert(topVals(ts) === topVals(union))
-    // compact: re-cut over current rows, swap catalog, old paths return
+    // an UPSERTING append (e199: 199 → 5000 at a later txId): the stale
+    // row sits beside the new one until compaction reconciles
+    ValueIndex.append(numStore(Seq(("e199", 5000L)), tx = 1L), "vidx_t5")
+    // compact: re-cut over current rows, keep latest txId per (a, e),
+    // swap catalog, old paths return
     val (oldData, oldMan) = ValueIndex.compact(spark, "vidx_t5",
       s"$dir/v5c", nBuckets = 8)
     assert(manifestRows() <= 8, "compaction must collapse the manifest")
     assert(maxBkt() <= 7, "compaction must restore the bucket-id range")
-    assert(topVals(ts) === topVals(union))
+    // the store matching the index now includes the upsert (snapshot
+    // contract: the index covers the store's CURRENT facts — card-one
+    // latest-tx-wins resolves e199 to 5000)
+    val unionUp = new TripleStore(spark,
+      union.triples.unionByName(
+        numStore(Seq(("e199", 5000L)), tx = 1L).triples),
+      union.schemas)
+    val tsUp = unionUp.withValueIndex("vidx_t5")
+    // post-compact top-12 desc: the upserted 5000 once (not the stale
+    // 199 and not twice), then the top of drift batch 3 — and identical
+    // to the unindexed fallback
+    assert(topVals(tsUp) ===
+      (Seq(5000L) ++ (3089L to 3099L)).sorted.toList)
+    assert(topVals(tsUp) === topVals(unionUp))
     // the swap really moved the files: vacuuming the old locations
     // leaves the probe intact
     graft.ops.Layout.vacuum(spark, oldData)
     graft.ops.Layout.vacuum(spark, oldMan)
-    assert(topVals(ts) === topVals(union))
+    assert(topVals(tsUp) === topVals(unionUp))
   }
 
   test("persisted store: top-k pull pushes the k eids as an IN into the " +
@@ -1187,5 +1243,16 @@ class TripleStoreSpec extends AnyFunSuite {
         Some(Seq("e1").toDF("e")), 1)
     }
     assert(err.getMessage.contains("rebuild"))
+    // a v1 manifest (fmt column present, older stamp) must ALSO error
+    // loudly for an indexed attr — not silently decline to the fallback
+    Seq((0.0, 1.0, 5L, 1, "n:v", 0))
+      .toDF("minv", "maxv", "cnt", "fmt", "a", "bkt")
+      .write.mode("overwrite").option("path", s"$dir/v1_manifest")
+      .format("parquet").saveAsTable("vidx_v1_manifest")
+    val err2 = intercept[IllegalArgumentException] {
+      ValueIndex.topKEids(spark, "vidx_v1", "n:v", "vlong",
+        Some(Seq("e1").toDF("e")), 1)
+    }
+    assert(err2.getMessage.contains("rebuild"))
   }
 }
