@@ -56,6 +56,9 @@ import scala.jdk.CollectionConverters._
   *   Cli indexingest -i batch.parquet  --table idx --matches /data/m \
   *                   --batch-id 7 [--no-intra-batch] -o receipt
   *   Cli indexcompact --table idx --index-path /data/idx2 [--vacuum] -o receipt
+  *   Cli vidxbuild   -i corpus.parquet --table vidx --index-path /data/v \
+  *                   --cols n_chars[,n_words] [--buckets 64] -o receipt
+  *   Cli vidxcompact --table vidx --index-path /data/v2 [--vacuum] -o receipt
   *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
   *   Cli spandedup -i docs.parquet --ngram 8 [--spans-only] -o clean
   *   Cli decontam  -i train.parquet --test test.parquet [--spans-only] -o clean
@@ -131,7 +134,8 @@ object Cli {
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
-      "indexcompact", "score", "spandedup", "shuffle", "semdedup",
+      "indexcompact", "vidxbuild", "vidxcompact",
+      "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
       "gapfill", "leakage", "card", "containment", "conversion",
@@ -236,7 +240,8 @@ object Cli {
         case other => sys.error(s"unknown argument: $other")
       }
     }
-    require(a.inputs.nonEmpty || a.sub == "indexcompact",
+    require(a.inputs.nonEmpty || a.sub == "indexcompact" ||
+      a.sub == "vidxcompact",
       "no -i inputs given")
     a
   }
@@ -400,7 +405,7 @@ object Cli {
     // round-trip for corpus transforms
     if (PipelineSubs.contains(a.sub)) {
       val df = if (a.inputs.nonEmpty) readTable(spark, a)
-        else spark.emptyDataFrame // indexcompact takes no input
+        else spark.emptyDataFrame // indexcompact/vidxcompact take no input
       val out = a.sub match {
         case "dedup" => graft.ops.Dedup.exact(df, a.idCol, a.textCol)
         case "sample" => a.buckets match {
@@ -511,6 +516,46 @@ object Cli {
           Seq((t, spark.table(t + "_sh").select("corpus_id")
               .distinct().count()))
             .toDF("table", "n_docs")
+        // value-ordered attr index lifecycle (ValueIndex): ingest the
+        // input as a table store keyed by --id, index the named numeric
+        // columns (attrs become "<table>:<col>") — sub-linear top-k
+        // pulls probe it through withValueIndex
+        case "vidxbuild" =>
+          val t = a.table.getOrElse(sys.error("vidxbuild needs --table"))
+          val p = a.indexPath
+            .getOrElse(sys.error("vidxbuild needs --index-path"))
+          require(a.cols.nonEmpty, "vidxbuild needs --cols <numeric col,...>")
+          val sp = graft.sources.RowIngest.specFor(df, t, Seq(a.idCol),
+            Nil, None)
+          val store = new TripleStore(spark,
+            graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas,
+            preResolved = true,
+            source = Some(graft.model.UnionTripleSource(
+              Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+          val attrs = a.cols.map(c => s"$t:$c")
+          graft.ValueIndex.build(store, t, p, attrs,
+            a.buckets.getOrElse(64))
+          import spark.implicits._
+          attrs.map(at => (t, at, spark.table(t)
+              .where(col("a") === at).count()))
+            .toDF("table", "attr", "n_facts")
+        // re-cut the index over its current rows (reconciling upserting
+        // appends to the latest txId) and swap to --index-path; --vacuum
+        // deletes the superseded copies once the swap lands
+        case "vidxcompact" =>
+          val t = a.table.getOrElse(sys.error("vidxcompact needs --table"))
+          val p = a.indexPath
+            .getOrElse(sys.error("vidxcompact needs --index-path"))
+          val (oldData, oldMan) = graft.ValueIndex.compact(spark, t, p,
+            a.buckets.getOrElse(64))
+          if (a.doVacuum) {
+            graft.ops.Layout.vacuum(spark, oldData)
+            graft.ops.Layout.vacuum(spark, oldMan)
+          }
+          import spark.implicits._
+          Seq((t, spark.table(t).count(),
+              spark.table(t + "_manifest").count()))
+            .toDF("table", "n_facts", "n_manifest_rows")
         // quality funnel: --gates "tokens:20:1000,lang:en,stop:0.05" →
         // per-gate drop report (default) or the surviving rows (--keep)
         case "funnel" =>

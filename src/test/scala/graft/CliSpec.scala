@@ -556,6 +556,31 @@ class CliSpec extends AnyFunSuite {
       Set((202L, 102L)))
   }
 
+  test("CLI vidxbuild + vidxcompact: value-index lifecycle from the " +
+      "shell — build over an ingested table, compact + vacuum") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_vidx").toString
+    Files.writeString(Paths.get(dir + "/corpus.json"),
+      (1L to 50L).map(i => s"""{"doc_id": $i, "n": ${i * 3}}""")
+        .mkString("", "\n", "\n"))
+    Cli.run(spark, Array("vidxbuild", "-i", dir + "/corpus.json",
+      "--table", "cli_vidx", "--index-path", dir + "/vidx",
+      "--cols", "n", "--buckets", "4", "-o", dir + "/r0"))
+    assert(spark.read.json(dir + "/r0").select($"attr", $"n_facts")
+      .as[(String, Long)].head() === (("cli_vidx:n", 50L)))
+    Cli.run(spark, Array("vidxcompact", "--table", "cli_vidx",
+      "--index-path", dir + "/vidx2", "--buckets", "4", "--vacuum",
+      "-o", dir + "/r1"))
+    val r1 = spark.read.json(dir + "/r1")
+      .select($"n_facts", $"n_manifest_rows").as[(Long, Long)].head()
+    assert(r1._1 === 50L)
+    assert(r1._2 <= 4L)
+    // vacuum removed the superseded copies; the swapped index answers
+    assert(!new java.io.File(dir + "/vidx").exists)
+    assert(!new java.io.File(dir + "/vidx_manifest").exists)
+    assert(spark.table("cli_vidx").count() === 50L)
+  }
+
   test("CLI score verb: inline lexicon, signed points, zero-hit docs kept") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cli_score").toString
