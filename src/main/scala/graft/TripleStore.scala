@@ -634,7 +634,16 @@ class TripleStore(
   /** Q8 — pull_many: match (or take explicit eids) then batch pull, with
     * the reference's sort semantics as SPEC'D in SURVEY.md §1.4 (sort_by
     * → ascending by default). Sort+limit lowers to TakeOrderedAndProject.
-    */
+    *
+    * LAZINESS EXCEPTION (the one in the store's query surface): a
+    * sort+limit pull whose top-k prune fires, with `limit` ≤
+    * [[TripleStore.TopKLiteralCap]], runs the BOUNDED ranking job (≤
+    * limit rows collected) while CONSTRUCTING the result — it buys the
+    * literal-IN row-group prune on persisted stores, which needs the
+    * winning eids as plan-time literals. Every other path, and every
+    * other builder in the store, stays fully lazy. An asc non-universe
+    * sort over a [[ValueIndex]]-covered attr may additionally run the
+    * one-aggregate universe proof (see [[topKEids]]). */
   def pullMany(
       pattern: Seq[(String, MVal)],
       specs: Seq[PullSpec],

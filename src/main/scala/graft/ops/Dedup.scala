@@ -77,12 +77,21 @@ object Dedup {
     val cols = df.columns.toSeq
     df.groupBy(clusterCol.as("_ck"))
       // cast-then-negate: negate(Long.MinValue) overflows (wraps in
-      // non-ANSI mode, throws under ANSI); in double the negation is
-      // always exact-enough for ORDERING (monotone), and NaN keeps its
-      // documented rank-last behavior (NaN > all in Spark's ordering)
+      // non-ANSI mode, throws under ANSI). The widening cast must stay
+      // INJECTIVE, not merely monotone: integral scores widen to
+      // decimal(20,0) (every 64-bit value exact — a double here
+      // collapses longs past 2^53, letting the id tie-break keep a
+      // strictly LOWER-scored row); decimals negate in place;
+      // float/double cast to double, where NaN keeps its documented
+      // rank-last behavior (NaN > all in Spark's ordering)
       .agg(min_by(struct(cols.map(col): _*),
         struct(col(scoreCol).isNull,
-          negate(col(scoreCol).cast("double")), col(idCol)))
+          negate(df.schema(scoreCol).dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              col(scoreCol).cast(DecimalType(20, 0))
+            case _: DecimalType => col(scoreCol)
+            case _ => col(scoreCol).cast("double")
+          }), col(idCol)))
         .as("_row"))
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }

@@ -297,9 +297,17 @@ object Sampling {
       lpad(col(idCol).cast("string"), 20, "0"))
     val keyed = df.withColumn("_sk", key)
       .withColumn("_bk", substring(col("_sk"), 1, 2))
-      // stratum keys travel as strings internally (offset-frame join
-      // key); the output keeps the original column
-      .withColumn("_stk", col(stratumCol).cast("string"))
+      // stratum keys travel internally as the 128-bit md5 HEX of the
+      // string form (null stays null, so the null stratum keeps its own
+      // identity through the null-safe join); the offsets machinery
+      // needs only key IDENTITY, and the gate's decisive collect below
+      // is capped by ROWS, not bytes — with url-host-grade (or
+      // pathological kilobyte) stratum values the raw strings could put
+      // hundreds of driver-heap MB behind that cap, where the 32-char
+      // digest pins it at ~35 B/row. md5 is exact identity at any
+      // feasible strata count (the fingerprintBin argument); the output
+      // keeps the original column untouched
+      .withColumn("_stk", md5(col(stratumCol).cast("string")))
     // pass 1: per-(stratum, bucket) counts — the offset source for
     // either path AND the small/distributed gate, in ONE bounded
     // action. The gate is the DISTINCT-STRATA count (what the

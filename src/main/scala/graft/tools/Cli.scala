@@ -6,7 +6,7 @@ import graft.model.AttrSchema
 import graft.query._
 import graft.sources.{DocIngest, JsonSource}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import scala.jdk.CollectionConverters._
 
 /** The `tripl` CLI surface (cli.py:72-115) on the Spark engine:
@@ -535,10 +535,12 @@ object Cli {
           val attrs = a.cols.map(c => s"$t:$c")
           graft.ValueIndex.build(store, t, p, attrs,
             a.buckets.getOrElse(64))
-          import spark.implicits._
-          attrs.map(at => (t, at, spark.table(t)
-              .where(col("a") === at).count()))
-            .toDF("table", "attr", "n_facts")
+          // receipt: ONE partition-pruned grouped count over the fresh
+          // index, not a count job per attr
+          spark.table(t).where(col("a").isInCollection(attrs))
+            .groupBy(col("a").as("attr"))
+            .agg(count(lit(1)).as("n_facts"))
+            .select(lit(t).as("table"), col("attr"), col("n_facts"))
         // re-cut the index over its current rows (reconciling upserting
         // appends to the latest txId) and swap to --index-path; --vacuum
         // deletes the superseded copies once the swap lands

@@ -450,6 +450,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Set(1L, 5L))
   }
 
+  test("keepBest: long scores past 2^53 stay exact — adjacent giants " +
+      "must not collapse in a lossy double and fall to the id tie-break") {
+    // 2^60 and 2^60+1 collapse to the same double; the higher-score row
+    // carries the HIGHER id, so a double-negated ordering would "tie"
+    // and keep the lower-scored min-id row. The decimal(20,0) widening
+    // keeps them distinct. Long.MinValue still must not overflow-wrap.
+    val big = 1L << 60
+    val df = Seq((1L, "c1", big), (2L, "c1", big + 1L),
+      (9L, "c2", Long.MinValue), (8L, "c2", Long.MinValue + 1L))
+      .toDF("doc_id", "cl", "score")
+    val out = Dedup.keepBest(df, col("cl"), "doc_id", "score")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out === Set(2L, 8L))
+  }
+
   test("exact/keepBest plan as combinable aggregates, never a window " +
       "over the fingerprint/cluster key") {
     val df = Seq((1L, "x", 1L)).toDF("doc_id", "text", "score")
