@@ -706,16 +706,25 @@ class TripleStore(
     * to the few highest buckets, and the linear pass disappears —
     * sub-linear in the attribute's fact count. ASCENDING probes only in
     * the universe form (there every entity provably has the attr, so
-    * nulls-FIRST ranking of missing-attr entities is vacuous); a
-    * non-universe asc, and an `ents` so selective the whole range holds
-    * < k matches, decline (None → this fallback). */
+    * nulls-FIRST ranking of missing-attr entities is vacuous) — proven
+    * either syntactically (`entsIsUniverse`, the single-clause
+    * `(attr, any)` match) or by [[ValueIndex.provesUniverse]]'s one
+    * bounded counting aggregate (ents ⊆ index rows AND sizes equal ⇒
+    * the sets coincide; the proof job scans the attr's index slice
+    * with no sort, cheaper than the fallback's rank whenever it
+    * succeeds, bounded when it fails). A non-universe asc the proof
+    * rejects, and an `ents` so selective the whole range holds < k
+    * matches, decline (None → this fallback). */
   private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
       limit: Int, entsIsUniverse: Boolean = false): DataFrame = {
     val viaIndex =
       if (desc || entsIsUniverse) valueIndex.flatMap(t =>
         ValueIndex.topKEids(spark, t, attr, valueCol(attr),
           if (entsIsUniverse) None else Some(ents), limit, desc))
-      else None
+      else valueIndex.filter(t =>
+          ValueIndex.provesUniverse(spark, t, attr, ents))
+        .flatMap(t => ValueIndex.topKEids(spark, t, attr,
+          valueCol(attr), None, limit, desc = false))
     viaIndex.getOrElse {
       val vc = col(valueCol(attr))
       val vals = scanFor(Seq(attr)).join(ents, Seq("e"), "left_semi")

@@ -1,24 +1,24 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 
 import graft.model.Triples
 
-/** Persisted VALUE-ORDERED projection of cardinality-one numeric
-  * attributes — the ORDER BY analogue of the attribute-pruned scan, and
-  * the index that makes a sort+limit pull SUB-LINEAR (the reference
-  * leaves sort efficiency as its own TODO, tripl.py:730-732; the
-  * technique is the classic zone-map / small-materialized-aggregates
-  * design: data range-bucketed on the value with a tiny per-bucket
-  * (min, max, count) manifest that turns "top k" into "which buckets
-  * can hold the top k").
+/** Persisted VALUE-ORDERED projection of cardinality-one attributes —
+  * the ORDER BY analogue of the attribute-pruned scan, and the index
+  * that makes a sort+limit pull SUB-LINEAR (the reference leaves sort
+  * efficiency as its own TODO, tripl.py:730-732; the technique is the
+  * classic zone-map / small-materialized-aggregates design: data
+  * range-bucketed on the value with a tiny per-bucket (min, max, count)
+  * manifest that turns "top k" into "which buckets can hold the top k").
   *
-  * Layout: one parquet table partitioned by (attr, range-bucket) — the
+  * Layout: one parquet tree partitioned by (attr, range-bucket) — the
   * bucket of a fact is the number of build-time value quantiles below
   * it, so directories hold disjoint-ish value ranges and a top-k probe
   * PARTITION-PRUNES to the few highest buckets at planning time —
-  * plus a `<table>_manifest` sidecar of per-(attr, bucket)
+  * plus a `<path>_manifest` sidecar of per-(attr, bucket)
   * (min, max, count) rows. Probe correctness needs NO disjointness:
   * from the manifest pick a threshold t with (provably) at least k
   * facts ≥ t — walk buckets by min descending, accumulate counts to k,
@@ -26,10 +26,22 @@ import graft.model.Triples
   * scan exactly the buckets whose max reaches t. Any value in the true
   * top k is ≥ the k-th largest ≥ t, so it lives in a scanned bucket;
   * appended buckets may OVERLAP the build ranges (they are assigned by
-  * the stale manifest cuts) and the argument never notices. Thresholds
-  * compare on a double shadow of the value (monotone in the native
-  * long/double, so pruning can only widen the scan); the final order
-  * uses the NATIVE column, exact at full 64-bit precision.
+  * the stale manifest cuts) and the argument never notices.
+  *
+  * ALL range machinery (cuts, buckets, manifest stats, thresholds)
+  * operates on a [[shadowOf]] DOUBLE of the value — for numeric attrs
+  * the plain widening, for STRING attrs the first 6 UTF-8 bytes read as
+  * a big-endian integer (exact in a double, and monotone in the
+  * string's binary collation order). Monotone is all the threshold
+  * argument needs: strict shadow inequality implies strict native
+  * inequality, so a shadow threshold covering k rows covers the native
+  * top k; common-prefix-heavy string corpora merely degrade bucket
+  * SELECTIVITY (ties collapse into one bucket), never correctness. The
+  * final order always uses the NATIVE column (vlong / vdbl / vstr),
+  * exact at full precision. Timestamps are deliberately unserved: the
+  * NTZ→numeric route goes through the session time zone, where DST
+  * transitions break the monotone-shadow contract — ingest epoch longs
+  * to index time.
   *
   * Scale shape at 100 TB: the manifest is O(attrs × buckets) rows (a
   * broadcast-sized driver read), the probe scans O(k + bucket width)
@@ -37,6 +49,20 @@ import graft.model.Triples
   * linear pass (quantile sketch + range shuffle) paid once and
   * append-maintained after ([[append]] never rewrites or re-reads the
   * existing data — same contract as the LSH/text/IVF index family).
+  *
+  * CATALOG CONTRACT: [[register]] publishes the layout as two VIEWS
+  * over the parquet paths (`table`, `table_manifest`), each carrying
+  * the data location in a table property. A view replacement is ONE
+  * catalog mutation, so [[compact]]'s swap is atomic per name — no
+  * DROP→CREATE window where a reader sees "table not found" — and
+  * probes resolve BOTH the data and the manifest from a SINGLE read of
+  * that property, so a probe planned while a compact lands sees one
+  * generation of the index, never new data under an old manifest.
+  * Partition discovery and pruning come from the filesystem layout
+  * (listing is cached per path), so there is no per-register partition
+  * recovery (the old MSCK — a metadata scan of every (a, bkt)
+  * directory) and no catalog partition set to go stale when the path
+  * is rewritten out-of-band.
   *
   * SNAPSHOT CONTRACT (same as [[TripleStore.source]]): the index must
   * cover the store's current facts for its attributes — build it from
@@ -51,52 +77,84 @@ object ValueIndex {
     * with a rebuild message instead of silently mis-reading (the lshv2
     * lesson: a format change with no stamp strands old persisted
     * tables). */
-  private val Fmt = 2 // v2: data rows carry txId (compact reconciles upserts)
+  private val Fmt = 3 // v3: data rows carry vstr; string attrs served
+                      // through the shadow double; view registration
+
+  /** Catalog property on the index's views naming the data location —
+    * the ONE value a probe reads to resolve both the data and the
+    * manifest (what makes [[compact]]'s swap atomic for probes).
+    * `private[graft]`: [[graft.ops.Layout.vacuum]]'s live-location
+    * guard must treat property-named paths as live. */
+  private[graft] val PathProp = "graft.vidx.path"
+
+  /** Order-preserving DOUBLE shadow of the fact's value: numeric values
+    * widen (exact for doubles; monotone for 64-bit longs), strings map
+    * to their first 6 UTF-8 bytes as a big-endian integer (< 2^48, so
+    * integer-exact in a double; byte-prefix order is monotone in the
+    * binary collation Spark compares strings with). */
+  private def shadowOf: Column =
+    coalesce(col("vdbl"), col("vlong").cast("double"),
+      conv(rpad(hex(substring(encode(col("vstr"), "UTF-8"), 1, 6)),
+        12, "0"), 16, 10).cast("double"))
+
+  /** Per-attr shadow-quantile cut points — one aggregate + one bounded
+    * collect (attrs × (nBuckets−1) doubles). */
+  private def cutsOf(base: DataFrame, nBuckets: Int): Map[String, Seq[Double]] = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    base.groupBy(col("a"))
+      .agg(percentile_approx(col("vnum"),
+        array(probs.map(lit): _*), lit(10000)).as("cuts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+  }
+
+  /** The (a, bkt)-partitioned data tree + manifest sidecar at `path`.
+    * Files are sorted within partitions on the shadow, so a pruned scan
+    * reads value-clustered row groups. */
+  private def writeLayout(data: DataFrame, path: String): Unit = {
+    data.repartition(col("a"), col("bkt"))
+      .sortWithinPartitions(col("a"), col("bkt"), col("vnum"))
+      .select(col("e"), col("vlong"), col("vdbl"), col("vstr"),
+        col("vnum"), col("txId"), col("a"), col("bkt"))
+      .write.mode("overwrite").partitionBy("a", "bkt").parquet(path)
+    manifestOf(data)
+      .write.mode("overwrite").parquet(path + "_manifest")
+  }
 
   /** Build the index for `attrs` (each must be declared cardinality-one
-    * with a numeric value type — long or double). One pass computes
-    * per-attr value quantiles (the bucket cuts), one range-partitioned
-    * write lays the data out, and the manifest aggregates from the same
-    * scan. */
+    * with a long, double, or string value type). One pass computes
+    * per-attr shadow quantiles (the bucket cuts), one range-partitioned
+    * write lays the data out, the manifest aggregates from the same
+    * scan, and the views register over the fresh paths. */
   def build(store: TripleStore, table: String, path: String,
       attrs: Seq[String], nBuckets: Int = 64): Unit = {
     require(attrs.nonEmpty && nBuckets >= 2)
     val spark = store.spark
     attrs.foreach { a =>
       val s = store.schemaOf(a)
-      require(s.cardOne && (s.vtype == Triples.VLong || s.vtype == Triples.VDbl),
-        s"valueIndex attr $a must be cardinality-one numeric " +
-          s"(got card-${if (s.cardOne) "one" else "many"} ${s.vtype})")
+      require(s.cardOne && (s.vtype == Triples.VLong ||
+          s.vtype == Triples.VDbl || s.vtype == Triples.VStr),
+        s"valueIndex attr $a must be cardinality-one with a long, " +
+          s"double, or string value type (got " +
+          s"card-${if (s.cardOne) "one" else "many"} ${s.vtype})")
     }
     val base = store.scanFor(attrs)
-      .select(col("a"), col("e"), col("vlong"), col("vdbl"),
-        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"),
-        col("txId"))
+      .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vstr"),
+        shadowOf.as("vnum"), col("txId"))
       .where(col("vnum").isNotNull)
       .persist()
     try {
-      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-      val cuts: Map[String, Seq[Double]] = base.groupBy(col("a"))
-        .agg(percentile_approx(col("vnum"),
-          array(probs.map(lit): _*), lit(10000)).as("cuts"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
-      val data = base.withColumn("bkt", bucketOf(cuts))
-      data.repartition(col("a"), col("bkt"))
-        .sortWithinPartitions(col("a"), col("bkt"), col("vnum"))
-        .write.mode("overwrite").option("path", path)
-        .partitionBy("a", "bkt").format("parquet").saveAsTable(table)
-      manifestOf(data)
-        .write.mode("overwrite").option("path", path + "_manifest")
-        .format("parquet").saveAsTable(table + "_manifest")
+      val data = base.withColumn("bkt", bucketOf(cutsOf(base, nBuckets)))
+      writeLayout(data, path)
+      register(spark, table, path)
     } finally base.unpersist()
   }
 
   /** Append a batch store's facts for the index's attributes: the batch
     * alone is scanned, bucketed by the EXISTING manifest's cuts (per
-    * attr, the per-bucket min values — an appended row between two old
+    * attr, the per-bucket min shadows — an appended row between two old
     * buckets' ranges lands in one of them; the probe's threshold
-    * argument tolerates the overlap), and appended to both tables. The
+    * argument tolerates the overlap), and appended to both trees. The
     * existing corpus is never read or rewritten — which also means a
     * batch that RE-asserts a card-one attr for an already-indexed
     * entity leaves the stale row beside the new one: probes in that
@@ -104,78 +162,107 @@ object ValueIndex {
     * [[compact]] reconciles (latest txId per (a, e) wins, the store's
     * own resolution rule); until then append is exact only for batches
     * asserting NEW (entity, attr) facts — the append-only norm of a
-    * training-corpus ingest. */
+    * training-corpus ingest. Appending into a pre-v3 layout fails loud
+    * at the WRITE (probes would anyway: mixed-format rows poison the
+    * manifest). */
   def append(batch: TripleStore, table: String): Unit = {
     val spark = batch.spark
-    val man = readManifest(spark, table)
-    val cuts: Map[String, Seq[Double]] = man.groupBy(col("a"))
-      .agg(sort_array(collect_list(col("minv"))).as("cuts"))
+    val path = dataPathOf(spark, table)
+    // cut harvest + format check in ONE bounded collect over the
+    // manifest (collect_list skips the nulls the fmt guard injects —
+    // moot once the stale counter requires zero)
+    val rows = spark.read.parquet(path + "_manifest")
+      .groupBy(col("a"))
+      .agg(sort_array(collect_list(
+          when(col("fmt") === Fmt, col("minv")))).as("cuts"),
+        sum(when(col("fmt") =!= Fmt, lit(1L)).otherwise(lit(0L)))
+          .as("stale"))
       .collect()
+    require(rows.forall(_.getLong(2) == 0L),
+      s"valueIndex $table holds pre-v$Fmt manifest rows — rebuild with " +
+        "ValueIndex.build before appending (mixed-format rows would " +
+        "poison probes)")
+    val cuts: Map[String, Seq[Double]] = rows
       // drop the lowest bucket's min: k cut points make k+1 buckets,
       // and values below every cut belong in bucket 0
       .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq.drop(1)).toMap
     require(cuts.nonEmpty, s"valueIndex $table has an empty manifest")
     val base = batch.scanFor(cuts.keys.toSeq)
-      .select(col("a"), col("e"), col("vlong"), col("vdbl"),
-        coalesce(col("vdbl"), col("vlong").cast("double")).as("vnum"),
-        col("txId"))
+      .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vstr"),
+        shadowOf.as("vnum"), col("txId"))
       .where(col("vnum").isNotNull)
       .persist()
     try {
       val data = base.withColumn("bkt", bucketOf(cuts))
-      data.select(col("e"), col("vlong"), col("vdbl"), col("vnum"),
-          col("txId"), col("a"), col("bkt"))
-        .write.mode("append").format("parquet").insertInto(table)
+      data.select(col("e"), col("vlong"), col("vdbl"), col("vstr"),
+          col("vnum"), col("txId"), col("a"), col("bkt"))
+        .write.mode("append").partitionBy("a", "bkt").parquet(path)
       manifestOf(data)
-        .write.mode("append").format("parquet")
-        .insertInto(table + "_manifest")
+        .write.mode("append").parquet(path + "_manifest")
+      // appended files must be visible past any cached listing
+      spark.catalog.refreshByPath(path)
+      spark.catalog.refreshByPath(path + "_manifest")
     } finally base.unpersist()
   }
 
-  /** Register catalog entries for an EXISTING index layout: `table`
-    * over the (a, bkt)-partitioned data at `path` (partition recovery
-    * included — the probe's partition pruning needs the partitions in
-    * the catalog) and `table_manifest` over the sidecar at
-    * `path + "_manifest"`. The catalog is per-session; a persisted
-    * index reopens in a new session through this, with no data read
-    * beyond one schema inference. */
+  /** Publish catalog entries for an EXISTING index layout: views
+    * `table` over the (a, bkt)-partitioned data at `path` and
+    * `table_manifest` over the sidecar, each stamped with the location
+    * property probes resolve through. CREATE OR REPLACE VIEW is one
+    * catalog mutation per name — re-registration (and [[compact]]'s
+    * swap) never opens a window where the name is missing — and a view
+    * over a path needs no partition recovery, so a persisted index
+    * reopens in a new session at catalog-metadata cost (one schema
+    * inference per view; the data stays unread until a probe runs).
+    * Errors propagate: a missing or unreadable path fails HERE, not as
+    * a silent downgrade. */
   def register(spark: SparkSession, table: String, path: String): Unit =
-    registerAt(spark, table, path, path + "_manifest")
-
-  private def registerAt(spark: SparkSession, table: String,
-      dataPath: String, manPath: String): Unit = {
-    // same-location fast path: REFRESH instead of drop + re-create +
-    // partition recovery (MSCK re-lists every (a, bkt) directory — at
-    // thousands of partitions that is a real metadata scan per call).
-    // Locations compare as FS-qualified URIs, not java.io.File paths —
-    // the index lives on hdfs:// or s3a:// in the deployment this
-    // exists for, and File(uri) throws on any non-file scheme.
-    val same = try {
-      spark.catalog.tableExists(table) && {
-        val m = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table))
-        val conf = spark.sessionState.newHadoopConf()
-        def qualified(p: org.apache.hadoop.fs.Path) =
-          p.getFileSystem(conf).makeQualified(p).toUri
-        m.storage.locationUri.exists(u =>
-          qualified(new org.apache.hadoop.fs.Path(u)) ==
-            qualified(new org.apache.hadoop.fs.Path(dataPath)))
-      }
-    } catch { case _: Exception => false }
-    if (same) {
-      spark.sql(s"REFRESH TABLE $table")
-      spark.sql(s"REFRESH TABLE ${table}_manifest")
-      return
+    for ((t, p) <- Seq((table, path), (table + "_manifest", path + "_manifest"))) {
+      // a same-named TABLE from a pre-v3 registration cannot be
+      // REPLACEd as a view — drop it first (legacy migration only; the
+      // steady state is view-over-view, atomic)
+      if (spark.catalog.tableExists(t) &&
+          spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+            .tableType !=
+            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+        spark.sql(s"DROP TABLE $t")
+      spark.sql(
+        s"CREATE OR REPLACE VIEW $t TBLPROPERTIES ('$PathProp' = '$p') " +
+          s"AS SELECT * FROM parquet.`$p`")
+      // the path may have been rewritten/relinked since a prior
+      // registration cached its listing
+      spark.catalog.refreshByPath(p)
     }
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val schema = spark.read.parquet(dataPath).schema
-    spark.sql(s"CREATE TABLE $table (${schema.toDDL}) USING PARQUET " +
-      s"PARTITIONED BY (a, bkt) LOCATION '$dataPath'")
-    spark.sql(s"MSCK REPAIR TABLE $table")
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_manifest")
-    val mSchema = spark.read.parquet(manPath).schema
-    spark.sql(s"CREATE TABLE ${table}_manifest (${mSchema.toDDL}) " +
-      s"USING PARQUET LOCATION '$manPath'")
+
+  /** The data location behind `table`: the view's [[PathProp]], or —
+    * for a layout registered as a plain external TABLE by other means
+    * (tests, older sessions) — its storage location. */
+  private def dataPathOf(spark: SparkSession, table: String): String = {
+    val m = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    m.properties.getOrElse(PathProp, m.location.toString)
+  }
+
+  /** Resolve the probe-facing (manifest, data) pair. A view-registered
+    * index resolves BOTH from one read of the location property — the
+    * snapshot-consistency half of the atomic-swap story; anything else
+    * falls back to per-name catalog resolution (legacy tables, specs
+    * that hand-build manifests). Frames are built lazily so a manifest
+    * format error surfaces before the data path is ever touched. */
+  private def resolve(spark: SparkSession, table: String)
+      : (() => DataFrame, () => DataFrame) = {
+    val at: Option[String] =
+      if (!spark.catalog.tableExists(table)) None
+      else spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).properties.get(PathProp)
+    at match {
+      case Some(p) =>
+        (() => spark.read.parquet(p + "_manifest"),
+          () => spark.read.parquet(p))
+      case None =>
+        (() => spark.table(table + "_manifest"),
+          () => spark.table(table))
+    }
   }
 
   /** Re-cut and rewrite the index into `newPath` — the MAINTENANCE
@@ -189,70 +276,61 @@ object ValueIndex {
     * (the threshold argument never needed bucket disjointness) but the
     * partition-pruned scan and the manifest read widen with the
     * fragmentation. Compaction recomputes the quantile cuts over the
-    * CURRENT rows and rewrites both tables — back to nBuckets tight
+    * CURRENT rows and rewrites both trees — back to nBuckets tight
     * buckets, one file and one manifest row each; O(index) work,
     * index-only (the store is never re-scanned) — then swaps the
-    * catalog entries to the new location, restoring the old
-    * registration if the swap fails (the [[graft.ops.Layout
-    * .compactBucketed]] discipline). Returns the old (data, manifest)
-    * locations for [[graft.ops.Layout.vacuum]] once readers drain. */
+    * catalog entries to the new location via [[register]]'s view
+    * replacement: ONE atomic catalog mutation per name, so a
+    * concurrent reader always resolves the table (old or new, never
+    * "not found"), and a PROBE — which resolves data + manifest from
+    * the single location property — always sees one generation, never
+    * new data under an old manifest. (A SQL user reading the two views
+    * directly in separate queries can still straddle the swap; the
+    * probe path cannot.) Returns the old (data, manifest) locations
+    * for [[graft.ops.Layout.vacuum]] once readers drain. */
   def compact(spark: SparkSession, table: String, newPath: String,
       nBuckets: Int = 64): (String, String) = {
-    readManifest(spark, table) // fmt check before any writes
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    def loc(t: String) = spark.sessionState.catalog
-      .getTableMetadata(TableIdentifier(t)).location.toString
-    val oldData = loc(table); val oldMan = loc(table + "_manifest")
+    val oldPath = dataPathOf(spark, table)
+    val man = spark.read.parquet(oldPath + "_manifest")
+    require(man.columns.contains("fmt") &&
+        man.where(col("fmt") =!= Fmt).isEmpty,
+      s"valueIndex $table predates format v$Fmt — rebuild it with " +
+        "ValueIndex.build (pre-v3 layouts cannot be compacted in place)")
     // RECONCILE UPSERTS: append never reads the existing corpus, so a
     // batch that re-asserted a card-one attr for an already-indexed
     // entity left the stale row beside the new one (probes between that
     // append and this compact see both). Keep the latest txId per
-    // (a, e) — map-side-combinable max_by, vnum tie-break for
+    // (a, e) — map-side-combinable max_by, shadow+native tie-break for
     // determinism on equal-tx duplicates — exactly the store's own
     // latest-tx-wins resolution, applied to the index's rows.
-    val latest = spark.table(table)
+    val latest = spark.read.parquet(oldPath)
       .groupBy(col("a"), col("e"))
       .agg(max_by(
-        struct(col("vlong"), col("vdbl"), col("vnum"), col("txId")),
-        struct(col("txId"), col("vnum"))).as("_m"))
+        struct(col("vlong"), col("vdbl"), col("vstr"), col("vnum"),
+          col("txId")),
+        struct(col("txId"), col("vnum"), col("vstr"))).as("_m"))
       .select(col("a"), col("e"), col("_m.vlong").as("vlong"),
-        col("_m.vdbl").as("vdbl"), col("_m.vnum").as("vnum"),
-        col("_m.txId").as("txId"))
+        col("_m.vdbl").as("vdbl"), col("_m.vstr").as("vstr"),
+        col("_m.vnum").as("vnum"), col("_m.txId").as("txId"))
     val base = latest.persist()
     try {
-      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-      val cuts: Map[String, Seq[Double]] = base.groupBy(col("a"))
-        .agg(percentile_approx(col("vnum"),
-          array(probs.map(lit): _*), lit(10000)).as("cuts"))
-        .collect()
-        .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
-      val data = base.withColumn("bkt", bucketOf(cuts))
-      val tmp = table + "_compacting"
-      for (s <- Seq("", "_manifest"))
-        spark.sql(s"DROP TABLE IF EXISTS $tmp$s")
-      data.repartition(col("a"), col("bkt"))
-        .sortWithinPartitions(col("a"), col("bkt"), col("vnum"))
-        .write.mode("overwrite").option("path", newPath)
-        .partitionBy("a", "bkt").format("parquet").saveAsTable(tmp)
-      manifestOf(data)
-        .write.mode("overwrite").option("path", newPath + "_manifest")
-        .format("parquet").saveAsTable(tmp + "_manifest")
-      // external tables: DROP removes catalog entries only, files stay
-      for (s <- Seq("", "_manifest")) spark.sql(s"DROP TABLE $tmp$s")
-      for (s <- Seq("", "_manifest")) spark.sql(s"DROP TABLE $table$s")
+      val data = base.withColumn("bkt", bucketOf(cutsOf(base, nBuckets)))
+      writeLayout(data, newPath)
       try register(spark, table, newPath)
       catch { case e: Throwable =>
-        // never lose the live entries: restore the old locations
-        registerAt(spark, table, oldData, oldMan)
+        // never strand the live names mid-swap: restore the old
+        // location on both views, then surface the failure
+        try register(spark, table, oldPath)
+        catch { case r: Throwable => e.addSuppressed(r) }
         throw e
       }
-      (oldData, oldMan)
+      (oldPath, oldPath + "_manifest")
     } finally base.unpersist()
   }
 
-  /** bucket = number of this attr's cut points strictly below the value
-    * (0 .. |cuts|), as one literal-map lookup + bounded HOF — no shuffle,
-    * no UDF. */
+  /** bucket = number of this attr's cut points strictly below the
+    * shadow (0 .. |cuts|), as one literal-map lookup + bounded HOF — no
+    * shuffle, no UDF. */
   private def bucketOf(cuts: Map[String, Seq[Double]]) = {
     val cutsMap = map_from_arrays(
       array(cuts.keys.toSeq.map(lit): _*),
@@ -268,12 +346,57 @@ object ValueIndex {
       .select(col("minv"), col("maxv"), col("cnt"),
         lit(Fmt).as("fmt"), col("a"), col("bkt"))
 
-  private def readManifest(spark: SparkSession, table: String): DataFrame = {
-    val man = spark.table(table + "_manifest")
+  /** Per-bucket (bkt, min shadow, max shadow, count) for `attr`, in ONE
+    * bounded collect that doubles as the format gate: ANY manifest row
+    * for the attr carried by a non-current format fails LOUD up front —
+    * aggregating only current-format rows while the data scan reads
+    * every file would silently drop top-k rows living in buckets the
+    * stale manifest rows describe. Empty result = attr not indexed
+    * (the caller's decline-to-fallback case). */
+  private def bucketStats(man: DataFrame, table: String,
+      attr: String): Array[(Int, Double, Double, Long)] = {
     require(man.columns.contains("fmt"),
       s"valueIndex $table predates format v$Fmt — rebuild it with " +
         "ValueIndex.build (old tables carry no version stamp)")
-    man
+    val agg = man.where(col("a") === attr)
+      .groupBy(col("bkt"))
+      .agg(min(when(col("fmt") === Fmt, col("minv"))).as("minv"),
+        max(when(col("fmt") === Fmt, col("maxv"))).as("maxv"),
+        sum(when(col("fmt") === Fmt, col("cnt"))).as("cnt"),
+        sum(when(col("fmt") =!= Fmt, lit(1L)).otherwise(lit(0L)))
+          .as("stale"))
+      .collect()
+    require(agg.forall(_.getLong(4) == 0L),
+      s"valueIndex $table holds pre-v$Fmt rows for $attr — rebuild " +
+        s"with ValueIndex.build (v$Fmt data rows carry vstr and the " +
+        "shadow keying; older rows cannot be probed)")
+    agg.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+      r.getLong(3)))
+  }
+
+  /** ONE bounded aggregate proving `ents` IS exactly `attr`'s fact
+    * universe in the index — the sound form of the asc-serving proof:
+    * every ent must match an index row (so ents ⊆ universe) AND the
+    * total must equal the manifest's row count for the attr (equal
+    * sizes + containment force set equality — a bare count comparison
+    * proves nothing: two disjoint sets of equal size pass it, and the
+    * probe would then rank entities that are not even in the match).
+    * Unreconciled upserted duplicates inflate the join rows past the
+    * ents count and fail the proof — conservative, the caller falls
+    * back. `ents` must be distinct (matchEntities output is). Returns
+    * false when the attr is not indexed; this is an EAGER action (see
+    * pullMany's laziness note). */
+  private[graft] def provesUniverse(spark: SparkSession, table: String,
+      attr: String, ents: DataFrame): Boolean = {
+    val (man, dat) = resolve(spark, table)
+    val stats = bucketStats(man(), table, attr)
+    if (stats.isEmpty) return false
+    val total = stats.map(_._4).sum
+    val idx = dat().where(col("a") === attr)
+      .select(col("e"), lit(1).as("_m"))
+    val r = ents.select(col("e")).join(idx, Seq("e"), "left_outer")
+      .agg(count(lit(1)).as("n"), count(col("_m")).as("m")).head()
+    r.getLong(0) == r.getLong(1) && r.getLong(0) == total
   }
 
   /** The top-`k` eids by `attr` through the index (descending when
@@ -284,21 +407,21 @@ object ValueIndex {
     * missing-attr null-fill).
     *
     * `ents = None` means the caller PROVED the entity set is exactly
-    * this attribute's fact universe (pullMany does when the match
-    * pattern is the single clause `(attr, any)` — the index holds one
-    * row per entity of a card-one attr, so the semi-join is an
-    * identity). Then manifest counts are exact, the first threshold is
-    * decisive, and the probe is FULLY LAZY — one partition-pruned
-    * TakeOrdered job when the pull executes, no counting round-trips:
-    * the whole query becomes sub-linear, not just the ranking half.
-    * ASCENDING is served ONLY in this universe form: every universe
-    * entity has the attr by definition, so SQL's nulls-first ranking of
-    * missing-attr entities (see [[TripleStore.pullMany]]) is vacuous;
-    * with a general `ents` the probe declines asc — a value index
-    * fundamentally cannot enumerate absent facts.
+    * this attribute's fact universe — syntactically (pullMany's
+    * single-clause `(attr, any)` match) or by [[provesUniverse]]'s
+    * counting argument. Then manifest counts are exact, the first
+    * threshold is decisive, and the probe is FULLY LAZY — one
+    * partition-pruned TakeOrdered job when the pull executes, no
+    * counting round-trips: the whole query becomes sub-linear, not
+    * just the ranking half. ASCENDING is served ONLY in this universe
+    * form: every universe entity has the attr by definition, so SQL's
+    * nulls-first ranking of missing-attr entities (see
+    * [[TripleStore.pullMany]]) is vacuous; with a general `ents` the
+    * probe declines asc — a value index fundamentally cannot enumerate
+    * absent facts.
     *
     * With `ents`, driver work is bounded: the aggregated manifest (≤
-    * nBuckets rows per attr) is collected once; each widening round is
+    * buckets-per-attr rows) is collected once; each widening round is
     * one partition-pruned count, and the target 4×s per round, so
     * rounds ≤ log₄ of the attr's fact count even against a hostile
     * `ents`. */
@@ -306,32 +429,16 @@ object ValueIndex {
       attr: String, nativeCol: String, ents: Option[DataFrame],
       k: Int, desc: Boolean = true): Option[DataFrame] = {
     if (!desc && ents.isDefined) return None
-    val buckets = readManifest(spark, table)
-      .where(col("fmt") === Fmt && col("a") === attr)
-      .groupBy(col("bkt"))
-      .agg(min(col("minv")).as("minv"), max(col("maxv")).as("maxv"),
-        sum(col("cnt")).as("cnt"))
-      .collect()
-      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-    if (buckets.isEmpty) {
-      // distinguish "attr not indexed" (decline → fallback owns it)
-      // from "indexed under an old format" (fail LOUD — a silent
-      // fallback would hide that a rebuild is required; the lshv2
-      // lesson)
-      val stale = readManifest(spark, table)
-        .where(col("a") === attr && col("fmt") =!= Fmt)
-        .limit(1).count() > 0
-      require(!stale, s"valueIndex $table holds pre-v$Fmt rows for " +
-        s"$attr — rebuild with ValueIndex.build (v$Fmt data rows " +
-        "carry txId so compact can reconcile upserts)")
-      return None
-    }
-    // ALL driver-side value comparisons use java.lang.Double.compare —
+    val (man, dat) = resolve(spark, table)
+    val buckets = bucketStats(man(), table, attr)
+    if (buckets.isEmpty) return None // attr not indexed → fallback
+    // ALL driver-side shadow comparisons use java.lang.Double.compare —
     // the total order with NaN LARGEST, which is exactly Spark SQL's
     // ordering AND predicate semantics for NaN. Scala's IEEE operators
     // would disagree (NaN >= t is false), silently pruning the bucket
     // holding a double attr's NaN facts out of a desc scan while the
-    // fallback ranks them first.
+    // fallback ranks them first. (String shadows are always finite —
+    // the NaN analysis is vacuous there.)
     def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
     // walk order: best-bucket-first. Desc walks by min DESC and cuts on
     // the min (every row of a walked bucket is >= cut); asc mirrors —
@@ -361,9 +468,8 @@ object ValueIndex {
       val bkts =
         if (desc) buckets.filter(b => cmp(b._3, t) >= 0).map(_._1)
         else buckets.filter(b => cmp(b._2, t) <= 0).map(_._1)
-      spark.table(table)
-        .where(col("a") === attr && col("bkt").isInCollection(bkts) &&
-          (if (desc) col("vnum") >= t else col("vnum") <= t))
+      dat().where(col("a") === attr && col("bkt").isInCollection(bkts) &&
+        (if (desc) col("vnum") >= t else col("vnum") <= t))
     }
     def ordered(df: DataFrame): DataFrame =
       df.orderBy(if (desc) col(nativeCol).desc else col(nativeCol).asc)

@@ -140,8 +140,16 @@ object Layout {
     val catalog = spark.sessionState.catalog
     val live = catalog.listTables(catalog.getCurrentDatabase)
       .flatMap(t => scala.util.Try(catalog.getTableMetadata(t)).toOption)
-      .filter(m => fs.makeQualified(
-        new org.apache.hadoop.fs.Path(m.location)).toUri == target)
+      .filter { m =>
+        // a table's storage location, or — for a path-backed VIEW (the
+        // ValueIndex registration shape, which has no locationUri) —
+        // the data and manifest paths its location property implies
+        val locs = m.storage.locationUri.map(_.toString).toSeq ++
+          m.properties.get(graft.ValueIndex.PathProp)
+            .toSeq.flatMap(p => Seq(p, p + "_manifest"))
+        locs.exists(l => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(l)).toUri == target)
+      }
       .map(_.identifier.table)
     require(live.isEmpty,
       s"vacuum($oldPath): still the live location of catalog table(s) " +

@@ -130,6 +130,28 @@ object ScaleBench {
         Seq(graft.sources.RowIngest.TableSource(df, sp)))))
   }
 
+  /** The 4 value-DRIFTED batches of the fragmentation study: quarter
+    * slices of the corpus under fresh ids with repeat-lengthened text,
+    * so every batch's n_chars lands past the build-time max — the
+    * worst case for the append path's stale-cut bucketing. */
+  private def driftBatches(d: DataFrame): Seq[graft.TripleStore] = {
+    val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+    (0 until 4).map(k => docStore(
+      d.where(pmod(col("doc_id"), lit(4)) === k)
+        .select((col("doc_id") + lit((k + 1) * off)).as("doc_id"),
+          repeat(col("text"), k + 2).as("text"), col("source"))))
+  }
+
+  /** The persisted eav store MERGED with [[driftBatches]] and carrying
+    * the fragmentation-study index — the snapshot-contract-correct
+    * store for the frag probes: every index row's entity exists in the
+    * store (the probe's top-k eids all pull real facts). */
+  private def fragStore(d: DataFrame, storePath: String,
+      table: String): graft.TripleStore =
+    driftBatches(d)
+      .foldLeft(graft.TripleStore.load(d.sparkSession, storePath))(_ merge _)
+      .withValueIndex(table)
+
   /** Same, for the (event_id, user_id, ts, value) events frame. */
   private def eventStore(ev: DataFrame): graft.TripleStore = {
     val sp = graft.sources.RowIngest.specFor(ev, "events",
@@ -511,6 +533,51 @@ object ScaleBench {
               graft.query.PAttr("documents:n_chars")),
             sortBy = Some("n_chars"), desc = true,
             limit = Some(100)).count(); () }),
+      // ===== APPEND-FRAGMENTATION study (ValueIndex.compact's drift
+      // story, measured): restore a clean hardlink copy of the built
+      // index, then append 4 value-DRIFTED batches (repeat-lengthened
+      // docs under fresh ids: every n_chars lands past the build-time
+      // max — the worst case, each append opening edge buckets and
+      // adding files + manifest rows). Append never reads the existing
+      // corpus — ~linear in the batch, flat in the index size.
+      "eav_vidx_append_frag" -> (() => {
+        import java.nio.file.Paths
+        val src = s"$scratch/vidx_$tag"; val w = s"$scratch/vidxf_$tag"
+        for (sfx <- Seq("", "_manifest")) {
+          graft.SparkEntry.deleteRec(Paths.get(w + sfx))
+          graft.SparkEntry.copyRec(Paths.get(src + sfx), Paths.get(w + sfx))
+        }
+        graft.ValueIndex.register(spark, s"scale_vidxf_$tag", w)
+        driftBatches(d).foreach(b =>
+          graft.ValueIndex.append(b, s"scale_vidxf_$tag")); ()
+      }),
+      // the SAME universe top-k as eav_pull_topk against the FRAGMENTED
+      // layout (store merged with the drifted batches so the snapshot
+      // contract holds): probes stay exact under drift; this row prices
+      // the fragmentation tax — wider manifest, more files per bucket
+      "eav_pull_topk_frag" -> (() =>
+        { fragStore(d, s"$scratch/eavstore_$tag", s"scale_vidxf_$tag")
+            .pullMany(
+            Seq("documents:n_chars" -> graft.query.MAny),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars")),
+            sortBy = Some("n_chars"), desc = true,
+            limit = Some(100)).count(); () }),
+      // the maintenance valve's own cost: re-cut + latest-txId
+      // reconcile + rewrite + atomic view swap — O(index), never O(store)
+      "eav_vidx_compact" -> (() =>
+        { graft.ValueIndex.compact(spark, s"scale_vidxf_$tag",
+            s"$scratch/vidxfc_$tag"); () }),
+      // the probe with the tax refunded: same query over the compacted
+      // layout — back to one tight file + manifest row per bucket
+      "eav_pull_topk_compacted" -> (() =>
+        { fragStore(d, s"$scratch/eavstore_$tag", s"scale_vidxf_$tag")
+            .pullMany(
+            Seq("documents:n_chars" -> graft.query.MAny),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars")),
+            sortBy = Some("n_chars"), desc = true,
+            limit = Some(100)).count(); () }),
       // datalog find-aggregate: two EDB clauses joined on ?e, grouped
       // per user — replica users are disjoint, so groups scale ×factor
       // and the join carries ~events rows — ~linear
@@ -557,8 +624,11 @@ object ScaleBench {
 
     // NOTE for --only: probe workloads ride the index the preceding
     // build workload wrote (incr_neardup <- lsh_index_build, bm25_query
-    // <- text_index_build, ivf_query <- ivf_index_build) — scope probes
-    // together with their builders.
+    // <- text_index_build, ivf_query <- ivf_index_build; the
+    // fragmentation chain eav_vidx_append_frag <- eav_value_index_build
+    // <- eav_store_save, then eav_pull_topk_frag <- append_frag,
+    // eav_pull_topk_compacted <- eav_vidx_compact <- append_frag) —
+    // scope probes together with their builders.
     val names = scope(workloads(d1, e1, queries1, "x1")).map(_._1)
     def num(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -1012,6 +1012,37 @@ class TripleStoreSpec extends AnyFunSuite {
         Triples.VStr)))
   }
 
+  /** Store of STRING-valued card-one facts `s:name` plus the universal
+    * tag `s:tag`, for the ValueIndex string suite. */
+  def strStore(rows: Seq[(String, String)], tx: Long = 0L): TripleStore = {
+    val triples = rows.toDF("e", "vstr")
+      .withColumn("a", lit("s:name"))
+      .withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(tx))
+      .select(Triples.columns.map(col): _*)
+    val tags = rows.map(_._1).toDF("e")
+      .withColumn("a", lit("s:tag")).withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vstr", lit("t")).withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(tx))
+      .select(Triples.columns.map(col): _*)
+    new TripleStore(spark, triples.unionByName(tags), Map(
+      "s:name" -> AttrSchema("s:name", cardOne = true, isRef = false,
+        Triples.VStr),
+      "s:tag" -> AttrSchema("s:tag", cardOne = true, isRef = false,
+        Triples.VStr)))
+  }
+
   test("valueIndex: desc top-k probes the index, equals the fallback " +
       "(ties included), and partition-prunes to few buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx").toString
@@ -1222,12 +1253,25 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(rowsOf(top(idx)) === rowsOf(top(plain)))
   }
 
-  test("valueIndex: build rejects card-many and non-numeric attrs; " +
+  test("valueIndex: build rejects card-many and non-orderable attrs; " +
       "unstamped manifests fail fast with a rebuild message") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx4").toString
-    val ts = numStore(Seq(("e1", 1L)))
+    // bool: no shadow ordering worth indexing — rejected at build
+    val bools = Seq(("e1", true)).toDF("e", "vbool")
+      .withColumn("a", lit("b:flag"))
+      .withColumn("vtype", lit(Triples.VBool))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val boolStore = new TripleStore(spark, bools, Map("b:flag" ->
+      AttrSchema("b:flag", cardOne = true, isRef = false, Triples.VBool)))
     intercept[IllegalArgumentException] {
-      ts.buildValueIndex("vidx_bad", s"$dir/bad", Seq("n:tag"))
+      boolStore.buildValueIndex("vidx_bad", s"$dir/bad", Seq("b:flag"))
     }
     val many = tinyStore(Seq(("e1", "m:x", "a", 0L)))
     intercept[IllegalArgumentException] {
@@ -1254,5 +1298,127 @@ class TripleStoreSpec extends AnyFunSuite {
         Some(Seq("e1").toDF("e")), 1)
     }
     assert(err2.getMessage.contains("rebuild"))
+  }
+
+  test("valueIndex: STRING attrs probe through the byte-prefix shadow — " +
+      "desc/asc == fallback, shadow-tied common prefixes stay exact, " +
+      "appends bucket by harvested cuts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxs").toString
+    // distinct-prefix names across the range, PLUS a block sharing its
+    // first 6 bytes ("zzzzzz…" — every shadow identical, one bucket
+    // holds the whole block: bucket selectivity degrades, exactness
+    // must not), plus the empty string (shadow 0, asc-first)
+    val rows = (0 until 120).map(i => (f"e$i%03d", f"name_${(i * 7) % 120}%03d")) ++
+      (120 until 160).map(i => (f"e$i%03d", f"zzzzzz_tail_$i%03d")) :+
+      (("e160", ""))
+    val plain = strStore(rows)
+    val ts = plain.buildValueIndex("vidx_s1", s"$dir/s1", Seq("s:name"),
+      nBuckets = 8)
+    // non-universe match (s:tag is not the sort attr): desc exercises
+    // the widening semi-join probe, asc the counting universe proof
+    def top(s: TripleStore, k: Int, d: Boolean) =
+      s.pullMany(Seq("s:tag" -> MAny), Seq(PAttr("s:name")),
+          sortBy = Some("name"), desc = d, limit = Some(k))
+        .select($"name").as[String].collect().toList.sorted
+    for (k <- Seq(10, 50); d <- Seq(true, false))
+      assert(top(ts, k, d) === top(plain, k, d), s"k=$k desc=$d")
+    // universe form, both directions, through the single-clause match
+    def topU(s: TripleStore, k: Int, d: Boolean) =
+      s.pullMany(Seq("s:name" -> MAny), Seq(PAttr("s:name")),
+          sortBy = Some("name"), desc = d, limit = Some(k))
+        .select($"name").as[String].collect().toList.sorted
+    for (k <- Seq(5, 45); d <- Seq(true, false))
+      assert(topU(ts, k, d) === topU(plain, k, d), s"universe k=$k desc=$d")
+    // the probe itself partition-prunes on bkt and never semi-joins in
+    // universe form
+    val probe = ValueIndex.topKEids(spark, "vidx_s1", "s:name", "vstr",
+      None, 10)
+    assert(probe.isDefined)
+    val plan = probe.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"expected a bkt-partition-pruned scan:\n$plan")
+    assert(!plan.contains("Join"), "universe probe must not semi-join")
+    // append a drifted batch (values past every build-time string) —
+    // harvested shadow cuts bucket it, probe over the union == fallback
+    val drift = (200 until 260).map(i => (f"d$i%03d", f"zzzzzz_zz_$i%03d"))
+    ValueIndex.append(strStore(drift, tx = 1L), "vidx_s1")
+    val union = strStore(rows ++ drift)
+    val tsU = union.withValueIndex("vidx_s1")
+    for (k <- Seq(10, 70); d <- Seq(true, false))
+      assert(top(tsU, k, d) === top(union, k, d), s"post-append k=$k desc=$d")
+  }
+
+  test("valueIndex: asc NON-universe serves via the counting universe " +
+      "proof; equal-size disjoint sets and attr-missing ents fall back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxp").toString
+    val rows = (0 until 200).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_p1", s"$dir/p1", Seq("n:v"),
+      nBuckets = 8)
+    // (n:tag, any) matches every entity — exactly n:v's fact universe,
+    // but NOT syntactically (pattern attr != sort attr): only the
+    // counting proof can serve the ascending form
+    def bot(s: TripleStore) = s.pullMany(Seq("n:tag" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = false,
+        limit = Some(12))
+      .select($"v").as[Option[Long]].collect().toList
+      .sortBy(_.getOrElse(Long.MinValue))
+    assert(bot(ts) === bot(plain))
+    val ents = plain.resolved.select($"e").distinct()
+    assert(ValueIndex.provesUniverse(spark, "vidx_p1", "n:v", ents))
+    // the DISJOINT same-size set a bare count comparison would accept —
+    // the soundness counterexample; the containment half must reject it
+    val fake = (0 until 200).map(i => f"x$i%03d").toDF("e")
+    assert(!ValueIndex.provesUniverse(spark, "vidx_p1", "n:v", fake))
+    // a strict subset (sizes differ) must reject too
+    assert(!ValueIndex.provesUniverse(spark, "vidx_p1", "n:v",
+      ents.limit(199)))
+    // an unindexed attr never proves
+    assert(!ValueIndex.provesUniverse(spark, "vidx_p1", "n:tag", ents))
+    // a match SUPERSET of the universe (x1 carries only the tag): the
+    // proof fails and the fallback owns asc's nulls-FIRST ranking of
+    // the attr-missing entity — x1's null v must lead the bottom-k
+    val merged = plain.merge(tinyStore(Seq(("x1", "n:tag", "t", 0L))))
+    val m2 = merged.withValueIndex("vidx_p1")
+    assert(bot(m2) === bot(merged))
+    assert(bot(m2).head === None)
+  }
+
+  test("valueIndex: compact's catalog swap is atomic — a hammering " +
+      "concurrent reader never sees a missing table and always reads a " +
+      "full generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxa").toString
+    val plain = numStore((0 until 300).map(i => (f"e$i%03d", i.toLong)))
+    plain.buildValueIndex("vidx_at", s"$dir/g0", Seq("n:v"), nBuckets = 8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val badCounts = new java.util.concurrent.atomic.AtomicInteger()
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done) {
+        try {
+          // resolve-by-name + full read of whichever generation the
+          // catalog serves: under the old DROP→CREATE swap this threw
+          // "table not found" in the window; the view replacement must
+          // never (and every generation holds exactly the 300 facts)
+          val n = spark.table("vidx_at").where($"a" === "n:v").count()
+          if (n != 300L) badCounts.incrementAndGet()
+        } catch { case t: Throwable => errors.add(t) }
+      }
+    })
+    reader.start()
+    try {
+      for (g <- 1 to 4)
+        ValueIndex.compact(spark, "vidx_at", s"$dir/g$g", nBuckets = 8)
+    } finally { done = true; reader.join() }
+    assert(errors.isEmpty,
+      s"reader saw ${errors.size} errors, first: ${errors.peek()}")
+    assert(badCounts.get() === 0)
+    // the final generation still probes correctly
+    val ts = plain.withValueIndex("vidx_at")
+    def topVals(s: TripleStore) = s.pullMany(Seq("n:v" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = true,
+        limit = Some(9))
+      .select($"v").as[Long].collect().toList.sorted
+    assert(topVals(ts) === (291L to 299L).toList)
   }
 }
