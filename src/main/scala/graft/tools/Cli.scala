@@ -58,6 +58,7 @@ import scala.jdk.CollectionConverters._
   *   Cli indexcompact --table idx --index-path /data/idx2 [--vacuum] -o receipt
   *   Cli vidxbuild   -i corpus.parquet --table vidx --index-path /data/v \
   *                   --cols n_chars[,n_words] [--buckets 64] -o receipt
+  *   Cli vidxappend  -i batch.parquet --table vidx -o receipt
   *   Cli vidxcompact --table vidx --index-path /data/v2 [--vacuum] -o receipt
   *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
   *   Cli spandedup -i docs.parquet --ngram 8 [--spans-only] -o clean
@@ -134,7 +135,7 @@ object Cli {
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
-      "indexcompact", "vidxbuild", "vidxcompact",
+      "indexcompact", "vidxbuild", "vidxappend", "vidxcompact",
       "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
@@ -539,6 +540,26 @@ object Cli {
           // index, not a count job per attr
           spark.table(t).where(col("a").isInCollection(attrs))
             .groupBy(col("a").as("attr"))
+            .agg(count(lit(1)).as("n_facts"))
+            .select(lit(t).as("table"), col("attr"), col("n_facts"))
+        // append a batch to a registered index: ingest the input as a
+        // table store keyed by --id (same shape as vidxbuild) and
+        // ValueIndex.append it — the batch is bucketed by the manifest's
+        // harvested cuts, the existing corpus never read (re-asserted
+        // keys reconcile at the next vidxcompact). The index table name
+        // doubles as the ingest table name, so batch columns become the
+        // same "<table>:<col>" attrs the build indexed.
+        case "vidxappend" =>
+          val t = a.table.getOrElse(sys.error("vidxappend needs --table"))
+          val sp = graft.sources.RowIngest.specFor(df, t, Seq(a.idCol),
+            Nil, None)
+          val batch = new TripleStore(spark,
+            graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas,
+            preResolved = true,
+            source = Some(graft.model.UnionTripleSource(
+              Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+          graft.ValueIndex.append(batch, t)
+          spark.table(t).groupBy(col("a").as("attr"))
             .agg(count(lit(1)).as("n_facts"))
             .select(lit(t).as("table"), col("attr"), col("n_facts"))
         // re-cut the index over its current rows (reconciling upserting

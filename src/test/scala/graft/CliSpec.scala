@@ -556,8 +556,8 @@ class CliSpec extends AnyFunSuite {
       Set((202L, 102L)))
   }
 
-  test("CLI vidxbuild + vidxcompact: value-index lifecycle from the " +
-      "shell — build over an ingested table, compact + vacuum") {
+  test("CLI vidxbuild + vidxappend + vidxcompact: the full value-index " +
+      "lifecycle from the shell — build, drifted append, compact + vacuum") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cli_vidx").toString
     Files.writeString(Paths.get(dir + "/corpus.json"),
@@ -568,17 +568,26 @@ class CliSpec extends AnyFunSuite {
       "--cols", "n", "--buckets", "4", "-o", dir + "/r0"))
     assert(spark.read.json(dir + "/r0").select($"attr", $"n_facts")
       .as[(String, Long)].head() === (("cli_vidx:n", 50L)))
+    // append a drifted batch from the shell: bucketed by harvested
+    // cuts, corpus never read
+    Files.writeString(Paths.get(dir + "/batch.json"),
+      (51L to 60L).map(i => s"""{"doc_id": $i, "n": ${i * 30}}""")
+        .mkString("", "\n", "\n"))
+    Cli.run(spark, Array("vidxappend", "-i", dir + "/batch.json",
+      "--table", "cli_vidx", "-o", dir + "/ra"))
+    assert(spark.read.json(dir + "/ra").select($"attr", $"n_facts")
+      .as[(String, Long)].head() === (("cli_vidx:n", 60L)))
     Cli.run(spark, Array("vidxcompact", "--table", "cli_vidx",
       "--index-path", dir + "/vidx2", "--buckets", "4", "--vacuum",
       "-o", dir + "/r1"))
     val r1 = spark.read.json(dir + "/r1")
       .select($"n_facts", $"n_manifest_rows").as[(Long, Long)].head()
-    assert(r1._1 === 50L)
+    assert(r1._1 === 60L)
     assert(r1._2 <= 4L)
     // vacuum removed the superseded copies; the swapped index answers
     assert(!new java.io.File(dir + "/vidx").exists)
     assert(!new java.io.File(dir + "/vidx_manifest").exists)
-    assert(spark.table("cli_vidx").count() === 50L)
+    assert(spark.table("cli_vidx").count() === 60L)
   }
 
   test("CLI score verb: inline lexicon, signed points, zero-hit docs kept") {
