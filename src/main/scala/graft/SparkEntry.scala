@@ -202,44 +202,82 @@ object SparkEntry {
     path
   }
 
+  /** A staged after-first-microbatch world ([[stagedStreamState]]):
+    * `restore()` replays the ONE capture mapping in reverse — every
+    * run-side tree deleted and hardlink-relinked from its staged copy —
+    * so the per-rep restore can never drift out of sync with what
+    * staging captured. */
+  private final class StagedStream(root: String,
+      capture: Seq[(String, String)]) {
+    def restore(): Unit =
+      for ((run, sub) <- capture) {
+        deleteRec(java.nio.file.Paths.get(run))
+        copyRec(java.nio.file.Paths.get(root + "/" + sub),
+          java.nio.file.Paths.get(run))
+      }
+  }
+
+  /** Fingerprint of an arbitrary staged tree (relative path:size:mtime
+    * per file, md5'd) — folded into stamps that depend on OTHER staged
+    * artifacts' exact files (a restored checkpoint's offset log knows
+    * batch-1 part files by NAME: a regenerated staging with fresh
+    * UUIDs must invalidate the checkpoint staging too, or the restarted
+    * stream re-ingests "unseen" batch-1 files). */
+  private def treeFingerprint(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    val manifest =
+      if (!java.nio.file.Files.exists(root)) "missing"
+      else java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Build-once-per-(tag, sf) staging of a streaming ingest loop's
-    * AFTER-FIRST-MICROBATCH world — checkpoint tree, appended index,
-    * sink output. The first microbatch of the q110/q124 loops is a pure
-    * function of the sf dir (staged inputs against the pristine index),
-    * so `runBatch1` executes it ONCE per (tag, sf) with
-    * `checkpointLocation = <staged>/ckpt`; the run-side trees named in
-    * `capture` are then hardlink-copied under the staged root behind a
-    * stamped _OK marker. Each bench rep restores that world (ckpt +
-    * captured trees + the batch-1 input files at their recorded paths)
-    * and RESTARTS the stream: the file source replays its offset log,
-    * sees batch 1 committed, and executes only the new batch — reps pay
-    * one microbatch of real work instead of two plus tree setup, which
-    * is also the production shape (a long-running loop ingests THE next
-    * batch; it does not replay its history per run). Restart-safety of
-    * the checkpoint contract itself is spec'd separately
-    * (StreamingSpec's restart-survival test). `extraStamp` must carry
-    * every parameter the first batch's results depend on (index format
-    * stamp included) — /tmp outlives code, and a semantics change must
+    * AFTER-FIRST-MICROBATCH world — input dir, checkpoint tree,
+    * appended index, sink output, all named by ONE `capture` mapping
+    * (runPath → staged subdir). The first microbatch of the q110/q124
+    * loops is a pure function of the sf dir (staged inputs against the
+    * pristine index), so `runBatch1` executes it ONCE per (tag, sf) at
+    * the real run paths; the captured trees are then hardlink-copied
+    * under the staged root behind a stamped _OK marker. Each bench rep
+    * [[StagedStream.restore]]s that world and RESTARTS the stream: the
+    * file source replays its offset log, sees batch 1 committed, and
+    * executes only the new batch — reps pay one microbatch of real
+    * work instead of two plus tree setup, which is also the production
+    * shape (a long-running loop ingests THE next batch; it does not
+    * replay its history per run). Restart-safety of the checkpoint
+    * contract itself is spec'd separately (StreamingSpec's
+    * restart-survival test). `extraStamp` must carry every parameter
+    * the first batch's results depend on — index format stamp AND the
+    * [[treeFingerprint]]s of the staged input dirs (the offset log
+    * pins batch-1 part-file names; regenerated inputs must restage the
+    * checkpoint) — /tmp outlives code, and a semantics change must
     * restage, not silently reuse. */
   private def stagedStreamState(s: SparkSession, tag: String, dir: String,
       extraStamp: String, capture: Seq[(String, String)])(
-      runBatch1: String => Unit): String = {
+      runBatch1: => Unit): StagedStream = {
     val root = scratch(tag + "_staged", dir)
     val marker = java.nio.file.Paths.get(root + "_OK")
-    val stamp = s"$tag streamstagev1 $extraStamp src=${dirFingerprint(dir)}"
+    val stamp = s"$tag streamstagev2 $extraStamp src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
     if (!fresh) {
       java.nio.file.Files.deleteIfExists(marker)
       deleteRec(java.nio.file.Paths.get(root))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-      runBatch1(root + "/ckpt")
+      runBatch1
       for ((src, sub) <- capture)
         copyRec(java.nio.file.Paths.get(src),
           java.nio.file.Paths.get(root + "/" + sub))
       java.nio.file.Files.writeString(marker, stamp)
     }
-    root
+    new StagedStream(root, capture)
   }
 
   /** Harness-side build-once-reuse LSH index: the expensive pristine
@@ -1807,31 +1845,27 @@ object SparkEntry {
             intraBatch = false)
           .option("checkpointLocation", ckptLoc)
           .start()
-      // batch 1 (the loop's history) runs ONCE per (tag, sf): its
-      // checkpoint, appended index, and sink output are staged; each
-      // rep restores that world and executes only the NEW microbatch —
-      // the production shape (a live loop ingests the next batch, it
-      // does not replay its history per run)
+      // batch 1 (the loop's history) runs ONCE per (tag, sf): its input
+      // files, checkpoint, appended index, and sink output are staged;
+      // each rep restores that world and executes only the NEW
+      // microbatch — the production shape (a live loop ingests the next
+      // batch, it does not replay its history per run). The stamp folds
+      // in the staged inputs' tree fingerprints: the checkpoint's
+      // offset log pins batch-1 part-file NAMES, so regenerated inputs
+      // must restage the checkpoint too.
       val staged = stagedStreamState(s, "q110s1", dir,
-        "lshv2 k=64 bands=32 rpb=2 thr=0.5 intra=false",
-        capture = Seq((work, "idx"), (work + "_sh", "idx_sh"),
-          (outp, "out"))) { ckptLoc =>
-        for (d <- Seq(in, outp)) deleteRec(Paths.get(d))
+        "lshv2 k=64 bands=32 rpb=2 thr=0.5 intra=false " +
+          s"b1=${treeFingerprint(b1)} b2=${treeFingerprint(b2)}",
+        capture = Seq((in, "in"), (ckpt, "ckpt"), (work, "idx"),
+          (work + "_sh", "idx_sh"), (outp, "out"))) {
+        for (d <- Seq(in, outp, ckpt)) deleteRec(Paths.get(d))
         lshIndexFromPristine(s, docs.where(col("doc_id") % 10 =!= 0),
           "q110idx", dir, table, work, k = 64, bands = 32, rowsPerBand = 2)
         copyRec(Paths.get(b1), Paths.get(in))
-        val q = startStream(ckptLoc)
+        val q = startStream(ckpt)
         try q.processAllAvailable() finally q.stop()
       }
-      // restore the after-batch-1 world: committed input files at their
-      // offset-logged paths, sink output, index, checkpoint
-      for (d <- Seq(in, outp, ckpt, work, work + "_sh"))
-        deleteRec(Paths.get(d))
-      copyRec(Paths.get(b1), Paths.get(in))
-      copyRec(Paths.get(staged + "/out"), Paths.get(outp))
-      copyRec(Paths.get(staged + "/ckpt"), Paths.get(ckpt))
-      copyRec(Paths.get(staged + "/idx"), Paths.get(work))
-      copyRec(Paths.get(staged + "/idx_sh"), Paths.get(work + "_sh"))
+      staged.restore()
       graft.ops.Layout.registerBucketed(s, table, work, 16, Seq("_bh"))
       graft.ops.Layout.registerBucketed(s, table + "_sh", work + "_sh",
         16, Seq("corpus_id"))
@@ -1969,27 +2003,22 @@ object SparkEntry {
           .start()
       // q110's staging discipline, IVF edition: batch 1 (the loop's
       // history — cell-assign + same-cell dedup + survivor append) runs
-      // once per (tag, sf); reps restore its checkpoint/index/output
-      // and execute only the new microbatch
+      // once per (tag, sf); reps restore its input/checkpoint/index/
+      // output world and execute only the new microbatch
       val staged = stagedStreamState(s, "q124s1", dir,
-        "ivfv1 cells=8 iters=0 ci=minid thr=0.45 intra=false",
-        capture = Seq((work, "idx"), (work + "_centroids", "idx_cent"),
-          (outp, "out"))) { ckptLoc =>
-        for (d <- Seq(in, outp)) deleteRec(Paths.get(d))
+        "ivfv1 cells=8 iters=0 ci=minid thr=0.45 intra=false " +
+          s"b1=${treeFingerprint(b1)} b2=${treeFingerprint(b2)}",
+        capture = Seq((in, "in"), (ckpt, "ckpt"), (work, "idx"),
+          (work + "_centroids", "idx_cent"), (outp, "out"))) {
+        for (d <- Seq(in, outp, ckpt)) deleteRec(Paths.get(d))
         ivfIndexFromPristine(s, emb.where(col("vec_id") % 10 =!= 0),
           "q124idx", dir, table, work,
           nCells = 8, iters = 0, centroidInit = "minid", mutates = true)
         copyRec(Paths.get(b1), Paths.get(in))
-        val q = startStream(ckptLoc)
+        val q = startStream(ckpt)
         try q.processAllAvailable() finally q.stop()
       }
-      for (d <- Seq(in, outp, ckpt, work, work + "_centroids"))
-        deleteRec(Paths.get(d))
-      copyRec(Paths.get(b1), Paths.get(in))
-      copyRec(Paths.get(staged + "/out"), Paths.get(outp))
-      copyRec(Paths.get(staged + "/ckpt"), Paths.get(ckpt))
-      copyRec(Paths.get(staged + "/idx"), Paths.get(work))
-      copyRec(Paths.get(staged + "/idx_cent"), Paths.get(work + "_centroids"))
+      staged.restore()
       graft.ops.Layout.registerBucketed(s, table, work, 16, Seq("_cell"))
       registerPlainTable(s, table + "_centroids", work + "_centroids")
       copyRec(Paths.get(b2), Paths.get(in))

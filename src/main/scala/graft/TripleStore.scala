@@ -721,8 +721,13 @@ class TripleStore(
       if (desc || entsIsUniverse) valueIndex.flatMap(t =>
         ValueIndex.topKEids(spark, t, attr, valueCol(attr),
           if (entsIsUniverse) None else Some(ents), limit, desc))
+      // the proof is an EAGER job at construction time: run it only
+      // where the laziness exception already applies (limit under the
+      // literal cap — the same gate the bounded ranking collect uses),
+      // so a huge-limit asc pull stays fully lazy as before
       else valueIndex.filter(t =>
-          ValueIndex.provesUniverse(spark, t, attr, ents))
+          limit <= TripleStore.TopKLiteralCap &&
+            ValueIndex.provesUniverse(spark, t, attr, ents))
         .flatMap(t => ValueIndex.topKEids(spark, t, attr,
           valueCol(attr), None, limit, desc = false))
     viaIndex.getOrElse {

@@ -226,9 +226,16 @@ object ValueIndex {
             .tableType !=
             org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
         spark.sql(s"DROP TABLE $t")
+      // the path is USER input reaching DDL text: escape it for the
+      // string-literal position ('' stays the raw path once parsed —
+      // dataPathOf reads back the unescaped value) and the quoted
+      // identifier position (`` doubling); a path containing a quote
+      // must register, not break the statement
+      val lp = p.replace("'", "\\'")
+      val ip = p.replace("`", "``")
       spark.sql(
-        s"CREATE OR REPLACE VIEW $t TBLPROPERTIES ('$PathProp' = '$p') " +
-          s"AS SELECT * FROM parquet.`$p`")
+        s"CREATE OR REPLACE VIEW $t TBLPROPERTIES ('$PathProp' = '$lp') " +
+          s"AS SELECT * FROM parquet.`$ip`")
       // the path may have been rewritten/relinked since a prior
       // registration cached its listing
       spark.catalog.refreshByPath(p)
@@ -375,17 +382,19 @@ object ValueIndex {
   }
 
   /** ONE bounded aggregate proving `ents` IS exactly `attr`'s fact
-    * universe in the index — the sound form of the asc-serving proof:
-    * every ent must match an index row (so ents ⊆ universe) AND the
-    * total must equal the manifest's row count for the attr (equal
-    * sizes + containment force set equality — a bare count comparison
-    * proves nothing: two disjoint sets of equal size pass it, and the
-    * probe would then rank entities that are not even in the match).
-    * Unreconciled upserted duplicates inflate the join rows past the
-    * ents count and fail the proof — conservative, the caller falls
-    * back. `ents` must be distinct (matchEntities output is). Returns
-    * false when the attr is not indexed; this is an EAGER action (see
-    * pullMany's laziness note). */
+    * universe in the index, one row per entity — the sound form of the
+    * asc-serving proof, three conditions from one left-join aggregate:
+    * every ent matches an index row (ents ⊆ universe), the matched row
+    * count equals the distinct ent count (no entity holds two index
+    * rows — an unreconciled upsert's stale twin would let the probe
+    * rank by the dead value or emit an eid twice), and that count
+    * equals the manifest's total for the attr (universe ⊆ ents:
+    * containment + equal sizes force set equality — a bare count
+    * comparison proves nothing, two disjoint sets of equal size pass
+    * it, and the probe would then rank entities that are not even in
+    * the match). Any failure is a conservative decline — the caller
+    * falls back. Returns false when the attr is not indexed; this is
+    * an EAGER action (see pullMany's laziness note). */
   private[graft] def provesUniverse(spark: SparkSession, table: String,
       attr: String, ents: DataFrame): Boolean = {
     val (man, dat) = resolve(spark, table)
@@ -395,8 +404,12 @@ object ValueIndex {
     val idx = dat().where(col("a") === attr)
       .select(col("e"), lit(1).as("_m"))
     val r = ents.select(col("e")).join(idx, Seq("e"), "left_outer")
-      .agg(count(lit(1)).as("n"), count(col("_m")).as("m")).head()
-    r.getLong(0) == r.getLong(1) && r.getLong(0) == total
+      .agg(count_distinct(col("e")).as("nEnts"),
+        count_distinct(when(col("_m").isNotNull, col("e"))).as("nMatched"),
+        count(col("_m")).as("nRows")).head()
+    val (nEnts, nMatched, nRows) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    nMatched == nEnts && nRows == nEnts && nRows == total
   }
 
   /** The top-`k` eids by `attr` through the index (descending when

@@ -6,7 +6,7 @@ import graft.model.AttrSchema
 import graft.query._
 import graft.sources.{DocIngest, JsonSource}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max}
 import scala.jdk.CollectionConverters._
 
 /** The `tripl` CLI surface (cli.py:72-115) on the Spark engine:
@@ -537,11 +537,16 @@ object Cli {
           graft.ValueIndex.build(store, t, p, attrs,
             a.buckets.getOrElse(64))
           // receipt: ONE partition-pruned grouped count over the fresh
-          // index, not a count job per attr
-          spark.table(t).where(col("a").isInCollection(attrs))
+          // index, not a count job per attr — left-joined back to the
+          // requested attr list so an all-null column (indexed but
+          // fact-free) shows up as an explicit 0, not a vanished row
+          import spark.implicits._
+          val counts = spark.table(t).where(col("a").isInCollection(attrs))
             .groupBy(col("a").as("attr"))
             .agg(count(lit(1)).as("n_facts"))
-            .select(lit(t).as("table"), col("attr"), col("n_facts"))
+          attrs.toDF("attr").join(counts, Seq("attr"), "left")
+            .select(lit(t).as("table"), col("attr"),
+              coalesce(col("n_facts"), lit(0L)).as("n_facts"))
         // append a batch to a registered index: ingest the input as a
         // table store keyed by --id (same shape as vidxbuild) and
         // ValueIndex.append it — the batch is bucketed by the manifest's
@@ -553,8 +558,16 @@ object Cli {
           val t = a.table.getOrElse(sys.error("vidxappend needs --table"))
           val sp = graft.sources.RowIngest.specFor(df, t, Seq(a.idCol),
             Nil, None)
+          // stamp the batch PAST every txId already indexed (one small
+          // max over the index): vidxcompact reconciles re-asserted
+          // keys latest-txId-wins, and a batch ingested at the default
+          // tx 0 would TIE the build rows — the stale value could
+          // survive its own upsert
+          val tx = spark.table(t).agg(max(col("txId")))
+            .head.getLong(0) + 1L
           val batch = new TripleStore(spark,
-            graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas,
+            graft.sources.RowIngest.tableToTriples(df, sp, txId = tx),
+            sp.attrSchemas,
             preResolved = true,
             source = Some(graft.model.UnionTripleSource(
               Seq(graft.sources.RowIngest.TableSource(df, sp)))))

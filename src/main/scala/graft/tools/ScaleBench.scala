@@ -130,26 +130,35 @@ object ScaleBench {
         Seq(graft.sources.RowIngest.TableSource(df, sp)))))
   }
 
-  /** The 4 value-DRIFTED batches of the fragmentation study: quarter
-    * slices of the corpus under fresh ids with repeat-lengthened text,
-    * so every batch's n_chars lands past the build-time max — the
-    * worst case for the append path's stale-cut bucketing. */
-  private def driftBatches(d: DataFrame): Seq[graft.TripleStore] = {
+  /** Write the 4 value-DRIFTED batches of the fragmentation study to
+    * ONE parquet at `path` (quarter slices of the corpus under fresh
+    * ids with repeat-lengthened text, so every batch's n_chars lands
+    * past the build-time max — the worst case for the append path's
+    * stale-cut bucketing; `_b` tags the batch). Materializing once
+    * keeps the PROBE workloads honest: fragStore reads this parquet
+    * instead of re-deriving the slices from the scaled-corpus plan, so
+    * the frag probe rows time the index probe, not O(corpus)
+    * drift-batch recompute inside the timed closure. */
+  private def writeDriftDocs(d: DataFrame, path: String): Unit = {
     val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1
-    (0 until 4).map(k => docStore(
+    (0 until 4).map(k =>
       d.where(pmod(col("doc_id"), lit(4)) === k)
         .select((col("doc_id") + lit((k + 1) * off)).as("doc_id"),
-          repeat(col("text"), k + 2).as("text"), col("source"))))
+          repeat(col("text"), k + 2).as("text"), col("source"),
+          lit(k).as("_b")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(path)
   }
 
-  /** The persisted eav store MERGED with [[driftBatches]] and carrying
-    * the fragmentation-study index — the snapshot-contract-correct
-    * store for the frag probes: every index row's entity exists in the
-    * store (the probe's top-k eids all pull real facts). */
-  private def fragStore(d: DataFrame, storePath: String,
-      table: String): graft.TripleStore =
-    driftBatches(d)
-      .foldLeft(graft.TripleStore.load(d.sparkSession, storePath))(_ merge _)
+  /** The persisted eav store MERGED with the staged drift docs and
+    * carrying the fragmentation-study index — the snapshot-contract-
+    * correct store for the frag probes: every index row's entity
+    * exists in the store (the probe's top-k eids all pull real
+    * facts). */
+  private def fragStore(spark: SparkSession, fragDocs: String,
+      storePath: String, table: String): graft.TripleStore =
+    graft.TripleStore.load(spark, storePath)
+      .merge(docStore(spark.read.parquet(fragDocs).drop("_b")))
       .withValueIndex(table)
 
   /** Same, for the (event_id, user_id, ts, value) events frame. */
@@ -548,15 +557,20 @@ object ScaleBench {
           graft.SparkEntry.copyRec(Paths.get(src + sfx), Paths.get(w + sfx))
         }
         graft.ValueIndex.register(spark, s"scale_vidxf_$tag", w)
-        driftBatches(d).foreach(b =>
-          graft.ValueIndex.append(b, s"scale_vidxf_$tag")); ()
+        val fd = s"$scratch/fragdocs_$tag"
+        writeDriftDocs(d, fd)
+        for (k <- 0 until 4)
+          graft.ValueIndex.append(docStore(
+            spark.read.parquet(fd).where(col("_b") === k).drop("_b")),
+            s"scale_vidxf_$tag"); ()
       }),
       // the SAME universe top-k as eav_pull_topk against the FRAGMENTED
       // layout (store merged with the drifted batches so the snapshot
       // contract holds): probes stay exact under drift; this row prices
       // the fragmentation tax — wider manifest, more files per bucket
       "eav_pull_topk_frag" -> (() =>
-        { fragStore(d, s"$scratch/eavstore_$tag", s"scale_vidxf_$tag")
+        { fragStore(spark, s"$scratch/fragdocs_$tag",
+            s"$scratch/eavstore_$tag", s"scale_vidxf_$tag")
             .pullMany(
             Seq("documents:n_chars" -> graft.query.MAny),
             Seq(graft.query.PAttr("documents:doc_id"),
@@ -571,7 +585,8 @@ object ScaleBench {
       // the probe with the tax refunded: same query over the compacted
       // layout — back to one tight file + manifest row per bucket
       "eav_pull_topk_compacted" -> (() =>
-        { fragStore(d, s"$scratch/eavstore_$tag", s"scale_vidxf_$tag")
+        { fragStore(spark, s"$scratch/fragdocs_$tag",
+            s"$scratch/eavstore_$tag", s"scale_vidxf_$tag")
             .pullMany(
             Seq("documents:n_chars" -> graft.query.MAny),
             Seq(graft.query.PAttr("documents:doc_id"),

@@ -1382,6 +1382,15 @@ class TripleStoreSpec extends AnyFunSuite {
     val m2 = merged.withValueIndex("vidx_p1")
     assert(bot(m2) === bot(merged))
     assert(bot(m2).head === None)
+    // an UNRECONCILED UPSERT in the index (e000 re-asserted at a later
+    // txId — two index rows for one entity): the matched-rows==ents
+    // condition must reject, or the probe could rank by the stale row
+    // / emit the eid twice. Counts alone would pass (200 ents, but 201
+    // rows with every ent matched is caught by nRows == nEnts).
+    ValueIndex.append(numStore(Seq(("e000", 9999L)), tx = 1L), "vidx_p1")
+    assert(!ValueIndex.provesUniverse(spark, "vidx_p1", "n:v", ents))
+    // the asc pull falls back and stays correct against the plain store
+    assert(bot(plain.withValueIndex("vidx_p1")) === bot(plain))
   }
 
   test("valueIndex: compact's catalog swap is atomic — a hammering " +
