@@ -92,7 +92,7 @@ object ValueIndex {
     * to their first 6 UTF-8 bytes as a big-endian integer (< 2^48, so
     * integer-exact in a double; byte-prefix order is monotone in the
     * binary collation Spark compares strings with). */
-  private def shadowOf: Column =
+  private[graft] def shadowOf: Column =
     coalesce(col("vdbl"), col("vlong").cast("double"),
       conv(rpad(hex(substring(encode(col("vstr"), "UTF-8"), 1, 6)),
         12, "0"), 16, 10).cast("double"))

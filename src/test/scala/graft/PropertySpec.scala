@@ -1053,4 +1053,30 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: the ValueIndex string shadow is monotone in Spark's " +
+      "binary string order (unicode, shared prefixes, empty string)") {
+    // the entire zone-map argument for string attrs rests on ONE fact:
+    // a <= b in the order Spark sorts/compares vstr with implies
+    // shadow(a) <= shadow(b). Sort a hostile corpus (multibyte unicode,
+    // 6+-byte shared prefixes, empty string) by vstr IN SPARK and
+    // assert the computed shadows are non-decreasing along that order.
+    val strGen = Gen.listOf(Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (2, Gen.oneOf('\u00e9', '\u4e2d', '\ud83d')),  // 2-4 byte UTF-8
+      (2, Gen.const('z')))).map(_.mkString.take(10))
+    val strs = (0 until 200).map(i =>
+      strGen.pureApply(Gen.Parameters.default.withSize(12), Seed(7L + i))) ++
+      Seq("", "prefix_aaaa", "prefix_aaab", "prefix", "zzzzzz", "zzzzzz!") ++
+      (0 until 20).map(i => f"zzzzzz_tail_$i%03d")
+    val shadows = strs.distinct.toDF("vstr")
+      .withColumn("vlong", org.apache.spark.sql.functions.lit(null).cast("long"))
+      .withColumn("vdbl", org.apache.spark.sql.functions.lit(null).cast("double"))
+      .select($"vstr", ValueIndex.shadowOf.as("sh"))
+      .orderBy($"vstr")
+      .collect()
+      .map(_.getDouble(1))
+    assert(shadows.zip(shadows.tail).forall { case (a, b) => a <= b },
+      "shadow must be non-decreasing along Spark's string sort order")
+  }
 }

@@ -1393,6 +1393,24 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(bot(plain.withValueIndex("vidx_p1")) === bot(plain))
   }
 
+  test("valueIndex: paths containing quote characters register through " +
+      "escaped DDL (string-literal and identifier positions)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vidxq")
+    val dir = base.resolve("o'brien`x").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val plain = numStore((0 until 50).map(i => (f"e$i%02d", i.toLong)))
+    val ts = plain.buildValueIndex("vidx_q1", s"$dir/v", Seq("n:v"),
+      nBuckets = 4)
+    def topVals(s: TripleStore) = s.pullMany(Seq("n:v" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = true, limit = Some(5))
+      .select($"v").as[Long].collect().toList.sorted
+    assert(topVals(ts) === (45L to 49L).toList)
+    // the property round-trips unescaped (dataPathOf reads the raw path)
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("vidx_q1"))
+      .properties(ValueIndex.PathProp) === s"$dir/v")
+  }
+
   test("valueIndex: compact's catalog swap is atomic — a hammering " +
       "concurrent reader never sees a missing table and always reads a " +
       "full generation") {
