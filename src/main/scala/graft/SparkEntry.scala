@@ -2073,6 +2073,54 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("chunk"))
     }),
 
+    // the FULL CLI value-index lifecycle under oracle: vidxbuild over
+    // the %10!=0 docs, vidxappend a batch that both ADDS the %10==0
+    // docs and RE-ASSERTS the %10==5 docs (upsert duplicates: two index
+    // rows each until compaction), vidxcompact+vacuum, then a top-10
+    // pull THROUGH the compacted index. The top-10 desc ids always
+    // include a re-asserted %10==5 id, so the query is hash-green ONLY
+    // if compact's latest-txId reconciliation collapsed the duplicate
+    // rows (pre-compact the probe would return that eid twice) — the
+    // q112 discipline (compactBucketed under oracle) for ValueIndex.
+    "q170_cli_vidx_lifecycle" -> ((s, dir) => {
+      val t = s"q170vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val corpus = stagedInput(s, "q170corpus", dir)(
+        docs.where(col("doc_id") % 10 =!= 0))
+      val batch = stagedInput(s, "q170batch", dir)(
+        docs.where(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5))
+      val base = scratch("q170", dir)
+      deleteRec(java.nio.file.Paths.get(base))
+      graft.tools.Cli.run(s, Array("vidxbuild",
+        "-i", corpus, "--format", "parquet", "--id", "doc_id",
+        "--table", t, "--index-path", s"$base/v", "--cols", "doc_id",
+        "--buckets", "8", "-o", s"$base/r0"))
+      graft.tools.Cli.run(s, Array("vidxappend",
+        "-i", batch, "--format", "parquet", "--id", "doc_id",
+        "--table", t, "-o", s"$base/r1"))
+      graft.tools.Cli.run(s, Array("vidxcompact",
+        "--table", t, "--index-path", s"$base/v2", "--buckets", "8",
+        "--vacuum", "-o", s"$base/r2"))
+      // query through the compacted index: same ingest spec as the CLI
+      // (same table name ⇒ same md5 eids), single-clause universe match
+      // on the sort attr, PWild blocks base-table fusion so the probe
+      // owns the ranking
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      val store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+        .withValueIndex(t)
+      store.pullMany(
+          Seq(s"$t:doc_id" -> MAny),
+          Seq(PAttr(s"$t:doc_id"), PWild),
+          sortBy = Some("doc_id"), desc = true, limit = Some(10))
+        .select(col("doc_id"))
+    }),
+
     // StreamingDedup.firstSeen with its watermark-EXPIRY semantics under
     // oracle: three file-source microbatches — (1) every distinct doc at
     // T0, (2) a lone sentinel an hour later, which advances the watermark
@@ -4042,6 +4090,12 @@ object SparkEntry {
         |       vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS neighbor_id,
         |       CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    // doc_id is unique, so the top-10 boundary is tie-free; the CLI
+    // lifecycle (build + re-asserting append + compact) must land on
+    // exactly the base table's answer — a surviving upsert duplicate
+    // would emit an id twice and hash-mismatch
+    "q170_cli_vidx_lifecycle" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10",
     // the CLI chunk verb must reproduce the q72 chunking oracle exactly
     "q79_cli_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
