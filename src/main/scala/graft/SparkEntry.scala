@@ -432,7 +432,7 @@ object SparkEntry {
       table: String, attrs: Seq[String], nBuckets: Int): Unit = {
     val pristine = scratch(tag + "_pristine", dir)
     val marker = java.nio.file.Paths.get(pristine + "_OK")
-    val stamp = s"vidxv3 attrs=${attrs.mkString(",")} nb=$nBuckets " +
+    val stamp = s"vidxv4 attrs=${attrs.mkString(",")} nb=$nBuckets " +
       s"src=${dirFingerprint(dir)}"
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp

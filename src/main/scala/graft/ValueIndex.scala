@@ -77,8 +77,10 @@ object ValueIndex {
     * with a rebuild message instead of silently mis-reading (the lshv2
     * lesson: a format change with no stamp strands old persisted
     * tables). */
-  private val Fmt = 3 // v3: data rows carry vstr; string attrs served
-                      // through the shadow double; view registration
+  private val Fmt = 4 // v4: manifest rows carry maxtx — the append
+                      // bookkeeping a CLI tx stamp reads in O(manifest)
+                      // (v3 added vstr data rows, the shadow keying for
+                      // string attrs, and view registration)
 
   /** Catalog property on the index's views naming the data location —
     * the ONE value a probe reads to resolve both the data and the
@@ -226,16 +228,29 @@ object ValueIndex {
             .tableType !=
             org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
         spark.sql(s"DROP TABLE $t")
-      // the path is USER input reaching DDL text: escape it for the
-      // string-literal position ('' stays the raw path once parsed —
-      // dataPathOf reads back the unescaped value) and the quoted
-      // identifier position (`` doubling); a path containing a quote
-      // must register, not break the statement
-      val lp = p.replace("'", "\\'")
+      // the path is USER input: in the one DDL position it must occupy
+      // (the quoted identifier) backtick DOUBLING is the complete
+      // escape — quotes and spaces are literal between backticks in
+      // every parser mode. Spark resolves a direct file query's path
+      // as a file GLOB, so glob metacharacters cannot be made literal
+      // there at all — reject them LOUDLY instead of registering a
+      // view that silently resolves elsewhere. The location PROPERTY
+      // deliberately bypasses DDL text entirely (a string literal's
+      // backslash handling flips with spark.sql.parser
+      // .escapedStringLiterals — no single escaping is mode-proof):
+      // the catalog API stores the raw string. Probes read the
+      // property FIRST, so the replace→alter pair stays consistent for
+      // them: between the two mutations the property still names the
+      // PREVIOUS generation, whose files outlive the swap until vacuum.
+      require(!p.exists("\\*?[]{}".contains(_)),
+        s"valueIndex path '$p' contains glob metacharacters " +
+          "(\\ * ? [ ] { }) — the catalog views resolve paths as file " +
+          "globs, so such a path would silently read the wrong files")
       val ip = p.replace("`", "``")
-      spark.sql(
-        s"CREATE OR REPLACE VIEW $t TBLPROPERTIES ('$PathProp' = '$lp') " +
-          s"AS SELECT * FROM parquet.`$ip`")
+      spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT * FROM parquet.`$ip`")
+      val cat = spark.sessionState.catalog
+      val m = cat.getTableMetadata(TableIdentifier(t))
+      cat.alterTable(m.copy(properties = m.properties + (PathProp -> p)))
       // the path may have been rewritten/relinked since a prior
       // registration cached its listing
       spark.catalog.refreshByPath(p)
@@ -302,7 +317,7 @@ object ValueIndex {
     require(man.columns.contains("fmt") &&
         man.where(col("fmt") =!= Fmt).isEmpty,
       s"valueIndex $table predates format v$Fmt — rebuild it with " +
-        "ValueIndex.build (pre-v3 layouts cannot be compacted in place)")
+        s"ValueIndex.build (pre-v$Fmt layouts cannot be compacted in place)")
     // RECONCILE UPSERTS: append never reads the existing corpus, so a
     // batch that re-asserted a card-one attr for an already-indexed
     // entity left the stale row beside the new one (probes between that
@@ -349,9 +364,23 @@ object ValueIndex {
   private def manifestOf(data: DataFrame): DataFrame =
     data.groupBy(col("a"), col("bkt"))
       .agg(min(col("vnum")).as("minv"), max(col("vnum")).as("maxv"),
-        count(lit(1)).as("cnt"))
-      .select(col("minv"), col("maxv"), col("cnt"),
+        count(lit(1)).as("cnt"), max(col("txId")).as("maxtx"))
+      .select(col("minv"), col("maxv"), col("cnt"), col("maxtx"),
         lit(Fmt).as("fmt"), col("a"), col("bkt"))
+
+  /** The largest txId any indexed fact carries — read from the MANIFEST
+    * (every build/append/compact batch stamps its max onto the rows it
+    * writes), so a caller minting the next append's txId pays
+    * O(manifest), never a corpus scan. 0 when the index is empty. */
+  private[graft] def maxTx(spark: SparkSession, table: String): Long = {
+    val (man, _) = resolve(spark, table)
+    val m = man()
+    require(m.columns.contains("maxtx"),
+      s"valueIndex $table predates format v$Fmt — rebuild it with " +
+        "ValueIndex.build (older manifests carry no maxtx bookkeeping)")
+    Option(m.agg(max(col("maxtx"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
 
   /** Per-bucket (bkt, min shadow, max shadow, count) for `attr`, in ONE
     * bounded collect that doubles as the format gate: ANY manifest row

@@ -558,13 +558,14 @@ object Cli {
           val t = a.table.getOrElse(sys.error("vidxappend needs --table"))
           val sp = graft.sources.RowIngest.specFor(df, t, Seq(a.idCol),
             Nil, None)
-          // stamp the batch PAST every txId already indexed (one small
-          // max over the index): vidxcompact reconciles re-asserted
-          // keys latest-txId-wins, and a batch ingested at the default
-          // tx 0 would TIE the build rows — the stale value could
-          // survive its own upsert
-          val tx = spark.table(t).agg(max(col("txId")))
-            .head.getLong(0) + 1L
+          // stamp the batch PAST every txId already indexed —
+          // vidxcompact reconciles re-asserted keys latest-txId-wins,
+          // and a batch ingested at the default tx 0 would TIE the
+          // build rows (the stale value could survive its own upsert).
+          // The max comes from the MANIFEST's maxtx bookkeeping:
+          // O(manifest), never a corpus scan — append must stay
+          // O(batch) at any index size
+          val tx = graft.ValueIndex.maxTx(spark, t) + 1L
           val batch = new TripleStore(spark,
             graft.sources.RowIngest.tableToTriples(df, sp, txId = tx),
             sp.attrSchemas,

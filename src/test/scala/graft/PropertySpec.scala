@@ -1061,10 +1061,17 @@ class PropertySpec extends AnyFunSuite {
     // shadow(a) <= shadow(b). Sort a hostile corpus (multibyte unicode,
     // 6+-byte shared prefixes, empty string) by vstr IN SPARK and
     // assert the computed shadows are non-decreasing along that order.
+    // FRAGMENT generator, not a char generator: a 4-byte UTF-8 code
+    // point needs a surrogate PAIR — a lone high surrogate would
+    // encode as the 1-byte replacement '?', silently skipping the
+    // supplementary plane (exactly where sign-extension bugs in byte
+    // handling would bite)
     val strGen = Gen.listOf(Gen.frequency(
-      (6, Gen.alphaNumChar),
-      (2, Gen.oneOf('\u00e9', '\u4e2d', '\ud83d')),  // 2-4 byte UTF-8
-      (2, Gen.const('z')))).map(_.mkString.take(10))
+      (6, Gen.alphaNumChar.map(_.toString)),
+      (1, Gen.const("\u00e9")),               // 2-byte UTF-8
+      (1, Gen.const("\u4e2d")),               // 3-byte UTF-8
+      (1, Gen.const("\ud83d\ude00")),         // 4-byte UTF-8 (U+1F600)
+      (2, Gen.const("z")))).map(_.mkString.take(10))
     val strs = (0 until 200).map(i =>
       strGen.pureApply(Gen.Parameters.default.withSize(12), Seed(7L + i))) ++
       Seq("", "prefix_aaaa", "prefix_aaab", "prefix", "zzzzzz", "zzzzzz!") ++

@@ -1394,8 +1394,18 @@ class TripleStoreSpec extends AnyFunSuite {
   }
 
   test("valueIndex: paths containing quote characters register through " +
-      "escaped DDL (string-literal and identifier positions)") {
+      "escaped DDL (string-literal and identifier positions); glob " +
+      "metacharacters are rejected loudly") {
+    // quote + backtick: the backtick exercises identifier doubling; the
+    // quote proves the location property bypasses DDL string-literal
+    // escaping entirely (catalog API). Glob metacharacters cannot be
+    // made literal in a direct-file-query view at all — the require
+    // must fire, not a silent wrong-files registration.
     val base = java.nio.file.Files.createTempDirectory("graft_vidxq")
+    intercept[IllegalArgumentException] {
+      ValueIndex.register(spark, "vidx_glob",
+        base.resolve("back\\slash/v").toString)
+    }
     val dir = base.resolve("o'brien`x").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val plain = numStore((0 until 50).map(i => (f"e$i%02d", i.toLong)))
