@@ -2084,11 +2084,17 @@ object SparkEntry {
     // q112 discipline (compactBucketed under oracle) for ValueIndex.
     "q170_cli_vidx_lifecycle" -> ((s, dir) => {
       val t = s"q170vidx_${dirTag(dir)}"
+      // a 1/3 corpus slice: the lifecycle cost is 3 CLI invocations +
+      // two writes + a compact rewrite regardless of slice, and the
+      // top-10 of descending multiples of 3 still always contains one
+      // re-asserted (%10==5) id — 15, 45, 75… hit every 30, and ten
+      // consecutive multiples of 3 span exactly 30
       val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("n_chars"))
-      val corpus = stagedInput(s, "q170corpus", dir)(
+      val corpus = stagedInput(s, "q170corpus_m3", dir)(
         docs.where(col("doc_id") % 10 =!= 0))
-      val batch = stagedInput(s, "q170batch", dir)(
+      val batch = stagedInput(s, "q170batch_m3", dir)(
         docs.where(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5))
       val base = scratch("q170", dir)
       deleteRec(java.nio.file.Paths.get(base))
@@ -4095,7 +4101,8 @@ object SparkEntry {
     // exactly the base table's answer — a surviving upsert duplicate
     // would emit an id twice and hash-mismatch
     "q170_cli_vidx_lifecycle" ->
-      "SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 10",
+      """SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id DESC LIMIT 10""".stripMargin,
     // the CLI chunk verb must reproduce the q72 chunking oracle exactly
     "q79_cli_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
