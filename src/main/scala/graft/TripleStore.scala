@@ -675,7 +675,8 @@ class TripleStore(
                   case Seq((a, MAny)) if a == p.attr => true
                   case _ => false
                 }
-                topKEids(ents, p.attr, desc, n, entsIsUniverse = universe)
+                topKEids(ents, p.attr, desc, n, entsIsUniverse = universe,
+                  pattern = pattern)
             }.getOrElse(ents)
           case _ => ents
         }
@@ -715,8 +716,21 @@ class TripleStore(
     * succeeds, bounded when it fails). A non-universe asc the proof
     * rejects, and an `ents` so selective the whole range holds < k
     * matches, decline (None → this fallback). */
+  /** [[ValueIndex.provesUniverse]] results memoized per store INSTANCE,
+    * keyed by (index table, sort attr, match pattern). Sound because the
+    * store is an immutable snapshot: the proof is a pure function of
+    * (index rows, match result), the match result of (pattern, triples),
+    * and every write op returns a NEW store with the index handle
+    * dropped (ValueIndex snapshot contract) — so within one instance's
+    * lifetime both inputs are fixed. A concurrent race at worst runs
+    * the proof twice (TrieMap.getOrElseUpdate), never caches a wrong
+    * answer. */
+  private val ascProofMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Seq[(String, MVal)]), Boolean]
+
   private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
-      limit: Int, entsIsUniverse: Boolean = false): DataFrame = {
+      limit: Int, entsIsUniverse: Boolean = false,
+      pattern: Seq[(String, MVal)] = Nil): DataFrame = {
     val viaIndex =
       if (desc || entsIsUniverse) valueIndex.flatMap(t =>
         ValueIndex.topKEids(spark, t, attr, valueCol(attr),
@@ -724,12 +738,26 @@ class TripleStore(
       // the proof is an EAGER job at construction time: run it only
       // where the laziness exception already applies (limit under the
       // literal cap — the same gate the bounded ranking collect uses),
-      // so a huge-limit asc pull stays fully lazy as before
-      else valueIndex.filter(t =>
-          limit <= TripleStore.TopKLiteralCap &&
-            ValueIndex.provesUniverse(spark, t, attr, ents))
-        .flatMap(t => ValueIndex.topKEids(spark, t, attr,
-          valueCol(attr), None, limit, desc = false))
+      // so a huge-limit asc pull stays fully lazy as before. The proof
+      // result is MEMOIZED per (index, attr, match pattern) on THIS
+      // store instance: the store is an immutable snapshot and every
+      // write op returns a NEW store with the index handle dropped, so
+      // a proof can never outlive the snapshot it certified — N
+      // identical asc pulls pay the proof job once. Proof and probe
+      // share ONE resolved index generation (resolveGeneration), so a
+      // compact landing between them cannot pair the old generation's
+      // proof with the new generation's rows.
+      else valueIndex.flatMap { t =>
+        if (limit > TripleStore.TopKLiteralCap) None
+        else {
+          val gen = ValueIndex.resolveGeneration(spark, t)
+          val proven = ascProofMemo.getOrElseUpdate((t, attr, pattern),
+            ValueIndex.provesUniverse(spark, t, attr, ents, Some(gen)))
+          if (proven) ValueIndex.topKEids(spark, t, attr,
+            valueCol(attr), None, limit, desc = false, gen = Some(gen))
+          else None
+        }
+      }
     viaIndex.getOrElse {
       val vc = col(valueCol(attr))
       val vals = scanFor(Seq(attr)).join(ents, Seq("e"), "left_semi")

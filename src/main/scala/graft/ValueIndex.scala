@@ -32,16 +32,23 @@ import graft.model.Triples
   * operates on a [[shadowOf]] DOUBLE of the value — for numeric attrs
   * the plain widening, for STRING attrs the first 6 UTF-8 bytes read as
   * a big-endian integer (exact in a double, and monotone in the
-  * string's binary collation order). Monotone is all the threshold
-  * argument needs: strict shadow inequality implies strict native
-  * inequality, so a shadow threshold covering k rows covers the native
-  * top k; common-prefix-heavy string corpora merely degrade bucket
-  * SELECTIVITY (ties collapse into one bucket), never correctness. The
-  * final order always uses the NATIVE column (vlong / vdbl / vstr),
-  * exact at full precision. Timestamps are deliberately unserved: the
-  * NTZ→numeric route goes through the session time zone, where DST
-  * transitions break the monotone-shadow contract — ingest epoch longs
-  * to index time.
+  * string's binary collation order), and for TIMESTAMP attrs the
+  * store's NTZ value linearized to UTC-interpreted epoch micros by
+  * pure FIELD arithmetic (unix_date + hour/minute/second — no cast
+  * through the session time zone exists for NTZ, and none is needed:
+  * the native sort column IS the NTZ value, whose SQL order is the
+  * calendar order the field linearization reproduces; DST is a
+  * property of instants, not of the local-datetime line). The micros
+  * are computed EXACTLY in decimal and take ONE rounding at the final
+  * cast to double — a single IEEE round-to-nearest is monotone, so
+  * the shadow contract holds over the whole NTZ range (a three-term
+  * double sum would not be provably monotone past 2^53 µs). Monotone
+  * is all the threshold argument needs: strict shadow inequality
+  * implies strict native inequality, so a shadow threshold covering k
+  * rows covers the native top k; common-prefix-heavy string corpora
+  * merely degrade bucket SELECTIVITY (ties collapse into one bucket),
+  * never correctness. The final order always uses the NATIVE column
+  * (vlong / vdbl / vstr / vts), exact at full precision.
   *
   * Scale shape at 100 TB: the manifest is O(attrs × buckets) rows (a
   * broadcast-sized driver read), the probe scans O(k + bucket width)
@@ -77,27 +84,72 @@ object ValueIndex {
     * with a rebuild message instead of silently mis-reading (the lshv2
     * lesson: a format change with no stamp strands old persisted
     * tables). */
-  private val Fmt = 4 // v4: manifest rows carry maxtx — the append
-                      // bookkeeping a CLI tx stamp reads in O(manifest)
-                      // (v3 added vstr data rows, the shadow keying for
-                      // string attrs, and view registration)
+  private[graft] val Fmt = 5
+                      // v5: data rows carry vts (NTZ timestamp attrs
+                      // served through the decimal-exact field-micros
+                      // shadow) and registration stamps the location
+                      // as a HEX property in the SAME DDL statement as
+                      // the view definition — zero-window atomic
+                      // (v4 added manifest maxtx; v3 vstr rows, the
+                      // string shadow keying, and view registration)
 
   /** Catalog property on the index's views naming the data location —
     * the ONE value a probe reads to resolve both the data and the
-    * manifest (what makes [[compact]]'s swap atomic for probes).
-    * `private[graft]`: [[graft.ops.Layout.vacuum]]'s live-location
-    * guard must treat property-named paths as live. */
+    * manifest (what makes [[compact]]'s swap atomic for probes). The
+    * value is the UTF-8 path HEX-ENCODED: the property must ride
+    * INSIDE the CREATE OR REPLACE VIEW statement (a separate
+    * alterTable would reopen a window where the new definition pairs
+    * with no/stale property — a probe then falls back to per-name
+    * views and can pair new data with an old manifest), and no single
+    * string-literal escaping is parser-mode-proof (backslash handling
+    * flips with spark.sql.parser.escapedStringLiterals) — hex digits
+    * need no escaping in ANY mode. `private[graft]`:
+    * [[graft.ops.Layout.vacuum]]'s live-location guard must treat
+    * property-named paths as live. */
+  private[graft] val PathPropHex = "graft.vidx.pathhex"
+
+  /** The pre-v5 RAW-path property — read-only legacy support so a
+    * stale v4 registration resolves far enough to hit the format gate's
+    * loud rebuild message (instead of a confusing view-has-no-location
+    * error). Never written. */
   private[graft] val PathProp = "graft.vidx.path"
+
+  private[graft] def encodePathHex(p: String): String =
+    p.getBytes("UTF-8").map("%02x".format(_)).mkString
+  private[graft] def decodePathHex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
+  /** The location a table's catalog metadata names: the v5 hex
+    * property, a legacy v4 raw property, or — for a plain external
+    * TABLE (tests, pre-v3 sessions) — its storage location. */
+  private def pathOfMeta(
+      m: org.apache.spark.sql.catalyst.catalog.CatalogTable): Option[String] =
+    m.properties.get(PathPropHex).map(decodePathHex)
+      .orElse(m.properties.get(PathProp))
 
   /** Order-preserving DOUBLE shadow of the fact's value: numeric values
     * widen (exact for doubles; monotone for 64-bit longs), strings map
     * to their first 6 UTF-8 bytes as a big-endian integer (< 2^48, so
     * integer-exact in a double; byte-prefix order is monotone in the
-    * binary collation Spark compares strings with). */
-  private[graft] def shadowOf: Column =
+    * binary collation Spark compares strings with), and NTZ timestamps
+    * linearize to UTC-interpreted epoch micros by pure field
+    * arithmetic — unix_date/hour/minute/date_part are TZ-free field
+    * reads on NTZ (the cast routes through the session TZ and is
+    * rejected by Spark anyway), computed exactly in decimal so the
+    * cast to double is ONE monotone rounding, not a sum of three. */
+  private[graft] def shadowOf: Column = {
+    val micros = unix_date(col("vts").cast("date"))
+        .cast("decimal(38,6)") * lit(86400000000L) +
+      (hour(col("vts")) * lit(3600L) + minute(col("vts")) * lit(60L))
+        .cast("decimal(38,6)") * lit(1000000L) +
+      date_part(lit("SECOND"), col("vts")).cast("decimal(38,6)") *
+        lit(1000000L)
     coalesce(col("vdbl"), col("vlong").cast("double"),
+      micros.cast("double"),
       conv(rpad(hex(substring(encode(col("vstr"), "UTF-8"), 1, 6)),
         12, "0"), 16, 10).cast("double"))
+  }
 
   /** Per-attr shadow-quantile cut points — one aggregate + one bounded
     * collect (attrs × (nBuckets−1) doubles). */
@@ -117,7 +169,7 @@ object ValueIndex {
     data.repartition(col("a"), col("bkt"))
       .sortWithinPartitions(col("a"), col("bkt"), col("vnum"))
       .select(col("e"), col("vlong"), col("vdbl"), col("vstr"),
-        col("vnum"), col("txId"), col("a"), col("bkt"))
+        col("vts"), col("vnum"), col("txId"), col("a"), col("bkt"))
       .write.mode("overwrite").partitionBy("a", "bkt").parquet(path)
     manifestOf(data)
       .write.mode("overwrite").parquet(path + "_manifest")
@@ -135,14 +187,15 @@ object ValueIndex {
     attrs.foreach { a =>
       val s = store.schemaOf(a)
       require(s.cardOne && (s.vtype == Triples.VLong ||
-          s.vtype == Triples.VDbl || s.vtype == Triples.VStr),
+          s.vtype == Triples.VDbl || s.vtype == Triples.VStr ||
+          s.vtype == Triples.VTs),
         s"valueIndex attr $a must be cardinality-one with a long, " +
-          s"double, or string value type (got " +
+          s"double, string, or timestamp value type (got " +
           s"card-${if (s.cardOne) "one" else "many"} ${s.vtype})")
     }
     val base = store.scanFor(attrs)
       .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vstr"),
-        shadowOf.as("vnum"), col("txId"))
+        col("vts"), shadowOf.as("vnum"), col("txId"))
       .where(col("vnum").isNotNull)
       .persist()
     try {
@@ -191,13 +244,13 @@ object ValueIndex {
     require(cuts.nonEmpty, s"valueIndex $table has an empty manifest")
     val base = batch.scanFor(cuts.keys.toSeq)
       .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vstr"),
-        shadowOf.as("vnum"), col("txId"))
+        col("vts"), shadowOf.as("vnum"), col("txId"))
       .where(col("vnum").isNotNull)
       .persist()
     try {
       val data = base.withColumn("bkt", bucketOf(cuts))
       data.select(col("e"), col("vlong"), col("vdbl"), col("vstr"),
-          col("vnum"), col("txId"), col("a"), col("bkt"))
+          col("vts"), col("vnum"), col("txId"), col("a"), col("bkt"))
         .write.mode("append").partitionBy("a", "bkt").parquet(path)
       manifestOf(data)
         .write.mode("append").parquet(path + "_manifest")
@@ -210,24 +263,33 @@ object ValueIndex {
   /** Publish catalog entries for an EXISTING index layout: views
     * `table` over the (a, bkt)-partitioned data at `path` and
     * `table_manifest` over the sidecar, each stamped with the location
-    * property probes resolve through. CREATE OR REPLACE VIEW is one
-    * catalog mutation per name — re-registration (and [[compact]]'s
-    * swap) never opens a window where the name is missing — and a view
+    * property probes resolve through. CREATE OR REPLACE VIEW ...
+    * TBLPROPERTIES is one catalog mutation per name carrying BOTH the
+    * definition and the property — re-registration (and [[compact]]'s
+    * swap) never opens a window where the name is missing OR where the
+    * new definition pairs with a stale/absent property (the v4 design
+    * set the property in a second alterTable; a probe resolving in
+    * that gap fell back to per-name views and could pair new data with
+    * the OLD manifest, silently missing true top-k rows) — and a view
     * over a path needs no partition recovery, so a persisted index
     * reopens in a new session at catalog-metadata cost (one schema
     * inference per view; the data stays unread until a probe runs).
     * Errors propagate: a missing or unreadable path fails HERE, not as
-    * a silent downgrade. */
+    * a silent downgrade. A same-named plain TABLE (a pre-v3
+    * registration) is NOT silently dropped — run [[migrate]] (CLI:
+    * vidxmigrate) so the one remaining non-atomic transition is an
+    * explicit maintenance action, never a side effect of a routine
+    * register. */
   def register(spark: SparkSession, table: String, path: String): Unit =
     for ((t, p) <- Seq((table, path), (table + "_manifest", path + "_manifest"))) {
-      // a same-named TABLE from a pre-v3 registration cannot be
-      // REPLACEd as a view — drop it first (legacy migration only; the
-      // steady state is view-over-view, atomic)
       if (spark.catalog.tableExists(t) &&
           spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
             .tableType !=
             org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
-        spark.sql(s"DROP TABLE $t")
+        sys.error(s"valueIndex $t exists as a plain TABLE (a pre-v3 " +
+          "registration) — run ValueIndex.migrate (CLI: vidxmigrate) " +
+          "to convert it; register never drops tables, so the steady " +
+          "state stays a single atomic view replacement")
       // the path is USER input: in the one DDL position it must occupy
       // (the quoted identifier) backtick DOUBLING is the complete
       // escape — quotes and spaces are literal between backticks in
@@ -235,54 +297,80 @@ object ValueIndex {
       // as a file GLOB, so glob metacharacters cannot be made literal
       // there at all — reject them LOUDLY instead of registering a
       // view that silently resolves elsewhere. The location PROPERTY
-      // deliberately bypasses DDL text entirely (a string literal's
-      // backslash handling flips with spark.sql.parser
-      // .escapedStringLiterals — no single escaping is mode-proof):
-      // the catalog API stores the raw string. Probes read the
-      // property FIRST, so the replace→alter pair stays consistent for
-      // them: between the two mutations the property still names the
-      // PREVIOUS generation, whose files outlive the swap until vacuum.
+      // value is HEX-ENCODED ([[PathPropHex]]): it must ride in the
+      // same DDL statement as the definition, and hex survives every
+      // string-literal escaping mode unchanged.
       require(!p.exists("\\*?[]{}".contains(_)),
         s"valueIndex path '$p' contains glob metacharacters " +
           "(\\ * ? [ ] { }) — the catalog views resolve paths as file " +
           "globs, so such a path would silently read the wrong files")
       val ip = p.replace("`", "``")
-      spark.sql(s"CREATE OR REPLACE VIEW $t AS SELECT * FROM parquet.`$ip`")
-      val cat = spark.sessionState.catalog
-      val m = cat.getTableMetadata(TableIdentifier(t))
-      cat.alterTable(m.copy(properties = m.properties + (PathProp -> p)))
+      spark.sql(s"CREATE OR REPLACE VIEW $t TBLPROPERTIES " +
+        s"('$PathPropHex'='${encodePathHex(p)}') " +
+        s"AS SELECT * FROM parquet.`$ip`")
       // the path may have been rewritten/relinked since a prior
       // registration cached its listing
       spark.catalog.refreshByPath(p)
     }
 
-  /** The data location behind `table`: the view's [[PathProp]], or —
-    * for a layout registered as a plain external TABLE by other means
-    * (tests, older sessions) — its storage location. */
+  /** Convert a pre-v3 PLAIN-TABLE registration (table + table_manifest
+    * as external parquet TABLEs) to the v5 view shape, re-registering
+    * over the tables' own storage locations. This is the ONE
+    * non-atomic catalog transition left in the lifecycle (DROP TABLE
+    * then CREATE VIEW — a reader in the gap sees "table not found"),
+    * so it is an explicit maintenance verb run once per legacy index,
+    * never part of build/append/compact/register. The data itself
+    * still predates v$Fmt and fails the format gate at the first
+    * probe — migrate fixes the CATALOG shape; rebuild fixes the rows. */
+  def migrate(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val m = cat.getTableMetadata(TableIdentifier(table))
+    require(m.tableType !=
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+      s"valueIndex $table is already view-registered — nothing to migrate")
+    val path = m.location.toString
+    for (t <- Seq(table, table + "_manifest"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    register(spark, table, path)
+  }
+
+  /** The data location behind `table`: the view's [[PathPropHex]] (or
+    * legacy raw [[PathProp]]), or — for a layout registered as a plain
+    * external TABLE by other means (tests, older sessions) — its
+    * storage location. */
   private def dataPathOf(spark: SparkSession, table: String): String = {
     val m = spark.sessionState.catalog
       .getTableMetadata(TableIdentifier(table))
-    m.properties.getOrElse(PathProp, m.location.toString)
+    pathOfMeta(m).getOrElse(m.location.toString)
   }
 
-  /** Resolve the probe-facing (manifest, data) pair. A view-registered
-    * index resolves BOTH from one read of the location property — the
+  /** One resolved GENERATION of the index: the (manifest, data) frame
+    * constructors a probe — and the asc universe proof that licenses
+    * it — must share, so the pair can never straddle a concurrent
+    * [[compact]] (which swaps the location property to a NEW path; two
+    * independent resolves could prove the universe against the old
+    * generation and probe the new). Frames are built lazily so a
+    * manifest format error surfaces before the data path is touched. */
+  private[graft] final class Gen(val man: () => DataFrame,
+    val dat: () => DataFrame)
+
+  /** Resolve the probe-facing generation. A view-registered index
+    * resolves BOTH frames from one read of the location property — the
     * snapshot-consistency half of the atomic-swap story; anything else
     * falls back to per-name catalog resolution (legacy tables, specs
-    * that hand-build manifests). Frames are built lazily so a manifest
-    * format error surfaces before the data path is ever touched. */
-  private def resolve(spark: SparkSession, table: String)
-      : (() => DataFrame, () => DataFrame) = {
+    * that hand-build manifests). */
+  private[graft] def resolveGeneration(spark: SparkSession,
+      table: String): Gen = {
     val at: Option[String] =
       if (!spark.catalog.tableExists(table)) None
-      else spark.sessionState.catalog
-        .getTableMetadata(TableIdentifier(table)).properties.get(PathProp)
+      else pathOfMeta(spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)))
     at match {
       case Some(p) =>
-        (() => spark.read.parquet(p + "_manifest"),
+        new Gen(() => spark.read.parquet(p + "_manifest"),
           () => spark.read.parquet(p))
       case None =>
-        (() => spark.table(table + "_manifest"),
+        new Gen(() => spark.table(table + "_manifest"),
           () => spark.table(table))
     }
   }
@@ -328,12 +416,13 @@ object ValueIndex {
     val latest = spark.read.parquet(oldPath)
       .groupBy(col("a"), col("e"))
       .agg(max_by(
-        struct(col("vlong"), col("vdbl"), col("vstr"), col("vnum"),
-          col("txId")),
+        struct(col("vlong"), col("vdbl"), col("vstr"), col("vts"),
+          col("vnum"), col("txId")),
         struct(col("txId"), col("vnum"), col("vstr"))).as("_m"))
       .select(col("a"), col("e"), col("_m.vlong").as("vlong"),
         col("_m.vdbl").as("vdbl"), col("_m.vstr").as("vstr"),
-        col("_m.vnum").as("vnum"), col("_m.txId").as("txId"))
+        col("_m.vts").as("vts"), col("_m.vnum").as("vnum"),
+        col("_m.txId").as("txId"))
     val base = latest.persist()
     try {
       val data = base.withColumn("bkt", bucketOf(cutsOf(base, nBuckets)))
@@ -373,13 +462,30 @@ object ValueIndex {
     * writes), so a caller minting the next append's txId pays
     * O(manifest), never a corpus scan. 0 when the index is empty. */
   private[graft] def maxTx(spark: SparkSession, table: String): Long = {
-    val (man, _) = resolve(spark, table)
-    val m = man()
+    val m = resolveGeneration(spark, table).man()
     require(m.columns.contains("maxtx"),
       s"valueIndex $table predates format v$Fmt — rebuild it with " +
         "ValueIndex.build (older manifests carry no maxtx bookkeeping)")
     Option(m.agg(max(col("maxtx"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
+  /** Per-attr indexed-fact counts summed from the MANIFEST — the
+    * receipt the CLI build/append verbs print, O(manifest) like
+    * [[maxTx]] (the v4 receipt ran groupBy().count() over the full
+    * index: an O(index) scan four lines after append's own "must stay
+    * O(batch)" argument — at 100 TB the receipt dwarfed the append).
+    * Counts include not-yet-compacted upsert duplicates, exactly as
+    * counting the data rows would. */
+  private[graft] def factCounts(spark: SparkSession,
+      table: String): DataFrame = {
+    val m = resolveGeneration(spark, table).man()
+    require(m.columns.contains("cnt") && m.columns.contains("fmt"),
+      s"valueIndex $table has no manifest counts — rebuild with " +
+        "ValueIndex.build")
+    m.groupBy(col("a").as("attr"))
+      .agg(sum(when(col("fmt") === Fmt, col("cnt"))).as("n_facts"))
+      .select(lit(table).as("table"), col("attr"), col("n_facts"))
   }
 
   /** Per-bucket (bkt, min shadow, max shadow, count) for `attr`, in ONE
@@ -425,8 +531,9 @@ object ValueIndex {
     * falls back. Returns false when the attr is not indexed; this is
     * an EAGER action (see pullMany's laziness note). */
   private[graft] def provesUniverse(spark: SparkSession, table: String,
-      attr: String, ents: DataFrame): Boolean = {
-    val (man, dat) = resolve(spark, table)
+      attr: String, ents: DataFrame, gen: Option[Gen] = None): Boolean = {
+    val g = gen.getOrElse(resolveGeneration(spark, table))
+    val (man, dat) = (g.man, g.dat)
     val stats = bucketStats(man(), table, attr)
     if (stats.isEmpty) return false
     val total = stats.map(_._4).sum
@@ -469,9 +576,11 @@ object ValueIndex {
     * `ents`. */
   private[graft] def topKEids(spark: SparkSession, table: String,
       attr: String, nativeCol: String, ents: Option[DataFrame],
-      k: Int, desc: Boolean = true): Option[DataFrame] = {
+      k: Int, desc: Boolean = true, gen: Option[Gen] = None)
+      : Option[DataFrame] = {
     if (!desc && ents.isDefined) return None
-    val (man, dat) = resolve(spark, table)
+    val g = gen.getOrElse(resolveGeneration(spark, table))
+    val (man, dat) = (g.man, g.dat)
     val buckets = bucketStats(man(), table, attr)
     if (buckets.isEmpty) return None // attr not indexed → fallback
     // ALL driver-side shadow comparisons use java.lang.Double.compare —

@@ -145,7 +145,9 @@ object Layout {
         // ValueIndex registration shape, which has no locationUri) —
         // the data and manifest paths its location property implies
         val locs = m.storage.locationUri.map(_.toString).toSeq ++
-          m.properties.get(graft.ValueIndex.PathProp)
+          (m.properties.get(graft.ValueIndex.PathPropHex)
+              .map(graft.ValueIndex.decodePathHex) ++
+            m.properties.get(graft.ValueIndex.PathProp))
             .toSeq.flatMap(p => Seq(p, p + "_manifest"))
         locs.exists(l => fs.makeQualified(
           new org.apache.hadoop.fs.Path(l)).toUri == target)

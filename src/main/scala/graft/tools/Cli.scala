@@ -136,6 +136,7 @@ object Cli {
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
       "indexcompact", "vidxbuild", "vidxappend", "vidxcompact",
+      "vidxmigrate",
       "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
@@ -242,7 +243,7 @@ object Cli {
       }
     }
     require(a.inputs.nonEmpty || a.sub == "indexcompact" ||
-      a.sub == "vidxcompact",
+      a.sub == "vidxcompact" || a.sub == "vidxmigrate",
       "no -i inputs given")
     a
   }
@@ -406,7 +407,7 @@ object Cli {
     // round-trip for corpus transforms
     if (PipelineSubs.contains(a.sub)) {
       val df = if (a.inputs.nonEmpty) readTable(spark, a)
-        else spark.emptyDataFrame // indexcompact/vidxcompact take no input
+        else spark.emptyDataFrame // {index,vidx}compact/vidxmigrate: no input
       val out = a.sub match {
         case "dedup" => graft.ops.Dedup.exact(df, a.idCol, a.textCol)
         case "sample" => a.buckets match {
@@ -536,15 +537,15 @@ object Cli {
           val attrs = a.cols.map(c => s"$t:$c")
           graft.ValueIndex.build(store, t, p, attrs,
             a.buckets.getOrElse(64))
-          // receipt: ONE partition-pruned grouped count over the fresh
-          // index, not a count job per attr — left-joined back to the
-          // requested attr list so an all-null column (indexed but
-          // fact-free) shows up as an explicit 0, not a vanished row
+          // receipt: per-attr counts summed from the MANIFEST —
+          // O(manifest), never a scan of the index it just wrote —
+          // left-joined back to the requested attr list so an all-null
+          // column (indexed but fact-free) shows up as an explicit 0,
+          // not a vanished row
           import spark.implicits._
-          val counts = spark.table(t).where(col("a").isInCollection(attrs))
-            .groupBy(col("a").as("attr"))
-            .agg(count(lit(1)).as("n_facts"))
-          attrs.toDF("attr").join(counts, Seq("attr"), "left")
+          attrs.toDF("attr")
+            .join(graft.ValueIndex.factCounts(spark, t).drop("table"),
+              Seq("attr"), "left")
             .select(lit(t).as("table"), col("attr"),
               coalesce(col("n_facts"), lit(0L)).as("n_facts"))
         // append a batch to a registered index: ingest the input as a
@@ -573,9 +574,10 @@ object Cli {
             source = Some(graft.model.UnionTripleSource(
               Seq(graft.sources.RowIngest.TableSource(df, sp)))))
           graft.ValueIndex.append(batch, t)
-          spark.table(t).groupBy(col("a").as("attr"))
-            .agg(count(lit(1)).as("n_facts"))
-            .select(lit(t).as("table"), col("attr"), col("n_facts"))
+          // receipt from the MANIFEST (same O(manifest) read the tx
+          // stamp does) — the v4 receipt's full-index grouped count
+          // contradicted the O(batch) posture four lines up
+          graft.ValueIndex.factCounts(spark, t)
         // re-cut the index over its current rows (reconciling upserting
         // appends to the latest txId) and swap to --index-path; --vacuum
         // deletes the superseded copies once the swap lands
@@ -593,6 +595,14 @@ object Cli {
           Seq((t, spark.table(t).count(),
               spark.table(t + "_manifest").count()))
             .toDF("table", "n_facts", "n_manifest_rows")
+        // convert a pre-v3 plain-TABLE registration to the atomic view
+        // shape — the ONE non-atomic catalog transition, explicit here
+        // so register/compact never drop a table as a side effect
+        case "vidxmigrate" =>
+          val t = a.table.getOrElse(sys.error("vidxmigrate needs --table"))
+          graft.ValueIndex.migrate(spark, t)
+          import spark.implicits._
+          Seq((t, "view")).toDF("table", "registered_as")
         // quality funnel: --gates "tokens:20:1000,lang:en,stop:0.05" →
         // per-gate drop report (default) or the surviving rows (--keep)
         case "funnel" =>

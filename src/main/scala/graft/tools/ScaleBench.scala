@@ -150,6 +150,21 @@ object ScaleBench {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write-once guard for [[writeDriftDocs]]: the four-slice derive +
+    * parquet rewrite is O(corpus) and NOT what eav_vidx_append_frag
+    * measures — stage it behind a marker so the timed closure pays
+    * only the index restore + four O(batch) appends (the scratch dir
+    * is created fresh per run, so existence IS freshness; the warm
+    * pass and the first timed rep write, medians over later reps
+    * price the appends alone). */
+  private def stagedDriftDocs(d: DataFrame, path: String): Unit = {
+    val marker = Paths.get(path + "_OK")
+    if (!Files.exists(marker)) {
+      writeDriftDocs(d, path)
+      Files.writeString(marker, "driftdocs")
+    }
+  }
+
   /** The persisted eav store MERGED with the staged drift docs and
     * carrying the fragmentation-study index — the snapshot-contract-
     * correct store for the frag probes: every index row's entity
@@ -542,6 +557,23 @@ object ScaleBench {
               graft.query.PAttr("documents:n_chars")),
             sortBy = Some("n_chars"), desc = true,
             limit = Some(100)).count(); () }),
+      // ASCENDING top-k via the one-aggregate universe proof (q169's
+      // shape: pattern attr != sort attr, so the probe is licensed by
+      // provesUniverse — a no-sort left-join aggregate over the attr's
+      // index slice; a fresh store per call means the proof runs every
+      // rep, which is exactly what this row prices). The proof scans
+      // the attr's index rows with NO sort, so the exponent should sit
+      // near the index slice's linear read, well under the fallback's
+      // rank — the memo (one store instance, many pulls) then removes
+      // even that from steady-state serving
+      "eav_pull_topk_asc" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .withValueIndex(s"scale_vidx_$tag").pullMany(
+            Seq("documents:source" -> graft.query.MAny),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars")),
+            sortBy = Some("n_chars"), desc = false,
+            limit = Some(100)).count(); () }),
       // ===== APPEND-FRAGMENTATION study (ValueIndex.compact's drift
       // story, measured): restore a clean hardlink copy of the built
       // index, then append 4 value-DRIFTED batches (repeat-lengthened
@@ -558,7 +590,7 @@ object ScaleBench {
         }
         graft.ValueIndex.register(spark, s"scale_vidxf_$tag", w)
         val fd = s"$scratch/fragdocs_$tag"
-        writeDriftDocs(d, fd)
+        stagedDriftDocs(d, fd)
         for (k <- 0 until 4)
           graft.ValueIndex.append(docStore(
             spark.read.parquet(fd).where(col("_b") === k).drop("_b")),
@@ -639,7 +671,8 @@ object ScaleBench {
 
     // NOTE for --only: probe workloads ride the index the preceding
     // build workload wrote (incr_neardup <- lsh_index_build, bm25_query
-    // <- text_index_build, ivf_query <- ivf_index_build; the
+    // <- text_index_build, ivf_query <- ivf_index_build;
+    // eav_pull_topk{,_asc} <- eav_value_index_build; the
     // fragmentation chain eav_vidx_append_frag <- eav_value_index_build
     // <- eav_store_save, then eav_pull_topk_frag <- append_frag,
     // eav_pull_topk_compacted <- eav_vidx_compact <- append_frag) —

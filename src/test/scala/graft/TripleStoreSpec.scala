@@ -1415,10 +1415,12 @@ class TripleStoreSpec extends AnyFunSuite {
         Seq(PAttr("n:v")), sortBy = Some("v"), desc = true, limit = Some(5))
       .select($"v").as[Long].collect().toList.sorted
     assert(topVals(ts) === (45L to 49L).toList)
-    // the property round-trips unescaped (dataPathOf reads the raw path)
-    assert(spark.sessionState.catalog
+    // the property round-trips through the hex encoding — v5 stamps it
+    // INSIDE the CREATE OR REPLACE VIEW statement (one atomic catalog
+    // mutation; hex survives every string-literal escaping mode)
+    assert(ValueIndex.decodePathHex(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("vidx_q1"))
-      .properties(ValueIndex.PathProp) === s"$dir/v")
+      .properties(ValueIndex.PathPropHex)) === s"$dir/v")
   }
 
   test("valueIndex: compact's catalog swap is atomic — a hammering " +
@@ -1442,11 +1444,36 @@ class TripleStoreSpec extends AnyFunSuite {
         } catch { case t: Throwable => errors.add(t) }
       }
     })
-    reader.start()
+    // the PROPERTY hammer: probes resolve data+manifest from the hex
+    // location property, which v5 stamps IN the view-replacement DDL —
+    // there must be NO window where the view exists without it (the v4
+    // replace→alter pair had one: a probe falling back to per-name
+    // views could pair new data with the old manifest), and the
+    // generation it names must be internally consistent (manifest cnt
+    // total == data rows at that path — a mismatched pairing would
+    // silently mis-prune top-k scans)
+    val propReader = new Thread(() => {
+      while (!done) {
+        try {
+          val m = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier("vidx_at"))
+          val p = m.properties.get(ValueIndex.PathPropHex)
+            .map(ValueIndex.decodePathHex)
+          if (p.isEmpty) badCounts.incrementAndGet()
+          else {
+            val cnt = spark.read.parquet(p.get + "_manifest")
+              .agg(sum($"cnt")).head.getLong(0)
+            val rows = spark.read.parquet(p.get).count()
+            if (cnt != rows || rows != 300L) badCounts.incrementAndGet()
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }
+    })
+    reader.start(); propReader.start()
     try {
       for (g <- 1 to 4)
         ValueIndex.compact(spark, "vidx_at", s"$dir/g$g", nBuckets = 8)
-    } finally { done = true; reader.join() }
+    } finally { done = true; reader.join(); propReader.join() }
     assert(errors.isEmpty,
       s"reader saw ${errors.size} errors, first: ${errors.peek()}")
     assert(badCounts.get() === 0)
@@ -1457,5 +1484,181 @@ class TripleStoreSpec extends AnyFunSuite {
         limit = Some(9))
       .select($"v").as[Long].collect().toList.sorted
     assert(topVals(ts) === (291L to 299L).toList)
+  }
+
+  /** Store of NTZ TIMESTAMP card-one facts `t:at` plus tag `t:tag`,
+    * for the ValueIndex timestamp suite. */
+  def tsStore(rows: Seq[(String, String)], tx: Long = 0L): TripleStore = {
+    val triples = rows.toDF("e", "s")
+      .withColumn("vts", $"s".cast("timestamp_ntz")).drop("s")
+      .withColumn("a", lit("t:at"))
+      .withColumn("vtype", lit(Triples.VTs))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(tx))
+      .select(Triples.columns.map(col): _*)
+    val tags = rows.map(_._1).toDF("e")
+      .withColumn("a", lit("t:tag")).withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vstr", lit("t")).withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(tx))
+      .select(Triples.columns.map(col): _*)
+    new TripleStore(spark, triples.unionByName(tags), Map(
+      "t:at" -> AttrSchema("t:at", cardOne = true, isRef = false,
+        Triples.VTs),
+      "t:tag" -> AttrSchema("t:tag", cardOne = true, isRef = false,
+        Triples.VStr)))
+  }
+
+  test("valueIndex: TIMESTAMP attrs probe through the decimal " +
+      "field-micros shadow — desc/asc == fallback across DST-window, " +
+      "pre-epoch, fractional and far-range values, in any session TZ") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxts").toString
+    // hostile values: local datetimes inside a US DST transition window
+    // (where an instant-based route through the session TZ would fold),
+    // pre-epoch, sub-second fractions, and both calendar extremes
+    // (year 1 / year 9999 — past 2^53 µs, where only the decimal-exact
+    // single-rounding shadow stays provably monotone)
+    val hostile = Seq(
+      "2024-03-10 01:59:59.999999", "2024-03-10 02:30:00.5",
+      "2024-03-10 03:00:00", "2024-11-03 01:30:00",
+      "1969-12-31 23:59:59.25", "1969-12-31 23:59:59.75",
+      "0001-01-02 00:00:00", "9999-12-31 23:59:59.999999")
+    val spread = (0 until 120).map(i => f"2020-01-01 ${i % 24}%02d:${i % 60}%02d:00")
+    val rows = (hostile ++ spread).zipWithIndex
+      .map { case (s, i) => (f"e$i%03d", s) }
+    val plain = tsStore(rows)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a DST-observing session TZ: the shadow must not care (field
+      // reads on NTZ are TZ-free; the cast route Spark forbids anyway)
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ts = plain.buildValueIndex("vidx_ts1", s"$dir/v", Seq("t:at"),
+        nBuckets = 8)
+      def vals(s: TripleStore, desc: Boolean, k: Int) =
+        s.pullMany(Seq("t:tag" -> MAny), Seq(PAttr("t:at"), PWild),
+            sortBy = Some("at"), desc = desc, limit = Some(k))
+          .select($"at").collect().map(_.get(0).toString).toList.sorted
+      assert(vals(ts, desc = true, 10) === vals(plain, desc = true, 10))
+      assert(vals(ts, desc = true, 40) === vals(plain, desc = true, 40))
+      // asc universe form (single-clause match on the sort attr)
+      def bot(s: TripleStore, k: Int) =
+        s.pullMany(Seq("t:at" -> MAny), Seq(PAttr("t:at"), PWild),
+            sortBy = Some("at"), desc = false, limit = Some(k))
+          .select($"at").collect().map(_.get(0).toString).toList.sorted
+      assert(bot(ts, 10) === bot(plain, 10))
+      // probe partition-prunes on bkt like every other value type
+      val probe = ValueIndex.topKEids(spark, "vidx_ts1", "t:at", "vts",
+        Some(plain.resolved.select($"e").distinct()), 5)
+      assert(probe.isDefined)
+      val plan = probe.get.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+        s"expected a bkt-partition-pruned scan:\n$plan")
+      // append buckets by harvested cuts; probe over the union stays
+      // exact (fresh entities, later values — the ingest norm)
+      val drift = (0 until 20).map(i =>
+        (f"x$i%02d", f"2030-01-${i + 1}%02d 12:00:00"))
+      ValueIndex.append(tsStore(drift, tx = 1L), "vidx_ts1")
+      val union = plain.merge(tsStore(drift, tx = 1L))
+      val tsU = union.withValueIndex("vidx_ts1")
+      assert(vals(tsU, desc = true, 15) ===
+        vals(union, desc = true, 15))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("valueIndex: register refuses a plain-TABLE name (no silent " +
+      "drop); migrate converts the legacy catalog shape to atomic views") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxm").toString
+    val p = s"$dir/leg"
+    Seq(("e1", 1L)).toDF("e", "vlong").write.parquet(p)
+    Seq((0.0, 1.0, 1L)).toDF("minv", "maxv", "cnt")
+      .write.parquet(p + "_manifest")
+    spark.sql(s"CREATE TABLE vidx_leg USING parquet LOCATION '$p'")
+    spark.sql(
+      s"CREATE TABLE vidx_leg_manifest USING parquet LOCATION '${p}_manifest'")
+    // register must fail LOUD, not drop the table as a side effect
+    val e = intercept[RuntimeException] {
+      ValueIndex.register(spark, "vidx_leg", p)
+    }
+    assert(e.getMessage.contains("vidxmigrate"))
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("vidx_leg"))
+      .tableType !==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+    // the explicit maintenance verb converts both names
+    ValueIndex.migrate(spark, "vidx_leg")
+    for (t <- Seq("vidx_leg", "vidx_leg_manifest")) {
+      val m = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      assert(m.tableType ===
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      assert(m.properties.contains(ValueIndex.PathPropHex))
+    }
+    assert(spark.table("vidx_leg").count() === 1L)
+    assert(spark.table("vidx_leg_manifest").count() === 1L)
+    // migrating an already-view registration is a loud no-op
+    intercept[IllegalArgumentException] {
+      ValueIndex.migrate(spark, "vidx_leg")
+    }
+  }
+
+  test("valueIndex: the CLI receipt (factCounts) reads ONLY the " +
+      "manifest — O(manifest), never a scan of the index data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxr").toString
+    val rows = (0 until 100).map(i => (f"e$i%03d", i.toLong))
+    numStore(rows).buildValueIndex("vidx_rc", s"$dir/v", Seq("n:v"),
+      nBuckets = 4)
+    val rc = ValueIndex.factCounts(spark, "vidx_rc")
+    val scans = rc.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.endsWith("_manifest")),
+      s"receipt must scan only the manifest, saw: $scans")
+    val out = rc.collect().map(r =>
+      (r.getString(1), r.getLong(2))).toMap
+    assert(out === Map("n:v" -> 100L))
+  }
+
+  test("valueIndex: the asc universe proof memoizes per store " +
+      "instance — a second identical pull skips the proof job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxmm").toString
+    val rows = (0 until 300).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_memo", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    // total job count via the status tracker, polled until the async
+    // status bus drains (counts stop moving)
+    def stableJobs(): Int = {
+      def n() = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(null).length
+      var prev = -1; var cur = n(); var spins = 0
+      while (cur != prev && spins < 60) {
+        prev = cur; Thread.sleep(100); cur = n(); spins += 1
+      }
+      cur
+    }
+    // asc NON-universe (pattern attr != sort attr): the proof path
+    def ascPull() = ts.pullMany(Seq("n:tag" -> MAny),
+        Seq(PAttr("n:v"), PWild), sortBy = Some("v"), desc = false,
+        limit = Some(10))
+      .select($"v").as[Long].collect().toList.sorted
+    val j0 = stableJobs()
+    val r1 = ascPull(); val j1 = stableJobs()
+    val r2 = ascPull(); val j2 = stableJobs()
+    assert(r1 === (0L until 10L).toList)
+    assert(r1 === r2)
+    // identical pulls: any job-count difference IS the skipped proof
+    assert(j2 - j1 < j1 - j0,
+      s"second pull must skip the proof job (first=${j1 - j0} jobs, " +
+        s"second=${j2 - j1})")
   }
 }
