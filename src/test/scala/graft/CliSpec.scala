@@ -590,6 +590,50 @@ class CliSpec extends AnyFunSuite {
     assert(spark.table("cli_vidx").count() === 60L)
   }
 
+  test("CLI vidxbuild indexes a TIMESTAMP column; vidxmigrate converts " +
+      "a legacy plain-TABLE registration") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cli_vts").toString
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    (1 to 40).map(i => (i.toLong, t0.plusHours(i.toLong * 7)))
+      .toDF("doc_id", "at")
+      .write.parquet(dir + "/docs.parquet")
+    Cli.run(spark, Array("vidxbuild", "-i", dir + "/docs.parquet",
+      "--format", "parquet", "--table", "cli_vts",
+      "--index-path", dir + "/v", "--cols", "at", "--buckets", "4",
+      "-o", dir + "/r0"))
+    assert(spark.read.json(dir + "/r0").select($"attr", $"n_facts")
+      .as[(String, Long)].head() === (("cli_vts:at", 40L)))
+    // desc probe through the micros shadow: the top-5 vts in the index
+    // must be the 5 latest timestamps
+    val top = graft.ValueIndex.topKEids(spark, "cli_vts", "cli_vts:at",
+      "vts", None, 5)
+    assert(top.isDefined)
+    val got = spark.table("cli_vts")
+      .join(top.get, Seq("e"), "left_semi")
+      .select($"vts").collect()
+      .map(_.getAs[java.time.LocalDateTime](0)).toSet
+    val want = (36 to 40).map(i => t0.plusHours(i.toLong * 7)).toSet
+    assert(got === want)
+    // vidxmigrate: plain-TABLE registration (pre-v3 shape) → views
+    Seq(("e1", 1L)).toDF("e", "vlong").write.parquet(dir + "/leg")
+    Seq((0.0, 1.0, 1L)).toDF("minv", "maxv", "cnt")
+      .write.parquet(dir + "/leg_manifest")
+    spark.sql(
+      s"CREATE TABLE cli_vleg USING parquet LOCATION '$dir/leg'")
+    spark.sql(s"CREATE TABLE cli_vleg_manifest USING parquet " +
+      s"LOCATION '$dir/leg_manifest'")
+    Cli.run(spark, Array("vidxmigrate", "--table", "cli_vleg",
+      "-o", dir + "/rm"))
+    assert(spark.read.json(dir + "/rm").select($"registered_as")
+      .as[String].head() === "view")
+    assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("cli_vleg"))
+      .tableType ===
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+    assert(spark.table("cli_vleg").count() === 1L)
+  }
+
   test("CLI score verb: inline lexicon, signed points, zero-hit docs kept") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_cli_score").toString

@@ -1079,6 +1079,8 @@ class PropertySpec extends AnyFunSuite {
     val shadows = strs.distinct.toDF("vstr")
       .withColumn("vlong", org.apache.spark.sql.functions.lit(null).cast("long"))
       .withColumn("vdbl", org.apache.spark.sql.functions.lit(null).cast("double"))
+      .withColumn("vts",
+        org.apache.spark.sql.functions.lit(null).cast("timestamp_ntz"))
       .select($"vstr", ValueIndex.shadowOf.as("sh"))
       .orderBy($"vstr")
       .collect()

@@ -1635,12 +1635,16 @@ class TripleStoreSpec extends AnyFunSuite {
     val plain = numStore(rows)
     val ts = plain.buildValueIndex("vidx_memo", s"$dir/v", Seq("n:v"),
       nBuckets = 8)
-    // total job count via the status tracker, polled until the async
-    // status bus drains (counts stop moving)
+    // job HIGH-WATER MARK via the status tracker, polled until the
+    // async status bus drains (stops moving). The max job ID — not the
+    // tracked-job count: job ids increase monotonically, while the UI
+    // store EVICTS old jobs past spark.ui.retainedJobs, so in a long
+    // suite the list length can shrink between observations and a
+    // count delta goes negative
     def stableJobs(): Int = {
       def n() = spark.sparkContext.statusTracker
-        .getJobIdsForGroup(null).length
-      var prev = -1; var cur = n(); var spins = 0
+        .getJobIdsForGroup(null).maxOption.getOrElse(-1)
+      var prev = -2; var cur = n(); var spins = 0
       while (cur != prev && spins < 60) {
         prev = cur; Thread.sleep(100); cur = n(); spins += 1
       }
