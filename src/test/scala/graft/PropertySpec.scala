@@ -1088,4 +1088,40 @@ class PropertySpec extends AnyFunSuite {
     assert(shadows.zip(shadows.tail).forall { case (a, b) => a <= b },
       "shadow must be non-decreasing along Spark's string sort order")
   }
+
+  test("property: the ValueIndex timestamp shadow is monotone in " +
+      "Spark's NTZ sort order (random micros, DST windows, extremes)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the zone-map argument for timestamp attrs rests on: a <= b in
+    // the order Spark sorts vts with implies shadow(a) <= shadow(b).
+    // Hostile corpus: uniform random micros over ±10y around the
+    // epoch, values inside US DST-transition local-time windows,
+    // sub-second fractions, and the calendar extremes where micros
+    // exceed 2^53 (the regime that forces the decimal-exact
+    // single-rounding construction). Sort IN SPARK, assert the
+    // computed shadows are non-decreasing along that order.
+    val rnd = new scala.util.Random(909L)
+    val base = java.time.LocalDateTime.of(2015, 6, 15, 0, 0)
+    val random = (0 until 300).map(_ => base.plusSeconds(
+      (rnd.nextDouble() * 2 - 1).toLong * 315360000L)
+      .plusNanos(rnd.nextInt(1000000).toLong * 1000L))
+    val hostile = Seq(
+      "2024-03-10T01:59:59.999999", "2024-03-10T02:00:00",
+      "2024-03-10T02:30:00.5", "2024-03-10T03:00:00",
+      "2024-11-03T01:00:00", "2024-11-03T01:30:00.25",
+      "1969-12-31T23:59:59.999999", "1970-01-01T00:00:00.000001",
+      "0001-01-01T00:00:00", "0001-01-02T03:04:05.678901",
+      "9999-12-31T23:59:59.999999", "9999-01-01T00:00:00")
+      .map(java.time.LocalDateTime.parse)
+    val shadows = (random ++ hostile).distinct.toDF("vts")
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vstr", lit(null).cast("string"))
+      .select($"vts", ValueIndex.shadowOf.as("sh"))
+      .orderBy($"vts")
+      .collect()
+      .map(_.getDouble(1))
+    assert(shadows.zip(shadows.tail).forall { case (a, b) => a <= b },
+      "shadow must be non-decreasing along Spark's NTZ sort order")
+  }
 }
