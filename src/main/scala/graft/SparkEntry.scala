@@ -2120,7 +2120,7 @@ object SparkEntry {
       // stamp carries the index format and both staged inputs' tree
       // fingerprints (regenerated inputs must restage the world).
       val world = stagedStreamState(s, "q170world", dir,
-        extraStamp = s"fmt=${graft.ValueIndex.Fmt} " +
+        extraStamp = s"fmt=${graft.ValueIndex.Fmt} txv2 " +
           s"in=${treeFingerprint(corpus)}|${treeFingerprint(batch)}",
         capture = Seq(s"$base/v" -> "v", s"$base/v_manifest" -> "vman")) {
         deleteRec(java.nio.file.Paths.get(base))

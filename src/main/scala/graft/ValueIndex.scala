@@ -548,6 +548,35 @@ object ValueIndex {
     nMatched == nEnts && nRows == nEnts && nRows == total
   }
 
+  /** Per-attr manifest-only HEALTH REPORT — the number the compaction
+    * cadence reads: `frag` = manifest rows / distinct buckets (append
+    * writes one manifest row and ≥ one file per touched bucket per
+    * batch, so 1.0 is the tight post-build/compact state and growth
+    * tracks accrued appends; the measured probe tax of 4 worst-case
+    * drifted appends is ~40-65%, see ScaleBench's eav_vidx_* rows).
+    * Also surfaces the indexed fact count, bucket count, shadow value
+    * range, and the largest indexed txId per attr. O(manifest) like
+    * [[maxTx]]/[[factCounts]] — the index data is never scanned. */
+  def stats(spark: SparkSession, table: String): DataFrame = {
+    val m = resolveGeneration(spark, table).man()
+    require(m.columns.contains("fmt") && m.columns.contains("maxtx"),
+      s"valueIndex $table predates format v$Fmt — rebuild it with " +
+        "ValueIndex.build")
+    m.where(col("fmt") === Fmt)
+      .groupBy(col("a").as("attr"))
+      .agg(sum(col("cnt")).as("n_facts"),
+        count_distinct(col("bkt")).as("n_buckets"),
+        count(lit(1)).as("n_manifest_rows"),
+        min(col("minv")).as("min_shadow"),
+        max(col("maxv")).as("max_shadow"),
+        max(col("maxtx")).as("max_tx"))
+      .select(lit(table).as("table"), col("attr"), col("n_facts"),
+        col("n_buckets"), col("n_manifest_rows"),
+        round(col("n_manifest_rows").cast("double") / col("n_buckets"), 2)
+          .as("frag"),
+        col("min_shadow"), col("max_shadow"), col("max_tx"))
+  }
+
   /** The top-`k` eids by `attr` through the index (descending when
     * `desc`, else ascending), restricted to `ents` when given — or None
     * when the index can't answer (attr not indexed, or `ents` so

@@ -134,10 +134,19 @@ object RowIngest {
   }
 
   /** Attribute-pruning TripleSource over one relational table. */
-  final case class TableSource(df: DataFrame, spec: TableSpec)
+  /** `txId` stamps every triple the source generates — it MUST match
+    * the txId of any eagerly-built `triples` frame handed to the same
+    * store, or the two scan paths (pruned source scan vs materialized
+    * relation) would disagree on transaction identity: vidxappend's
+    * batch stores stamp tx = maxTx+1 here so the appended index rows
+    * carry the tx that compact's latest-txId reconciliation needs to
+    * beat the build rows (a 0-stamped re-assert would TIE them and
+    * the stale value could survive its own upsert). */
+  final case class TableSource(df: DataFrame, spec: TableSpec,
+      txId: Long = 0L)
       extends graft.model.TripleSource {
     def scan(attrs: Option[Seq[String]]): DataFrame =
-      tableToTriples(df, spec, 0L, attrs)
+      tableToTriples(df, spec, txId, attrs)
     // tableToTriples emits db:ident per entity (metaStructs) — the
     // contract holds by construction, no runtime probe needed
     override def assertsIdents: Boolean = true

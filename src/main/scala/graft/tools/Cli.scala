@@ -136,7 +136,7 @@ object Cli {
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
       "indexcompact", "vidxbuild", "vidxappend", "vidxcompact",
-      "vidxmigrate",
+      "vidxmigrate", "vidxstats",
       "score", "spandedup", "shuffle", "semdedup",
       "decontam", "funnel", "hitters", "mix", "drift", "lmscore",
       "curriculum", "kmv", "stratsplit", "quantiles", "bpelearn",
@@ -243,7 +243,8 @@ object Cli {
       }
     }
     require(a.inputs.nonEmpty || a.sub == "indexcompact" ||
-      a.sub == "vidxcompact" || a.sub == "vidxmigrate",
+      a.sub == "vidxcompact" || a.sub == "vidxmigrate" ||
+      a.sub == "vidxstats",
       "no -i inputs given")
     a
   }
@@ -571,8 +572,13 @@ object Cli {
             graft.sources.RowIngest.tableToTriples(df, sp, txId = tx),
             sp.attrSchemas,
             preResolved = true,
+            // the SOURCE stamps tx too: ValueIndex.append scans through
+            // the pruned source path, not the eager triples frame — an
+            // unstamped source would emit tx-0 rows that TIE the build
+            // rows at compact's latest-txId reconciliation (caught by
+            // CliSpec's re-assert-then-compact stats check)
             source = Some(graft.model.UnionTripleSource(
-              Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+              Seq(graft.sources.RowIngest.TableSource(df, sp, tx)))))
           graft.ValueIndex.append(batch, t)
           // receipt from the MANIFEST (same O(manifest) read the tx
           // stamp does) — the v4 receipt's full-index grouped count
@@ -595,6 +601,13 @@ object Cli {
           Seq((t, spark.table(t).count(),
               spark.table(t + "_manifest").count()))
             .toDF("table", "n_facts", "n_manifest_rows")
+        // manifest-only health report: per attr — fact count, buckets,
+        // manifest rows, frag = rows/buckets (1.0 tight, grows with
+        // appends — the compaction-cadence signal), shadow range, max
+        // txId. O(manifest); the index data is never scanned.
+        case "vidxstats" =>
+          val t = a.table.getOrElse(sys.error("vidxstats needs --table"))
+          graft.ValueIndex.stats(spark, t)
         // convert a pre-v3 plain-TABLE registration to the atomic view
         // shape — the ONE non-atomic catalog transition, explicit here
         // so register/compact never drop a table as a side effect

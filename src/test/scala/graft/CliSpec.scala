@@ -568,15 +568,37 @@ class CliSpec extends AnyFunSuite {
       "--cols", "n", "--buckets", "4", "-o", dir + "/r0"))
     assert(spark.read.json(dir + "/r0").select($"attr", $"n_facts")
       .as[(String, Long)].head() === (("cli_vidx:n", 50L)))
-    // append a drifted batch from the shell: bucketed by harvested
-    // cuts, corpus never read
+    def stats(tag: String): (Long, Long, Long, Double, Long) = {
+      Cli.run(spark, Array("vidxstats", "--table", "cli_vidx",
+        "-o", dir + s"/st$tag"))
+      spark.read.json(dir + s"/st$tag")
+        .select($"n_facts", $"n_buckets", $"n_manifest_rows", $"frag",
+          $"max_tx")
+        .as[(Long, Long, Long, Double, Long)].head()
+    }
+    // post-build: one manifest row per bucket — tight (frag 1.0)
+    assert(stats("0") === ((50L, 4L, 4L, 1.0, 0L)))
+    // append a drifted batch from the shell — bucketed by harvested
+    // cuts, corpus never read — that also RE-ASSERTS doc 50 with a
+    // DIFFERENT value (9999 vs the build's 150): until compaction the
+    // stale row sits beside the new one; after it, latest-txId must
+    // keep 9999. A same-value re-assert (q170's shape) collapses to
+    // the same output whichever row wins, so only a different-value
+    // re-assert can catch a broken tx stamp (the v4→v5 TableSource
+    // lesson: the batch source emitted tx-0 triples that TIED the
+    // build rows).
     Files.writeString(Paths.get(dir + "/batch.json"),
-      (51L to 60L).map(i => s"""{"doc_id": $i, "n": ${i * 30}}""")
+      ((51L to 60L).map(i => s"""{"doc_id": $i, "n": ${i * 30}}""") :+
+        s"""{"doc_id": 50, "n": 9999}""")
         .mkString("", "\n", "\n"))
     Cli.run(spark, Array("vidxappend", "-i", dir + "/batch.json",
       "--table", "cli_vidx", "-o", dir + "/ra"))
     assert(spark.read.json(dir + "/ra").select($"attr", $"n_facts")
-      .as[(String, Long)].head() === (("cli_vidx:n", 60L)))
+      .as[(String, Long)].head() === (("cli_vidx:n", 61L)))
+    // post-append: extra manifest rows on the touched buckets (frag >
+    // 1.0 — the compaction-cadence signal) and the batch's tx stamp
+    val (fA, bA, mA, fragA, txA) = stats("1")
+    assert(fA === 61L && mA > bA && fragA > 1.0 && txA === 1L)
     Cli.run(spark, Array("vidxcompact", "--table", "cli_vidx",
       "--index-path", dir + "/vidx2", "--buckets", "4", "--vacuum",
       "-o", dir + "/r1"))
@@ -584,6 +606,25 @@ class CliSpec extends AnyFunSuite {
       .select($"n_facts", $"n_manifest_rows").as[(Long, Long)].head()
     assert(r1._1 === 60L)
     assert(r1._2 <= 4L)
+    // post-compact: back to tight — one row per bucket, tx preserved,
+    // duplicates collapsed (61 → 60)
+    val (fC, bC, mC, fragC, txC) = stats("2")
+    assert(fC === 60L && mC === bC && fragC === 1.0 && txC === 1L)
+    // latest-txId won: doc 50 holds ONE row and it is the re-asserted
+    // 9999, which is also the new global top-1
+    val eid50 = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("cli_vidx:50")
+    val d50 = spark.table("cli_vidx")
+      .where($"e" === eid50)
+      .select($"vlong").as[Long].collect().toList
+    assert(d50 === List(9999L))
+    val top1 = graft.ValueIndex.topKEids(spark, "cli_vidx",
+      "cli_vidx:n", "vlong", None, 1)
+    assert(top1.isDefined)
+    val topVal = spark.table("cli_vidx")
+      .join(top1.get, Seq("e"), "left_semi")
+      .select($"vlong").as[Long].head()
+    assert(topVal === 9999L)
     // vacuum removed the superseded copies; the swapped index answers
     assert(!new java.io.File(dir + "/vidx").exists)
     assert(!new java.io.File(dir + "/vidx_manifest").exists)
