@@ -696,6 +696,18 @@ class TripleStore(
     }
   }
 
+  /** [[ValueIndex.provesUniverse]] results memoized per store INSTANCE,
+    * keyed by (index table, sort attr, match pattern). Sound because the
+    * store is an immutable snapshot: the proof is a pure function of
+    * (index rows, match result), the match result of (pattern, triples),
+    * and every write op returns a NEW store with the index handle
+    * dropped (ValueIndex snapshot contract) — so within one instance's
+    * lifetime both inputs are fixed. A concurrent race at worst runs
+    * the proof twice (TrieMap.getOrElseUpdate), never caches a wrong
+    * answer. */
+  private val ascProofMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Seq[(String, MVal)]), Boolean]
+
   /** The `limit`-sized eid subset that a sort on `attr` selects: one
     * attr-pruned scan + per-entity aggregate + TakeOrderedAndProject —
     * entities missing the attr sort as SQL nulls (first asc / last
@@ -716,18 +728,6 @@ class TripleStore(
     * succeeds, bounded when it fails). A non-universe asc the proof
     * rejects, and an `ents` so selective the whole range holds < k
     * matches, decline (None → this fallback). */
-  /** [[ValueIndex.provesUniverse]] results memoized per store INSTANCE,
-    * keyed by (index table, sort attr, match pattern). Sound because the
-    * store is an immutable snapshot: the proof is a pure function of
-    * (index rows, match result), the match result of (pattern, triples),
-    * and every write op returns a NEW store with the index handle
-    * dropped (ValueIndex snapshot contract) — so within one instance's
-    * lifetime both inputs are fixed. A concurrent race at worst runs
-    * the proof twice (TrieMap.getOrElseUpdate), never caches a wrong
-    * answer. */
-  private val ascProofMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Seq[(String, MVal)]), Boolean]
-
   private def topKEids(ents: DataFrame, attr: String, desc: Boolean,
       limit: Int, entsIsUniverse: Boolean = false,
       pattern: Seq[(String, MVal)] = Nil): DataFrame = {
