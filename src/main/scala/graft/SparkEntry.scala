@@ -2278,10 +2278,13 @@ object SparkEntry {
             stream, "doc_id", "text", "ts", watermarkDelaySeconds = 600)
         verdicts.writeStream
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
+          // batchId-keyed overwrite = replay-idempotent (q110's sink
+          // discipline): a batch re-executed after a crash-restart
+          // rewrites ITS directory instead of double-appending
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
             graft.streaming.StreamingDedup
               .combineNearVerdicts(b, "doc_id", "ts")
-              .write.mode("append").parquet(outp)
+              .write.mode("overwrite").parquet(s"$outp/batch_$batchId")
           }
           .outputMode("append").start()
       }
@@ -2292,7 +2295,7 @@ object SparkEntry {
       // the copies-vs-fresh verdicts that ARE the cross-batch near-dup
       // semantics under test (q110's staging discipline)
       val staged = stagedStreamState(s, "q103s1", dir,
-        "ndv1 wm=600 " + s"b1=${treeFingerprint(b1)}",
+        "ndv2 wm=600 " + s"b1=${treeFingerprint(b1)}",
         capture = Seq((in, "in"), (ckpt, "ckpt"), (outp, "out"))) {
         for (d <- Seq(in, outp, ckpt)) deleteRec(Paths.get(d))
         java.nio.file.Files.createDirectories(Paths.get(in))
@@ -2306,7 +2309,7 @@ object SparkEntry {
         copyRec(Paths.get(b2), Paths.get(in))
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(outp).select(col("doc_id"),
+      s.read.parquet(outp + "/batch_*").select(col("doc_id"),
         when(col("doc_id") < off, 1L)
           .when(col("doc_id") < 2 * off, -1L)
           .otherwise(2L).as("batch"))
@@ -2908,8 +2911,10 @@ object SparkEntry {
             Seq("view", "click", "purchase"), withinSeconds = 300L,
             watermarkDelay = Some("10 minutes"))
           .toDF().writeStream.option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(outp)
+          // batchId-keyed overwrite = replay-idempotent (q110's sink
+          // discipline — see q103)
+          .foreachBatch { (b: DataFrame, batchId: Long) =>
+            b.write.mode("overwrite").parquet(s"$outp/batch_$batchId")
           }
           .outputMode("update").start()
       }
@@ -2918,7 +2923,7 @@ object SparkEntry {
       // staged once per (tag, sf); reps restore the after-batch-1
       // world and run only the eviction choreography under test
       val staged = stagedStreamState(s, "q161s1", dir,
-        "fev1 within=300 wm=10m " + s"b1=${treeFingerprint(batches(0))}",
+        "fev2 within=300 wm=10m " + s"b1=${treeFingerprint(batches(0))}",
         capture = Seq((in, "in"), (ckpt, "ckpt"), (outp, "out"))) {
         for (d <- Seq(in, outp, ckpt)) deleteRec(Paths.get(d))
         java.nio.file.Files.createDirectories(Paths.get(in))
@@ -2933,7 +2938,7 @@ object SparkEntry {
         feed(batches(2)); q.processAllAvailable()
         feed(batches(3)); q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(outp)
+      s.read.parquet(outp + "/batch_*")
         .where(col("t_3").isNotNull && col("user_id") >= 0)
         .select(col("user_id"),
           col("t_1").cast("timestamp_ntz").as("t_1"),
