@@ -562,8 +562,13 @@ object ValueIndex {
     require(m.columns.contains("fmt") && m.columns.contains("maxtx"),
       s"valueIndex $table predates format v$Fmt — rebuild it with " +
         "ValueIndex.build")
-    m.where(col("fmt") === Fmt)
-      .groupBy(col("a").as("attr"))
+    // fail LOUD on stale-format rows like every other manifest reader —
+    // silently dropping them would report a healthy-looking index whose
+    // probes are about to refuse
+    require(m.where(col("fmt") =!= Fmt).isEmpty,
+      s"valueIndex $table holds pre-v$Fmt manifest rows — rebuild with " +
+        "ValueIndex.build")
+    m.groupBy(col("a").as("attr"))
       .agg(sum(col("cnt")).as("n_facts"),
         count_distinct(col("bkt")).as("n_buckets"),
         count(lit(1)).as("n_manifest_rows"),
