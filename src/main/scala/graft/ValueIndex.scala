@@ -418,7 +418,12 @@ object ValueIndex {
       .agg(max_by(
         struct(col("vlong"), col("vdbl"), col("vstr"), col("vts"),
           col("vnum"), col("txId")),
-        struct(col("txId"), col("vnum"), col("vstr"))).as("_m"))
+        // vts joins the equal-tx tie-break: past 2^53 µs two distinct
+        // NTZ values can share one double shadow, and vstr is null for
+        // timestamp rows — without the native column the pick between
+        // such twins would be partition-order nondeterministic
+        struct(col("txId"), col("vnum"), col("vstr"), col("vts")))
+        .as("_m"))
       .select(col("a"), col("e"), col("_m.vlong").as("vlong"),
         col("_m.vdbl").as("vdbl"), col("_m.vstr").as("vstr"),
         col("_m.vts").as("vts"), col("_m.vnum").as("vnum"),
