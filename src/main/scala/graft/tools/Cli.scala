@@ -60,6 +60,8 @@ import scala.jdk.CollectionConverters._
   *                   --cols n_chars[,n_words] [--buckets 64] -o receipt
   *   Cli vidxappend  -i batch.parquet --table vidx -o receipt
   *   Cli vidxcompact --table vidx --index-path /data/v2 [--vacuum] -o receipt
+  *   Cli vidxstats   --table vidx -o health   (frag = rows/buckets)
+  *   Cli vidxmigrate --table vidx -o receipt  (legacy TABLE → views)
   *   Cli score -i docs.parquet --lexicon spark:5,the:-1 -o scored
   *   Cli spandedup -i docs.parquet --ngram 8 [--spans-only] -o clean
   *   Cli decontam  -i train.parquet --test test.parquet [--spans-only] -o clean
