@@ -2157,6 +2157,89 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // the CLI lifecycle's DIFFERENT-VALUE upsert under oracle — q170's
+    // blind spot closed: q170's re-asserts carry identical values, so
+    // its hash is green whichever duplicate row survives compact's
+    // latest-txId reconciliation (the r15 tx-stamp bug — batch triples
+    // reaching the index as tx 0 through the TableSource scan path —
+    // passed q170 and was caught only by a spec). Here the appended
+    // batch re-asserts the corpus's TOP-20 docs by (n_chars, doc_id)
+    // with n_chars − 1,000,000 — a value DECREASE of the provably-top
+    // rows, deliberately twice over: compact's equal-tx tie-break
+    // prefers the larger shadow, so an increasing upsert would win the
+    // reconciliation even with a broken (tied) tx stamp, and deranking
+    // the TOP ranks guarantees the stale world and the correct world
+    // disagree on the top-10 (any corpus doc in the overall top-10 is
+    // by definition inside the corpus top-20, so a stale survivor
+    // cannot hide below the boundary). If stale rows win — or survive
+    // beside the new ones — planted eids stay in the index's top-10,
+    // their pulled FINAL values (negative) enter the output, and the
+    // value multiset hash-mismatches against DuckDB's modeled state.
+    "q172_cli_vidx_upsert" -> ((s, dir) => {
+      val t = s"q172vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val corpus = stagedInput(s, "q172corpus_m3", dir)(
+        docs.where(col("doc_id") % 10 =!= 0))
+      // the planted set: corpus top-20 by (n_chars, doc_id) — a global
+      // window over the staged builder only (bounded, built once); the
+      // tag carries the plant's identity because stagedInput stamps
+      // key on the SF dir, not on builder content
+      def top20(df: DataFrame) = df.withColumn("_rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars").desc, col("doc_id").desc)))
+        .where(col("_rk") <= 20).drop("_rk")
+      val batch = stagedInput(s, "q172batch_m3_top20dec", dir)(
+        docs.where(col("doc_id") % 10 === 0).unionAll(
+          top20(docs.where(col("doc_id") % 10 =!= 0))
+            .select(col("doc_id"),
+              (col("n_chars") - 1000000L).as("n_chars"))))
+      val base = scratch("q172", dir)
+      val world = stagedStreamState(s, "q172world", dir,
+        extraStamp = s"fmt=${graft.ValueIndex.Fmt} top20dec " +
+          s"in=${treeFingerprint(corpus)}|${treeFingerprint(batch)}",
+        capture = Seq(s"$base/v" -> "v", s"$base/v_manifest" -> "vman")) {
+        deleteRec(java.nio.file.Paths.get(base))
+        graft.tools.Cli.run(s, Array("vidxbuild",
+          "-i", corpus, "--format", "parquet", "--id", "doc_id",
+          "--table", t, "--index-path", s"$base/v", "--cols", "n_chars",
+          "--buckets", "8", "-o", s"$base/r0"))
+        graft.tools.Cli.run(s, Array("vidxappend",
+          "-i", batch, "--format", "parquet", "--id", "doc_id",
+          "--table", t, "-o", s"$base/r1"))
+      }
+      deleteRec(java.nio.file.Paths.get(base))
+      world.restore()
+      graft.ValueIndex.register(s, t, s"$base/v")
+      graft.tools.Cli.run(s, Array("vidxcompact",
+        "--table", t, "--index-path", s"$base/v2", "--buckets", "8",
+        "--vacuum", "-o", s"$base/r2"))
+      // probe store = the FINAL latest-wins state (snapshot contract:
+      // the index must cover the store's facts), same ingest spec ⇒
+      // same md5 eids as the CLI lifecycle
+      val planted = top20(docs.where(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id"), lit(1).as("_p"))
+      val finalDocs = docs.join(planted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_p") === 1, col("n_chars") - 1000000L)
+            .otherwise(col("n_chars")).as("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(finalDocs, t, Seq("doc_id"),
+        Nil, None)
+      val store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(finalDocs, sp),
+        sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(finalDocs, sp)))))
+        .withValueIndex(t)
+      store.pullMany(
+          Seq(s"$t:n_chars" -> MAny),
+          Seq(PAttr(s"$t:n_chars"), PWild),
+          sortBy = Some("n_chars"), desc = true, limit = Some(10))
+        .select(col("n_chars"))
+    }),
+
     // StreamingDedup.firstSeen with its watermark-EXPIRY semantics under
     // oracle: three file-source microbatches — (1) every distinct doc at
     // T0, (2) a lone sentinel an hour later, which advances the watermark
@@ -5079,6 +5162,24 @@ object SparkEntry {
     // if equal micros straddle the limit boundary
     "q171_pull_topk_ts" ->
       "SELECT ts FROM events ORDER BY ts DESC LIMIT 10",
+    // the oracle models the post-compact latest-wins state directly:
+    // the corpus top-20 by (n_chars, doc_id) carry the re-asserted
+    // n_chars − 1,000,000 (a value DECREASE of the provably-top rows —
+    // see the query comment: only a genuinely-later txId lets a
+    // smaller value win the reconciliation, and deranking the top
+    // guarantees stale survivors surface in the top-10). Values only —
+    // the multiset is deterministic across tie-broken eids.
+    "q172_cli_vidx_upsert" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id DESC)
+        |           AS rk
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 0)
+        |SELECT CASE WHEN c.rk <= 20 THEN d.n_chars - 1000000
+        |            ELSE d.n_chars END AS n_chars
+        |FROM documents d LEFT JOIN corpus c USING (doc_id)
+        |WHERE d.doc_id % 3 = 0
+        |ORDER BY n_chars DESC LIMIT 10""".stripMargin,
     // ascending custkey through the proof-served index probe
     "q169_pull_topk_asc_proof" ->
       """SELECT c_custkey AS custkey, n_name AS nation_name
