@@ -324,6 +324,32 @@ object SparkEntry {
     }
   }
 
+  /** [[lshIndexFromPristine]]'s shape for [[graft.ValueIndex]] layouts
+    * probed READ-ONLY: the build (quantile sketch + range-bucketed
+    * write + manifest agg) runs once per (tag, sf) behind a stamped
+    * _OK marker; probes never mutate the layout, so every rep just
+    * re-registers the views over the pristine files (one DDL pair, no
+    * copy — mutating consumers use the q170/q172 stagedStreamState
+    * recipe instead). `store` is by-name: only a stale/missing
+    * pristine evaluates it. */
+  private def vidxFromPristine(s: SparkSession, tag: String, dir: String,
+      table: String, attrs: Seq[String], nBuckets: Int)(
+      store: => TripleStore): Unit = {
+    val pristine = scratch(tag + "_pristine", dir)
+    val marker = java.nio.file.Paths.get(pristine + "_OK")
+    val stamp = s"vidx fmt=${graft.ValueIndex.Fmt} " +
+      s"attrs=${attrs.mkString(",")} b=$nBuckets src=${dirFingerprint(dir)}"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      for (sfx <- Seq("", "_manifest"))
+        deleteRec(java.nio.file.Paths.get(pristine + sfx))
+      graft.ValueIndex.build(store, table, pristine, attrs, nBuckets)
+      java.nio.file.Files.writeString(marker, stamp)
+    } else graft.ValueIndex.register(s, table, pristine)
+  }
+
   /** Register an UNBUCKETED parquet location as an external table —
     * the sidecar (stats / centroids) analogue of Layout.registerBucketed
     * for the pristine-reuse helpers below. */
@@ -2238,6 +2264,38 @@ object SparkEntry {
           Seq(PAttr(s"$t:n_chars"), PWild),
           sortBy = Some("n_chars"), desc = true, limit = Some(10))
         .select(col("n_chars"))
+    }),
+
+    // value-RANGE match served from the ValueIndex zone map (MRange →
+    // ValueIndex.rangeEids): "documents longer than N" — the most
+    // common curation filter — partition-prunes to the buckets whose
+    // [min, max] can reach 450 instead of scanning the attr's full
+    // fact slice (the r15 verdict's "what's missing #2"). Probes are
+    // read-only, so the index builds once per sf and registers over
+    // the pristine files per rep. PWild blocks base-table fusion so
+    // the probe owns the match (the fused path is the right plan for
+    // UN-indexed TableSource stores and is covered by TripleStoreSpec);
+    // 1/3 corpus slice, q170's trim.
+    "q173_range_match" -> ((s, dir) => {
+      val t = s"q173vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+      store.withValueIndex(t)
+        .pullMany(
+          Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
+          Seq(PAttr(s"$t:doc_id"), PWild))
+        .select(col("doc_id"),
+          col("attrs").getField(s"$t:n_chars").getItem(0)
+            .cast("long").as("n_chars"))
     }),
 
     // StreamingDedup.firstSeen with its watermark-EXPIRY semantics under
@@ -5180,6 +5238,10 @@ object SparkEntry {
         |FROM documents d LEFT JOIN corpus c USING (doc_id)
         |WHERE d.doc_id % 3 = 0
         |ORDER BY n_chars DESC LIMIT 10""".stripMargin,
+    // the zone-map-served range match: plain relational comparison
+    "q173_range_match" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450""".stripMargin,
     // ascending custkey through the proof-served index probe
     "q169_pull_topk_asc_proof" ->
       """SELECT c_custkey AS custkey, n_name AS nation_name

@@ -370,6 +370,19 @@ class TripleStore(
     case MIn(vs) =>
       val vc = valueCol(attr)
       scanFor(Seq(attr)).where(col(vc).isInCollection(vs)).select($"e")
+    case r: MRange =>
+      // a store carrying a ValueIndex over the attr serves the range
+      // from the zone map: buckets that can't intersect [lo, hi] are
+      // partition-pruned, so the probe reads O(intersecting buckets)
+      // instead of the attr's full fact slice (ValueIndex.rangeEids —
+      // snapshot contract, like the top-k probes). Fallback: the
+      // attr-pruned scan with the same predicate.
+      valueIndex.flatMap(t =>
+        ValueIndex.rangeEids(spark, t, attr, valueCol(attr), r))
+      .getOrElse {
+        val cond = TripleStore.rangeCond(col(valueCol(attr)), r)
+        scanFor(Seq(attr)).where(cond).select($"e")
+      }
     case MSub(sub) =>
       // entities whose ref through `attr` lands in the sub-pattern's match
       edgesFor(Some(Seq(attr)))
@@ -402,6 +415,8 @@ class TripleStore(
         Some($"a" === a && col(valueCol(a)).isInCollection(Seq(v)))
       case MIn(vs) =>
         Some($"a" === a && col(valueCol(a)).isInCollection(vs))
+      case r: MRange =>
+        Some($"a" === a && TripleStore.rangeCond(col(valueCol(a)), r))
       case MSub(_) => None
     }
     val conds = pattern.map { case (a, mv) => scalarCond(a, mv) }
@@ -421,7 +436,8 @@ class TripleStore(
       // most one fact per entity — the distinct (a full shuffle) is a
       // no-op then
       val alreadyDistinct = pattern match {
-        case Seq((a, MEq(_) | MIn(_) | MAny)) => schemaOf(a).cardOne
+        case Seq((a, MEq(_) | MIn(_) | MAny | _: MRange)) =>
+          schemaOf(a).cardOne
         case _ => false
       }
       if (alreadyDistinct) joined else joined.distinct()
@@ -599,7 +615,9 @@ class TripleStore(
     val flat = specs.collect { case p: PAttr => p }
     if (flat.size != specs.size || flat.isEmpty) return None
     if (!flat.forall(p => schemaOf(p.attr).cardOne)) return None
-    if (!pattern.forall { case (_, MEq(_) | MIn(_) | MAny) => true; case _ => false })
+    if (!pattern.forall {
+        case (_, MEq(_) | MIn(_) | MAny | _: MRange) => true
+        case _ => false })
       return None
     tableSources.flatMap { srcs =>
       def canMatch(ts: graft.sources.RowIngest.TableSource,
@@ -619,6 +637,12 @@ class TripleStore(
             case (a, MAny) => only.spec.valueExpr(a).get.isNotNull
             case (a, MEq(v)) => only.spec.valueExpr(a).get === lit(v)
             case (a, MIn(vs)) => only.spec.valueExpr(a).get.isInCollection(vs)
+            // a range on the base table is the ideal plan here: the
+            // comparison pushes into the parquet scan as a row-group
+            // predicate (null-safe: rangeCond's comparisons are
+            // null-rejecting, matching missing-fact semantics)
+            case (a, r: MRange) =>
+              TripleStore.rangeCond(only.spec.valueExpr(a).get, r)
             case (_, MSub(_)) => sys.error("unreachable")
           }
           val e = graft.sources.RowIngest
@@ -697,16 +721,23 @@ class TripleStore(
   }
 
   /** [[ValueIndex.provesUniverse]] results memoized per store INSTANCE,
-    * keyed by (index table, sort attr, match pattern). Sound because the
-    * store is an immutable snapshot: the proof is a pure function of
+    * keyed by (index table, sort attr, match pattern) and VALIDATED by
+    * the attr's manifest total at proof time. Sound because the store
+    * is an immutable snapshot: the proof is a pure function of
     * (index rows, match result), the match result of (pattern, triples),
     * and every write op returns a NEW store with the index handle
     * dropped (ValueIndex snapshot contract) — so within one instance's
-    * lifetime both inputs are fixed. A concurrent race at worst runs
-    * the proof twice (TrieMap.getOrElseUpdate), never caches a wrong
-    * answer. */
+    * lifetime both inputs are fixed. The recorded total guards the one
+    * way the index rows CAN shift under a live instance: an
+    * out-of-band `ValueIndex.append` to the registered table (a
+    * contract violation — it mutates the path without dropping any
+    * store's handle) changes the attr's manifest total, so the probe's
+    * O(manifest) total check detects it and re-proves instead of
+    * pairing the stale proof with appended entities outside the match.
+    * A concurrent race at worst runs the proof twice, never caches a
+    * wrong answer. */
   private val ascProofMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Seq[(String, MVal)]), Boolean]
+    .empty[(String, String, Seq[(String, MVal)]), (Boolean, Long)]
 
   /** The `limit`-sized eid subset that a sort on `attr` selects: one
     * attr-pruned scan + per-entity aggregate + TakeOrderedAndProject —
@@ -751,8 +782,20 @@ class TripleStore(
         if (limit > TripleStore.TopKLiteralCap) None
         else {
           val gen = ValueIndex.resolveGeneration(spark, t)
-          val proven = ascProofMemo.getOrElseUpdate((t, attr, pattern),
-            ValueIndex.provesUniverse(spark, t, attr, ents, Some(gen)))
+          // validate the memo against the CURRENT generation's manifest
+          // total for the attr (one bounded O(manifest) collect): a
+          // total mismatch means the index content moved under this
+          // live instance (out-of-band append — see ascProofMemo's doc)
+          // and the cached proof must not be trusted — re-prove.
+          val curTotal = ValueIndex.attrTotal(spark, t, attr, Some(gen))
+          val proven = ascProofMemo.get((t, attr, pattern)) match {
+            case Some((p, tot)) if tot == curTotal => p
+            case _ =>
+              val p = ValueIndex.provesUniverse(spark, t, attr, ents,
+                Some(gen))
+              ascProofMemo.put((t, attr, pattern), (p, curTotal))
+              p
+          }
           if (proven) ValueIndex.topKEids(spark, t, attr,
             valueCol(attr), None, limit, desc = false, gen = Some(gen))
           else None
@@ -1437,6 +1480,16 @@ object TripleStore {
     * .inFilterThreshold` so the pushed IN keeps or-of-eq row-group
     * semantics at the cap. */
   val TopKLiteralCap = 1024
+
+  /** The exact native-column predicate an [[graft.query.MRange]]
+    * denotes — shared by the scan fallback, the match-collapse path,
+    * and the verification half of the index probe. Both bounds absent
+    * degenerates to presence (MAny's semantics on a non-null value
+    * column). */
+  private[graft] def rangeCond(vc: Column, r: MRange): Column =
+    (r.lo.map(v => if (r.loStrict) vc > lit(v) else vc >= lit(v)).toSeq ++
+      r.hi.map(v => if (r.hiStrict) vc < lit(v) else vc <= lit(v)))
+      .reduceOption(_ && _).getOrElse(vc.isNotNull)
 
   /** The reference's base_schema (tripl.py:283-297): declarations present
     * BEFORE any user facts load. `db.schema:types` /

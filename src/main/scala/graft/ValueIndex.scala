@@ -59,12 +59,15 @@ import graft.model.Triples
   *
   * CATALOG CONTRACT: [[register]] publishes the layout as two VIEWS
   * over the parquet paths (`table`, `table_manifest`), each carrying
-  * the data location in a table property. A view replacement is ONE
-  * catalog mutation, so [[compact]]'s swap is atomic per name — no
-  * DROP→CREATE window where a reader sees "table not found" — and
-  * probes resolve BOTH the data and the manifest from a SINGLE read of
-  * that property, so a probe planned while a compact lands sees one
-  * generation of the index, never new data under an old manifest.
+  * the data location in a table property. Re-pointing an existing view
+  * uses ONLY atomic `alterTable` mutations (ALTER VIEW SET
+  * TBLPROPERTIES / ALTER VIEW AS — never CREATE OR REPLACE VIEW, which
+  * Spark implements as drop + create and thus opens a real "table not
+  * found" window for concurrent readers), so [[compact]]'s swap never
+  * makes the name vanish, and probes resolve BOTH the data and the
+  * manifest from a SINGLE read of that property, so a probe planned
+  * while a compact lands sees one generation of the index, never new
+  * data under an old manifest.
   * Partition discovery and pruning come from the filesystem layout
   * (listing is cached per path), so there is no per-register partition
   * recovery (the old MSCK — a metadata scan of every (a, bkt)
@@ -88,21 +91,25 @@ object ValueIndex {
                       // v5: data rows carry vts (NTZ timestamp attrs
                       // served through the decimal-exact field-micros
                       // shadow) and registration stamps the location
-                      // as a HEX property in the SAME DDL statement as
-                      // the view definition — zero-window atomic
+                      // as a HEX property — created WITH the view
+                      // definition on fresh names, flipped by atomic
+                      // ALTER VIEW mutations on existing ones (never
+                      // CREATE OR REPLACE, which Spark implements as
+                      // drop + create: a real not-found window)
                       // (v4 added manifest maxtx; v3 vstr rows, the
                       // string shadow keying, and view registration)
 
   /** Catalog property on the index's views naming the data location —
     * the ONE value a probe reads to resolve both the data and the
     * manifest (what makes [[compact]]'s swap atomic for probes). The
-    * value is the UTF-8 path HEX-ENCODED: the property must ride
-    * INSIDE the CREATE OR REPLACE VIEW statement (a separate
-    * alterTable would reopen a window where the new definition pairs
-    * with no/stale property — a probe then falls back to per-name
-    * views and can pair new data with an old manifest), and no single
-    * string-literal escaping is parser-mode-proof (backslash handling
-    * flips with spark.sql.parser.escapedStringLiterals) — hex digits
+    * value is the UTF-8 path HEX-ENCODED: the property must NEVER go
+    * absent on a registered name (the v4 drop-recreate design had such
+    * a window — a probe then fell back to per-name views and could
+    * pair new data with an old manifest), which [[register]] ensures
+    * by creating it with the view and thereafter only flipping it via
+    * atomic ALTERs; and no single string-literal escaping is
+    * parser-mode-proof (backslash handling flips with
+    * spark.sql.parser.escapedStringLiterals) — hex digits
     * need no escaping in ANY mode. `private[graft]`:
     * [[graft.ops.Layout.vacuum]]'s live-location guard must treat
     * property-named paths as live. */
@@ -149,6 +156,42 @@ object ValueIndex {
       micros.cast("double"),
       conv(rpad(hex(substring(encode(col("vstr"), "UTF-8"), 1, 6)),
         12, "0"), 16, 10).cast("double"))
+  }
+
+  /** DRIVER-SIDE twin of [[shadowOf]] for a single literal value — what
+    * [[rangeEids]] turns a range bound into before pruning buckets
+    * against the manifest's shadow [min, max]. Must agree with the
+    * column form bit-for-bit on every supported type (PropertySpec
+    * pins this): longs/ints widen, doubles pass through, strings take
+    * the first 6 UTF-8 bytes as a big-endian integer zero-padded on the
+    * right (= the column's hex/rpad form), NTZ timestamps linearize to
+    * UTC-interpreted epoch micros computed exactly in Long with ONE
+    * rounding at the final toDouble. None = a type the shadow can't
+    * represent — the caller declines to probe and falls back. */
+  private[graft] def shadowOfValue(v: Any): Option[Double] = v match {
+    case null => None
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case l: Long => Some(l.toDouble)
+    case i: Int => Some(i.toDouble)
+    case s: Short => Some(s.toDouble)
+    case b: Byte => Some(b.toDouble)
+    case s: String =>
+      val bs = s.getBytes("UTF-8")
+      var acc = 0L
+      var i = 0
+      while (i < 6) {
+        acc = (acc << 8) | (if (i < bs.length) bs(i) & 0xffL else 0L)
+        i += 1
+      }
+      Some(acc.toDouble)
+    case t: java.time.LocalDateTime =>
+      // exact in Long over the NTZ range (≤ ~2.5e17 µs for year 9999),
+      // then the single monotone IEEE rounding — mirrors the decimal
+      // column arithmetic
+      Some((t.toLocalDate.toEpochDay * 86400000000L +
+        t.toLocalTime.toNanoOfDay / 1000L).toDouble)
+    case _ => None
   }
 
   /** Per-attr shadow-quantile cut points — one aggregate + one bounded
@@ -263,33 +306,42 @@ object ValueIndex {
   /** Publish catalog entries for an EXISTING index layout: views
     * `table` over the (a, bkt)-partitioned data at `path` and
     * `table_manifest` over the sidecar, each stamped with the location
-    * property probes resolve through. CREATE OR REPLACE VIEW ...
-    * TBLPROPERTIES is one catalog mutation per name carrying BOTH the
-    * definition and the property — re-registration (and [[compact]]'s
-    * swap) never opens a window where the name is missing OR where the
-    * new definition pairs with a stale/absent property (the v4 design
-    * set the property in a second alterTable; a probe resolving in
-    * that gap fell back to per-name views and could pair new data with
-    * the OLD manifest, silently missing true top-k rows) — and a view
-    * over a path needs no partition recovery, so a persisted index
-    * reopens in a new session at catalog-metadata cost (one schema
-    * inference per view; the data stays unread until a probe runs).
-    * Errors propagate: a missing or unreadable path fails HERE, not as
-    * a silent downgrade. A same-named plain TABLE (a pre-v3
+    * property probes resolve through. A fresh name is ONE `CREATE VIEW
+    * ... TBLPROPERTIES` (definition + property in one catalog create);
+    * an existing view is re-pointed by an `ALTER VIEW SET
+    * TBLPROPERTIES` + `ALTER VIEW AS` pair — each a SINGLE atomic
+    * `alterTable`, so a by-name reader NEVER sees the name missing.
+    * (`CREATE OR REPLACE VIEW` is NOT that: Spark's CreateViewCommand
+    * implements replace as dropTable + createTable — sql/core
+    * execution/command/views.scala — and the concurrent-reader hammer
+    * in TripleStoreSpec catches the not-found window.) The property
+    * flips FIRST: probes resolve BOTH data and manifest from it alone,
+    * so they switch generations atomically at that instant, while a
+    * straddling SQL reader of the view still sees the complete OLD
+    * generation — each consistent, never a mixed pairing (the v4 bug
+    * was the reverse order leaving the property ABSENT mid-swap, which
+    * dropped probes into per-name fallback pairing new data with the
+    * old manifest). The new path is VALIDATED (schema-inferred) before
+    * any catalog mutation, so an unreadable path fails loud and leaves
+    * both entries untouched; a view over a path needs no partition
+    * recovery, so a persisted index reopens in a new session at
+    * catalog-metadata cost. A same-named plain TABLE (a pre-v3
     * registration) is NOT silently dropped — run [[migrate]] (CLI:
     * vidxmigrate) so the one remaining non-atomic transition is an
     * explicit maintenance action, never a side effect of a routine
     * register. */
   def register(spark: SparkSession, table: String, path: String): Unit =
     for ((t, p) <- Seq((table, path), (table + "_manifest", path + "_manifest"))) {
-      if (spark.catalog.tableExists(t) &&
-          spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
-            .tableType !=
-            org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
-        sys.error(s"valueIndex $t exists as a plain TABLE (a pre-v3 " +
-          "registration) — run ValueIndex.migrate (CLI: vidxmigrate) " +
-          "to convert it; register never drops tables, so the steady " +
-          "state stays a single atomic view replacement")
+      val isView = spark.catalog.tableExists(t) && {
+        val tt = spark.sessionState.catalog
+          .getTableMetadata(TableIdentifier(t)).tableType
+        if (tt != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          sys.error(s"valueIndex $t exists as a plain TABLE (a pre-v3 " +
+            "registration) — run ValueIndex.migrate (CLI: vidxmigrate) " +
+            "to convert it; register never drops tables, so the steady " +
+            "state stays atomic view mutations")
+        true
+      }
       // the path is USER input: in the one DDL position it must occupy
       // (the quoted identifier) backtick DOUBLING is the complete
       // escape — quotes and spaces are literal between backticks in
@@ -297,17 +349,25 @@ object ValueIndex {
       // as a file GLOB, so glob metacharacters cannot be made literal
       // there at all — reject them LOUDLY instead of registering a
       // view that silently resolves elsewhere. The location PROPERTY
-      // value is HEX-ENCODED ([[PathPropHex]]): it must ride in the
-      // same DDL statement as the definition, and hex survives every
+      // value is HEX-ENCODED ([[PathPropHex]]): hex survives every
       // string-literal escaping mode unchanged.
       require(!p.exists("\\*?[]{}".contains(_)),
         s"valueIndex path '$p' contains glob metacharacters " +
           "(\\ * ? [ ] { }) — the catalog views resolve paths as file " +
           "globs, so such a path would silently read the wrong files")
       val ip = p.replace("`", "``")
-      spark.sql(s"CREATE OR REPLACE VIEW $t TBLPROPERTIES " +
-        s"('$PathPropHex'='${encodePathHex(p)}') " +
-        s"AS SELECT * FROM parquet.`$ip`")
+      if (!isView)
+        spark.sql(s"CREATE VIEW $t TBLPROPERTIES " +
+          s"('$PathPropHex'='${encodePathHex(p)}') " +
+          s"AS SELECT * FROM parquet.`$ip`")
+      else {
+        // fail on an unreadable path BEFORE mutating the catalog (the
+        // CREATE branch gets this from the DDL's own analysis)
+        spark.read.parquet(p).schema
+        spark.sql(s"ALTER VIEW $t SET TBLPROPERTIES " +
+          s"('$PathPropHex'='${encodePathHex(p)}')")
+        spark.sql(s"ALTER VIEW $t AS SELECT * FROM parquet.`$ip`")
+      }
       // the path may have been rewritten/relinked since a prior
       // registration cached its listing
       spark.catalog.refreshByPath(p)
@@ -323,14 +383,36 @@ object ValueIndex {
     * still predates v$Fmt and fails the format gate at the first
     * probe — migrate fixes the CATALOG shape; rebuild fixes the rows. */
   def migrate(spark: SparkSession, table: String): Unit = {
+    val view = org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
     val cat = spark.sessionState.catalog
     val m = cat.getTableMetadata(TableIdentifier(table))
-    require(m.tableType !=
-        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW,
+    require(m.tableType != view,
       s"valueIndex $table is already view-registered — nothing to migrate")
     val path = m.location.toString
-    for (t <- Seq(table, table + "_manifest"))
-      spark.sql(s"DROP TABLE IF EXISTS $t")
+    // [[register]] resolves the manifest as `path + "_manifest"` — if
+    // the legacy manifest TABLE actually lives elsewhere, dropping it
+    // would strand the layout (both names gone, register then fails on
+    // the missing sidecar path, no catalog entry left). Check BEFORE
+    // touching the catalog so a refusal leaves everything as found.
+    val manT = table + "_manifest"
+    val norm = (p: String) => p.stripSuffix("/")
+    if (spark.catalog.tableExists(manT)) {
+      val mm = cat.getTableMetadata(TableIdentifier(manT))
+      if (mm.tableType != view)
+        require(norm(mm.location.toString) == norm(path + "_manifest"),
+          s"valueIndex manifest table $manT lives at ${mm.location} — " +
+            s"not beside the data at ${path}_manifest where register " +
+            "resolves it; relocate the sidecar (or rebuild with " +
+            "ValueIndex.build) before migrating")
+    }
+    // DROP TABLE on a VIEW name throws in Spark 4 — a half-migrated
+    // layout (manifest already a view from a crashed prior migrate)
+    // must drop each name by its ACTUAL catalog type
+    for (t <- Seq(table, manT) if spark.catalog.tableExists(t)) {
+      val isView = cat.getTableMetadata(TableIdentifier(t)).tableType == view
+      spark.sql(if (isView) s"DROP VIEW IF EXISTS $t"
+                else s"DROP TABLE IF EXISTS $t")
+    }
     register(spark, table, path)
   }
 
@@ -389,9 +471,9 @@ object ValueIndex {
     * CURRENT rows and rewrites both trees — back to nBuckets tight
     * buckets, one file and one manifest row each; O(index) work,
     * index-only (the store is never re-scanned) — then swaps the
-    * catalog entries to the new location via [[register]]'s view
-    * replacement: ONE atomic catalog mutation per name, so a
-    * concurrent reader always resolves the table (old or new, never
+    * catalog entries to the new location via [[register]]'s ALTER VIEW
+    * pair: every mutation is an atomic alterTable, so a concurrent
+    * reader always resolves the table (old or new generation, never
     * "not found"), and a PROBE — which resolves data + manifest from
     * the single location property — always sees one generation, never
     * new data under an old manifest. (A SQL user reading the two views
@@ -481,15 +563,22 @@ object ValueIndex {
     * index: an O(index) scan four lines after append's own "must stay
     * O(batch)" argument — at 100 TB the receipt dwarfed the append).
     * Counts include not-yet-compacted upsert duplicates, exactly as
-    * counting the data rows would. */
+    * counting the data rows would. Fails LOUD on any pre-v5 manifest
+    * row, same as [[stats]]/[[bucketStats]] — silently excluding stale
+    * rows would print an under-counted receipt for an index whose
+    * first probe is about to refuse with the rebuild message. */
   private[graft] def factCounts(spark: SparkSession,
       table: String): DataFrame = {
     val m = resolveGeneration(spark, table).man()
     require(m.columns.contains("cnt") && m.columns.contains("fmt"),
       s"valueIndex $table has no manifest counts — rebuild with " +
         "ValueIndex.build")
+    require(m.where(col("fmt") =!= Fmt).isEmpty,
+      s"valueIndex $table holds pre-v$Fmt manifest rows — rebuild with " +
+        "ValueIndex.build (receipts and probes must agree on the " +
+        "rebuild story)")
     m.groupBy(col("a").as("attr"))
-      .agg(sum(when(col("fmt") === Fmt, col("cnt"))).as("n_facts"))
+      .agg(sum(col("cnt")).as("n_facts"))
       .select(lit(table).as("table"), col("attr"), col("n_facts"))
   }
 
@@ -519,6 +608,22 @@ object ValueIndex {
         "shadow keying; older rows cannot be probed)")
     agg.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
       r.getLong(3)))
+  }
+
+  /** The manifest's total fact count for `attr` under `gen` (0 when the
+    * attr is not indexed) — the cheap generation-CONTENT check
+    * [[TripleStore]]'s asc-proof memo validates against: an out-of-band
+    * [[append]] to a registered table mutates the index at the same
+    * path without touching live store instances (a snapshot-contract
+    * violation), so a memoized proof alone could pair with a
+    * post-append generation holding entities outside the proof's
+    * universe. Every append changes the attr's manifest total, so a
+    * total mismatch forces a re-prove. One O(manifest) bounded collect,
+    * never a data scan. */
+  private[graft] def attrTotal(spark: SparkSession, table: String,
+      attr: String, gen: Option[Gen] = None): Long = {
+    val g = gen.getOrElse(resolveGeneration(spark, table))
+    bucketStats(g.man(), table, attr).map(_._4).sum
   }
 
   /** ONE bounded aggregate proving `ents` IS exactly `attr`'s fact
@@ -681,5 +786,54 @@ object ValueIndex {
         }
         None // unreachable
     }
+  }
+
+  /** The eids whose `attr` value falls inside the range, served through
+    * the zone-map manifest — the RANGE-PREDICATE twin of [[topKEids]],
+    * using the same walk machinery and no new layout: buckets whose
+    * shadow [min, max] cannot intersect the range are PARTITION-PRUNED
+    * at planning time, so `attr > v` (the "documents longer than N"
+    * curation filter) reads O(intersecting buckets) instead of the
+    * attr's full fact slice. None = can't answer (attr not indexed, or
+    * a bound's type has no shadow) — the caller falls back to the
+    * attr-pruned scan.
+    *
+    * Correctness needs only the shadow's MONOTONICITY, never bucket
+    * disjointness: native v in range ⇒ shadow(v) in [shadow(lo),
+    * shadow(hi)] (non-strict — strict native bounds stay conservative
+    * under shadow ties, e.g. two strings sharing a 6-byte prefix), so
+    * every qualifying row lives in a kept bucket; the scan then applies
+    * the EXACT native-column predicate, and the non-strict shadow
+    * bounds ride along so parquet row-group stats prune within kept
+    * files (data files are vnum-sorted). Same snapshot caveat as every
+    * probe: exact on a reconciled index (an un-compacted upsert's stale
+    * twin could match by its dead value — [[append]]'s documented
+    * window); one row per (a, e) there, so no distinct is needed. */
+  private[graft] def rangeEids(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, r: graft.query.MRange)
+      : Option[DataFrame] = {
+    if (r.lo.isEmpty && r.hi.isEmpty) return None // MAny in disguise
+    val sLo = r.lo.map(shadowOfValue)
+    val sHi = r.hi.map(shadowOfValue)
+    if (sLo.exists(_.isEmpty) || sHi.exists(_.isEmpty)) return None
+    val g = resolveGeneration(spark, table)
+    val buckets = bucketStats(g.man(), table, attr)
+    if (buckets.isEmpty) return None // attr not indexed → fallback
+    def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+    val keep = buckets.filter(b =>
+      sLo.flatten.forall(lo => cmp(b._3, lo) >= 0) &&
+        sHi.flatten.forall(hi => cmp(b._2, hi) <= 0)).map(_._1)
+    val nc = col(nativeCol)
+    val nativeConds =
+      r.lo.map(v => if (r.loStrict) nc > lit(v) else nc >= lit(v)).toSeq ++
+        r.hi.map(v => if (r.hiStrict) nc < lit(v) else nc <= lit(v))
+    val shadowConds =
+      sLo.flatten.map(col("vnum") >= _).toSeq ++
+        sHi.flatten.map(col("vnum") <= _)
+    val pruned =
+      if (keep.isEmpty) lit(false) // no bucket can hold a match
+      else col("bkt").isInCollection(keep) &&
+        (nativeConds ++ shadowConds).reduce(_ && _)
+    Some(g.dat().where(col("a") === attr && pruned).select(col("e")))
   }
 }

@@ -20,6 +20,18 @@ final case class MIn(vs: Seq[Any]) extends MVal
 final case class MSub(pattern: Seq[(String, MVal)]) extends MVal
 /** Attribute presence: entity has ANY value for the attr. */
 case object MAny extends MVal
+/** Value-range comparison (engine extension; the reference's match is
+  * equality/IN-only, tripl.py:596-602): entity matches if any of its
+  * values for the attr falls inside [lo, hi] (either bound optional;
+  * `loStrict`/`hiStrict` make the bound exclusive). `attr > v` is
+  * `MRange(lo = Some(v), loStrict = true)`. On a store carrying a
+  * [[graft.ValueIndex]] over the attr, a single-clause range match
+  * partition-prunes to the buckets whose [min, max] intersect the
+  * range instead of scanning the attr's full fact slice — the
+  * "documents longer than N" curation filter goes sub-linear in the
+  * corpus (see ValueIndex.rangeEids). */
+final case class MRange(lo: Option[Any] = None, hi: Option[Any] = None,
+    loStrict: Boolean = false, hiStrict: Boolean = false) extends MVal
 
 sealed trait PullSpec {
   def name: String

@@ -133,8 +133,8 @@ object RowIngest {
           (lit(txId).as("txId") +: passthrough.map(col)): _*)
   }
 
-  /** Attribute-pruning TripleSource over one relational table. */
-  /** `txId` stamps every triple the source generates — it MUST match
+  /** Attribute-pruning TripleSource over one relational table.
+    * `txId` stamps every triple the source generates — it MUST match
     * the txId of any eagerly-built `triples` frame handed to the same
     * store, or the two scan paths (pruned source scan vs materialized
     * relation) would disagree on transaction identity: vidxappend's

@@ -1124,4 +1124,66 @@ class PropertySpec extends AnyFunSuite {
     assert(shadows.zip(shadows.tail).forall { case (a, b) => a <= b },
       "shadow must be non-decreasing along Spark's NTZ sort order")
   }
+
+  test("property: ValueIndex.shadowOfValue == the shadowOf column on " +
+      "every supported type — the range probe's bucket pruning rests " +
+      "on this agreement") {
+    import org.apache.spark.sql.functions.lit
+    def agree(v: Any, colShadow: Double): Unit = {
+      val d = ValueIndex.shadowOfValue(v)
+      assert(d.isDefined, s"no driver shadow for $v")
+      assert(java.lang.Double.compare(d.get, colShadow) === 0,
+        s"driver shadow ${d.get} != column shadow $colShadow for $v")
+    }
+    val rnd = new scala.util.Random(1313L)
+    // longs incl. the |v| > 2^53 regime where the double rounds
+    val longs = Seq(Long.MinValue, -1L, 0L, 1L, (1L << 53) + 1,
+      Long.MaxValue) ++ (0 until 50).map(_ => rnd.nextLong())
+    longs.distinct.toDF("vlong")
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .select($"vlong", ValueIndex.shadowOf.as("sh")).collect()
+      .foreach(r => agree(r.getLong(0), r.getDouble(1)))
+    val dbls = Seq(Double.NegativeInfinity, -0.0, 0.0, 1.5,
+      Double.MaxValue, Double.PositiveInfinity) ++
+      (0 until 50).map(_ => rnd.nextGaussian() * 1e9)
+    dbls.distinct.toDF("vdbl")
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vstr", lit(null).cast("string"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .select($"vdbl", ValueIndex.shadowOf.as("sh")).collect()
+      .foreach(r => agree(r.getDouble(0), r.getDouble(1)))
+    // strings: multibyte UTF-8, shared 6+-byte prefixes, short, empty
+    val strs = Seq("", "a", "abcdef", "abcdefg", "prefix_aaaa",
+      "prefix_aaab", "\u00e9x", "\u4e2d\u6587", "\ud83d\ude00!",
+      "zzzzzz") ++
+      (0 until 50).map(_ => rnd.alphanumeric.take(rnd.nextInt(9)).mkString)
+    strs.distinct.toDF("vstr")
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .select($"vstr", ValueIndex.shadowOf.as("sh")).collect()
+      .foreach(r => agree(r.getString(0), r.getDouble(1)))
+    // NTZ timestamps: DST windows, fractions, calendar extremes
+    val tss = Seq(
+      "2024-03-10T02:30:00.5", "2024-11-03T01:30:00.25",
+      "1969-12-31T23:59:59.999999", "1970-01-01T00:00:00.000001",
+      "0001-01-01T00:00:00", "9999-12-31T23:59:59.999999")
+      .map(java.time.LocalDateTime.parse) ++
+      (0 until 50).map(_ => java.time.LocalDateTime.of(2015, 6, 15, 0, 0)
+        .plusSeconds((rnd.nextDouble() * 2 - 1).toLong * 315360000L)
+        .plusNanos(rnd.nextInt(1000000).toLong * 1000L))
+    tss.distinct.toDF("vts")
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vstr", lit(null).cast("string"))
+      .select($"vts", ValueIndex.shadowOf.as("sh")).collect()
+      .foreach(r => agree(r.getAs[java.time.LocalDateTime](0),
+        r.getDouble(1)))
+    // unsupported types decline (the probe's fallback trigger)
+    assert(ValueIndex.shadowOfValue(true).isEmpty)
+    assert(ValueIndex.shadowOfValue(null).isEmpty)
+    assert(ValueIndex.shadowOfValue(BigDecimal(1)).isEmpty)
+  }
 }

@@ -1128,6 +1128,76 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(topVals(ts) === topVals(union))
   }
 
+  test("valueIndex: asc-proof memo re-validates against the manifest " +
+      "total — an out-of-band append forces a re-prove, never a stale " +
+      "serve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxm").toString
+    val rows = (0 until 100).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_memo", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    def botVals(s: TripleStore) = s.pullMany(Seq("n:tag" -> MAny),
+        Seq(PAttr("n:v")), sortBy = Some("v"), desc = false,
+        limit = Some(10))
+      .select($"v").as[Long].collect().toList.sorted
+    // first pull runs provesUniverse (proof-licensed asc: pattern attr
+    // != sort attr) and memoizes the verdict with the manifest total
+    assert(botVals(ts) === (0L until 10L).toList)
+    // CONTRACT VIOLATION on purpose: append NEW entities with smaller
+    // values to the registered index path without touching the live
+    // store instance — the exact hazard the memo's total check guards
+    ValueIndex.append(
+      numStore((100 until 120).map(i => (f"x$i%03d", -1L))), "vidx_memo")
+    // a stale memoized proof would let the probe serve the post-append
+    // generation: eids x### (outside the store's match) would rank
+    // first at value -1 and the pulled n:v would come back null. The
+    // total mismatch must force a re-prove, which fails (100 ents vs
+    // 120 index rows) and falls back to the exact linear scan.
+    assert(botVals(ts) === (0L until 10L).toList)
+  }
+
+  test("valueIndex: MRange match partition-prunes via the zone map and " +
+      "equals the unindexed scan (bounds, strictness, empty, declines)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxr").toString
+    val rows = (0 until 300).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_rng", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    def ids(s: TripleStore, r: MRange) =
+      s.matchEntities(Seq("n:v" -> r)).as[String].collect().toSet
+    val gt = MRange(lo = Some(290L), loStrict = true)
+    assert(ids(ts, gt) === ids(plain, gt))
+    assert(ids(ts, gt) === (291 until 300).map(i => f"e$i%03d").toSet)
+    // the probe's scan partition-prunes on bkt
+    val probe = ValueIndex.rangeEids(spark, "vidx_rng", "n:v", "vlong", gt)
+    assert(probe.isDefined)
+    val plan = probe.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"expected a bkt-partition-pruned scan:\n$plan")
+    // inclusive / exclusive bounds, both ends
+    assert(ids(ts, MRange(Some(10L), Some(12L))) ===
+      Set("e010", "e011", "e012"))
+    assert(ids(ts, MRange(Some(10L), Some(12L), loStrict = true,
+      hiStrict = true)) === Set("e011"))
+    // a range past the max prunes EVERY bucket → empty, still exact
+    assert(ids(ts, MRange(lo = Some(1000L))) === Set.empty[String])
+    assert(ids(plain, MRange(lo = Some(1000L))) === Set.empty[String])
+    // conjunctive pattern: the range clause rides the collapse path
+    // beside an equality clause — same answer with and without index
+    val conj = Seq("n:v" -> MRange(lo = Some(295L)),
+      "n:tag" -> (MEq("t"): MVal))
+    assert(ts.matchEntities(conj).as[String].collect().toSet ===
+      plain.matchEntities(conj).as[String].collect().toSet)
+    // declines: un-indexed attr, and a bound type with no shadow —
+    // the match falls back to the attr-pruned scan either way
+    assert(ValueIndex.rangeEids(spark, "vidx_rng", "n:tag", "vstr",
+      MRange(lo = Some("a"))).isEmpty)
+    assert(ValueIndex.rangeEids(spark, "vidx_rng", "n:v", "vlong",
+      MRange(lo = Some(true))).isEmpty)
+    assert(ids(ts, MRange(lo = Some(298L), hi = Some(1L))) ===
+      Set.empty[String]) // inverted range: no bucket and no row
+  }
+
   test("valueIndex: double attrs with NaN facts — probe == fallback " +
       "under Spark's NaN-largest order (desc ranks NaN first)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidxn").toString
