@@ -186,17 +186,21 @@ object SparkEntry {
     * run's input dir — directory metadata instead of a recompute and
     * rewrite per rep. `build` is by-name: only a stale/missing staging
     * evaluates it. */
-  private def stagedInput(s: SparkSession, tag: String, dir: String)(
-      build: => DataFrame): String = {
+  private def stagedInput(s: SparkSession, tag: String, dir: String,
+      format: String = "parquet")(build: => DataFrame): String = {
     val path = scratch(tag + "_staged", dir)
     val marker = java.nio.file.Paths.get(path + "_OK")
-    val stamp = tag + " stagedv1 src=" + dirFingerprint(dir)
+    // parquet stamps keep the historical token so existing stagings
+    // survive the format parameter's introduction
+    val stamp = tag + " stagedv1 " +
+      (if (format == "parquet") "" else s"fmt=$format ") +
+      "src=" + dirFingerprint(dir)
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
     if (!fresh) {
       java.nio.file.Files.deleteIfExists(marker)
       deleteRec(java.nio.file.Paths.get(path))
-      build.write.mode("overwrite").parquet(path)
+      build.write.mode("overwrite").format(format).save(path)
       java.nio.file.Files.writeString(marker, stamp)
     }
     path
@@ -1927,16 +1931,23 @@ object SparkEntry {
     "q114_ingest_intrabatch" -> ((s, dir) => withShuffle(s, 8) {
       val outp = scratch("q114out", dir)
       deleteRec(java.nio.file.Paths.get(outp))
+      // 1/3 corpus slice (q170's trim): the operator under test —
+      // intra-batch canonicalization + index dedup + guarded append —
+      // is corpus-size-independent; the batch split widens to %5 so
+      // the sliced corpus still yields a multi-row match set at sf0.01
+      // (3 rows; 11 at sf0.1) and every batch doc keeps its planted
+      // intra-batch shifted twin
       val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
       val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
       val table = s"q114idx_${dirTag(dir)}"
       // build once per sf, copy per run: the operator under test is
       // intraBatchSurvivors + ingestBatch, not the index build
-      lshIndexFromPristine(s, docs.where(col("doc_id") % 10 =!= 0),
-        "q114idx", dir, table, scratch("q114idx", dir),
+      lshIndexFromPristine(s, docs.where(col("doc_id") % 5 =!= 0),
+        "q114idx_m3b5", dir, table, scratch("q114idx_m3b5", dir),
         k = 64, bands = 32, rowsPerBand = 2)
-      val originals = docs.where(col("doc_id") % 10 === 0)
+      val originals = docs.where(col("doc_id") % 5 === 0)
       val batch = originals.unionAll(originals
         .select((col("doc_id") + off).as("doc_id"), col("text")))
       graft.streaming.StreamingDedup.ingestBatch(
@@ -2243,13 +2254,14 @@ object SparkEntry {
         "--vacuum", "-o", s"$base/r2"))
       // probe store = the FINAL latest-wins state (snapshot contract:
       // the index must cover the store's facts), same ingest spec ⇒
-      // same md5 eids as the CLI lifecycle
-      val planted = top20(docs.where(col("doc_id") % 10 =!= 0))
-        .select(col("doc_id"), lit(1).as("_p"))
-      val finalDocs = docs.join(planted, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("_p") === 1, col("n_chars") - 1000000L)
-            .otherwise(col("n_chars")).as("n_chars"))
+      // same md5 eids as the CLI lifecycle. Derived from the STAGED
+      // parquets instead of re-running the top-20 global window per
+      // rep: the batch rows ARE the latest values (plants included),
+      // and the corpus supplies every doc the batch didn't re-assert.
+      val batchDf = s.read.parquet(batch)
+      val finalDocs = batchDf.unionByName(
+        s.read.parquet(corpus)
+          .join(batchDf.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       val sp = graft.sources.RowIngest.specFor(finalDocs, t, Seq("doc_id"),
         Nil, None)
       val store = new TripleStore(s,
@@ -3055,7 +3067,15 @@ object SparkEntry {
           // batchId-keyed overwrite = replay-idempotent (q110's sink
           // discipline — see q103)
           .foreachBatch { (b: DataFrame, batchId: Long) =>
-            b.write.mode("overwrite").parquet(s"$outp/batch_$batchId")
+            // the batchId rides IN the rows so the read side can keep
+            // only each user's LATEST emission — update mode re-emits
+            // a key whenever its funnel row changes, and unioning the
+            // batch directories without that dedup would double-count
+            // a funnel updated after completion (nothing in the
+            // current choreography does, but the sink discipline now
+            // defends the invariant instead of assuming it)
+            b.withColumn("_bid", lit(batchId))
+              .write.mode("overwrite").parquet(s"$outp/batch_$batchId")
           }
           .outputMode("update").start()
       }
@@ -3064,7 +3084,7 @@ object SparkEntry {
       // staged once per (tag, sf); reps restore the after-batch-1
       // world and run only the eviction choreography under test
       val staged = stagedStreamState(s, "q161s1", dir,
-        "fev2 within=300 wm=10m " + s"b1=${treeFingerprint(batches(0))}",
+        "fev3 within=300 wm=10m " + s"b1=${treeFingerprint(batches(0))}",
         capture = Seq((in, "in"), (ckpt, "ckpt"), (outp, "out"))) {
         for (d <- Seq(in, outp, ckpt)) deleteRec(Paths.get(d))
         java.nio.file.Files.createDirectories(Paths.get(in))
@@ -3079,7 +3099,16 @@ object SparkEntry {
         feed(batches(2)); q.processAllAvailable()
         feed(batches(3)); q.processAllAvailable()
       } finally q.stop()
+      // dedup-on-read: max-batchId row per user (map-side-combinable
+      // max_by, no window) BEFORE the completion projection — a funnel
+      // re-emitted after completion can no longer appear twice
       s.read.parquet(outp + "/batch_*")
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("t_1"), col("t_2"), col("t_3"),
+          col("converted")), col("_bid")).as("_m"))
+        .select(col("user_id"), col("_m.t_1").as("t_1"),
+          col("_m.t_2").as("t_2"), col("_m.t_3").as("t_3"),
+          col("_m.converted").as("converted"))
         .where(col("t_3").isNotNull && col("user_id") >= 0)
         .select(col("user_id"),
           col("t_1").cast("timestamp_ntz").as("t_1"),
@@ -3295,7 +3324,18 @@ object SparkEntry {
     // S3 EAV JSONL dump → plain JSON read-back of the index shape
     "q40_eav_dump_load" -> ((s, dir) => {
       val out = scratch("q40", dir)
-      val ts = Tpch.store(s, dir, "events")
+      // 1/3 corpus slice (q170's trim, the r15 verdict's #1 headroom
+      // ask): the S3 round-trip under test — sharded JSONL dump of a
+      // full store + sidecar-schema one-pass read-back — is
+      // corpus-size-independent, and this was the suite's largest
+      // IO-bound line item
+      val ev = Tpch.raw(s, dir, "events").where(col("event_id") % 3 === 0)
+      val sp = Tpch.spec(ev, "events")
+      val ts = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(ev, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(ev, sp)))))
       graft.sources.DocIngest.dumpEavJsonl(ts.resolved, out)
       // one-pass read via the dump's schema sidecar (no inference scan)
       graft.sources.DocIngest.loadEavJsonl(s, out).select(
@@ -3373,19 +3413,32 @@ object SparkEntry {
     "q46_lazy_ref" -> ((s, dir) => {
       val natDocs = Tpch.raw(s, dir, "nation")
         .select(col("n_nationkey").as("nat:key"), col("n_name").as("nat:name"))
+      // 1/3 customer slice (q170's trim): the lazy-ref derivation +
+      // traversal under test is per-edge, not corpus-bound
       val custDocs = Tpch.raw(s, dir, "customer")
+        .where(col("c_custkey") % 3 === 0)
         .select(col("c_custkey").as("cust:key"),
           md5(concat(lit("nat:key="), col("c_nationkey").cast("string")))
             .as("cust:nation"))
+      // materialize the flattened triples ONCE: the lazy-ref store has
+      // no pruning source, so every downstream stage (match scan,
+      // known-eid distinct, pull scan, nested-descent edge join) would
+      // otherwise re-run the md5 flatten union — the production shape
+      // is a persisted store, where the triples are materialized too
       val triples = graft.sources.DocIngest.flatten(natDocs, "nat", Seq("nat:key"))
         .unionByName(graft.sources.DocIngest.flatten(custDocs, "cust", Seq("cust:key")))
+        .localCheckpoint(true)
       val schemas = graft.sources.DocIngest.schemasFor(natDocs, "nat") ++
         graft.sources.DocIngest.schemasFor(custDocs, "cust")
       // preResolved is safe HERE: the two doc sets have unique ids and
       // disjoint attribute spaces, so no fact is ever re-asserted
       val ts = new TripleStore(s, triples, schemas, preResolved = true)
       ts.pullMany(
-          Seq("cust:nation" -> MSub(Seq("nat:name" -> MEq("GERMANY")))),
+          // NATION_7: the synthetic nation names are NATION_<k> — the
+          // old 'GERMANY' literal matched nothing, so the oracle was
+          // green on an empty result (weak evidence for the traversal);
+          // 28 rows at sf0.01 / 215 at sf0.1 actually exercise it
+          Seq("cust:nation" -> MSub(Seq("nat:name" -> MEq("NATION_7")))),
           Seq(PAttr("cust:key"),
             PNest("cust:nation", Seq(PAttr("nat:name", Some("nname"))))))
         .select(col("key"), explode(col("nation")).as("n"))
@@ -3451,7 +3504,10 @@ object SparkEntry {
     // reachable — each aggregate's full upstream closure with hop depth.
     // The chain is 2 deep, so the oracle unrolls to two SELECTs.
     "q53_file_lineage" -> ((s, dir) => {
+      // 1/3 corpus slice (q170's trim): the transitive reachable walk
+      // under test is depth-bound, not corpus-bound
       val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
       val docFiles = docs.select(
         concat(lit("docs/doc_"), col("doc_id")).as("path"),
         array(concat(lit("raw/raw_"), col("doc_id"))).as("sources"))
@@ -3515,11 +3571,16 @@ object SparkEntry {
     // (ingest -s schema, -e pattern, -p pull expr, -o dir), re-read the
     // JSONL output — must equal the plain relational SELECT
     "q54_cli_pull" -> ((s, dir) => {
-      val in = scratch("q54in", dir)
-      Tpch.raw(s, dir, "events")
-        .select(col("event_id").as("ev:event_id"),
-          col("event_type").as("ev:event_type"), col("value").as("ev:value"))
-        .write.mode("overwrite").json(in)
+      // 1/3 corpus slice + staged input (q170's trim): the CLI surface
+      // under test — ingest -s schema, -e match, -p pull, -o sink — is
+      // corpus-size-independent, and the JSON dump feeding it is a
+      // pure function of the sf dir (written once, hardlinked per rep)
+      val in = stagedInput(s, "q54in_m3", dir, format = "json")(
+        Tpch.raw(s, dir, "events")
+          .where(col("event_id") % 3 === 0)
+          .select(col("event_id").as("ev:event_id"),
+            col("event_type").as("ev:event_type"),
+            col("value").as("ev:value")))
       val out = scratch("q54out", dir)
       graft.tools.Cli.run(s, Array("pull", "-i", in,
         "-I", "ev:event_id",
@@ -3560,7 +3621,8 @@ object SparkEntry {
 
   private def sourceSql: Map[String, String] = Map(
     "q40_eav_dump_load" ->
-      "SELECT event_id, event_type, value FROM events",
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id % 3 = 0""".stripMargin,
     "q41_json_load" ->
       "SELECT event_id, event_type, value, true AS has_src FROM events",
     "q42_failable_json" ->
@@ -3578,22 +3640,22 @@ object SparkEntry {
       """SELECT 'agg/' || source AS agg_file,
         |       'docs/doc_' || CAST(doc_id AS VARCHAR) AS file,
         |       CAST(1 AS BIGINT) AS depth
-        |FROM documents
+        |FROM documents WHERE doc_id % 3 = 0
         |UNION ALL
         |SELECT 'agg/' || source,
         |       'raw/raw_' || CAST(doc_id AS VARCHAR),
         |       CAST(2 AS BIGINT)
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "q54_cli_pull" ->
       """SELECT event_id, event_type, value FROM events
-        |WHERE event_type = 'click'""".stripMargin,
+        |WHERE event_type = 'click' AND event_id % 3 = 0""".stripMargin,
     "q55_file_contents" ->
       """SELECT string_agg(text, chr(10) ORDER BY doc_id) AS contents
         |FROM documents""".stripMargin,
     "q46_lazy_ref" ->
       """SELECT c_custkey AS key, n_name AS nation_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |WHERE n_name = 'GERMANY'""".stripMargin,
+        |WHERE n_name = 'NATION_7' AND c_custkey % 3 = 0""".stripMargin,
     "q125_entity_walk" ->
       """SELECT n_nationkey AS nationkey, n_name AS name,
         |       r_name AS region_name,
@@ -4811,16 +4873,18 @@ object SparkEntry {
     // pairwise smaller-id intra-batch drop, then survivors × corpus:
     // exactly ingestBatch(intraBatch = true) over originals ∪ copies
     "q114_ingest_intrabatch" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id % 3 = 0),
         |s AS (SELECT doc_id, list_distinct(
         |        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
         |             ELSE [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]
         |        END) AS sh FROM w),
-        |o AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        |o AS (SELECT max(doc_id) + 1 AS off
+        |      FROM documents WHERE doc_id % 3 = 0),
         |batch AS (
-        |  SELECT doc_id, sh FROM s WHERE doc_id % 10 = 0
+        |  SELECT doc_id, sh FROM s WHERE doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id + (SELECT off FROM o), sh FROM s WHERE doc_id % 10 = 0),
+        |  SELECT doc_id + (SELECT off FROM o), sh FROM s WHERE doc_id % 5 = 0),
         |drops AS (
         |  SELECT DISTINCT b.doc_id FROM batch a JOIN batch b
         |    ON a.doc_id < b.doc_id
@@ -4831,7 +4895,7 @@ object SparkEntry {
         |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
         |       round(CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
         |             / len(list_distinct(list_cat(b.sh, c.sh))), 4) AS jaccard
-        |FROM surv b JOIN s c ON c.doc_id % 10 <> 0
+        |FROM surv b JOIN s c ON c.doc_id % 5 <> 0
         |WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
         |      / len(list_distinct(list_cat(b.sh, c.sh))) >= 0.5""".stripMargin,
     // appended index == fresh build over the union: same oracle as q102

@@ -574,6 +574,30 @@ object ScaleBench {
               graft.query.PAttr("documents:n_chars")),
             sortBy = Some("n_chars"), desc = false,
             limit = Some(100)).count(); () }),
+      // value-RANGE match through the zone map (MRange → rangeEids):
+      // "n_chars > 450" keeps ~5% of docs, all living in the top value
+      // buckets, so the probe's partition-pruned scan reads ~1-2 of 64
+      // buckets instead of the attr's full fact slice. The OUTPUT
+      // scales with the corpus (any exact filter is Ω(matches)), so
+      // the honest claim is the CONSTANT, not the exponent — the
+      // contrast row below answers the same query by scanning every
+      // n_chars fact, and the gap is the index's win
+      "eav_range_match" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .withValueIndex(s"scale_vidx_$tag").pullMany(
+            Seq("documents:n_chars" ->
+              graft.query.MRange(lo = Some(450L), loStrict = true)),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars"))).count(); () }),
+      // CONTRAST BASELINE: identical range pull, no index — one full
+      // attr-pruned scan with the comparison applied per fact
+      "eav_range_match_scan" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .pullMany(
+            Seq("documents:n_chars" ->
+              graft.query.MRange(lo = Some(450L), loStrict = true)),
+            Seq(graft.query.PAttr("documents:doc_id"),
+              graft.query.PAttr("documents:n_chars"))).count(); () }),
       // ===== APPEND-FRAGMENTATION study (ValueIndex.compact's drift
       // story, measured): restore a clean hardlink copy of the built
       // index, then append 4 value-DRIFTED batches (repeat-lengthened
@@ -672,7 +696,8 @@ object ScaleBench {
     // NOTE for --only: probe workloads ride the index the preceding
     // build workload wrote (incr_neardup <- lsh_index_build, bm25_query
     // <- text_index_build, ivf_query <- ivf_index_build;
-    // eav_pull_topk{,_asc} <- eav_value_index_build; the
+    // eav_pull_topk{,_asc} and eav_range_match <- eav_value_index_build,
+    // eav_range_match_scan <- eav_store_save; the
     // fragmentation chain eav_vidx_append_frag <- eav_value_index_build
     // <- eav_store_save, then eav_pull_topk_frag <- append_frag,
     // eav_pull_topk_compacted <- eav_vidx_compact <- append_frag) —
