@@ -3596,6 +3596,30 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"))
     }),
 
+    // the CLI's range-pattern extension under oracle: same staged JSON
+    // input as q54 (same tag ⇒ one shared staging), -e carries a
+    // {"$gt": ...} comparison object that parsePattern lowers to
+    // MRange — the full ingest → range match → pull → JSONL sink path
+    "q174_cli_range" -> ((s, dir) => {
+      val in = stagedInput(s, "q54in_m3", dir, format = "json")(
+        Tpch.raw(s, dir, "events")
+          .where(col("event_id") % 3 === 0)
+          .select(col("event_id").as("ev:event_id"),
+            col("event_type").as("ev:event_type"),
+            col("value").as("ev:value")))
+      val out = scratch("q174out", dir)
+      graft.tools.Cli.run(s, Array("pull", "-i", in,
+        "-I", "ev:event_id",
+        "-s", """{"ev:event_id": {"db:cardinality": "db.cardinality:one",
+                                  "db:valueType": "db.type:long"},
+                  "ev:value": {"db:cardinality": "db.cardinality:one",
+                               "db:valueType": "db.type:dbl"}}""",
+        "-p", """["ev:event_id", "ev:value"]""",
+        "-e", """{"ev:value": {"$gt": 90}}""",
+        "-o", out))
+      s.read.json(out).select(col("event_id"), col("value"))
+    }),
+
     // S7 Newick tree parse → self-referential clade entities → nested pull
     "q45_newick" -> ((s, dir) => {
       val ts = {
@@ -3649,6 +3673,9 @@ object SparkEntry {
     "q54_cli_pull" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_type = 'click' AND event_id % 3 = 0""".stripMargin,
+    "q174_cli_range" ->
+      """SELECT event_id, value FROM events
+        |WHERE value > 90 AND event_id % 3 = 0""".stripMargin,
     "q55_file_contents" ->
       """SELECT string_agg(text, chr(10) ORDER BY doc_id) AS contents
         |FROM documents""".stripMargin,

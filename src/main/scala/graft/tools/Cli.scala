@@ -22,7 +22,10 @@ import scala.jdk.CollectionConverters._
   * `pull` ingests and pulls. JSON argument shapes match the reference's
   * python API: pull exprs are arrays of attrs / "*" / "ns:_attr" /
   * {attr: subexpr} / {attr: "..."}; entity patterns are conjunctive
-  * {attr: scalar | [in-list] | {sub-pattern}} maps. Output is JSON LINES
+  * {attr: scalar | [in-list] | {sub-pattern} | {range}} maps, where a
+  * range object holds only $gt/$gte/$lt/$lte keys (engine extension —
+  * served from the ValueIndex zone map when the attr is indexed).
+  * Output is JSON LINES
   * (one doc per line) rather than one indented array — the distributed
   * rendering of the same data; `-o -` collects to stdout (driver-side,
   * interactive convenience like the reference's /dev/stdout default).
@@ -333,13 +336,31 @@ object Cli {
   def parsePattern(json: String): Seq[(String, MVal)] =
     matchPattern(mapper.readTree(json))
 
+  /** Comparison-operator keys inside a pattern object denote a VALUE
+    * RANGE ([[MRange]]) rather than a nested sub-pattern: attr names in
+    * the EAV model are namespaced (`ns:name`), so a `$`-key can never
+    * collide with a real attribute. `{"doc:n_chars": {"$gt": 450}}`. */
+  private val RangeOps = Set("$gt", "$gte", "$lt", "$lte")
+
   private def matchPattern(n: JsonNode): Seq[(String, MVal)] = {
     require(n.isObject, s"entity pattern must be a JSON object, got $n")
     n.fields().asScala.toSeq.map { e =>
       val v = e.getValue
       e.getKey -> (
         if (v.isArray) MIn(v.elements().asScala.toSeq.map(scalar))
-        else if (v.isObject) MSub(matchPattern(v))
+        else if (v.isObject) {
+          val keys = v.fieldNames().asScala.toSet
+          if (keys.nonEmpty && keys.subsetOf(RangeOps)) {
+            require(!(keys("$gt") && keys("$gte")),
+              "range pattern gives both $gt and $gte")
+            require(!(keys("$lt") && keys("$lte")),
+              "range pattern gives both $lt and $lte")
+            def b(k: String) = Option(v.get(k)).map(scalar)
+            MRange(lo = b("$gt").orElse(b("$gte")),
+              hi = b("$lt").orElse(b("$lte")),
+              loStrict = keys("$gt"), hiStrict = keys("$lt"))
+          } else MSub(matchPattern(v))
+        }
         else MEq(scalar(v)))
     }
   }

@@ -783,5 +783,17 @@ class CliSpec extends AnyFunSuite {
       """{"a:r": {"db:cardinality": "db.cardinality:one",
                   "db:valueType": "db.type:ref"}}""")
     assert(sch("a:r").cardOne && sch("a:r").isRef)
+    // range objects: $-keys denote MRange, everything else stays MSub;
+    // conflicting strict+inclusive bounds on one side are rejected
+    assert(Cli.parsePattern("""{"a:n": {"$gt": 5, "$lte": 9.5}}""") ===
+      Seq("a:n" -> query.MRange(lo = Some(5L), hi = Some(9.5),
+        loStrict = true, hiStrict = false)))
+    assert(Cli.parsePattern("""{"a:n": {"$gte": "m"}}""") ===
+      Seq("a:n" -> query.MRange(lo = Some("m"))))
+    intercept[IllegalArgumentException] {
+      Cli.parsePattern("""{"a:n": {"$gt": 1, "$gte": 2}}""") }
+    // an object with a non-$ key is a sub-pattern even beside $-look-alikes
+    assert(Cli.parsePattern("""{"a:z": {"b:w": 1}}""") ===
+      Seq("a:z" -> query.MSub(Seq("b:w" -> query.MEq(1L)))))
   }
 }
