@@ -314,22 +314,23 @@ object ValueIndex {
     * (`CREATE OR REPLACE VIEW` is NOT that: Spark's CreateViewCommand
     * implements replace as dropTable + createTable — sql/core
     * execution/command/views.scala — and the concurrent-reader hammer
-    * in TripleStoreSpec catches the not-found window.) The property
-    * flips FIRST: probes resolve BOTH data and manifest from it alone,
-    * so they switch generations atomically at that instant, while a
-    * straddling SQL reader of the view still sees the complete OLD
-    * generation — each consistent, never a mixed pairing (the v4 bug
-    * was the reverse order leaving the property ABSENT mid-swap, which
-    * dropped probes into per-name fallback pairing new data with the
-    * old manifest). The new path is VALIDATED (schema-inferred) before
-    * any catalog mutation, so an unreadable path fails loud and leaves
-    * both entries untouched; a view over a path needs no partition
-    * recovery, so a persisted index reopens in a new session at
-    * catalog-metadata cost. A same-named plain TABLE (a pre-v3
-    * registration) is NOT silently dropped — run [[migrate]] (CLI:
-    * vidxmigrate) so the one remaining non-atomic transition is an
-    * explicit maintenance action, never a side effect of a routine
-    * register. */
+    * in TripleStoreSpec catches the not-found window.) The DEFINITION
+    * flips first: `ALTER VIEW AS` analyzes its query, so an unreadable
+    * path fails loud BEFORE any catalog mutation (no extra validation
+    * scan needed), and a probe straddling the pair — which resolves
+    * BOTH data and manifest from the property alone — still reads the
+    * complete OLD generation, never a mixed pairing (the v4 bug was a
+    * window with the property ABSENT, which dropped probes into
+    * per-name fallback pairing new data with the old manifest; here it
+    * is merely one step stale, and a crash between the two statements
+    * leaves probes on the old path, which the property still names so
+    * [[graft.ops.Layout.vacuum]]'s live-location guard keeps its files).
+    * A view over a path needs no partition recovery, so a persisted
+    * index reopens in a new session at catalog-metadata cost. A
+    * same-named plain TABLE (a pre-v3 registration) is NOT silently
+    * dropped — run [[migrate]] (CLI: vidxmigrate) so the one remaining
+    * non-atomic transition is an explicit maintenance action, never a
+    * side effect of a routine register. */
   def register(spark: SparkSession, table: String, path: String): Unit =
     for ((t, p) <- Seq((table, path), (table + "_manifest", path + "_manifest"))) {
       val isView = spark.catalog.tableExists(t) && {
@@ -361,12 +362,11 @@ object ValueIndex {
           s"('$PathPropHex'='${encodePathHex(p)}') " +
           s"AS SELECT * FROM parquet.`$ip`")
       else {
-        // fail on an unreadable path BEFORE mutating the catalog (the
-        // CREATE branch gets this from the DDL's own analysis)
-        spark.read.parquet(p).schema
+        // definition first: its analysis validates the path, so a bad
+        // path fails loud with the catalog untouched
+        spark.sql(s"ALTER VIEW $t AS SELECT * FROM parquet.`$ip`")
         spark.sql(s"ALTER VIEW $t SET TBLPROPERTIES " +
           s"('$PathPropHex'='${encodePathHex(p)}')")
-        spark.sql(s"ALTER VIEW $t AS SELECT * FROM parquet.`$ip`")
       }
       // the path may have been rewritten/relinked since a prior
       // registration cached its listing

@@ -1054,6 +1054,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: MRange match through the ValueIndex == driver filter " +
+      "model on random values and random bounds (ties, negatives, " +
+      "strictness, empty and inverted ranges)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rng_p").toString
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(7100L + trial)
+      val n = 80 + rnd.nextInt(150)
+      val rows = (0 until n).map(i =>
+        (f"e$i%04d", (rnd.nextInt(60) - 20).toLong))
+      val store = {
+        val triples = rows.toDF("e", "vlong")
+          .withColumn("a", lit("p:n"))
+          .withColumn("vtype", lit(graft.model.Triples.VLong))
+          .withColumn("vstr", lit(null).cast("string"))
+          .withColumn("vdbl", lit(null).cast("double"))
+          .withColumn("vbool", lit(null).cast("boolean"))
+          .withColumn("vts", lit(null).cast("timestamp_ntz"))
+          .withColumn("vref", lit(null).cast("string"))
+          .withColumn("vbin", lit(null).cast("binary"))
+          .withColumn("txId", lit(0L))
+          .select(graft.model.Triples.columns.map(col): _*)
+        new TripleStore(spark, triples, Map("p:n" ->
+          graft.model.AttrSchema("p:n", cardOne = true, isRef = false,
+            graft.model.Triples.VLong)))
+      }
+      val ts = store.buildValueIndex(s"vidx_rngp_$trial", s"$dir/t$trial",
+        Seq("p:n"), nBuckets = 4 + rnd.nextInt(12))
+      val byId = rows.toMap
+      for (c <- 1 to 6) {
+        // random bounds straddle the value range, including empty and
+        // inverted windows; each side independently absent/strict
+        def bound() = if (rnd.nextInt(4) == 0) None
+          else Some((rnd.nextInt(90) - 35).toLong)
+        val (lo, hi) = (bound(), bound())
+        if (lo.nonEmpty || hi.nonEmpty) {
+          val (ls, hs) = (rnd.nextBoolean(), rnd.nextBoolean())
+          val r = MRange(lo.map(x => x: Any), hi.map(x => x: Any), ls, hs)
+          val got = ts.matchEntities(Seq("p:n" -> r))
+            .as[String].collect().toSeq.map(byId).sorted
+          val want = rows.map(_._2).filter(v =>
+            lo.forall(l => if (ls) v > l else v >= l) &&
+              hi.forall(h => if (hs) v < h else v <= h)).sorted
+          assert(got === want, s"trial $trial case $c range $r")
+        }
+      }
+    }
+  }
+
   test("property: the ValueIndex string shadow is monotone in Spark's " +
       "binary string order (unicode, shared prefixes, empty string)") {
     // the entire zone-map argument for string attrs rests on ONE fact:
