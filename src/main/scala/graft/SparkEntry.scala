@@ -2310,6 +2310,32 @@ object SparkEntry {
             .cast("long").as("n_chars"))
     }),
 
+    // the SAME range predicate through the DATALOG layer (engine
+    // extension: an MRange constant in a clause's object position —
+    // "?d whose n_chars > 450" — is served by the zone-map probe on an
+    // indexed store instead of the attr's full fact slice; the second
+    // clause joins the doc_id binding). Shares q173's pristine index.
+    "q175_datalog_range" -> ((s, dir) => {
+      val t = s"q173vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+      store.withValueIndex(t).datalog(
+          find = Seq("?doc_id"),
+          where = Seq(
+            ("?d", s"$t:n_chars", MRange(lo = Some(450L), loStrict = true)),
+            ("?d", s"$t:doc_id", "?doc_id")))
+        .select(col("?doc_id").cast("long").as("doc_id"))
+    }),
+
     // StreamingDedup.firstSeen with its watermark-EXPIRY semantics under
     // oracle: three file-source microbatches — (1) every distinct doc at
     // T0, (2) a lone sentinel an hour later, which advances the watermark
@@ -5332,6 +5358,9 @@ object SparkEntry {
     // the zone-map-served range match: plain relational comparison
     "q173_range_match" ->
       """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450""".stripMargin,
+    "q175_datalog_range" ->
+      """SELECT doc_id FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars > 450""".stripMargin,
     // ascending custkey through the proof-served index probe
     "q169_pull_topk_asc_proof" ->

@@ -860,7 +860,13 @@ class TripleStore(
     * relation (rule-derived binary predicate, columns s/o). A REPEATED
     * variable (?e attr ?e) is a self-loop: compiled as an equality
     * filter with ONE output column (two identically-named columns would
-    * be ambiguous downstream). */
+    * be ambiguous downstream). An [[MRange]] in object position is a
+    * VALUE-RANGE constant (engine extension, like match's): the clause
+    * binds only its subject, so on a store carrying a ValueIndex over
+    * the attr the whole clause is served by the zone-map probe
+    * (bucket partition-pruning — "?d whose n_chars > N" stops scanning
+    * the attr's full fact slice); otherwise the comparison rides the
+    * attr-pruned scan. */
   private def clauseDf(clause: (String, String, Any),
       idb: Map[String, DataFrame]): DataFrame = {
     val (s, attr, o) = clause
@@ -873,23 +879,37 @@ class TripleStore(
         if (isVar(s)) cols :+= $"s".as(s) else df = df.where($"s" === s)
         o match {
           case v: String if isVar(v) && !selfLoop => cols :+= $"o".as(v)
+          case r: MRange => df = df.where(TripleStore.rangeCond($"o", r))
           case v if !isVar(v) => df = df.where($"o" === lit(v))
           case _ => ()
         }
         df.select(cols: _*)
       case None =>
         val vc = valueCol(attr)
-        var df =
-          if (selfLoop) scanFor(Seq(attr)).where($"e" === col(vc).cast("string"))
-          else scanFor(Seq(attr))
-        var cols = Seq.empty[Column]
-        if (isVar(s)) cols :+= $"e".as(s) else df = df.where($"e" === s)
         o match {
-          case v: String if isVar(v) && !selfLoop => cols :+= col(vc).as(v)
-          case v if !isVar(v) => df = df.where(col(vc) === lit(v))
-          case _ => ()
+          case r: MRange if isVar(s) && !selfLoop =>
+            valueIndex
+              .flatMap(t => ValueIndex.rangeEids(spark, t, attr, vc, r))
+              .getOrElse(scanFor(Seq(attr))
+                .where(TripleStore.rangeCond(col(vc), r)).select($"e"))
+              .select(col("e").as(s))
+          case _ =>
+            var df =
+              if (selfLoop)
+                scanFor(Seq(attr)).where($"e" === col(vc).cast("string"))
+              else scanFor(Seq(attr))
+            var cols = Seq.empty[Column]
+            if (isVar(s)) cols :+= $"e".as(s) else df = df.where($"e" === s)
+            o match {
+              case v: String if isVar(v) && !selfLoop =>
+                cols :+= col(vc).as(v)
+              case r: MRange =>
+                df = df.where(TripleStore.rangeCond(col(vc), r))
+              case v if !isVar(v) => df = df.where(col(vc) === lit(v))
+              case _ => ()
+            }
+            df.select(cols: _*)
         }
-        df.select(cols: _*)
     }
   }
 

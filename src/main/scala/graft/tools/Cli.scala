@@ -858,7 +858,19 @@ object Cli {
     def triple(n: JsonNode): (String, String, Any) = {
       val els = n.elements().asScala.toSeq
       require(els.size == 3, s"clause must be [s a o], got $n")
-      (els(0).asText, els(1).asText, scalar(els(2)))
+      // an object in the o position is a RANGE constant (same $-key
+      // grammar as -e patterns): [?d, doc:n_chars, {"$gt": 450}]
+      val o = if (els(2).isObject) {
+        val keys = els(2).fieldNames().asScala.toSet
+        require(keys.nonEmpty && keys.subsetOf(RangeOps),
+          s"clause object values must hold only ${RangeOps.mkString("/")}" +
+            s" keys, got ${els(2)}")
+        def b(k: String) = Option(els(2).get(k)).map(scalar)
+        MRange(lo = b("$gt").orElse(b("$gte")),
+          hi = b("$lt").orElse(b("$lte")),
+          loStrict = keys("$gt"), hiStrict = keys("$lt"))
+      } else scalar(els(2))
+      (els(0).asText, els(1).asText, o)
     }
     def required(key: String): JsonNode = {
       val n = q.get(key)
