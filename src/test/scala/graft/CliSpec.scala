@@ -795,5 +795,14 @@ class CliSpec extends AnyFunSuite {
     // an object with a non-$ key is a sub-pattern even beside $-look-alikes
     assert(Cli.parsePattern("""{"a:z": {"b:w": 1}}""") ===
       Seq("a:z" -> query.MSub(Seq("b:w" -> query.MEq(1L)))))
+    // datalog -q clauses: a $-key object in o position parses to MRange;
+    // anything else in an object there is rejected loudly
+    val dq = Cli.parseDatalogQuery("""{"find": ["?d"],
+      "where": [["?d", "a:n", {"$gte": 10, "$lt": 20}]]}""")
+    assert(dq.where === Seq(("?d", "a:n",
+      query.MRange(lo = Some(10L), hi = Some(20L), hiStrict = true))))
+    intercept[IllegalArgumentException] {
+      Cli.parseDatalogQuery("""{"find": ["?d"],
+        "where": [["?d", "a:n", {"eq": 1}]]}""") }
   }
 }
