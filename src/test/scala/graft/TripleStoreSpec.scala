@@ -1323,6 +1323,32 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(rowsOf(top(idx)) === rowsOf(top(plain)))
   }
 
+  test("MRange on a TableSource-backed store fuses to the base table: " +
+      "no EAV Generate, comparison pushed into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frng").toString
+    spark.range(0, 500).selectExpr("id AS doc_id", "id % 97 AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val sp = graft.sources.RowIngest.specFor(df, "frng", Seq("doc_id"),
+      Nil, None)
+    val ts = new TripleStore(spark,
+      graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas,
+      preResolved = true,
+      source = Some(graft.model.UnionTripleSource(
+        Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+    val out = ts.pullMany(
+      Seq("frng:n_chars" -> MRange(lo = Some(90L))),
+      Seq(PAttr("frng:doc_id"), PAttr("frng:n_chars")))
+    assert(out.select($"doc_id").as[Long].collect().toSet ===
+      (0L until 500L).filter(_ % 97 >= 90).toSet)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"fused range pull must not explode the EAV view:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(n_chars,90"),
+      s"expected the range comparison pushed into the scan:\n$plan")
+  }
+
   test("valueIndex: build rejects card-many and non-orderable attrs; " +
       "unstamped manifests fail fast with a rebuild message") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx4").toString
