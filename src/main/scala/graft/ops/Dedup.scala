@@ -209,19 +209,30 @@ object Dedup {
     val sh = batch.select(col(idCol).as("corpus_id"),
         shinglesHashed(col(textCol)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sigs = minhashSignaturesSh(sh, "corpus_id", k)
-      sigs.select(col("corpus_id"),
-          explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
-        .select(col("corpus_id"), col("bk")("band").as("_band"),
-          col("bk")("bh").as("_bh"))
-        .write.mode("append").bucketBy(buckets, "_bh").sortBy("_bh")
-        .format("parquet").saveAsTable(table)
-      sh.select(col("corpus_id"), col("_sh"), size(col("_sh")).as("_n"))
-        .write.mode("append")
-        .bucketBy(buckets, "corpus_id").sortBy("corpus_id")
-        .format("parquet").saveAsTable(table + "_sh")
-    } finally sh.unpersist(blocking = false)
+    try appendLshIndexSh(sh, table, k, bands, rowsPerBand, buckets)
+    finally sh.unpersist(blocking = false)
+  }
+
+  /** [[appendLshIndex]] over a pre-shingled `(corpus_id, _sh)` frame the
+    * caller persists (and releases) — the ingest loop's share-one-
+    * shingle-pass seam; the id-collision guard stays with callers (the
+    * loop just ran the [[indexedIds]] probe itself). */
+  private[graft] def appendLshIndexSh(sh: DataFrame, table: String,
+      k: Int, bands: Int, rowsPerBand: Int, buckets: Int): Unit = {
+    require(bands * rowsPerBand <= k,
+      s"bands*rowsPerBand (${bands * rowsPerBand}) must be <= k ($k)")
+    requireLshV2(sh.sparkSession, table)
+    val sigs = minhashSignaturesSh(sh, "corpus_id", k)
+    sigs.select(col("corpus_id"),
+        explode(array(bandStructs(bands, rowsPerBand): _*)).as("bk"))
+      .select(col("corpus_id"), col("bk")("band").as("_band"),
+        col("bk")("bh").as("_bh"))
+      .write.mode("append").bucketBy(buckets, "_bh").sortBy("_bh")
+      .format("parquet").saveAsTable(table)
+    sh.select(col("corpus_id"), col("_sh"), size(col("_sh")).as("_n"))
+      .write.mode("append")
+      .bucketBy(buckets, "corpus_id").sortBy("corpus_id")
+      .format("parquet").saveAsTable(table + "_sh")
   }
 
   /** Incremental near-dup dedup against a [[buildLshIndex]] corpus: band
@@ -607,12 +618,26 @@ object Dedup {
     val sh = df.select(col(idCol),
       shinglesHashed(col(textCol)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheScope.around(sh) {
+      nearDupPairsSh(sh, idCol, threshold, k, bands, rowsPerBand)
+    }
+  }
+
+  /** [[nearDupPairs]] over a PRE-SHINGLED `(idCol, _sh)` frame whose
+    * persist lifetime the CALLER owns — the seam that lets the ingest
+    * loop shingle a microbatch ONCE and share the pass between
+    * intra-batch dedup, the index probe, and the append (at corpus
+    * scale the shingle transform is the dominant map work; re-running
+    * it per step tripled it). Returns the same checkpointed verified
+    * (id1, id2, jaccard) pair set as the public form. */
+  private[graft] def nearDupPairsSh(sh: DataFrame, idCol: String,
+      threshold: Double, k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     // sigs feed BOTH sides of the banding self-join; the bucket-column
     // rename defeats identical-subtree exchange reuse, so persist
     val sigs = minhashSignaturesSh(sh, idCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
-    CacheScope.releasing(sh, sigs) {
+    CacheScope.releasing(sigs) {
       jaccardVerifySh(sh, cands, idCol, threshold)
     }
   }

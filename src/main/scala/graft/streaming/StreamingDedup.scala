@@ -207,31 +207,48 @@ object StreamingDedup {
       k: Int = 32, bands: Int = 16, rowsPerBand: Int = 2,
       buckets: Int = 16, onMatches: (DataFrame, Long) => Unit,
       intraBatch: Boolean = true): Unit = {
-    // both intermediates feed MULTIPLE actions (match sink, survivor
-    // anti-join, indexed-id probe, index append) — without the scoped
-    // persists the whole intra-batch near-dup + index-join chain
-    // re-executes per action (~3x the microbatch's real work)
-    val b = (if (intraBatch)
-      intraBatchSurvivors(batch, idCol, textCol, threshold, k, bands,
-        rowsPerBand)
-    else batch).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ONE shingle pass for the whole microbatch: intra-batch dedup, the
+    // index probe, and the index append all read this frame through the
+    // *Sh seams (each step previously re-ran the shingle transform from
+    // the raw text — at corpus scale shingling is the dominant map work
+    // of the loop, and it ran 3x per microbatch). The persists also keep
+    // the chain from re-executing per downstream ACTION (match sink,
+    // survivor anti-join, indexed-id probe, append).
+    val batchSh = batch.select(col(idCol).as("new_id"),
+        graft.ops.Dedup.shinglesHashed(col(textCol)).as("_sh"))
+      .persist(MEMORY_AND_DISK)
     try {
-      val matches = graft.ops.Dedup.incrementalNearDups(
-          b, table, idCol, textCol, threshold, k, bands, rowsPerBand)
-        .where(col("new_id") =!= col("corpus_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // intra-batch canonicalization in shingle space: doc b drops iff
+      // some batch doc a < b has jaccard(a, b) >= threshold (the same
+      // pairwise min-id-wins rule as intraBatchSurvivors)
+      val bsh = if (intraBatch) {
+        val losers = graft.ops.Dedup.nearDupPairsSh(batchSh, "new_id",
+            threshold, k, bands, rowsPerBand)
+          .select(col("id2").as("new_id")).distinct()
+        batchSh.join(losers, Seq("new_id"), "left_anti")
+          .persist(MEMORY_AND_DISK)
+      } else batchSh
       try {
-        onMatches(matches, batchId)
-        val dupIds = matches.select(col("new_id")).distinct()
-        val survivors = b.join(dupIds, b(idCol) === dupIds("new_id"),
-          "left_anti")
-        val already = graft.ops.Dedup.indexedIds(survivors, idCol, table)
-        val fresh = survivors.join(already,
-          survivors(idCol) === already("corpus_id"), "left_anti")
-        graft.ops.Dedup.appendLshIndex(fresh, idCol, textCol, table,
-          k, bands, rowsPerBand, buckets, checkIds = false)
-      } finally matches.unpersist(blocking = false)
-    } finally b.unpersist(blocking = false)
+        val matches = graft.ops.Dedup.incrementalNearDupsLazy(
+            bsh, table, threshold, k, bands, rowsPerBand,
+            maxPruneLiterals = 4096)
+          .where(col("new_id") =!= col("corpus_id"))
+          .persist(MEMORY_AND_DISK)
+        try {
+          onMatches(matches, batchId)
+          val dupIds = matches.select(col("new_id")).distinct()
+          val survivorsSh = bsh.join(dupIds, Seq("new_id"), "left_anti")
+          val already = graft.ops.Dedup.indexedIds(
+            survivorsSh, "new_id", table)
+          val freshSh = survivorsSh.join(already,
+              survivorsSh("new_id") === already("corpus_id"), "left_anti")
+            .select(col("new_id").as("corpus_id"), col("_sh"))
+          graft.ops.Dedup.appendLshIndexSh(freshSh, table,
+            k, bands, rowsPerBand, buckets)
+        } finally matches.unpersist(blocking = false)
+      } finally if (bsh ne batchSh) bsh.unpersist(blocking = false)
+    } finally batchSh.unpersist(blocking = false)
   }
 
   /** batchId-deterministic parquet sink for [[nearDedupIngest]] match
