@@ -415,6 +415,20 @@ object Similarity {
       .format("parquet").saveAsTable(table)
   }
 
+  /** [[appendIvfIndex]] over an ALREADY-ASSIGNED `(_id, _v, _cell)`
+    * frame ([[assignToIndexCells]] under the same table's quantizer) —
+    * the share-one-assignment seam of the semantic ingest loop: a
+    * vector's cell costs nCells dot products (the loop's dominant map
+    * work) and the batch already computed it for the dedup join, so the
+    * append must not re-derive it. The id-collision guard stays with
+    * callers (the loop just ran the [[indexedVecIds]] probe itself). */
+  private[graft] def appendIvfIndexAssigned(assigned: DataFrame,
+      table: String, buckets: Int): Unit =
+    assigned.select(col("_id").as("neighbor_id"), col("_v").as("_cv"),
+        col("_cell"))
+      .write.mode("append").bucketBy(buckets, "_cell").sortBy("_cell")
+      .format("parquet").saveAsTable(table)
+
   /** Query a [[buildIvfIndex]] table: load the centroid sidecar (k·dim
     * doubles — plan-time metadata), probe each query's `nProbe` nearest
     * cells, and score ONLY those cells' rows. The probed cell set rides

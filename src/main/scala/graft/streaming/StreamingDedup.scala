@@ -343,9 +343,10 @@ object StreamingDedup {
           survivors, "_id", table)
         val fresh = survivors.join(already,
           survivors("_id") === already("neighbor_id"), "left_anti")
-        graft.ops.Similarity.appendIvfIndex(
-          fresh.select(col("_id").as(idCol), col("_v").as(vecCol)),
-          idCol, vecCol, table, buckets, checkIds = false)
+        // the batch's cell assignments (nCells dot products per vector)
+        // were computed once in b0 — append them as-is instead of
+        // re-deriving through appendIvfIndex
+        graft.ops.Similarity.appendIvfIndexAssigned(fresh, table, buckets)
       } finally matches.unpersist(blocking = false)
     } finally b0.unpersist(blocking = false)
   }
