@@ -378,7 +378,8 @@ class TripleStore(
       // snapshot contract, like the top-k probes). Fallback: the
       // attr-pruned scan with the same predicate.
       valueIndex.flatMap(t =>
-        ValueIndex.rangeEids(spark, t, attr, valueCol(attr), r))
+        ValueIndex.rangeEids(spark, t, attr, valueCol(attr),
+          schemaOf(attr).vtype, r))
       .getOrElse {
         val cond = TripleStore.rangeCond(col(valueCol(attr)), r)
         scanFor(Seq(attr)).where(cond).select($"e")
@@ -619,11 +620,34 @@ class TripleStore(
         case (_, MEq(_) | MIn(_) | MAny | _: MRange) => true
         case _ => false })
       return None
+    // a RANGE over tripl:type with a non-string bound would need the
+    // fallback's cast-comparison semantics (a numeric bound matches a
+    // table name only if the name casts to a number) — canMatch's
+    // driver-side lexical compare below is exact only for string
+    // bounds, so anything else punts to the union path
+    if (pattern.exists {
+        case (Triples.TypeAttr, r: MRange) =>
+          !(r.lo.toSeq ++ r.hi.toSeq).forall(_.isInstanceOf[String])
+        case _ => false })
+      return None
     tableSources.flatMap { srcs =>
       def canMatch(ts: graft.sources.RowIngest.TableSource,
           a: String, v: MVal): Boolean = (a, v) match {
         case (Triples.TypeAttr, MEq(t)) => ts.spec.table == t
         case (Triples.TypeAttr, MIn(vs)) => vs.contains(ts.spec.table)
+        // a range over the TYPE NAME is decided here, driver-side, on
+        // the table's own name (the guard above pinned the bounds to
+        // strings, where lexical compare IS Spark's string-comparison
+        // semantics) — without this case the conjunct would fall to the
+        // default valueExpr-defined branch (true for every table) and
+        // then be constant-folded out of the emitted filters, silently
+        // returning every row of a single-TableSource store
+        case (Triples.TypeAttr, r: MRange) =>
+          val tn = ts.spec.table
+          r.lo.forall(lo => if (r.loStrict) tn > lo.toString
+                            else tn >= lo.toString) &&
+            r.hi.forall(hi => if (r.hiStrict) tn < hi.toString
+                              else tn <= hi.toString)
         case _ => ts.spec.valueExpr(a).isDefined
       }
       val candidates = srcs.filter(ts =>
@@ -699,8 +723,25 @@ class TripleStore(
                   case Seq((a, MAny)) if a == p.attr => true
                   case _ => false
                 }
-                topKEids(ents, p.attr, desc, n, entsIsUniverse = universe,
-                  pattern = pattern)
+                // single-clause RANGE match on the sort attr ("longest
+                // documents above a threshold"): one fused index probe
+                // serves match + rank — the threshold walk restricted
+                // to range-intersecting buckets — instead of a range
+                // probe whose output a second index read then ranks.
+                // Both directions qualify (the range is null-rejecting,
+                // so asc needs no universe proof); decline falls
+                // through to the generic path, whose semantics are
+                // identical.
+                val rangeFused = pattern match {
+                  case Seq((a, r: MRange)) if a == p.attr =>
+                    valueIndex.flatMap(t => ValueIndex.rangeTopKEids(
+                      spark, t, p.attr, valueCol(p.attr),
+                      schemaOf(p.attr).vtype, r, n, desc))
+                  case _ => None
+                }
+                rangeFused.getOrElse(
+                  topKEids(ents, p.attr, desc, n, entsIsUniverse = universe,
+                    pattern = pattern))
             }.getOrElse(ents)
           case _ => ents
         }
@@ -782,23 +823,35 @@ class TripleStore(
         if (limit > TripleStore.TopKLiteralCap) None
         else {
           val gen = ValueIndex.resolveGeneration(spark, t)
-          // validate the memo against the CURRENT generation's manifest
-          // total for the attr (one bounded O(manifest) collect): a
-          // total mismatch means the index content moved under this
-          // live instance (out-of-band append — see ascProofMemo's doc)
-          // and the cached proof must not be trusted — re-prove.
-          val curTotal = ValueIndex.attrTotal(spark, t, attr, Some(gen))
-          val proven = ascProofMemo.get((t, attr, pattern)) match {
-            case Some((p, tot)) if tot == curTotal => p
-            case _ =>
-              val p = ValueIndex.provesUniverse(spark, t, attr, ents,
-                Some(gen))
-              ascProofMemo.put((t, attr, pattern), (p, curTotal))
-              p
+          // ONE manifest collect serves the whole probe: the stats
+          // feed (a) the memo validation — the attr's manifest total
+          // is the generation-CONTENT check; a mismatch means the
+          // index moved under this live instance (out-of-band append,
+          // see ascProofMemo's doc) and the cached proof must not be
+          // trusted — (b) the universe proof on a memo miss, and
+          // (c) the probe's own threshold walk, which needed the same
+          // collect anyway. A memo HIT therefore pays no manifest
+          // round-trip beyond the probe's inherent one — and that one
+          // is itself listing-validated (ValueIndex.bucketStatsCached),
+          // so steady-state serving costs one filesystem LIST, not a
+          // Spark job.
+          val stats = ValueIndex.bucketStatsCached(spark, gen, t, attr)
+          if (stats.isEmpty) None
+          else {
+            val curTotal = stats.map(_._4).sum
+            val proven = ascProofMemo.get((t, attr, pattern)) match {
+              case Some((p, tot)) if tot == curTotal => p
+              case _ =>
+                val p = ValueIndex.provesUniverse(spark, t, attr, ents,
+                  Some(gen), Some(stats))
+                ascProofMemo.put((t, attr, pattern), (p, curTotal))
+                p
+            }
+            if (proven) ValueIndex.topKEids(spark, t, attr,
+              valueCol(attr), None, limit, desc = false, gen = Some(gen),
+              preStats = Some(stats))
+            else None
           }
-          if (proven) ValueIndex.topKEids(spark, t, attr,
-            valueCol(attr), None, limit, desc = false, gen = Some(gen))
-          else None
         }
       }
     viaIndex.getOrElse {
@@ -889,7 +942,8 @@ class TripleStore(
         o match {
           case r: MRange if isVar(s) && !selfLoop =>
             valueIndex
-              .flatMap(t => ValueIndex.rangeEids(spark, t, attr, vc, r))
+              .flatMap(t => ValueIndex.rangeEids(spark, t, attr, vc,
+                schemaOf(attr).vtype, r))
               .getOrElse(scanFor(Seq(attr))
                 .where(TripleStore.rangeCond(col(vc), r)).select($"e"))
               .select(col("e").as(s))

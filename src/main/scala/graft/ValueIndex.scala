@@ -432,9 +432,12 @@ object ValueIndex {
     * [[compact]] (which swaps the location property to a NEW path; two
     * independent resolves could prove the universe against the old
     * generation and probe the new). Frames are built lazily so a
-    * manifest format error surfaces before the data path is touched. */
+    * manifest format error surfaces before the data path is touched.
+    * `path` is the resolved data location when the generation came
+    * from a view's location property — the key of the bucket-stats
+    * cache; None (legacy per-name resolution) probes uncached. */
   private[graft] final class Gen(val man: () => DataFrame,
-    val dat: () => DataFrame)
+    val dat: () => DataFrame, val path: Option[String] = None)
 
   /** Resolve the probe-facing generation. A view-registered index
     * resolves BOTH frames from one read of the location property — the
@@ -450,7 +453,7 @@ object ValueIndex {
     at match {
       case Some(p) =>
         new Gen(() => spark.read.parquet(p + "_manifest"),
-          () => spark.read.parquet(p))
+          () => spark.read.parquet(p), Some(p))
       case None =>
         new Gen(() => spark.table(table + "_manifest"),
           () => spark.table(table))
@@ -582,15 +585,28 @@ object ValueIndex {
       .select(lit(table).as("table"), col("attr"), col("n_facts"))
   }
 
-  /** Per-bucket (bkt, min shadow, max shadow, count) for `attr`, in ONE
-    * bounded collect that doubles as the format gate: ANY manifest row
-    * for the attr carried by a non-current format fails LOUD up front —
-    * aggregating only current-format rows while the data scan reads
-    * every file would silently drop top-k rows living in buckets the
-    * stale manifest rows describe. Empty result = attr not indexed
-    * (the caller's decline-to-fallback case). */
-  private def bucketStats(man: DataFrame, table: String,
-      attr: String): Array[(Int, Double, Double, Long)] = {
+  /** One bucket summary row: (bkt, min shadow, max shadow, fact count,
+    * manifest-row count). The last field is the append detector: build
+    * and compact write EXACTLY one manifest row per (a, bkt), and the
+    * first append after either lands in the existing bucket-id space
+    * (its cuts are harvested from the one-row-per-bucket manifest, so
+    * it can mint no new ids), so `nman == 1` on every bucket ⟺ no
+    * append since the last build/compact ⟺ the layout holds one row
+    * per (a, e) — the PRISTINE state exact-membership probes require. */
+  private[graft] type BucketStat = (Int, Double, Double, Long, Long)
+
+  /** Per-bucket [[BucketStat]]s for `attr`, in ONE bounded collect that
+    * doubles as the format gate: ANY manifest row for the attr carried
+    * by a non-current format fails LOUD up front — aggregating only
+    * current-format rows while the data scan reads every file would
+    * silently drop top-k rows living in buckets the stale manifest rows
+    * describe. Empty result = attr not indexed (the caller's
+    * decline-to-fallback case). private[graft] so [[TripleStore]]'s
+    * asc-proof path collects ONCE and threads the result through
+    * [[provesUniverse]] and [[topKEids]] (memo validation, proof, and
+    * probe then share a single manifest round-trip). */
+  private[graft] def bucketStats(man: DataFrame, table: String,
+      attr: String): Array[BucketStat] = {
     require(man.columns.contains("fmt"),
       s"valueIndex $table predates format v$Fmt — rebuild it with " +
         "ValueIndex.build (old tables carry no version stamp)")
@@ -599,31 +615,62 @@ object ValueIndex {
       .agg(min(when(col("fmt") === Fmt, col("minv"))).as("minv"),
         max(when(col("fmt") === Fmt, col("maxv"))).as("maxv"),
         sum(when(col("fmt") === Fmt, col("cnt"))).as("cnt"),
+        count(when(col("fmt") === Fmt, lit(1))).as("nman"),
         sum(when(col("fmt") =!= Fmt, lit(1L)).otherwise(lit(0L)))
           .as("stale"))
       .collect()
-    require(agg.forall(_.getLong(4) == 0L),
+    require(agg.forall(_.getLong(5) == 0L),
       s"valueIndex $table holds pre-v$Fmt rows for $attr — rebuild " +
         s"with ValueIndex.build (v$Fmt data rows carry vstr and the " +
         "shadow keying; older rows cannot be probed)")
     agg.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
-      r.getLong(3)))
+      r.getLong(3), r.getLong(4)))
   }
 
-  /** The manifest's total fact count for `attr` under `gen` (0 when the
-    * attr is not indexed) — the cheap generation-CONTENT check
-    * [[TripleStore]]'s asc-proof memo validates against: an out-of-band
-    * [[append]] to a registered table mutates the index at the same
-    * path without touching live store instances (a snapshot-contract
-    * violation), so a memoized proof alone could pair with a
-    * post-append generation holding entities outside the proof's
-    * universe. Every append changes the attr's manifest total, so a
-    * total mismatch forces a re-prove. One O(manifest) bounded collect,
-    * never a data scan. */
-  private[graft] def attrTotal(spark: SparkSession, table: String,
-      attr: String, gen: Option[Gen] = None): Long = {
-    val g = gen.getOrElse(resolveGeneration(spark, table))
-    bucketStats(g.man(), table, attr).map(_._4).sum
+  /** [[bucketStats]] results cached per (data path, attr), VALIDATED by
+    * the manifest directory's file listing: every mutation that can
+    * change an attr's bucket stats changes the listing — [[append]]
+    * appends NEW part files (parquet files are immutable and Spark
+    * mints fresh UUID names per write), [[build]]/[[compact]] write a
+    * fresh tree (compact under a NEW path, so even the cache key
+    * moves). A warm probe therefore pays ONE filesystem LIST (a single
+    * RPC on an object store, sub-ms locally) instead of a scheduled
+    * Spark job over the manifest — the dominant fixed cost of zone-map
+    * probes on small-to-mid corpora, and the steady-state serving cost
+    * at 100 TB. Unlike a blind per-path memo, the listing check also
+    * catches the OUT-OF-BAND append the asc-proof memo defends against
+    * (the hazard mutates the path in place — and in doing so adds
+    * files). Bounded: one entry per (index table generation, attr). */
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, Array[BucketStat])]
+
+  /** name:length:mtime fingerprint of the manifest directory listing —
+    * the cache-validation token. Missing dir fingerprints to "" (the
+    * read below will fail loud on its own). */
+  private def manifestFingerprint(spark: SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path + "_manifest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("\n")
+  }
+
+  /** [[bucketStats]] through [[statsCache]] when the generation is
+    * path-resolved; legacy per-name generations collect uncached. */
+  private[graft] def bucketStatsCached(spark: SparkSession, gen: Gen,
+      table: String, attr: String): Array[BucketStat] = gen.path match {
+    case None => bucketStats(gen.man(), table, attr)
+    case Some(p) =>
+      val fp = manifestFingerprint(spark, p)
+      statsCache.get((p, attr)) match {
+        case Some((f, stats)) if f == fp => stats
+        case _ =>
+          val stats = bucketStats(gen.man(), table, attr)
+          statsCache.put((p, attr), (fp, stats))
+          stats
+      }
   }
 
   /** ONE bounded aggregate proving `ents` IS exactly `attr`'s fact
@@ -641,10 +688,11 @@ object ValueIndex {
     * falls back. Returns false when the attr is not indexed; this is
     * an EAGER action (see pullMany's laziness note). */
   private[graft] def provesUniverse(spark: SparkSession, table: String,
-      attr: String, ents: DataFrame, gen: Option[Gen] = None): Boolean = {
+      attr: String, ents: DataFrame, gen: Option[Gen] = None,
+      preStats: Option[Array[BucketStat]] = None): Boolean = {
     val g = gen.getOrElse(resolveGeneration(spark, table))
     val (man, dat) = (g.man, g.dat)
-    val stats = bucketStats(man(), table, attr)
+    val stats = preStats.getOrElse(bucketStatsCached(spark, g, table, attr))
     if (stats.isEmpty) return false
     val total = stats.map(_._4).sum
     val idx = dat().where(col("a") === attr)
@@ -720,12 +768,13 @@ object ValueIndex {
     * `ents`. */
   private[graft] def topKEids(spark: SparkSession, table: String,
       attr: String, nativeCol: String, ents: Option[DataFrame],
-      k: Int, desc: Boolean = true, gen: Option[Gen] = None)
+      k: Int, desc: Boolean = true, gen: Option[Gen] = None,
+      preStats: Option[Array[BucketStat]] = None)
       : Option[DataFrame] = {
     if (!desc && ents.isDefined) return None
     val g = gen.getOrElse(resolveGeneration(spark, table))
     val (man, dat) = (g.man, g.dat)
-    val buckets = bucketStats(man(), table, attr)
+    val buckets = preStats.getOrElse(bucketStatsCached(spark, g, table, attr))
     if (buckets.isEmpty) return None // attr not indexed → fallback
     // ALL driver-side shadow comparisons use java.lang.Double.compare —
     // the total order with NaN LARGEST, which is exactly Spark SQL's
@@ -788,15 +837,47 @@ object ValueIndex {
     }
   }
 
+  /** Does the RUNTIME type of range bound `v` belong to the same value
+    * FAMILY as the attr's declared `vtype`? The range probe compares
+    * the bound's shadow against bucket shadows, and shadows are only
+    * comparable WITHIN a family: a numeric bound's shadow (the plain
+    * widening) against a string attr's shadows (6-byte prefixes, ~2^40+)
+    * would exclude every bucket and silently return 0 rows where the
+    * un-indexed fallback's Spark cast-comparison could match — range
+    * semantics must be identical indexed or not, so a cross-family
+    * bound DECLINES to probe. Numerics are ONE family (vlong/vdbl share
+    * the widening shadow and Spark's numeric coercion). */
+  private def boundFamilyOk(v: Any, vtype: String): Boolean = v match {
+    case _: Double | _: Float | _: Long | _: Int | _: Short | _: Byte =>
+      vtype == Triples.VLong || vtype == Triples.VDbl
+    case _: String => vtype == Triples.VStr
+    case _: java.time.LocalDateTime => vtype == Triples.VTs
+    case _ => false
+  }
+
+  /** The range-intersecting subset of `buckets` under the shadowed
+    * bounds — every native match lives in a kept bucket (shadow
+    * monotonicity: native v in range ⇒ shadow(v) in the non-strict
+    * shadow window). */
+  private def keepForRange(buckets: Array[BucketStat],
+      sLo: Option[Double], sHi: Option[Double]): Array[BucketStat] = {
+    def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+    buckets.filter(b =>
+      sLo.forall(lo => cmp(b._3, lo) >= 0) &&
+        sHi.forall(hi => cmp(b._2, hi) <= 0))
+  }
+
   /** The eids whose `attr` value falls inside the range, served through
     * the zone-map manifest — the RANGE-PREDICATE twin of [[topKEids]],
     * using the same walk machinery and no new layout: buckets whose
     * shadow [min, max] cannot intersect the range are PARTITION-PRUNED
     * at planning time, so `attr > v` (the "documents longer than N"
     * curation filter) reads O(intersecting buckets) instead of the
-    * attr's full fact slice. None = can't answer (attr not indexed, or
-    * a bound's type has no shadow) — the caller falls back to the
-    * attr-pruned scan.
+    * attr's full fact slice. None = can't answer (attr not indexed, a
+    * bound's type has no shadow or mismatches the attr's declared value
+    * family, or the generation holds un-reconciled appends — see
+    * [[rangeProbe]]) — the caller falls back to the attr-pruned
+    * scan, which owns the identical exact semantics.
     *
     * Correctness needs only the shadow's MONOTONICITY, never bucket
     * disjointness: native v in range ⇒ shadow(v) in [shadow(lo),
@@ -805,35 +886,123 @@ object ValueIndex {
     * every qualifying row lives in a kept bucket; the scan then applies
     * the EXACT native-column predicate, and the non-strict shadow
     * bounds ride along so parquet row-group stats prune within kept
-    * files (data files are vnum-sorted). Same snapshot caveat as every
-    * probe: exact on a reconciled index (an un-compacted upsert's stale
-    * twin could match by its dead value — [[append]]'s documented
-    * window); one row per (a, e) there, so no distinct is needed. */
+    * files (data files are vnum-sorted). The pristine gate guarantees
+    * one row per (a, e), so no distinct is needed. */
   private[graft] def rangeEids(spark: SparkSession, table: String,
-      attr: String, nativeCol: String, r: graft.query.MRange)
-      : Option[DataFrame] = {
+      attr: String, nativeCol: String, vtype: String,
+      r: graft.query.MRange): Option[DataFrame] =
+    rangeProbe(spark, table, attr, vtype, r).map {
+      case (g, keep, sLo, sHi) =>
+        Some(g.dat().where(col("a") === attr &&
+            rangePred(keep, nativeCol, r, sLo, sHi))
+          .select(col("e")))
+    }.getOrElse(None)
+
+  /** Guards + bucket pruning shared by [[rangeEids]] and
+    * [[rangeTopKEids]]: None ⇒ decline to the exact fallback. Declines
+    * unless the range is real, every bound's runtime type matches the
+    * attr's declared family ([[boundFamilyOk]]), the attr is indexed,
+    * and the generation is PRISTINE (one manifest row per bucket — no
+    * append since the last build/compact, see [[BucketStat]]).
+    * Pristineness is what makes range MEMBERSHIP exact: an un-compacted
+    * upsert leaves the stale (a, e) twin beside the new row, and unlike
+    * the top-k probes (whose documented append window only perturbs
+    * ranking near the boundary) a stale twin here can assert membership
+    * for an entity whose CURRENT value is outside the range, or emit an
+    * eid twice into callers relying on one-row-per-entity
+    * (matchEntities' single-clause distinct shortcut). After any append
+    * the range probes fall back to the exact store scan until
+    * [[compact]] reconciles. */
+  private def rangeProbe(spark: SparkSession, table: String, attr: String,
+      vtype: String, r: graft.query.MRange)
+      : Option[(Gen, Array[BucketStat], Option[Double], Option[Double])] = {
     if (r.lo.isEmpty && r.hi.isEmpty) return None // MAny in disguise
-    val sLo = r.lo.map(shadowOfValue)
-    val sHi = r.hi.map(shadowOfValue)
-    if (sLo.exists(_.isEmpty) || sHi.exists(_.isEmpty)) return None
+    if (!(r.lo.toSeq ++ r.hi.toSeq).forall(boundFamilyOk(_, vtype)))
+      return None
+    val sLo = r.lo.flatMap(shadowOfValue)
+    val sHi = r.hi.flatMap(shadowOfValue)
+    if (r.lo.isDefined != sLo.isDefined || r.hi.isDefined != sHi.isDefined)
+      return None // a bound the shadow can't represent
     val g = resolveGeneration(spark, table)
-    val buckets = bucketStats(g.man(), table, attr)
+    val buckets = bucketStatsCached(spark, g, table, attr)
     if (buckets.isEmpty) return None // attr not indexed → fallback
-    def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
-    val keep = buckets.filter(b =>
-      sLo.flatten.forall(lo => cmp(b._3, lo) >= 0) &&
-        sHi.flatten.forall(hi => cmp(b._2, hi) <= 0)).map(_._1)
+    if (buckets.exists(_._5 > 1L)) return None // appended → not pristine
+    Some((g, keepForRange(buckets, sLo, sHi), sLo, sHi))
+  }
+
+  /** The pruned-scan predicate: kept-bucket partition pruning + the
+    * EXACT native predicate + the non-strict shadow window (riding
+    * along for parquet row-group pruning inside kept files). */
+  private def rangePred(keep: Array[BucketStat], nativeCol: String,
+      r: graft.query.MRange, sLo: Option[Double], sHi: Option[Double])
+      : Column = {
+    if (keep.isEmpty) return lit(false) // no bucket can hold a match
     val nc = col(nativeCol)
     val nativeConds =
       r.lo.map(v => if (r.loStrict) nc > lit(v) else nc >= lit(v)).toSeq ++
         r.hi.map(v => if (r.hiStrict) nc < lit(v) else nc <= lit(v))
     val shadowConds =
-      sLo.flatten.map(col("vnum") >= _).toSeq ++
-        sHi.flatten.map(col("vnum") <= _)
-    val pruned =
-      if (keep.isEmpty) lit(false) // no bucket can hold a match
-      else col("bkt").isInCollection(keep) &&
-        (nativeConds ++ shadowConds).reduce(_ && _)
-    Some(g.dat().where(col("a") === attr && pruned).select(col("e")))
+      sLo.map(col("vnum") >= _).toSeq ++ sHi.map(col("vnum") <= _)
+    col("bkt").isInCollection(keep.map(_._1)) &&
+      (nativeConds ++ shadowConds).reduce(_ && _)
   }
+
+  /** Top-`k` eids by `attr` WITHIN a value range, in ONE probe — the
+    * composition a "longest documents above a threshold" curation pull
+    * wants, fusing [[rangeEids]]'s bucket pruning with [[topKEids]]'s
+    * threshold walk instead of running a range probe and then ranking
+    * its output with a second index read. The walk is restricted to the
+    * RANGE-INTERSECTING buckets; because kept-bucket counts include
+    * rows the exact native predicate rejects, a count-picked threshold
+    * is not decisive here — the probe verifies with a bounded count and
+    * 4×-widens like topKEids' `ents` loop, and when the whole kept set
+    * has been scanned that scan IS the full in-range answer (ordered,
+    * limit k — possibly fewer than k rows). BOTH directions are served:
+    * the range predicate is null-rejecting, so no missing-attr entity
+    * can be in the answer and ascending needs no universe proof.
+    * Decline conditions are [[rangeEids]]'s. */
+  private[graft] def rangeTopKEids(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String,
+      r: graft.query.MRange, k: Int, desc: Boolean): Option[DataFrame] =
+    rangeProbe(spark, table, attr, vtype, r).flatMap {
+      case (g, keep, sLo, sHi) =>
+        def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+        val inRange = rangePred(keep, nativeCol, r, sLo, sHi)
+        val walk =
+          if (desc) keep.sortWith((x, y) => cmp(x._2, y._2) > 0)
+          else keep.sortWith((x, y) => cmp(x._3, y._3) < 0)
+        val total = keep.map(_._4).sum
+        val noCut = if (desc) Double.NegativeInfinity else Double.NaN
+        def thresholdFor(target: Long): Double = {
+          var acc = 0L
+          var cut = noCut
+          val it = walk.iterator
+          while (acc < target && it.hasNext) {
+            val b = it.next(); acc += b._4; cut = if (desc) b._2 else b._3
+          }
+          if (acc < target) noCut else cut
+        }
+        def scanPast(t: Double): DataFrame = {
+          val bkts =
+            if (desc) keep.filter(b => cmp(b._3, t) >= 0).map(_._1)
+            else keep.filter(b => cmp(b._2, t) <= 0).map(_._1)
+          g.dat().where(col("a") === attr && inRange &&
+            col("bkt").isInCollection(bkts) &&
+            (if (desc) col("vnum") >= t else col("vnum") <= t))
+        }
+        def ordered(df: DataFrame): DataFrame =
+          df.orderBy(if (desc) col(nativeCol).desc else col(nativeCol).asc)
+            .limit(k).select(col("e"))
+        if (keep.isEmpty)
+          return Some(g.dat().where(lit(false)).select(col("e")))
+        var target = k.toLong
+        while (target < total) {
+          val cand = scanPast(thresholdFor(target))
+          if (cand.count() >= k) return Some(ordered(cand))
+          target = math.min(total, target * 4)
+        }
+        // every kept bucket scanned: the in-range predicate leaves
+        // exactly the full answer set
+        Some(ordered(scanPast(thresholdFor(total))))
+    }
 }

@@ -336,6 +336,42 @@ object Cli {
   def parsePattern(json: String): Seq[(String, MVal)] =
     matchPattern(mapper.readTree(json))
 
+  /** Resolve range-bound TYPES against the store's schema: JSON can
+    * only carry strings and numbers, so a TIMESTAMP attr's range bound
+    * arrives as an ISO-8601 STRING — coerce it to the LocalDateTime the
+    * engine's VTs comparisons (and the index shadow) expect, accepting
+    * both date-time ("2024-03-01T12:00:00") and date-only ("2024-03-01"
+    * = midnight) forms. A malformed timestamp string fails LOUD here
+    * (DateTimeParseException) instead of silently cast-matching
+    * nothing. Non-VTs attrs pass through untouched — their JSON scalar
+    * types are already the engine's. */
+  private[graft] def coerceRangeBounds(ts: TripleStore,
+      pat: Seq[(String, MVal)]): Seq[(String, MVal)] = {
+    def ldt(s: String): java.time.LocalDateTime =
+      if (s.contains("T")) java.time.LocalDateTime.parse(s)
+      else java.time.LocalDate.parse(s).atStartOfDay
+    def bound(b: Option[Any]): Option[Any] = b.map {
+      case s: String => ldt(s)
+      case other => other
+    }
+    pat.map {
+      case (a, r: MRange)
+          if ts.schemaOf(a).vtype == graft.model.Triples.VTs =>
+        (a, r.copy(lo = bound(r.lo), hi = bound(r.hi)))
+      case (a, MSub(sub)) => (a, MSub(coerceRangeBounds(ts, sub)))
+      case kv => kv
+    }
+  }
+
+  /** [[coerceRangeBounds]] for one datalog clause (the `[s a o]` form's
+    * o-position range object). */
+  private[graft] def coerceClause(ts: TripleStore,
+      cl: (String, String, Any)): (String, String, Any) = cl match {
+    case (s, a, r: MRange) =>
+      (s, a, coerceRangeBounds(ts, Seq((a, r))).head._2)
+    case c => c
+  }
+
   /** Comparison-operator keys inside a pattern object denote a VALUE
     * RANGE ([[MRange]]) rather than a nested sub-pattern: attr names in
     * the EAV model are namespaced (`ns:name`), so a `$`-key can never
@@ -359,7 +395,19 @@ object Cli {
             MRange(lo = b("$gt").orElse(b("$gte")),
               hi = b("$lt").orElse(b("$lte")),
               loStrict = keys("$gt"), hiStrict = keys("$lt"))
-          } else MSub(matchPattern(v))
+          } else {
+            // an object mixing $-operator keys with anything else is a
+            // typo ({"$gt": 450, "$bogus": 1}), not a sub-pattern over
+            // attributes literally named "$gt" — falling through to
+            // MSub would silently match nothing. Reject loud, exactly
+            // as the -q clause grammar does.
+            require(!keys.exists(_.startsWith("$")),
+              s"pattern object for '${e.getKey}' holds $$-operator " +
+                s"keys mixed with non-range keys (got " +
+                s"${keys.toSeq.sorted.mkString(", ")}) — a range " +
+                s"object may hold only ${RangeOps.toSeq.sorted.mkString("/")}")
+            MSub(matchPattern(v))
+          }
         }
         else MEq(scalar(v)))
     }
@@ -820,13 +868,13 @@ object Cli {
           case None =>
             val pat = a.entityPattern.map(parsePattern).getOrElse(
               sys.error("pull needs -e entity-pattern or -E entities"))
-            ts.pullMany(pat, specs)
+            ts.pullMany(coerceRangeBounds(ts, pat), specs)
         }
         writeOut(result, a.output)
       case "datalog" =>
         val q = parseDatalogQuery(
           a.query.getOrElse(sys.error("datalog needs -q query")))
-        writeOut(q.run(ts), a.output)
+        writeOut(q.coerced(ts).run(ts), a.output)
     }
   }
 
@@ -846,6 +894,18 @@ object Cli {
       withVars: Seq[String] = Nil,
       orWhere: Seq[graft.query.DatalogOr] = Nil,
       recursiveCte: Boolean = false) {
+    /** Range bounds resolved against the store's schema
+      * ([[coerceRangeBounds]]: ISO-8601 strings → LocalDateTime for
+      * VTs attrs) in every clause position that can carry a range
+      * object. */
+    def coerced(ts: TripleStore): DatalogQuery =
+      copy(where = where.map(coerceClause(ts, _)),
+        notWhere = notWhere.map(coerceClause(ts, _)),
+        orWhere = orWhere.map(o => graft.query.DatalogOr(
+          o.branches.map(_.map(coerceClause(ts, _))))),
+        rules = rules.map(r => r.copy(
+          body = r.body.map(coerceClause(ts, _)),
+          negBody = r.negBody.map(coerceClause(ts, _)))))
     def run(ts: TripleStore): org.apache.spark.sql.DataFrame =
       ts.datalogRules(find, where, rules, sortBy = sortBy, take = take,
           notWhere = notWhere, aggregates = agg, withVars = withVars,

@@ -770,6 +770,52 @@ class CliSpec extends AnyFunSuite {
     assert(kept === Set(1L, 2L))
   }
 
+  test("CLI range bounds on a TIMESTAMP attr: ISO-8601 strings coerce " +
+      "against the store schema (date-time and date-only forms); " +
+      "malformed strings fail loud; non-VTs attrs pass through") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val df = (1 to 48).map(i => (i.toLong, t0.plusHours(i.toLong)))
+      .toDF("doc_id", "at")
+    val sp = graft.sources.RowIngest.specFor(df, "tsr", Seq("doc_id"),
+      Nil, None)
+    val ts = new graft.TripleStore(spark,
+      graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas)
+    val pat = Cli.parsePattern(
+      """{"tsr:at": {"$gte": "2024-01-01T10:00:00", "$lt": "2024-01-02"}}""")
+    val coerced = Cli.coerceRangeBounds(ts, pat)
+    coerced match {
+      case Seq((a, r: query.MRange)) =>
+        assert(a === "tsr:at")
+        assert(r.lo === Some(java.time.LocalDateTime.of(2024, 1, 1, 10, 0)))
+        assert(r.hi === Some(java.time.LocalDateTime.of(2024, 1, 2, 0, 0)))
+        assert(!r.loStrict && r.hiStrict)
+      case other => fail(s"unexpected coercion result $other")
+    }
+    // hours 10..23 satisfy [10:00, midnight) → 14 entities
+    assert(ts.matchEntities(coerced).as[String].collect().length === 14)
+    // a non-VTs attr's bounds pass through untouched
+    assert(Cli.coerceRangeBounds(ts,
+      Cli.parsePattern("""{"tsr:doc_id": {"$gt": 5}}""")) ===
+      Seq("tsr:doc_id" -> query.MRange(lo = Some(5L), loStrict = true)))
+    // a malformed timestamp string fails LOUD, never a silent
+    // cast-to-null 0-row match
+    intercept[java.time.format.DateTimeParseException] {
+      Cli.coerceRangeBounds(ts,
+        Cli.parsePattern("""{"tsr:at": {"$gte": "not-a-time"}}"""))
+    }
+    // the datalog side: coerced() resolves clause-object bounds too
+    val dq = Cli.parseDatalogQuery(
+      """{"find": ["?d"],
+        | "where": [["?d", "tsr:at", {"$gte": "2024-01-01T10:00:00"}]]}"""
+        .stripMargin).coerced(ts)
+    dq.where.head._3 match {
+      case r: query.MRange =>
+        assert(r.lo === Some(java.time.LocalDateTime.of(2024, 1, 1, 10, 0)))
+      case other => fail(s"unexpected clause object $other")
+    }
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===
@@ -795,6 +841,16 @@ class CliSpec extends AnyFunSuite {
     // an object with a non-$ key is a sub-pattern even beside $-look-alikes
     assert(Cli.parsePattern("""{"a:z": {"b:w": 1}}""") ===
       Seq("a:z" -> query.MSub(Seq("b:w" -> query.MEq(1L)))))
+    // an object MIXING $-operator keys with anything else is a typo,
+    // not a sub-pattern over an attribute literally named "$gt" —
+    // rejected loudly, mirroring the -q clause-object rejection (a
+    // silent MSub would match 0 rows with no error)
+    intercept[IllegalArgumentException] {
+      Cli.parsePattern("""{"a:n": {"$gt": 450, "$bogus": 1}}""") }
+    intercept[IllegalArgumentException] {
+      Cli.parsePattern("""{"a:n": {"$gt": 450, "b:w": 1}}""") }
+    intercept[IllegalArgumentException] {
+      Cli.parsePattern("""{"a:n": {"$between": [1, 2]}}""") }
     // datalog -q clauses: a $-key object in o position parses to MRange;
     // anything else in an object there is rejected loudly
     val dq = Cli.parseDatalogQuery("""{"find": ["?d"],

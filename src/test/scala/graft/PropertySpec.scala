@@ -1097,6 +1097,21 @@ class PropertySpec extends AnyFunSuite {
             lo.forall(l => if (ls) v > l else v >= l) &&
               hi.forall(h => if (hs) v < h else v <= h)).sorted
           assert(got === want, s"trial $trial case $c range $r")
+          // the fused range+top-k probe on the same window: k of the
+          // in-range values in either direction == the model's take(k)
+          // (ties pick interchangeable eids; VALUES are deterministic).
+          // The freshly-built index is pristine, so the probe must
+          // serve, including empty/inverted windows (empty answer).
+          val k = 1 + rnd.nextInt(12)
+          val desc = rnd.nextBoolean()
+          val gotK = ValueIndex.rangeTopKEids(spark, s"vidx_rngp_$trial",
+            "p:n", "vlong", graft.model.Triples.VLong, r, k, desc)
+          assert(gotK.isDefined, s"trial $trial case $c pristine probe")
+          val gkVals = gotK.get.as[String].collect().toSeq.map(byId)
+          val ordered = if (desc) want.reverse else want
+          assert((if (desc) gkVals.sorted.reverse else gkVals.sorted)
+            === ordered.take(k),
+            s"trial $trial case $c range $r k=$k desc=$desc")
         }
       }
     }

@@ -1169,7 +1169,8 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(ids(ts, gt) === ids(plain, gt))
     assert(ids(ts, gt) === (291 until 300).map(i => f"e$i%03d").toSet)
     // the probe's scan partition-prunes on bkt
-    val probe = ValueIndex.rangeEids(spark, "vidx_rng", "n:v", "vlong", gt)
+    val probe = ValueIndex.rangeEids(spark, "vidx_rng", "n:v", "vlong",
+      Triples.VLong, gt)
     assert(probe.isDefined)
     val plan = probe.get.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
@@ -1191,9 +1192,9 @@ class TripleStoreSpec extends AnyFunSuite {
     // declines: un-indexed attr, and a bound type with no shadow —
     // the match falls back to the attr-pruned scan either way
     assert(ValueIndex.rangeEids(spark, "vidx_rng", "n:tag", "vstr",
-      MRange(lo = Some("a"))).isEmpty)
+      Triples.VStr, MRange(lo = Some("a"))).isEmpty)
     assert(ValueIndex.rangeEids(spark, "vidx_rng", "n:v", "vlong",
-      MRange(lo = Some(true))).isEmpty)
+      Triples.VLong, MRange(lo = Some(true))).isEmpty)
     assert(ids(ts, MRange(lo = Some(298L), hi = Some(1L))) ===
       Set.empty[String]) // inverted range: no bucket and no row
   }
@@ -1347,6 +1348,144 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") &&
         plan.contains("GreaterThanOrEqual(n_chars,90"),
       s"expected the range comparison pushed into the scan:\n$plan")
+  }
+
+  test("valueIndex: range probe declines on a bound/attr type-family " +
+      "mismatch — range semantics are identical indexed or not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxty").toString
+    // STRING-indexed attr holding NUMERIC-looking values, NUMERIC
+    // bound: the fallback's ANSI cast comparison matches "0042" >= 30
+    // row by row, but the bound's widening shadow (30.0) against
+    // string-prefix shadows (~2^45) keeps every bucket while a closed
+    // window would keep none — index-presence-dependent membership.
+    // The probe must decline so both stores answer identically.
+    val srows = (0 until 60).map(i => (f"s$i%03d", f"$i%04d"))
+    val plainS = strStore(srows)
+    val tsS = plainS.buildValueIndex("vidx_ty_s", s"$dir/s", Seq("s:name"),
+      nBuckets = 8)
+    assert(ValueIndex.rangeEids(spark, "vidx_ty_s", "s:name", "vstr",
+      Triples.VStr, MRange(lo = Some(30L))).isEmpty)
+    def idsS(s: TripleStore, r: MRange) =
+      s.matchEntities(Seq("s:name" -> r)).as[String].collect().toSet
+    val numOnStr = MRange(lo = Some(30L), hi = Some(45L))
+    assert(idsS(tsS, numOnStr) === idsS(plainS, numOnStr))
+    assert(idsS(tsS, numOnStr) ===
+      (30 to 45).map(i => f"s$i%03d").toSet)
+    // NUMERIC-indexed attr, STRING bound: same story mirrored (the
+    // string's prefix shadow vs numeric shadows would keep NO bucket
+    // → silent 0 rows where the cast matches e045..e059) — decline,
+    // and the match surface agrees with the un-indexed store
+    val nrows = (0 until 60).map(i => (f"e$i%03d", i.toLong))
+    val plainN = numStore(nrows)
+    val tsN = plainN.buildValueIndex("vidx_ty_n", s"$dir/n", Seq("n:v"),
+      nBuckets = 8)
+    assert(ValueIndex.rangeEids(spark, "vidx_ty_n", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some("45"))).isEmpty)
+    def idsN(s: TripleStore, r: MRange) =
+      s.matchEntities(Seq("n:v" -> r)).as[String].collect().toSet
+    val strOnNum = MRange(lo = Some("45"): Option[Any])
+    assert(idsN(tsN, strOnNum) === idsN(plainN, strOnNum))
+    assert(idsN(tsN, strOnNum) ===
+      (45 until 60).map(i => f"e$i%03d").toSet)
+    // matched-family sanity: the same stores DO probe in-family
+    assert(ValueIndex.rangeEids(spark, "vidx_ty_s", "s:name", "vstr",
+      Triples.VStr, MRange(lo = Some("0050"))).isDefined)
+    assert(ValueIndex.rangeEids(spark, "vidx_ty_n", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some(45L))).isDefined)
+  }
+
+  test("valueIndex: range probes serve only PRISTINE generations — an " +
+      "un-compacted upsert twin never asserts stale membership, and " +
+      "compact restores the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxpr").toString
+    val rows = (0 until 200).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    plain.buildValueIndex("vidx_prs", s"$dir/v", Seq("n:v"), nBuckets = 8)
+    val below10 = MRange(hi = Some(10L), hiStrict = true)
+    assert(ValueIndex.rangeEids(spark, "vidx_prs", "n:v", "vlong",
+      Triples.VLong, below10).isDefined) // fresh build probes
+    // UPSERT: e000 moves 0 → 500; append leaves the stale twin beside
+    // the new row, so a probe would still see e000 matching `< 10` by
+    // its dead value — wrong MEMBERSHIP, not just ordering
+    ValueIndex.append(numStore(Seq(("e000", 500L)), tx = 1L), "vidx_prs")
+    assert(ValueIndex.rangeEids(spark, "vidx_prs", "n:v", "vlong",
+      Triples.VLong, below10).isEmpty) // appended → decline
+    // the match surface stays exact through the fallback: the store
+    // truth has e000 at 500, outside the range
+    val truth = numStore(rows.filterNot(_._1 == "e000") :+ ("e000", 500L))
+    val probing = truth.withValueIndex("vidx_prs")
+    assert(probing.matchEntities(Seq("n:v" -> below10))
+      .as[String].collect().toSet ===
+      (1 until 10).map(i => f"e$i%03d").toSet)
+    // compact reconciles (latest txId per (a, e)) → pristine again,
+    // and the probe now sees only the live value
+    ValueIndex.compact(spark, "vidx_prs", s"$dir/v2", nBuckets = 8)
+    val after = ValueIndex.rangeEids(spark, "vidx_prs", "n:v", "vlong",
+      Triples.VLong, below10)
+    assert(after.isDefined)
+    assert(after.get.as[String].collect().toSet ===
+      (1 until 10).map(i => f"e$i%03d").toSet)
+  }
+
+  test("MRange over tripl:type on a fused TableSource store is decided " +
+      "driver-side, never silently dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ftyr").toString
+    spark.range(0, 100).selectExpr("id AS doc_id", "id % 7 AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val sp = graft.sources.RowIngest.specFor(df, "ftyr", Seq("doc_id"),
+      Nil, None)
+    val ts = new TripleStore(spark,
+      graft.sources.RowIngest.tableToTriples(df, sp), sp.attrSchemas,
+      preResolved = true,
+      source = Some(graft.model.UnionTripleSource(
+        Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+    def count(r: MRange): Long = ts.pullMany(
+      Seq(Triples.TypeAttr -> r), Seq(PAttr("ftyr:doc_id"))).count()
+    // "ftyr" > "z" is false: the range must EXCLUDE the whole table —
+    // the r16 fused path dropped the conjunct and returned every row
+    assert(count(MRange(lo = Some("z"), loStrict = true)) === 0L)
+    assert(count(MRange(hi = Some("z"))) === 100L)
+    assert(count(MRange(lo = Some("ftyr"))) === 100L)   // inclusive
+    assert(count(MRange(lo = Some("ftyr"), loStrict = true)) === 0L)
+    // a NON-STRING bound needs the fallback's ANSI cast semantics
+    // ("ftyr" cast to bigint fails LOUD): the fused path must punt to
+    // the union path, which raises the same CAST_INVALID_INPUT the
+    // un-fused store would — never a silently-dropped conjunct
+    val err = intercept[Exception] { count(MRange(lo = Some(450L))) }
+    assert(err.getMessage.contains("CAST_INVALID_INPUT"),
+      s"expected the ANSI cast error, got: ${err.getMessage}")
+  }
+
+  test("pullMany: single-clause range match + sort + limit fuses to one " +
+      "index probe — equals the un-indexed plan in both directions, " +
+      "including a range holding fewer than k facts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtk").toString
+    val rows = (0 until 300).map(i => (f"e$i%03d", (i % 170).toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_rtk", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    def vals(s: TripleStore, r: MRange, desc: Boolean, k: Int) =
+      s.pullMany(Seq("n:v" -> r), Seq(PAttr("n:v")),
+          sortBy = Some("v"), desc = desc, limit = Some(k))
+        .select($"v").as[Long].collect().toList
+    for (r <- Seq(MRange(lo = Some(100L)),
+        MRange(lo = Some(40L), hi = Some(60L), hiStrict = true),
+        MRange(hi = Some(5L)),          // short answer regions
+        MRange(lo = Some(168L)));       // fewer than k in range
+        desc <- Seq(true, false); k <- Seq(7, 25)) {
+      // boundary ties pick interchangeable eids; the VALUE list is
+      // deterministic — compare that
+      assert(vals(ts, r, desc, k) === vals(plain, r, desc, k),
+        s"range $r desc=$desc k=$k")
+    }
+    // the fused probe partition-prunes on bkt for a tight range
+    val probe = ValueIndex.rangeTopKEids(spark, "vidx_rtk", "n:v",
+      "vlong", Triples.VLong, MRange(lo = Some(160L)), 5, desc = true)
+    assert(probe.isDefined)
+    val plan = probe.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"expected a bkt-partition-pruned scan:\n$plan")
   }
 
   test("valueIndex: build rejects card-many and non-orderable attrs; " +
