@@ -2407,6 +2407,34 @@ object SparkEntry {
         .select(col("n_chars"))
     }),
 
+    // POINT lookup (MEq/MIn) through the zone map (ValueIndex.inEids):
+    // "documents in German or Chinese" — the equality curation filter —
+    // is a degenerate range, pruned to the buckets whose [min, max]
+    // contains a value's 6-byte STRING-prefix shadow, with the exact
+    // native IN riding the pruned scan. Own pristine index over the
+    // lang attr (string, 5 distinct values: ties collapse into few
+    // buckets and the probe prunes to the matching ones). PWild blocks
+    // base-table fusion so the probe owns the match.
+    "q178_point_match" -> ((s, dir) => {
+      val t = s"q178vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q178vidx", dir, t, Seq(s"$t:lang"), 8)(store)
+      store.withValueIndex(t)
+        .pullMany(
+          Seq(s"$t:lang" -> MIn(Seq("de", "zh"))),
+          Seq(PAttr(s"$t:doc_id"), PAttr(s"$t:lang"), PWild))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ISO-8601 RANGE BOUNDS on a TIMESTAMP attr through the CLI's
     // $-key grammar: JSON carries no timestamp type, so the bound
     // arrives as a STRING — Cli.coerceRangeBounds resolves it to the
@@ -5462,6 +5490,9 @@ object SparkEntry {
       """SELECT event_id, ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10'
         |  AND ts < TIMESTAMP '2024-01-12 12:00:00'""".stripMargin,
+    "q178_point_match" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 3 = 0 AND lang IN ('de', 'zh')""".stripMargin,
     // ascending custkey through the proof-served index probe
     "q169_pull_topk_asc_proof" ->
       """SELECT c_custkey AS custkey, n_name AS nation_name

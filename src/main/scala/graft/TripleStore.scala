@@ -368,8 +368,18 @@ class TripleStore(
     case MAny => scanFor(Seq(attr)).select($"e")
     case MEq(v) => entityIds(attr, MIn(Seq(v)))
     case MIn(vs) =>
+      // POINT lookups through the index when the store carries one
+      // over the attr: a point is a degenerate range, so equality/IN
+      // prunes to the buckets whose [min, max] contains a value's
+      // shadow (ValueIndex.inEids — same decline-to-fallback contract
+      // as the range probe: family mismatch, un-indexed, or
+      // un-reconciled appends all fall back to the identical exact
+      // scan predicate)
       val vc = valueCol(attr)
-      scanFor(Seq(attr)).where(col(vc).isInCollection(vs)).select($"e")
+      valueIndex.flatMap(t =>
+        ValueIndex.inEids(spark, t, attr, vc, schemaOf(attr).vtype, vs))
+      .getOrElse(
+        scanFor(Seq(attr)).where(col(vc).isInCollection(vs)).select($"e"))
     case r: MRange =>
       // a store carrying a ValueIndex over the attr serves the range
       // from the zone map: buckets that can't intersect [lo, hi] are
@@ -946,6 +956,18 @@ class TripleStore(
                 schemaOf(attr).vtype, r))
               .getOrElse(scanFor(Seq(attr))
                 .where(TripleStore.rangeCond(col(vc), r)).select($"e"))
+              .select(col("e").as(s))
+          // a CONSTANT object with a variable subject ("?d :lang 'en'")
+          // is a point lookup — served by the zone map like the range
+          // case when the store indexes the attr (same decline contract)
+          case v if isVar(s) && !selfLoop && valueIndex.isDefined &&
+              (v match { case vstr: String => !isVar(vstr)
+                         case _: MVal => false; case _ => true }) =>
+            valueIndex
+              .flatMap(t => ValueIndex.inEids(spark, t, attr, vc,
+                schemaOf(attr).vtype, Seq(v)))
+              .getOrElse(scanFor(Seq(attr))
+                .where(col(vc) === lit(v)).select($"e"))
               .select(col("e").as(s))
           case _ =>
             var df =

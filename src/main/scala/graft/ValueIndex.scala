@@ -898,6 +898,52 @@ object ValueIndex {
           .select(col("e")))
     }.getOrElse(None)
 
+  /** The eids whose `attr` value equals ANY of `vs` — POINT lookups
+    * (match's MEq/MIn) through the zone map: a point is a degenerate
+    * range, so the same machinery serves "lang = 'en'" / "n_chars IN
+    * (300, 450)" by pruning to the buckets whose [min, max] contains
+    * at least one value's shadow, then applying the EXACT native
+    * IN-predicate (the shadow IN-filter rides along for row-group
+    * stats inside kept files — values sharing a 6-byte string prefix
+    * merely keep a bucket the native predicate then filters). Decline
+    * conditions are [[rangeEids]]'s (family mismatch, un-indexed,
+    * non-pristine — point MEMBERSHIP has the same stale-twin hazard),
+    * so point semantics are identical indexed or not. */
+  private[graft] def inEids(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String,
+      vs: Seq[Any]): Option[DataFrame] = {
+    if (vs.isEmpty) return None
+    if (!vs.forall(boundFamilyOk(_, vtype))) return None
+    val shadows = vs.map(shadowOfValue)
+    if (shadows.exists(_.isEmpty)) return None
+    val sh = shadows.flatten
+    pristineStats(spark, table, attr).map { case (g, buckets) =>
+      def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+      val keep = buckets.filter(b =>
+        sh.exists(s => cmp(b._2, s) <= 0 && cmp(b._3, s) >= 0))
+      if (keep.isEmpty)
+        g.dat().where(lit(false)).select(col("e"))
+      else
+        g.dat().where(col("a") === attr &&
+            col("bkt").isInCollection(keep.map(_._1)) &&
+            col(nativeCol).isInCollection(vs) &&
+            col("vnum").isInCollection(sh))
+          .select(col("e"))
+    }
+  }
+
+  /** Shared decline gate of the membership probes ([[rangeEids]],
+    * [[rangeTopKEids]], [[inEids]]): the attr must be indexed and the
+    * generation PRISTINE. None ⇒ exact fallback. */
+  private def pristineStats(spark: SparkSession, table: String,
+      attr: String): Option[(Gen, Array[BucketStat])] = {
+    val g = resolveGeneration(spark, table)
+    val buckets = bucketStatsCached(spark, g, table, attr)
+    if (buckets.isEmpty) None // attr not indexed → fallback
+    else if (buckets.exists(_._5 > 1L)) None // appended → not pristine
+    else Some((g, buckets))
+  }
+
   /** Guards + bucket pruning shared by [[rangeEids]] and
     * [[rangeTopKEids]]: None ⇒ decline to the exact fallback. Declines
     * unless the range is real, every bound's runtime type matches the
@@ -923,11 +969,9 @@ object ValueIndex {
     val sHi = r.hi.flatMap(shadowOfValue)
     if (r.lo.isDefined != sLo.isDefined || r.hi.isDefined != sHi.isDefined)
       return None // a bound the shadow can't represent
-    val g = resolveGeneration(spark, table)
-    val buckets = bucketStatsCached(spark, g, table, attr)
-    if (buckets.isEmpty) return None // attr not indexed → fallback
-    if (buckets.exists(_._5 > 1L)) return None // appended → not pristine
-    Some((g, keepForRange(buckets, sLo, sHi), sLo, sHi))
+    pristineStats(spark, table, attr).map { case (g, buckets) =>
+      (g, keepForRange(buckets, sLo, sHi), sLo, sHi)
+    }
   }
 
   /** The pruned-scan predicate: kept-bucket partition pruning + the

@@ -1112,6 +1112,14 @@ class PropertySpec extends AnyFunSuite {
           assert((if (desc) gkVals.sorted.reverse else gkVals.sorted)
             === ordered.take(k),
             s"trial $trial case $c range $r k=$k desc=$desc")
+          // POINT lookups through the same map: random values (present
+          // or absent) match exactly the model's equality filter
+          val pts = Seq.fill(1 + rnd.nextInt(3))(
+            (rnd.nextInt(90) - 35).toLong)
+          val gotP = ts.matchEntities(Seq("p:n" -> MIn(pts.map(x => x: Any))))
+            .as[String].collect().toSeq.map(byId).sorted
+          assert(gotP === rows.map(_._2).filter(pts.contains).sorted,
+            s"trial $trial case $c points $pts")
         }
       }
     }

@@ -1488,6 +1488,53 @@ class TripleStoreSpec extends AnyFunSuite {
       s"expected a bkt-partition-pruned scan:\n$plan")
   }
 
+  test("valueIndex: POINT lookups (MEq/MIn) through the zone map — " +
+      "numeric and string (shared 6-byte prefixes), missing values, " +
+      "family mismatch and append both decline to the exact fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxpt").toString
+    val rows = (0 until 300).map(i => (f"e$i%03d", (i % 170).toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_pt", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    def ids(s: TripleStore, m: MVal) =
+      s.matchEntities(Seq("n:v" -> m)).as[String].collect().toSet
+    for (m <- Seq(MEq(5L): MVal, MIn(Seq(5L, 169L)), MIn(Seq(9999L)),
+        MIn(Seq(0L, 9999L))))
+      assert(ids(ts, m) === ids(plain, m), s"point $m")
+    assert(ids(ts, MIn(Seq(5L, 169L))) ===
+      rows.filter(r => r._2 == 5L || r._2 == 169L).map(_._1).toSet)
+    // the probe's scan partition-prunes on bkt
+    val probe = ValueIndex.inEids(spark, "vidx_pt", "n:v", "vlong",
+      Triples.VLong, Seq(5L))
+    assert(probe.isDefined)
+    val plan = probe.get.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      s"expected a bkt-partition-pruned scan:\n$plan")
+    // STRING points: values sharing a 6-byte prefix shadow the same —
+    // the bucket keeps them all, the native IN keeps only the asked-for
+    val srows = (0 until 60).map(i => (f"s$i%03d", f"prefix_$i%03d"))
+    val plainS = strStore(srows)
+    val tsS = plainS.buildValueIndex("vidx_pts", s"$dir/s", Seq("s:name"),
+      nBuckets = 4)
+    def idsS(s: TripleStore, m: MVal) =
+      s.matchEntities(Seq("s:name" -> m)).as[String].collect().toSet
+    assert(idsS(tsS, MEq("prefix_030")) === Set("s030"))
+    assert(idsS(tsS, MIn(Seq("prefix_001", "prefix_059", "nope"))) ===
+      Set("s001", "s059"))
+    // family mismatch declines (string point on the numeric index)
+    assert(ValueIndex.inEids(spark, "vidx_pt", "n:v", "vlong",
+      Triples.VLong, Seq("5")).isEmpty)
+    // append ends pristineness: the probe declines, the match surface
+    // stays exact through the fallback (e000 upserts 0 → 500)
+    ValueIndex.append(numStore(Seq(("e000", 500L)), tx = 1L), "vidx_pt")
+    assert(ValueIndex.inEids(spark, "vidx_pt", "n:v", "vlong",
+      Triples.VLong, Seq(0L)).isEmpty)
+    val truth = numStore(rows.filterNot(_._1 == "e000") :+ ("e000", 500L))
+    assert(truth.withValueIndex("vidx_pt")
+      .matchEntities(Seq("n:v" -> MEq(0L))).as[String].collect().toSet ===
+      Set("e170")) // 170 % 170 == 0; e000's live value is 500
+  }
+
   test("valueIndex: build rejects card-many and non-orderable attrs; " +
       "unstamped manifests fail fast with a rebuild message") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx4").toString
