@@ -2435,6 +2435,36 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // INDEX-DRIVEN CONJUNCTIVE match: "long docs in English" — the
+    // range conjunct is provably selective on the manifest (kept
+    // buckets ≤ 1/4 of the attr's facts), so it is served by the exact
+    // zone-map probe and the residual lang equality scans semi-joined
+    // to the probe's eids BEFORE the groupBy exchange (matchEntities'
+    // indexDrivenMatch; the manifest doubles as the statistics store
+    // that picks the driving conjunct). Own pristine index; PWild
+    // blocks base-table fusion so the driven path owns the plan.
+    "q179_conj_match" -> ((s, dir) => {
+      val t = s"q179vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q179vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+      store.withValueIndex(t)
+        .pullMany(
+          Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true),
+            s"$t:lang" -> MEq("en")),
+          Seq(PAttr(s"$t:doc_id"), PAttr(s"$t:n_chars"),
+            PAttr(s"$t:lang"), PWild))
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+    }),
+
     // ISO-8601 RANGE BOUNDS on a TIMESTAMP attr through the CLI's
     // $-key grammar: JSON carries no timestamp type, so the bound
     // arrives as a STRING — Cli.coerceRangeBounds resolves it to the
@@ -5493,6 +5523,10 @@ object SparkEntry {
     "q178_point_match" ->
       """SELECT doc_id, lang FROM documents
         |WHERE doc_id % 3 = 0 AND lang IN ('de', 'zh')""".stripMargin,
+    "q179_conj_match" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND lang = 'en'"""
+        .stripMargin,
     // ascending custkey through the proof-served index probe
     "q169_pull_topk_asc_proof" ->
       """SELECT c_custkey AS custkey, n_name AS nation_name

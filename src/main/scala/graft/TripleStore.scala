@@ -420,16 +420,76 @@ class TripleStore(
     *    fixed-order full intersections, SURVEY.md §4). */
   def matchEntities(pattern: Seq[(String, MVal)]): DataFrame = {
     require(pattern.nonEmpty, "empty match pattern")
-    def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
-      case MAny => Some($"a" === a)
-      case MEq(v) =>
-        Some($"a" === a && col(valueCol(a)).isInCollection(Seq(v)))
-      case MIn(vs) =>
-        Some($"a" === a && col(valueCol(a)).isInCollection(vs))
-      case r: MRange =>
-        Some($"a" === a && TripleStore.rangeCond(col(valueCol(a)), r))
-      case MSub(_) => None
+    indexDrivenMatch(pattern).getOrElse(matchViaScan(pattern))
+  }
+
+  private def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
+    case MAny => Some($"a" === a)
+    case MEq(v) =>
+      Some($"a" === a && col(valueCol(a)).isInCollection(Seq(v)))
+    case MIn(vs) =>
+      Some($"a" === a && col(valueCol(a)).isInCollection(vs))
+    case r: MRange =>
+      Some($"a" === a && TripleStore.rangeCond(col(valueCol(a)), r))
+    case MSub(_) => None
+  }
+
+  /** INDEX-DRIVEN conjunctive match: when the store carries a
+    * [[ValueIndex]] and some scalar conjunct is provably SELECTIVE —
+    * its range/point probe's kept buckets hold at most a quarter of the
+    * attr's facts, read off the manifest (the zone map doubling as a
+    * statistics store; the kept-bucket count is an upper bound on
+    * matches) — that conjunct is served by the exact probe and the
+    * RESIDUAL conjuncts' scan is semi-joined to the probe's eids
+    * BEFORE the groupBy, so the exchange carries candidate entities
+    * only (AQE broadcasts the small probe side). At 100 TB this turns
+    * "lang = 'de' AND n_chars > 450 AND ..." from a union-slice scan +
+    * full-width shuffle into a few pruned buckets + a residual scan
+    * whose shuffle is bounded by the selective conjunct's matches. The
+    * probe's decline contract (ValueIndex.matchProbe) plus the
+    * selectivity gate make this a pure plan improvement: any decline
+    * falls back to [[matchViaScan]] with identical semantics. */
+  private def indexDrivenMatch(pattern: Seq[(String, MVal)]): Option[DataFrame] = {
+    if (pattern.size < 2) return None
+    val t = valueIndex.getOrElse(return None)
+    val probes = pattern.zipWithIndex.flatMap { case ((a, mv), i) =>
+      ValueIndex.matchProbe(spark, t, a, valueCol(a), schemaOf(a).vtype, mv)
+        .map { case (df, est, tot) => (i, df, est, tot) }
     }
+    if (probes.isEmpty) return None
+    val (bi, eids, est, tot) = probes.minBy(_._3)
+    if (est * 4L > tot) return None // not selective enough to drive
+    val rest = pattern.zipWithIndex.collect { case (c, i) if i != bi => c }
+    val cs = rest.map { case (a, mv) => scalarCond(a, mv) }
+    Some {
+      if (cs.forall(_.isDefined)) {
+        val flat = cs.flatten
+        if (rest.size == 1) {
+          val a = rest.head._1
+          val filtered = scanFor(Seq(a)).where(flat.head)
+            .join(eids, Seq("e"), "left_semi").select($"e")
+          if (schemaOf(a).cardOne) filtered else filtered.distinct()
+        } else {
+          val flags = flat.zipWithIndex.map { case (c, i) =>
+            max(when(c, 1).otherwise(0)).as(s"_m$i") }
+          scanFor(rest.map(_._1).distinct)
+            .where(flat.reduce(_ || _))
+            .join(eids, Seq("e"), "left_semi")
+            .groupBy($"e").agg(flags.head, flags.tail: _*)
+            .where(flat.indices.map(i => col(s"_m$i") === 1).reduce(_ && _))
+            .select($"e")
+        }
+      } else {
+        // nested sub-patterns in the residue: the existing compilation
+        // owns them; the probe's exact eids intersect at the end
+        matchViaScan(rest).join(eids, Seq("e"), "left_semi")
+      }
+    }
+  }
+
+  /** The scan-side match compilations (collapse path / join chain) —
+    * see [[matchEntities]]'s doc for when each runs. */
+  private def matchViaScan(pattern: Seq[(String, MVal)]): DataFrame = {
     val conds = pattern.map { case (a, mv) => scalarCond(a, mv) }
     if (pattern.size >= 2 && conds.forall(_.isDefined)) {
       val cs = conds.flatten

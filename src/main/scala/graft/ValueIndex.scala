@@ -891,12 +891,7 @@ object ValueIndex {
   private[graft] def rangeEids(spark: SparkSession, table: String,
       attr: String, nativeCol: String, vtype: String,
       r: graft.query.MRange): Option[DataFrame] =
-    rangeProbe(spark, table, attr, vtype, r).map {
-      case (g, keep, sLo, sHi) =>
-        Some(g.dat().where(col("a") === attr &&
-            rangePred(keep, nativeCol, r, sLo, sHi))
-          .select(col("e")))
-    }.getOrElse(None)
+    matchProbe(spark, table, attr, nativeCol, vtype, r).map(_._1)
 
   /** The eids whose `attr` value equals ANY of `vs` — POINT lookups
     * (match's MEq/MIn) through the zone map: a point is a degenerate
@@ -911,7 +906,16 @@ object ValueIndex {
     * so point semantics are identical indexed or not. */
   private[graft] def inEids(spark: SparkSession, table: String,
       attr: String, nativeCol: String, vtype: String,
-      vs: Seq[Any]): Option[DataFrame] = {
+      vs: Seq[Any]): Option[DataFrame] =
+    inProbe(spark, table, attr, nativeCol, vtype, vs).map(_._1)
+
+  /** [[inEids]] plus the manifest numbers a PLANNER wants: (probe,
+    * kept-bucket fact count — an UPPER BOUND on matches, since kept
+    * buckets also hold rows the native predicate rejects — and the
+    * attr's total fact count). */
+  private def inProbe(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String,
+      vs: Seq[Any]): Option[(DataFrame, Long, Long)] = {
     if (vs.isEmpty) return None
     if (!vs.forall(boundFamilyOk(_, vtype))) return None
     val shadows = vs.map(shadowOfValue)
@@ -921,15 +925,44 @@ object ValueIndex {
       def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
       val keep = buckets.filter(b =>
         sh.exists(s => cmp(b._2, s) <= 0 && cmp(b._3, s) >= 0))
-      if (keep.isEmpty)
-        g.dat().where(lit(false)).select(col("e"))
-      else
-        g.dat().where(col("a") === attr &&
-            col("bkt").isInCollection(keep.map(_._1)) &&
-            col(nativeCol).isInCollection(vs) &&
-            col("vnum").isInCollection(sh))
-          .select(col("e"))
+      val df =
+        if (keep.isEmpty)
+          g.dat().where(lit(false)).select(col("e"))
+        else
+          g.dat().where(col("a") === attr &&
+              col("bkt").isInCollection(keep.map(_._1)) &&
+              col(nativeCol).isInCollection(vs) &&
+              col("vnum").isInCollection(sh))
+            .select(col("e"))
+      (df, keep.map(_._4).sum, buckets.map(_._4).sum)
     }
+  }
+
+  /** The planner-facing entry over BOTH membership probes: serve a
+    * scalar match value (equality / IN / range) from the index and
+    * report the manifest's selectivity numbers — what
+    * [[TripleStore.matchEntities]]'s index-driven conjunctive path
+    * ranks candidate conjuncts by. None = the shared decline contract
+    * (presence/sub-pattern shapes, family mismatch, un-indexed,
+    * un-reconciled appends). */
+  private[graft] def matchProbe(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String,
+      mv: graft.query.MVal): Option[(DataFrame, Long, Long)] = mv match {
+    case graft.query.MEq(v) =>
+      inProbe(spark, table, attr, nativeCol, vtype, Seq(v))
+    case graft.query.MIn(vs) =>
+      inProbe(spark, table, attr, nativeCol, vtype, vs)
+    case r: graft.query.MRange =>
+      rangeProbe(spark, table, attr, vtype, r).map { case (g, keep, sLo, sHi) =>
+        val df = g.dat().where(col("a") === attr &&
+            rangePred(keep, nativeCol, r, sLo, sHi))
+          .select(col("e"))
+        (df, keep.map(_._4).sum,
+          // rangeProbe returns only the kept buckets; re-read the full
+          // stats from the (warm) cache for the attr total
+          bucketStatsCached(spark, g, table, attr).map(_._4).sum)
+      }
+    case _ => None
   }
 
   /** Shared decline gate of the membership probes ([[rangeEids]],

@@ -598,6 +598,24 @@ object ScaleBench {
               graft.query.MRange(lo = Some(450L), loStrict = true)),
             Seq(graft.query.PAttr("documents:doc_id"),
               graft.query.PAttr("documents:n_chars"))).count(); () }),
+      // INDEX-DRIVEN conjunctive match: the selective range conjunct
+      // is served by the zone-map probe (manifest-picked: kept buckets
+      // ≤ 1/4 of the attr's facts), and the residual lang-equality
+      // scan semi-joins the probe's eids BEFORE the groupBy exchange
+      "eav_conj_match" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .withValueIndex(s"scale_vidx_$tag").matchEntities(
+            Seq("documents:n_chars" ->
+              graft.query.MRange(lo = Some(450L), loStrict = true),
+              "documents:lang" -> graft.query.MEq("en"))).count(); () }),
+      // CONTRAST: the same conjunction through the match-collapse scan
+      // (no index) — one union-slice scan + full-width groupBy
+      "eav_conj_match_scan" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .matchEntities(
+            Seq("documents:n_chars" ->
+              graft.query.MRange(lo = Some(450L), loStrict = true),
+              "documents:lang" -> graft.query.MEq("en"))).count(); () }),
       // ===== APPEND-FRAGMENTATION study (ValueIndex.compact's drift
       // story, measured): restore a clean hardlink copy of the built
       // index, then append 4 value-DRIFTED batches (repeat-lengthened
@@ -696,8 +714,9 @@ object ScaleBench {
     // NOTE for --only: probe workloads ride the index the preceding
     // build workload wrote (incr_neardup <- lsh_index_build, bm25_query
     // <- text_index_build, ivf_query <- ivf_index_build;
-    // eav_pull_topk{,_asc} and eav_range_match <- eav_value_index_build,
-    // eav_range_match_scan <- eav_store_save; the
+    // eav_pull_topk{,_asc}, eav_range_match and eav_conj_match <-
+    // eav_value_index_build,
+    // eav_range_match_scan / eav_conj_match_scan <- eav_store_save; the
     // fragmentation chain eav_vidx_append_frag <- eav_value_index_build
     // <- eav_store_save, then eav_pull_topk_frag <- append_frag,
     // eav_pull_topk_compacted <- eav_vidx_compact <- append_frag) —

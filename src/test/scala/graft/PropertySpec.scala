@@ -1120,6 +1120,17 @@ class PropertySpec extends AnyFunSuite {
             .as[String].collect().toSeq.map(byId).sorted
           assert(gotP === rows.map(_._2).filter(pts.contains).sorted,
             s"trial $trial case $c points $pts")
+          // CONJUNCTION of the range and the point list (both on the
+          // indexed attr): the driven path probes the more selective
+          // conjunct and scans the residue — model = intersection
+          val gotC = ts.matchEntities(Seq("p:n" -> r,
+              "p:n" -> MIn(pts.map(x => x: Any))))
+            .as[String].collect().toSeq.map(byId).sorted
+          assert(gotC === rows.map(_._2).filter(v =>
+            pts.contains(v) &&
+              lo.forall(l => if (ls) v > l else v >= l) &&
+              hi.forall(h => if (hs) v < h else v <= h)).sorted,
+            s"trial $trial case $c conj $r ∧ $pts")
         }
       }
     }

@@ -1535,6 +1535,47 @@ class TripleStoreSpec extends AnyFunSuite {
       Set("e170")) // 170 % 170 == 0; e000's live value is 500
   }
 
+  test("valueIndex: INDEX-DRIVEN conjunctive match — a selective " +
+      "probe drives, the residual scan semi-joins its eids; " +
+      "unselective and mixed patterns fall back with equal answers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxcj").toString
+    val rows = (0 until 400).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_cj", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    def ids(s: TripleStore, pat: Seq[(String, MVal)]) =
+      s.matchEntities(pat).as[String].collect().toSet
+    // selective range (top ~5%) + equality on the un-indexed tag:
+    // the driven path must agree with the scan compilation exactly
+    val driven = Seq("n:v" -> (MRange(lo = Some(380L)): MVal),
+      "n:tag" -> (MEq("t"): MVal))
+    assert(ids(ts, driven) === ids(plain, driven))
+    assert(ids(ts, driven) === (380 until 400).map(i => f"e$i%03d").toSet)
+    // the driven plan contains the probe's bkt partition pruning AND a
+    // semi-join; the pure collapse plan has neither
+    val plan = ts.matchEntities(driven).queryExecution.executedPlan.toString
+    assert(plan.contains("bkt") && plan.contains("LeftSemi"),
+      s"expected a probe-driven semi-join plan:\n$plan")
+    val scanPlan = plain.matchEntities(driven)
+      .queryExecution.executedPlan.toString
+    assert(!scanPlan.contains("LeftSemi"),
+      s"un-indexed collapse must not semi-join:\n$scanPlan")
+    // three clauses: selective point + range residue + presence
+    val tri = Seq("n:v" -> (MEq(42L): MVal),
+      "n:tag" -> (MAny: MVal), "n:v" -> (MRange(hi = Some(100L)): MVal))
+    assert(ids(ts, tri) === ids(plain, tri))
+    assert(ids(ts, tri) === Set("e042"))
+    // UNSELECTIVE probe (matches ~95%): the gate declines to drive and
+    // the collapse path answers — same result either way
+    val wide = Seq("n:v" -> (MRange(lo = Some(20L)): MVal),
+      "n:tag" -> (MEq("t"): MVal))
+    assert(ids(ts, wide) === ids(plain, wide))
+    // a contradiction prunes every bucket: empty, fast, and equal
+    val none = Seq("n:v" -> (MRange(lo = Some(9999L)): MVal),
+      "n:tag" -> (MEq("t"): MVal))
+    assert(ids(ts, none) === Set.empty[String])
+  }
+
   test("valueIndex: build rejects card-many and non-orderable attrs; " +
       "unstamped manifests fail fast with a rebuild message") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidx4").toString
