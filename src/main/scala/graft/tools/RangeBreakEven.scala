@@ -44,9 +44,11 @@ object RangeBreakEven {
       graft.SparkEntry.deleteRec(java.nio.file.Paths.get(dir))
       // Knuth-hash values into [0, 1M): uniform, deterministic, and the
       // > 980k predicate keeps ~2% — the "documents longer than N"
-      // selectivity class
+      // selectivity class. `cat` adds a 10-way category for the
+      // conjunctive measurement (range ∧ equality).
       val df = spark.range(n).select(col("id").as("doc_id"),
-        pmod(col("id") * 2654435761L, lit(1000000L)).as("n_chars"))
+        pmod(col("id") * 2654435761L, lit(1000000L)).as("n_chars"),
+        concat(lit("c"), pmod(col("id") * 40503L, lit(10L))).as("cat"))
       val spec = graft.sources.RowIngest.specFor(df, tag, Seq("doc_id"),
         Nil, None)
       new graft.TripleStore(spark,
@@ -66,7 +68,20 @@ object RangeBreakEven {
         time(probing.matchEntities(pat).count())))
       val scan = med((1 to 3).map(_ =>
         time(plain.matchEntities(pat).count())))
-      println(f"[rbe] n=$n%d probe=$probe%.3f scan=$scan%.3f")
+      // conjunction: the ~2% range drives, the 10-way category equality
+      // is the residual scan — vs the collapse compilation's
+      // union-slice scan + full-width groupBy
+      val conj = Seq(s"$tag:n_chars" ->
+          (r: graft.query.MVal),
+        s"$tag:cat" -> (graft.query.MEq("c3"): graft.query.MVal))
+      probing.matchEntities(conj).count()
+      plain.matchEntities(conj).count()
+      val conjDriven = med((1 to 3).map(_ =>
+        time(probing.matchEntities(conj).count())))
+      val conjScan = med((1 to 3).map(_ =>
+        time(plain.matchEntities(conj).count())))
+      println(f"[rbe] n=$n%d probe=$probe%.3f scan=$scan%.3f " +
+        f"conj_driven=$conjDriven%.3f conj_scan=$conjScan%.3f")
     }
     spark.stop()
   }
