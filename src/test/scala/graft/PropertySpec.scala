@@ -1136,6 +1136,84 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: INDEX-DRIVEN conjunctive match over TWO indexed " +
+      "attrs == driver filter model on random multi-attr patterns " +
+      "(driving-conjunct choice, residual scans, fallback cases)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cj_p").toString
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(7300L + trial)
+      val n = 120 + rnd.nextInt(120)
+      // entity i carries: p:n (long, indexed), p:s (string, indexed —
+      // zero-padded so ASCII lexicographic == numeric order), p:t (an
+      // un-indexed 3-way tag)
+      val rows = (0 until n).map { i =>
+        (f"e$i%04d", (rnd.nextInt(80) - 20).toLong,
+          f"s${rnd.nextInt(300)}%04d", "t" + rnd.nextInt(3))
+      }
+      val triples = rows.flatMap { case (e, nv, sv, tv) => Seq(
+        (e, "p:n", Some(nv), None: Option[String], None: Option[String]),
+        (e, "p:s", None, Some(sv), None),
+        (e, "p:t", None, None, Some(tv)))
+      }.toDF("e", "a", "nv", "sv", "tv")
+        .select(col("e"), col("a"),
+          coalesce(col("sv"), col("tv")).as("vstr"),
+          col("nv").as("vlong"))
+        .withColumn("vtype", when(col("a") === "p:n",
+          graft.model.Triples.VLong).otherwise(graft.model.Triples.VStr))
+        .withColumn("vdbl", lit(null).cast("double"))
+        .withColumn("vbool", lit(null).cast("boolean"))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vref", lit(null).cast("string"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .withColumn("txId", lit(0L))
+        .select(graft.model.Triples.columns.map(col): _*)
+      def schema(a: String, vt: String) = a ->
+        graft.model.AttrSchema(a, cardOne = true, isRef = false, vt)
+      val plain = new TripleStore(spark, triples, Map(
+        schema("p:n", graft.model.Triples.VLong),
+        schema("p:s", graft.model.Triples.VStr),
+        schema("p:t", graft.model.Triples.VStr)))
+      val ts = plain.buildValueIndex(s"vidx_cjp_$trial", s"$dir/t$trial",
+        Seq("p:n", "p:s"), nBuckets = 4 + rnd.nextInt(8))
+      val byId = rows.map(r => r._1 -> r).toMap
+      def conjunct(): ((String, MVal), ((String, Long, String, String)) => Boolean) =
+        rnd.nextInt(6) match {
+          case 0 =>
+            val lo = (rnd.nextInt(90) - 30).toLong; val s = rnd.nextBoolean()
+            (("p:n" -> MRange(lo = Some(lo), loStrict = s)),
+              r => if (s) r._2 > lo else r._2 >= lo)
+          case 1 =>
+            val vs = Seq.fill(1 + rnd.nextInt(3))((rnd.nextInt(90) - 30).toLong)
+            (("p:n" -> MIn(vs.map(x => x: Any))), r => vs.contains(r._2))
+          case 2 =>
+            val hi = f"s${rnd.nextInt(320)}%04d"; val s = rnd.nextBoolean()
+            (("p:s" -> MRange(hi = Some(hi), hiStrict = s)),
+              r => if (s) r._3 < hi else r._3 <= hi)
+          case 3 =>
+            val v = f"s${rnd.nextInt(320)}%04d"
+            (("p:s" -> MEq(v)), r => r._3 == v)
+          case 4 =>
+            val v = "t" + rnd.nextInt(3)
+            (("p:t" -> MEq(v)), r => r._4 == v)
+          case _ =>
+            (("p:n" -> MAny), _ => true)
+        }
+      for (c <- 1 to 8) {
+        val k = 2 + rnd.nextInt(2)
+        val cs = Seq.fill(k)(conjunct())
+        val pat = cs.map(_._1)
+        val got = ts.matchEntities(pat).as[String].collect().toSeq.sorted
+        val want = rows.filter(r => cs.forall(_._2(r))).map(_._1).sorted
+        assert(got === want, s"trial $trial case $c pattern $pat")
+        // and the un-indexed store agrees (same compilation family the
+        // driven path must be indistinguishable from)
+        val gotPlain = plain.matchEntities(pat).as[String].collect()
+          .toSeq.sorted
+        assert(gotPlain === want, s"trial $trial case $c plain $pat")
+      }
+    }
+  }
+
   test("property: the ValueIndex string shadow is monotone in Spark's " +
       "binary string order (unicode, shared prefixes, empty string)") {
     // the entire zone-map argument for string attrs rests on ONE fact:
