@@ -2435,6 +2435,79 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // STREAMING VALUE-INDEX MAINTENANCE: the vidx analogue of q110's
+    // LSH ingest loop — a foreachBatch loop appends each microbatch's
+    // card-one facts to the persisted zone map (O(batch): append
+    // harvests cuts from the manifest and never re-reads the corpus),
+    // then the maintenance valve compacts and the final store serves
+    // the range probe over ALL batches. While the loop ran, the layout
+    // held un-reconciled appends: top-k probes stayed exact (the
+    // threshold argument), the RANGE probe declined by contract (the
+    // pristine gate) — and a crash-replayed microbatch's double-append
+    // is absorbed by compact's per-(a, e) latest-txId reconciliation,
+    // the same rule that resolves upserts. Batch 1 (build + first
+    // append) is staged per (tag, sf) like every ingest loop; each rep
+    // restores the world and executes one new microbatch + compact +
+    // probe — the production cadence.
+    "q180_stream_vidx_ingest" -> ((s, dir) => withShuffle(s, 8) {
+      import java.nio.file.Paths
+      val in = scratch("q180in", dir)
+      val ckpt = scratch("q180ckpt", dir)
+      val work = scratch("q180idx", dir)
+      val compacted = scratch("q180idxc", dir)
+      val t = s"q180vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val b1 = stagedInput(s, "q180b1", dir)(
+        docs.where(col("doc_id") % 3 === 1))
+      val b2 = stagedInput(s, "q180b2", dir)(
+        docs.where(col("doc_id") % 3 === 2))
+      def batchStore(df: org.apache.spark.sql.DataFrame): TripleStore = {
+        val sp = graft.sources.RowIngest.specFor(df, t, Seq("doc_id"),
+          Nil, None)
+        new TripleStore(s, graft.sources.RowIngest.tableToTriples(df, sp),
+          sp.attrSchemas, preResolved = true,
+          source = Some(graft.model.UnionTripleSource(
+            Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+      }
+      def startStream() =
+        s.readStream.schema("doc_id BIGINT, n_chars BIGINT").parquet(in)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!b.isEmpty) graft.ValueIndex.append(batchStore(b), t)
+          }.start()
+      val staged = stagedStreamState(s, "q180s1", dir,
+        s"vidx fmt=${graft.ValueIndex.Fmt} nb=8 " +
+          s"b1=${treeFingerprint(b1)} b2=${treeFingerprint(b2)}",
+        capture = Seq((in, "in"), (ckpt, "ckpt"), (work, "idx"),
+          (work + "_manifest", "idx_manifest"))) {
+        for (d <- Seq(in, ckpt, work, work + "_manifest"))
+          deleteRec(Paths.get(d))
+        graft.ValueIndex.build(
+          batchStore(docs.where(col("doc_id") % 3 === 0)), t, work,
+          Seq(s"$t:n_chars"), 8)
+        copyRec(Paths.get(b1), Paths.get(in))
+        val q = startStream()
+        try q.processAllAvailable() finally q.stop()
+      }
+      staged.restore()
+      // restore re-links the WORK tree; the catalog may still name a
+      // prior rep's compacted path — re-point atomically
+      graft.ValueIndex.register(s, t, work)
+      copyRec(Paths.get(b2), Paths.get(in))
+      val q = startStream()
+      try q.processAllAvailable() finally q.stop()
+      graft.ValueIndex.compact(s, t, compacted, nBuckets = 8)
+      batchStore(docs).withValueIndex(t)
+        .pullMany(
+          Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
+          Seq(PAttr(s"$t:doc_id"), PWild))
+        .select(col("doc_id"),
+          col("attrs").getField(s"$t:n_chars").getItem(0)
+            .cast("long").as("n_chars"))
+    }),
+
     // INDEX-DRIVEN CONJUNCTIVE match: "long docs in English" — the
     // range conjunct is provably selective on the manifest (kept
     // buckets ≤ 1/4 of the attr's facts), so it is served by the exact
@@ -5527,6 +5600,8 @@ object SparkEntry {
       """SELECT doc_id, n_chars, lang FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars > 450 AND lang = 'en'"""
         .stripMargin,
+    "q180_stream_vidx_ingest" ->
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
     // ascending custkey through the proof-served index probe
     "q169_pull_topk_asc_proof" ->
       """SELECT c_custkey AS custkey, n_name AS nation_name
