@@ -2407,6 +2407,35 @@ object SparkEntry {
         .select(col("n_chars"))
     }),
 
+    // AGGREGATE pushdown from the zone map (TripleStore.countMatch →
+    // ValueIndex.countRange): "how many documents exceed 450 chars" —
+    // a curation question whose ANSWER can be billions of rows — is
+    // counted from the manifest for buckets provably inside the range
+    // (zero data rows read; the pristine gate makes fact count =
+    // entity count, and STRICT shadow inequality is what survives
+    // shadow plateaus), with only the straddling edge buckets scanned
+    // under the exact native predicate. Shares q173's pristine index;
+    // the two-sided window keeps both interior buckets (manifest-
+    // counted) and an edge bucket (scanned) in play.
+    "q181_range_count" -> ((s, dir) => {
+      import s.implicits._
+      val t = s"q173vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+      val n = store.withValueIndex(t).countMatch(Seq(s"$t:n_chars" ->
+        MRange(lo = Some(450L), hi = Some(900L), loStrict = true)))
+      Seq(n).toDF("n")
+    }),
+
     // POINT lookup (MEq/MIn) through the zone map (ValueIndex.inEids):
     // "documents in German or Chinese" — the equality curation filter —
     // is a degenerate range, pruned to the buckets whose [min, max]
@@ -5589,6 +5618,10 @@ object SparkEntry {
       """SELECT n_chars FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars > 450
         |ORDER BY n_chars DESC LIMIT 10""".stripMargin,
+    "q181_range_count" ->
+      """SELECT count(*) AS n FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
     "q177_cli_ts_range" ->
       """SELECT event_id, ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10'

@@ -423,6 +423,28 @@ class TripleStore(
     indexDrivenMatch(pattern).getOrElse(matchViaScan(pattern))
   }
 
+  /** Number of entities matching `pattern` — `matchEntities(_).count()`
+    * with the zone map's AGGREGATE PUSHDOWN for the single-range shape:
+    * on an indexed store, buckets provably inside the range are counted
+    * straight off the manifest (zero data rows read — the pristine gate
+    * makes fact count = entity count) and only the straddling edge
+    * buckets scan ([[ValueIndex.countRange]]). "How many documents
+    * exceed N chars" is a curation question whose ANSWER can be
+    * billions of rows; the pushdown's cost is O(edge buckets) either
+    * way. Any decline (family mismatch, un-indexed, un-reconciled
+    * appends, other pattern shapes) falls back to counting the exact
+    * match, so the count is index-independent. */
+  def countMatch(pattern: Seq[(String, MVal)]): Long = {
+    require(pattern.nonEmpty, "empty match pattern")
+    val pushed = pattern match {
+      case Seq((a, r: MRange)) =>
+        valueIndex.flatMap(t => ValueIndex.countRange(spark, t, a,
+          valueCol(a), schemaOf(a).vtype, r))
+      case _ => None
+    }
+    pushed.getOrElse(matchEntities(pattern).count())
+  }
+
   private def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
     case MAny => Some($"a" === a)
     case MEq(v) =>

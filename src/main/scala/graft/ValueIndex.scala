@@ -1082,4 +1082,35 @@ object ValueIndex {
         // exactly the full answer set
         Some(ordered(scanPast(thresholdFor(total))))
     }
+
+  /** EXACT count of the entities whose `attr` value lies in the range,
+    * served mostly WITHOUT touching data — the zone map's AGGREGATE
+    * pushdown: a kept bucket whose shadow span lies STRICTLY inside the
+    * shadowed bounds provably holds only matching rows (monotonicity:
+    * s(v) ≥ bucket-min > s(lo) ⇒ v > lo — STRICT shadow inequality is
+    * what survives shadow plateaus, where s(v) = s(lo) pairs with
+    * native v on either side of lo, and it subsumes both native
+    * strictnesses), so its manifest fact count contributes with ZERO
+    * rows read (the pristine gate makes fact count = entity count: one
+    * row per (a, e)); only the STRADDLING buckets — typically the two
+    * range edges, however many rows match — are scanned with the exact
+    * native predicate. "How many documents exceed N chars" over 100 TB
+    * reads O(edge buckets), independent of the answer's size. Decline
+    * conditions are [[rangeEids]]'s (family mismatch, un-indexed,
+    * un-reconciled appends); the caller owns the exact fallback count,
+    * so the count is index-independent. */
+  private[graft] def countRange(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String,
+      r: graft.query.MRange): Option[Long] =
+    rangeProbe(spark, table, attr, vtype, r).map { case (g, keep, sLo, sHi) =>
+      def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+      val (inner, edge) = keep.partition(b =>
+        sLo.forall(lo => cmp(b._2, lo) > 0) &&
+          sHi.forall(hi => cmp(b._3, hi) < 0))
+      val edgeCount =
+        if (edge.isEmpty) 0L
+        else g.dat().where(col("a") === attr &&
+          rangePred(edge, nativeCol, r, sLo, sHi)).count()
+      inner.map(_._4).sum + edgeCount
+    }
 }

@@ -16,6 +16,15 @@ import scala.jdk.CollectionConverters._
   *   graft.tools.Cli pull -i in.json ... [-p PULL_EXPR]
   *                        (-e ENTITY_PATTERN | -E eid,eid,...) -o out
   *   graft.tools.Cli datalog -i in.json ... -q QUERY -o out
+  *   graft.tools.Cli count -i in.json ... -e ENTITY_PATTERN
+  *                        [--table vidx] -o out
+  *
+  * `count` emits the number of entities matching `-e` as one
+  * {"count": N} row — the curation "how many pass this gate" question
+  * without materializing the match; with `--table` naming a registered
+  * ValueIndex covering the store's attrs, a single-range pattern counts
+  * inner buckets from the zone-map manifest with zero data rows read
+  * (TripleStore.countMatch; any decline is the exact fallback count).
   *
   * `join` ingests the inputs (optionally mapping each line through an
   * external command, cli.py:20-23) and dumps the store as EAV JSON lines;
@@ -136,7 +145,7 @@ object Cli {
       funnelSteps: Seq[String] = Nil,
       windowSeconds: Long = 86400L)
 
-  private val TripleSubs = Seq("join", "pull", "datalog")
+  private val TripleSubs = Seq("join", "pull", "datalog", "count")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
@@ -151,8 +160,8 @@ object Cli {
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
-      "usage: Cli {join|pull|datalog} -i inputs... [-p expr] " +
-        "[-e pattern | -E ids] [-q query] -o out\n" +
+      "usage: Cli {join|pull|datalog|count} -i inputs... [-p expr] " +
+        "[-e pattern | -E ids] [-q query] [--table vidx] -o out\n" +
         "   or: Cli {dedup|sample|chunk|pack|scrub|split|...} -i inputs... " +
         "[--format json|parquet] [--id COL] [--text COL] " +
         "[--size N --stride N | --capacity N [--by COL] | " +
@@ -875,6 +884,19 @@ object Cli {
         val q = parseDatalogQuery(
           a.query.getOrElse(sys.error("datalog needs -q query")))
         writeOut(q.coerced(ts).run(ts), a.output)
+      case "count" =>
+        // entity COUNT for a match pattern — the curation "how many
+        // docs pass this gate" question answered without materializing
+        // the match; with --table naming a registered ValueIndex whose
+        // attrs cover the pattern's, a single-range pattern counts
+        // inner buckets straight off the zone-map manifest
+        // (TripleStore.countMatch — any decline is the exact fallback)
+        val pat = a.entityPattern.map(parsePattern).getOrElse(
+          sys.error("count needs -e entity-pattern"))
+        val st = a.table.map(ts.withValueIndex).getOrElse(ts)
+        import spark.implicits._
+        writeOut(Seq(st.countMatch(coerceRangeBounds(st, pat)))
+          .toDF("count"), a.output)
     }
   }
 

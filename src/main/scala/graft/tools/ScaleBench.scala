@@ -616,6 +616,25 @@ object ScaleBench {
             Seq("documents:n_chars" ->
               graft.query.MRange(lo = Some(450L), loStrict = true),
               "documents:lang" -> graft.query.MEq("en"))).count(); () }),
+      // AGGREGATE COUNT pushdown: "how many docs exceed 450 chars" —
+      // buckets provably inside the range are counted from the
+      // manifest with ZERO data rows read; only the straddling edge
+      // buckets scan. Unlike the membership rows above (whose output
+      // is Ω(matches), so the honest claim is the constant), the
+      // count's answer is one number — its cost is O(edge buckets)
+      // and the EXPONENT itself is the claim
+      "eav_range_count" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .withValueIndex(s"scale_vidx_$tag").countMatch(
+            Seq("documents:n_chars" ->
+              graft.query.MRange(lo = Some(450L), loStrict = true))); () }),
+      // CONTRAST BASELINE: the exact fallback count — one full
+      // attr-pruned scan with the comparison applied per fact
+      "eav_range_count_scan" -> (() =>
+        { graft.TripleStore.load(spark, s"$scratch/eavstore_$tag")
+            .countMatch(
+            Seq("documents:n_chars" ->
+              graft.query.MRange(lo = Some(450L), loStrict = true))); () }),
       // ===== APPEND-FRAGMENTATION study (ValueIndex.compact's drift
       // story, measured): restore a clean hardlink copy of the built
       // index, then append 4 value-DRIFTED batches (repeat-lengthened
@@ -714,9 +733,10 @@ object ScaleBench {
     // NOTE for --only: probe workloads ride the index the preceding
     // build workload wrote (incr_neardup <- lsh_index_build, bm25_query
     // <- text_index_build, ivf_query <- ivf_index_build;
-    // eav_pull_topk{,_asc}, eav_range_match and eav_conj_match <-
-    // eav_value_index_build,
-    // eav_range_match_scan / eav_conj_match_scan <- eav_store_save; the
+    // eav_pull_topk{,_asc}, eav_range_match, eav_conj_match and
+    // eav_range_count <- eav_value_index_build,
+    // eav_range_match_scan / eav_conj_match_scan / eav_range_count_scan
+    // <- eav_store_save; the
     // fragmentation chain eav_vidx_append_frag <- eav_value_index_build
     // <- eav_store_save, then eav_pull_topk_frag <- append_frag,
     // eav_pull_topk_compacted <- eav_vidx_compact <- append_frag) —

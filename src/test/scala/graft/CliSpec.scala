@@ -816,6 +816,52 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI count verb: match-pattern entity counts, range patterns, " +
+      "and --table engaging the zone-map count pushdown") {
+    val dir = Files.createTempDirectory("graft_cli_cnt").toString
+    val in = dir + "/docs.json"
+    Files.writeString(Paths.get(in),
+      (1 to 30).map(i => s"""{"d:id": "x$i", "d:n": $i}""")
+        .mkString("", "\n", "\n"))
+    import spark.implicits._
+    val sch = """{"d:n": {"db:cardinality": "db.cardinality:one",
+                |         "db:valueType": "db.type:long"}}""".stripMargin
+    def counted(out: String): Long =
+      spark.read.json(out).select($"count").as[Long].collect().head
+    // range pattern through the exact fallback (no index attached)
+    Cli.run(spark, Array("count", "-i", in, "-I", "d:id", "-s", sch,
+      "-e", """{"d:n": {"$gt": 20}}""", "-o", dir + "/c1"))
+    assert(counted(dir + "/c1") === 10L)
+    // equality + conjunction shapes count entities, not rows
+    Cli.run(spark, Array("count", "-i", in, "-I", "d:id", "-s", sch,
+      "-e", """{"d:n": 25}""", "-o", dir + "/c2"))
+    assert(counted(dir + "/c2") === 1L)
+    Cli.run(spark, Array("count", "-i", in, "-I", "d:id", "-s", sch,
+      "-e", """{"d:n": {"$gte": 5, "$lt": 8}, "d:id": ["x5", "x6", "x99"]}""",
+      "-o", dir + "/c3"))
+    assert(counted(dir + "/c3") === 2L)
+    // --table: a registered ValueIndex over the SAME ingest serves the
+    // single-range count from its manifest (TripleStore.countMatch);
+    // the answer must be identical to the fallback's
+    val store = graft.TripleStore.bootstrap(spark,
+      graft.sources.JsonSource.loadFacts(spark, "tripl", Seq("d:id"), in),
+      schema = Cli.parseSchema(sch))
+    graft.ValueIndex.build(store, "clicnt_vidx", dir + "/v", Seq("d:n"),
+      nBuckets = 4)
+    assert(graft.ValueIndex.countRange(spark, "clicnt_vidx", "d:n",
+      "vlong", graft.model.Triples.VLong,
+      query.MRange(lo = Some(20L), loStrict = true)) === Some(10L))
+    Cli.run(spark, Array("count", "-i", in, "-I", "d:id", "-s", sch,
+      "-e", """{"d:n": {"$gt": 20}}""", "--table", "clicnt_vidx",
+      "-o", dir + "/c4"))
+    assert(counted(dir + "/c4") === 10L)
+    // no -e → loud usage error
+    intercept[RuntimeException] {
+      Cli.run(spark, Array("count", "-i", in, "-I", "d:id",
+        "-o", dir + "/c5"))
+    }
+  }
+
   test("CLI pull-expr / pattern / schema JSON parsers") {
     assert(Cli.parsePullExpr("""["a:x", "*", "ns:_rev", {"a:sub": ["a:y"]},
       {"a:rec": "..."}]""") ===

@@ -1199,6 +1199,99 @@ class TripleStoreSpec extends AnyFunSuite {
       Set.empty[String]) // inverted range: no bucket and no row
   }
 
+  test("countMatch: single-range counts are served from the manifest — " +
+      "inner buckets contribute with ZERO data rows read, edges scan, " +
+      "declines fall back to the exact count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxc").toString
+    val rows = (0 until 400).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_cnt", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    def model(lo: Option[Long], hi: Option[Long], ls: Boolean,
+        hs: Boolean): Long =
+      rows.map(_._2).count(v =>
+        lo.forall(l => if (ls) v > l else v >= l) &&
+          hi.forall(h => if (hs) v < h else v <= h)).toLong
+    // a grid straddling bucket interiors, extremes, empty and inverted
+    // windows, every strictness combination — pushdown == fallback ==
+    // the driver model
+    for {
+      lo <- Seq(None, Some(-5L), Some(0L), Some(57L), Some(399L),
+        Some(1000L))
+      hi <- Seq(None, Some(0L), Some(58L), Some(120L), Some(399L))
+      ls <- Seq(true, false); hs <- Seq(true, false)
+      if lo.nonEmpty || hi.nonEmpty
+    } {
+      val r = MRange(lo.map(x => x: Any), hi.map(x => x: Any), ls, hs)
+      val n = model(lo, hi, ls, hs)
+      assert(ts.countMatch(Seq("n:v" -> r)) === n, s"indexed $r")
+      assert(plain.countMatch(Seq("n:v" -> r)) === n, s"fallback $r")
+    }
+    // the inner-bucket contribution provably reads NO data: an
+    // all-inner window (bounds beyond both extremes) answers from the
+    // manifest alone — shown by DELETING the data tree (the sibling
+    // _manifest dir survives) and counting again; a straddling window
+    // must fail, because its edge buckets genuinely scan
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_vidxc2")
+      .toString
+    plain.buildValueIndex("vidx_cnt2", s"$dir2/v", Seq("n:v"),
+      nBuckets = 8)
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(purge)
+      f.delete(): Unit
+    }
+    purge(new java.io.File(s"$dir2/v"))
+    assert(ValueIndex.countRange(spark, "vidx_cnt2", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some(-5L), hi = Some(1000L)))
+      === Some(400L))
+    intercept[Exception] {
+      ValueIndex.countRange(spark, "vidx_cnt2", "n:v", "vlong",
+        Triples.VLong, MRange(lo = Some(100L)))
+    }
+    // shadow PLATEAUS (strings sharing a 6+-byte prefix collapse to one
+    // shadow) can never be proven inner — every kept bucket edge-scans
+    // with the exact native predicate, so the count stays exact
+    val srows = (0 until 90).map(i => (f"p$i%02d", f"prefix_$i%03d"))
+    val striples = srows.toDF("e", "vstr")
+      .withColumn("a", lit("n:s"))
+      .withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val sPlain = new TripleStore(spark, striples, Map("n:s" ->
+      graft.model.AttrSchema("n:s", cardOne = true, isRef = false,
+        Triples.VStr)))
+    val sTs = sPlain.buildValueIndex("vidx_cnts", s"$dir/s", Seq("n:s"),
+      nBuckets = 6)
+    for ((lo, hi) <- Seq(
+        (Some("prefix_010"), Some("prefix_047")),
+        (Some("prefix_"), None), (None, Some("prefix_055")),
+        (Some("prefix_0555"), Some("prefix_06"))))
+      for (st <- Seq(true, false)) {
+        val r = MRange(lo.map(x => x: Any), hi.map(x => x: Any), st, st)
+        val n = srows.map(_._2).count(v =>
+          lo.forall(l => if (st) v > l else v >= l) &&
+            hi.forall(h => if (st) v < h else v <= h)).toLong
+        assert(sTs.countMatch(Seq("n:s" -> r)) === n, s"plateau $r")
+      }
+    // an APPEND (un-reconciled upsert twins possible) declines the
+    // pushdown; countMatch stays exact through the fallback scan
+    ValueIndex.append(numStore(Seq(("x001", 7L)), tx = 1L), "vidx_cnt")
+    assert(ValueIndex.countRange(spark, "vidx_cnt", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some(100L))).isEmpty)
+    assert(ts.countMatch(Seq("n:v" ->
+      MRange(lo = Some(100L), loStrict = true))) === 299L)
+    // family-mismatched bound: decline, exact either way (0 string
+    // values on a long attr match a string bound's cast comparison)
+    assert(ValueIndex.countRange(spark, "vidx_cnt", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some("450"))).isEmpty)
+  }
+
   test("valueIndex: double attrs with NaN facts — probe == fallback " +
       "under Spark's NaN-largest order (desc ranks NaN first)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidxn").toString
