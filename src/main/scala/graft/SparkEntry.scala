@@ -2436,6 +2436,33 @@ object SparkEntry {
       Seq(n).toDF("n")
     }),
 
+    // the SAME count pushdown recognized at the DATALOG layer: a
+    // global count aggregate over one range clause ({"find": [],
+    // "agg": [["count","?d","n"]], "where": [["?d", n_chars, range]]})
+    // IS countMatch's shape — the set-semantics distinct-?d count the
+    // general compilation would produce equals the matched-entity
+    // count, so the manifest serves it before any clause frame is
+    // built. Shares q173's pristine index.
+    "q182_datalog_count" -> ((s, dir) => {
+      val t = s"q173vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+      store.withValueIndex(t).datalog(
+        find = Seq.empty,
+        where = Seq(("?d", s"$t:n_chars",
+          MRange(lo = Some(450L), hi = Some(900L), loStrict = true))),
+        aggregates = Seq(graft.query.DatalogAgg("count", "?d", "n")))
+    }),
+
     // POINT lookup (MEq/MIn) through the zone map (ValueIndex.inEids):
     // "documents in German or Chinese" — the equality curation filter —
     // is a degenerate range, pruned to the buckets whose [min, max]
@@ -5619,6 +5646,10 @@ object SparkEntry {
         |WHERE doc_id % 3 = 0 AND n_chars > 450
         |ORDER BY n_chars DESC LIMIT 10""".stripMargin,
     "q181_range_count" ->
+      """SELECT count(*) AS n FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
+    "q182_datalog_count" ->
       """SELECT count(*) AS n FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
         .stripMargin,

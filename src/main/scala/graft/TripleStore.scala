@@ -1223,6 +1223,24 @@ class TripleStore(
         * point). */
       useRecursiveCte: Boolean = false): DataFrame = {
     require(where.nonEmpty || orWhere.nonEmpty, "empty where")
+    // AGGREGATE PUSHDOWN through the query language: a global count
+    // over one range clause — {"find": [], "agg": [["count","?d","n"]],
+    // "where": [["?d", attr, {"$gt": N}]]} is the "how many docs pass
+    // this gate" question — IS [[countMatch]]'s shape, so on an indexed
+    // store the manifest answers it with zero data rows read for inner
+    // buckets. Semantics are identical by construction: the general
+    // path would count the DISTINCT ?d projection of the solved clause
+    // (set semantics), which is exactly the matched-entity count; any
+    // decline inside countMatch is the exact scan count.
+    (find, where, aggregates) match {
+      case (Seq(), Seq((s, a, r: MRange)), Seq(agg))
+          if rules.isEmpty && notWhere.isEmpty && orWhere.isEmpty &&
+            withVars.isEmpty && agg.fn == "count" && agg.v == s &&
+            isVar(s) && s != a && !isVar(a) &&
+            sortBy.isEmpty && take.isEmpty =>
+        return Seq(countMatch(Seq(a -> (r: MVal)))).toDF(agg.as)
+      case _ => ()
+    }
     val preds = rules.map(_.head._2).distinct
     val empty = Seq.empty[(String, String)].toDF("s", "o")
 

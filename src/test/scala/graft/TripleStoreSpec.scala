@@ -1279,6 +1279,23 @@ class TripleStoreSpec extends AnyFunSuite {
             hi.forall(h => if (st) v < h else v <= h)).toLong
         assert(sTs.countMatch(Seq("n:s" -> r)) === n, s"plateau $r")
       }
+    // the DATALOG layer recognizes the same shape: a global count over
+    // ONE range clause == the driver model on indexed and plain stores;
+    // a two-clause body (NOT the shape) routes through the general
+    // compilation and must agree on the equivalent question
+    val dlr = MRange(lo = Some(100L), hi = Some(250L), loStrict = true)
+    def dlCount(st: TripleStore, body: Seq[(String, String, Any)]) =
+      st.datalog(Seq.empty, body,
+          aggregates = Seq(graft.query.DatalogAgg("count", "?d", "n")))
+        .as[Long].collect().head
+    assert(dlCount(ts, Seq(("?d", "n:v", dlr))) === 150L)
+    assert(dlCount(plain, Seq(("?d", "n:v", dlr))) === 150L)
+    assert(dlCount(ts, Seq(("?d", "n:v", dlr),
+      ("?d", "n:tag", "t"))) === 150L)
+    // an empty window through the datalog shape: one row, count 0 —
+    // exactly what the general global aggregate emits
+    assert(dlCount(ts, Seq(("?d", "n:v",
+      MRange(lo = Some(5000L))))) === 0L)
     // an APPEND (un-reconciled upsert twins possible) declines the
     // pushdown; countMatch stays exact through the fallback scan
     ValueIndex.append(numStore(Seq(("x001", 7L)), tx = 1L), "vidx_cnt")
