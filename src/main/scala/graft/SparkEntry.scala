@@ -2463,6 +2463,34 @@ object SparkEntry {
         aggregates = Seq(graft.query.DatalogAgg("count", "?d", "n")))
     }),
 
+    // SUM pushdown (sumMatch → ValueIndex.sumRange): "total chars of
+    // the docs above the threshold" — the token-budget estimate behind
+    // a curation gate — reads the v6 manifest's MATERIALIZED per-bucket
+    // long sums for buckets provably inside the range (zero data rows)
+    // and scans only the straddling edges. Long-only by design: long
+    // addition is associative, so pushed == scanned always, where a
+    // double sum depends on association order. Shares q173's pristine
+    // index.
+    "q183_range_sum" -> ((s, dir) => {
+      import s.implicits._
+      val t = s"q173vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+      val tot = store.withValueIndex(t).sumMatch(s"$t:n_chars",
+        Seq(s"$t:n_chars" ->
+          MRange(lo = Some(450L), hi = Some(900L), loStrict = true)))
+      Seq(tot).toDF("s")
+    }),
+
     // POINT lookup (MEq/MIn) through the zone map (ValueIndex.inEids):
     // "documents in German or Chinese" — the equality curation filter —
     // is a degenerate range, pruned to the buckets whose [min, max]
@@ -5651,6 +5679,10 @@ object SparkEntry {
         .stripMargin,
     "q182_datalog_count" ->
       """SELECT count(*) AS n FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
+    "q183_range_sum" ->
+      """SELECT CAST(sum(n_chars) AS BIGINT) AS s FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
         .stripMargin,
     "q177_cli_ts_range" ->

@@ -445,6 +445,39 @@ class TripleStore(
     pushed.getOrElse(matchEntities(pattern).count())
   }
 
+  /** Sum of a LONG attr's values over the entities matching `pattern` —
+    * the token-budget question ("total chars of the docs above the
+    * threshold") as a scalar, with the zone map's SUM pushdown for the
+    * single-range-on-the-summed-attr shape: inner buckets contribute
+    * their materialized manifest sums with zero data rows read
+    * ([[ValueIndex.sumRange]]), only edges scan. Long-only by design —
+    * long addition is associative, so pushed == scanned always (a
+    * double sum's value depends on association order). An empty match
+    * sums to 0, the monoid identity (SQL's SUM would say NULL). Any
+    * decline falls back to the exact scan: the attr's fact slice
+    * semi-joined to the match (card-many attrs sum every fact of a
+    * matched entity; the pushdown never fires there — the index is
+    * card-one-only). */
+  def sumMatch(attr: String, pattern: Seq[(String, MVal)]): Long = {
+    require(pattern.nonEmpty, "empty match pattern")
+    require(schemaOf(attr).vtype == Triples.VLong,
+      s"sumMatch sums LONG attrs only (got ${schemaOf(attr).vtype} " +
+        s"for $attr) — double sums are association-order-dependent " +
+        "and belong to the DataFrame layer where the plan is explicit")
+    val pushed = pattern match {
+      case Seq((a, r: MRange)) if a == attr =>
+        valueIndex.flatMap(t =>
+          ValueIndex.sumRange(spark, t, a, schemaOf(a).vtype, r))
+      case _ => None
+    }
+    pushed.getOrElse {
+      val row = scanFor(Seq(attr))
+        .join(matchEntities(pattern), Seq("e"), "left_semi")
+        .agg(sum($"vlong")).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+  }
+
   private def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
     case MAny => Some($"a" === a)
     case MEq(v) =>

@@ -87,16 +87,23 @@ object ValueIndex {
     * with a rebuild message instead of silently mis-reading (the lshv2
     * lesson: a format change with no stamp strands old persisted
     * tables). */
-  private[graft] val Fmt = 5
-                      // v5: data rows carry vts (NTZ timestamp attrs
+  private[graft] val Fmt = 6
+                      // v6: manifest rows carry suml — the per-bucket
+                      // SUM of native LONG values (null for non-long
+                      // attrs), the materialized aggregate the sum
+                      // pushdown reads for buckets provably inside a
+                      // range; exact and order-independent (long
+                      // addition is associative, overflow wraps mod
+                      // 2^64 exactly like Spark's scan sum)
+                      // (v5: data rows carry vts — NTZ timestamp attrs
                       // served through the decimal-exact field-micros
-                      // shadow) and registration stamps the location
-                      // as a HEX property — created WITH the view
+                      // shadow — and registration stamps the location
+                      // as a HEX property, created WITH the view
                       // definition on fresh names, flipped by atomic
-                      // ALTER VIEW mutations on existing ones (never
+                      // ALTER VIEW mutations on existing ones, never
                       // CREATE OR REPLACE, which Spark implements as
-                      // drop + create: a real not-found window)
-                      // (v4 added manifest maxtx; v3 vstr rows, the
+                      // drop + create: a real not-found window;
+                      // v4 added manifest maxtx; v3 vstr rows, the
                       // string shadow keying, and view registration)
 
   /** Catalog property on the index's views naming the data location —
@@ -543,9 +550,13 @@ object ValueIndex {
   private def manifestOf(data: DataFrame): DataFrame =
     data.groupBy(col("a"), col("bkt"))
       .agg(min(col("vnum")).as("minv"), max(col("vnum")).as("maxv"),
-        count(lit(1)).as("cnt"), max(col("txId")).as("maxtx"))
+        count(lit(1)).as("cnt"), max(col("txId")).as("maxtx"),
+        // per-bucket materialized SUM of native long values (null for
+        // non-long attrs) — what the sum pushdown reads for buckets
+        // provably inside a range
+        sum(col("vlong")).as("suml"))
       .select(col("minv"), col("maxv"), col("cnt"), col("maxtx"),
-        lit(Fmt).as("fmt"), col("a"), col("bkt"))
+        lit(Fmt).as("fmt"), col("suml"), col("a"), col("bkt"))
 
   /** The largest txId any indexed fact carries — read from the MANIFEST
     * (every build/append/compact batch stamps its max onto the rows it
@@ -586,14 +597,18 @@ object ValueIndex {
   }
 
   /** One bucket summary row: (bkt, min shadow, max shadow, fact count,
-    * manifest-row count). The last field is the append detector: build
-    * and compact write EXACTLY one manifest row per (a, bkt), and the
-    * first append after either lands in the existing bucket-id space
-    * (its cuts are harvested from the one-row-per-bucket manifest, so
-    * it can mint no new ids), so `nman == 1` on every bucket ⟺ no
-    * append since the last build/compact ⟺ the layout holds one row
-    * per (a, e) — the PRISTINE state exact-membership probes require. */
-  private[graft] type BucketStat = (Int, Double, Double, Long, Long)
+    * manifest-row count, native-long sum). The nman field is the append
+    * detector: build and compact write EXACTLY one manifest row per
+    * (a, bkt), and the first append after either lands in the existing
+    * bucket-id space (its cuts are harvested from the
+    * one-row-per-bucket manifest, so it can mint no new ids), so
+    * `nman == 1` on every bucket ⟺ no append since the last
+    * build/compact ⟺ the layout holds one row per (a, e) — the
+    * PRISTINE state exact-membership probes require. The suml field is
+    * the materialized per-bucket SUM of native long values (None for
+    * non-long attrs) the sum pushdown reads. */
+  private[graft] type BucketStat = (Int, Double, Double, Long, Long,
+    Option[Long])
 
   /** Per-bucket [[BucketStat]]s for `attr`, in ONE bounded collect that
     * doubles as the format gate: ANY manifest row for the attr carried
@@ -610,6 +625,9 @@ object ValueIndex {
     require(man.columns.contains("fmt"),
       s"valueIndex $table predates format v$Fmt — rebuild it with " +
         "ValueIndex.build (old tables carry no version stamp)")
+    require(man.columns.contains("suml"),
+      s"valueIndex $table predates format v$Fmt — rebuild it with " +
+        s"ValueIndex.build (v$Fmt manifests carry per-bucket long sums)")
     val agg = man.where(col("a") === attr)
       .groupBy(col("bkt"))
       .agg(min(when(col("fmt") === Fmt, col("minv"))).as("minv"),
@@ -617,14 +635,16 @@ object ValueIndex {
         sum(when(col("fmt") === Fmt, col("cnt"))).as("cnt"),
         count(when(col("fmt") === Fmt, lit(1))).as("nman"),
         sum(when(col("fmt") =!= Fmt, lit(1L)).otherwise(lit(0L)))
-          .as("stale"))
+          .as("stale"),
+        sum(when(col("fmt") === Fmt, col("suml"))).as("suml"))
       .collect()
     require(agg.forall(_.getLong(5) == 0L),
       s"valueIndex $table holds pre-v$Fmt rows for $attr — rebuild " +
         s"with ValueIndex.build (v$Fmt data rows carry vstr and the " +
         "shadow keying; older rows cannot be probed)")
     agg.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
-      r.getLong(3), r.getLong(4)))
+      r.getLong(3), r.getLong(4),
+      if (r.isNullAt(6)) None else Some(r.getLong(6))))
   }
 
   /** [[bucketStats]] results cached per (data path, attr), VALIDATED by
@@ -1113,4 +1133,39 @@ object ValueIndex {
           rangePred(edge, nativeCol, r, sLo, sHi)).count()
       inner.map(_._4).sum + edgeCount
     }
+
+  /** EXACT sum of a LONG attr's values inside the range — the SUM twin
+    * of [[countRange]], reading the v$Fmt manifest's materialized
+    * per-bucket sums for provably-inner buckets (same strict-shadow
+    * inner test) and scanning only the straddling edges. "Total chars
+    * above the threshold" — the token-budget estimate behind a curation
+    * gate — costs O(edge buckets) however much matches. Long-only by
+    * design: long addition is associative (overflow wraps mod 2^64
+    * exactly like Spark's own scan sum, so pushed == scanned always),
+    * where a double sum's value depends on association order. Decline
+    * conditions are [[rangeEids]]'s plus a non-long attr; the caller
+    * owns the exact fallback. */
+  private[graft] def sumRange(spark: SparkSession, table: String,
+      attr: String, vtype: String, r: graft.query.MRange): Option[Long] = {
+    if (vtype != Triples.VLong) return None
+    rangeProbe(spark, table, attr, vtype, r).flatMap {
+      case (g, keep, sLo, sHi) =>
+        def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+        val (inner, edge) = keep.partition(b =>
+          sLo.forall(lo => cmp(b._2, lo) > 0) &&
+            sHi.forall(hi => cmp(b._3, hi) < 0))
+        if (inner.exists(_._6.isEmpty)) None // no materialized sum
+        else {
+          val edgeSum =
+            if (edge.isEmpty) 0L
+            else {
+              val row = g.dat().where(col("a") === attr &&
+                  rangePred(edge, "vlong", r, sLo, sHi))
+                .agg(sum(col("vlong"))).collect()(0)
+              if (row.isNullAt(0)) 0L else row.getLong(0)
+            }
+          Some(inner.flatMap(_._6).sum + edgeSum)
+        }
+    }
+  }
 }

@@ -1097,10 +1097,12 @@ class PropertySpec extends AnyFunSuite {
             lo.forall(l => if (ls) v > l else v >= l) &&
               hi.forall(h => if (hs) v < h else v <= h)).sorted
           assert(got === want, s"trial $trial case $c range $r")
-          // COUNT pushdown over the same window: inner-bucket manifest
-          // counts + an edge-only scan == the model's count
+          // COUNT and SUM pushdowns over the same window: inner-bucket
+          // manifest aggregates + an edge-only scan == the model
           assert(ts.countMatch(Seq("p:n" -> r)) === want.size.toLong,
             s"trial $trial case $c count $r")
+          assert(ts.sumMatch("p:n", Seq("p:n" -> r)) === want.sum,
+            s"trial $trial case $c sum $r")
           // the fused range+top-k probe on the same window: k of the
           // in-range values in either direction == the model's take(k)
           // (ties pick interchangeable eids; VALUES are deterministic).

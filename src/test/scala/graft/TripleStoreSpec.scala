@@ -1208,13 +1208,13 @@ class TripleStoreSpec extends AnyFunSuite {
     val ts = plain.buildValueIndex("vidx_cnt", s"$dir/v", Seq("n:v"),
       nBuckets = 8)
     def model(lo: Option[Long], hi: Option[Long], ls: Boolean,
-        hs: Boolean): Long =
-      rows.map(_._2).count(v =>
+        hs: Boolean): Seq[Long] =
+      rows.map(_._2).filter(v =>
         lo.forall(l => if (ls) v > l else v >= l) &&
-          hi.forall(h => if (hs) v < h else v <= h)).toLong
+          hi.forall(h => if (hs) v < h else v <= h))
     // a grid straddling bucket interiors, extremes, empty and inverted
     // windows, every strictness combination — pushdown == fallback ==
-    // the driver model
+    // the driver model, for the COUNT and the SUM alike
     for {
       lo <- Seq(None, Some(-5L), Some(0L), Some(57L), Some(399L),
         Some(1000L))
@@ -1223,9 +1223,14 @@ class TripleStoreSpec extends AnyFunSuite {
       if lo.nonEmpty || hi.nonEmpty
     } {
       val r = MRange(lo.map(x => x: Any), hi.map(x => x: Any), ls, hs)
-      val n = model(lo, hi, ls, hs)
-      assert(ts.countMatch(Seq("n:v" -> r)) === n, s"indexed $r")
-      assert(plain.countMatch(Seq("n:v" -> r)) === n, s"fallback $r")
+      val m = model(lo, hi, ls, hs)
+      assert(ts.countMatch(Seq("n:v" -> r)) === m.size.toLong,
+        s"indexed $r")
+      assert(plain.countMatch(Seq("n:v" -> r)) === m.size.toLong,
+        s"fallback $r")
+      assert(ts.sumMatch("n:v", Seq("n:v" -> r)) === m.sum, s"sum $r")
+      assert(plain.sumMatch("n:v", Seq("n:v" -> r)) === m.sum,
+        s"sum fallback $r")
     }
     // the inner-bucket contribution provably reads NO data: an
     // all-inner window (bounds beyond both extremes) answers from the
@@ -1244,8 +1249,18 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(ValueIndex.countRange(spark, "vidx_cnt2", "n:v", "vlong",
       Triples.VLong, MRange(lo = Some(-5L), hi = Some(1000L)))
       === Some(400L))
+    // the SUM pushdown reads the same manifest: an all-inner window
+    // answers from the materialized per-bucket sums alone (0..399 sums
+    // to 79800), a straddling one genuinely scans its edges
+    assert(ValueIndex.sumRange(spark, "vidx_cnt2", "n:v",
+      Triples.VLong, MRange(lo = Some(-5L), hi = Some(1000L)))
+      === Some(79800L))
     intercept[Exception] {
       ValueIndex.countRange(spark, "vidx_cnt2", "n:v", "vlong",
+        Triples.VLong, MRange(lo = Some(100L)))
+    }
+    intercept[Exception] {
+      ValueIndex.sumRange(spark, "vidx_cnt2", "n:v",
         Triples.VLong, MRange(lo = Some(100L)))
     }
     // shadow PLATEAUS (strings sharing a 6+-byte prefix collapse to one
@@ -1301,12 +1316,28 @@ class TripleStoreSpec extends AnyFunSuite {
     ValueIndex.append(numStore(Seq(("x001", 7L)), tx = 1L), "vidx_cnt")
     assert(ValueIndex.countRange(spark, "vidx_cnt", "n:v", "vlong",
       Triples.VLong, MRange(lo = Some(100L))).isEmpty)
+    assert(ValueIndex.sumRange(spark, "vidx_cnt", "n:v",
+      Triples.VLong, MRange(lo = Some(100L))).isEmpty)
     assert(ts.countMatch(Seq("n:v" ->
       MRange(lo = Some(100L), loStrict = true))) === 299L)
+    assert(ts.sumMatch("n:v", Seq("n:v" ->
+      MRange(lo = Some(100L), loStrict = true))) === 74750L)
     // family-mismatched bound: decline, exact either way (0 string
     // values on a long attr match a string bound's cast comparison)
     assert(ValueIndex.countRange(spark, "vidx_cnt", "n:v", "vlong",
       Triples.VLong, MRange(lo = Some("450"))).isEmpty)
+    // sums are LONG-only by design: a string attr declines at the probe
+    // and sumMatch rejects it loudly at the API
+    assert(ValueIndex.sumRange(spark, "vidx_cnts", "n:s",
+      Triples.VStr, MRange(lo = Some("prefix_010"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      sTs.sumMatch("n:s", Seq("n:s" -> MRange(lo = Some("prefix_010"))))
+    }
+    // sumMatch's GENERAL fallback: a conjunctive (non-pushdown) pattern
+    // sums the attr over the matched entities
+    assert(ts.sumMatch("n:v", Seq(
+      "n:v" -> MRange(lo = Some(390L)),
+      "n:tag" -> (MEq("t"): MVal))) === (390L to 399L).sum)
   }
 
   test("valueIndex: double attrs with NaN facts — probe == fallback " +
