@@ -18,6 +18,8 @@ import scala.jdk.CollectionConverters._
   *   graft.tools.Cli datalog -i in.json ... -q QUERY -o out
   *   graft.tools.Cli count -i in.json ... -e ENTITY_PATTERN
   *                        [--table vidx] -o out
+  *   graft.tools.Cli sum -i in.json ... -e ENTITY_PATTERN --cols ATTR
+  *                        [--table vidx] -o out
   *
   * `count` emits the number of entities matching `-e` as one
   * {"count": N} row — the curation "how many pass this gate" question
@@ -25,6 +27,9 @@ import scala.jdk.CollectionConverters._
   * ValueIndex covering the store's attrs, a single-range pattern counts
   * inner buckets from the zone-map manifest with zero data rows read
   * (TripleStore.countMatch; any decline is the exact fallback count).
+  * `sum` is its LONG-attr sibling ({"sum": N}, TripleStore.sumMatch):
+  * `--cols` names the summed attr, and a single-range pattern on that
+  * attr reads the manifest's materialized per-bucket sums.
   *
   * `join` ingests the inputs (optionally mapping each line through an
   * external command, cli.py:20-23) and dumps the store as EAV JSON lines;
@@ -145,7 +150,7 @@ object Cli {
       funnelSteps: Seq[String] = Nil,
       windowSeconds: Long = 86400L)
 
-  private val TripleSubs = Seq("join", "pull", "datalog", "count")
+  private val TripleSubs = Seq("join", "pull", "datalog", "count", "sum")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
@@ -160,8 +165,9 @@ object Cli {
 
   private def parseArgs(argv: Array[String]): Args = {
     require(argv.nonEmpty && (TripleSubs ++ PipelineSubs).contains(argv(0)),
-      "usage: Cli {join|pull|datalog|count} -i inputs... [-p expr] " +
-        "[-e pattern | -E ids] [-q query] [--table vidx] -o out\n" +
+      "usage: Cli {join|pull|datalog|count|sum} -i inputs... [-p expr] " +
+        "[-e pattern | -E ids] [-q query] [--table vidx] " +
+        "[--cols sum-attr] -o out\n" +
         "   or: Cli {dedup|sample|chunk|pack|scrub|split|...} -i inputs... " +
         "[--format json|parquet] [--id COL] [--text COL] " +
         "[--size N --stride N | --capacity N [--by COL] | " +
@@ -897,6 +903,23 @@ object Cli {
         import spark.implicits._
         writeOut(Seq(st.countMatch(coerceRangeBounds(st, pat)))
           .toDF("count"), a.output)
+      case "sum" =>
+        // LONG-attr sum over the matched entities ("total chars above
+        // the threshold" from the shell): --cols names the summed
+        // attr; with --table naming a registered ValueIndex, a
+        // single-range-on-the-summed-attr pattern reads the manifest's
+        // materialized per-bucket sums (TripleStore.sumMatch — any
+        // decline is the exact semi-joined scan sum)
+        val attr = a.cols match {
+          case Seq(one) => one
+          case _ => sys.error("sum needs --cols ATTR (exactly one)")
+        }
+        val pat = a.entityPattern.map(parsePattern).getOrElse(
+          sys.error("sum needs -e entity-pattern"))
+        val st = a.table.map(ts.withValueIndex).getOrElse(ts)
+        import spark.implicits._
+        writeOut(Seq(st.sumMatch(attr, coerceRangeBounds(st, pat)))
+          .toDF("sum"), a.output)
     }
   }
 

@@ -816,8 +816,8 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
-  test("CLI count verb: match-pattern entity counts, range patterns, " +
-      "and --table engaging the zone-map count pushdown") {
+  test("CLI count/sum verbs: match-pattern entity counts and long-attr " +
+      "sums, range patterns, --table engaging the zone-map pushdowns") {
     val dir = Files.createTempDirectory("graft_cli_cnt").toString
     val in = dir + "/docs.json"
     Files.writeString(Paths.get(in),
@@ -859,6 +859,22 @@ class CliSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       Cli.run(spark, Array("count", "-i", in, "-I", "d:id",
         "-o", dir + "/c5"))
+    }
+    // the sum sibling: --cols names the summed LONG attr; the indexed
+    // single-range shape reads the manifest's materialized sums
+    def summed(out: String): Long =
+      spark.read.json(out).select($"sum").as[Long].collect().head
+    Cli.run(spark, Array("sum", "-i", in, "-I", "d:id", "-s", sch,
+      "-e", """{"d:n": {"$gt": 20}}""", "--cols", "d:n",
+      "-o", dir + "/s1"))
+    assert(summed(dir + "/s1") === (21 to 30).sum.toLong)
+    Cli.run(spark, Array("sum", "-i", in, "-I", "d:id", "-s", sch,
+      "-e", """{"d:n": {"$gt": 20}}""", "--cols", "d:n",
+      "--table", "clicnt_vidx", "-o", dir + "/s2"))
+    assert(summed(dir + "/s2") === (21 to 30).sum.toLong)
+    intercept[RuntimeException] {
+      Cli.run(spark, Array("sum", "-i", in, "-I", "d:id", "-s", sch,
+        "-e", """{"d:n": {"$gt": 20}}""", "-o", dir + "/s3"))
     }
   }
 

@@ -1063,8 +1063,8 @@ class PropertySpec extends AnyFunSuite {
       val n = 80 + rnd.nextInt(150)
       val rows = (0 until n).map(i =>
         (f"e$i%04d", (rnd.nextInt(60) - 20).toLong))
-      val store = {
-        val triples = rows.toDF("e", "vlong")
+      def mkStore(rs: Seq[(String, Long)], tx: Long): TripleStore = {
+        val triples = rs.toDF("e", "vlong")
           .withColumn("a", lit("p:n"))
           .withColumn("vtype", lit(graft.model.Triples.VLong))
           .withColumn("vstr", lit(null).cast("string"))
@@ -1073,12 +1073,13 @@ class PropertySpec extends AnyFunSuite {
           .withColumn("vts", lit(null).cast("timestamp_ntz"))
           .withColumn("vref", lit(null).cast("string"))
           .withColumn("vbin", lit(null).cast("binary"))
-          .withColumn("txId", lit(0L))
+          .withColumn("txId", lit(tx))
           .select(graft.model.Triples.columns.map(col): _*)
         new TripleStore(spark, triples, Map("p:n" ->
           graft.model.AttrSchema("p:n", cardOne = true, isRef = false,
             graft.model.Triples.VLong)))
       }
+      val store = mkStore(rows, 0L)
       val ts = store.buildValueIndex(s"vidx_rngp_$trial", s"$dir/t$trial",
         Seq("p:n"), nBuckets = 4 + rnd.nextInt(12))
       val byId = rows.toMap
@@ -1139,6 +1140,40 @@ class PropertySpec extends AnyFunSuite {
             s"trial $trial case $c conj $r ∧ $pts")
         }
       }
+      // LIFECYCLE: an append (fresh entities + genuine UPSERTS of
+      // existing ones) declines every membership/aggregate probe while
+      // un-reconciled; compact applies latest-txId-wins and the
+      // reconciled index serves the post-upsert truth on the matching
+      // union store
+      val fresh = (0 until 8).map(i =>
+        (f"x$i%04d", (rnd.nextInt(90) - 35).toLong))
+      val upserts = rows.take(5).map { case (e, _) =>
+        (e, (rnd.nextInt(90) - 35).toLong) }
+      ValueIndex.append(mkStore(fresh ++ upserts, 1L), s"vidx_rngp_$trial")
+      val rAll = MRange(lo = Some(-40L))
+      assert(ValueIndex.rangeEids(spark, s"vidx_rngp_$trial", "p:n",
+        "vlong", graft.model.Triples.VLong, rAll).isEmpty)
+      assert(ValueIndex.countRange(spark, s"vidx_rngp_$trial", "p:n",
+        "vlong", graft.model.Triples.VLong, rAll).isEmpty)
+      assert(ValueIndex.sumRange(spark, s"vidx_rngp_$trial", "p:n",
+        graft.model.Triples.VLong, rAll).isEmpty)
+      ValueIndex.compact(spark, s"vidx_rngp_$trial", s"$dir/t${trial}c",
+        nBuckets = 4 + rnd.nextInt(8))
+      val latest = (rows.toMap ++ upserts.toMap ++ fresh.toMap).toSeq
+      val ts2 = mkStore(latest, 2L).withValueIndex(s"vidx_rngp_$trial")
+      val lo2 = Some((rnd.nextInt(60) - 25).toLong)
+      val strict2 = rnd.nextBoolean()
+      val r2 = MRange(lo2.map(x => x: Any), None, strict2, false)
+      val m2 = latest.map(_._2).filter(v =>
+        lo2.forall(l => if (strict2) v > l else v >= l))
+      assert(ts2.countMatch(Seq("p:n" -> r2)) === m2.size.toLong,
+        s"trial $trial post-compact count")
+      assert(ts2.sumMatch("p:n", Seq("p:n" -> r2)) === m2.sum,
+        s"trial $trial post-compact sum")
+      // and the probe itself serves again (pristine after compact)
+      assert(ValueIndex.countRange(spark, s"vidx_rngp_$trial", "p:n",
+        "vlong", graft.model.Triples.VLong, r2) === Some(m2.size.toLong),
+        s"trial $trial post-compact probe")
     }
   }
 
