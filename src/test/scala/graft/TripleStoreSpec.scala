@@ -1377,6 +1377,22 @@ class TripleStoreSpec extends AnyFunSuite {
     assert(norm(top(ts, 30, d = true)) === norm(top(plain, 30, d = true)))
     // asc universe form: NaN ranks last, bottom-k is NaN-free here
     assert(norm(top(ts, 5, d = false)) === norm(top(plain, 5, d = false)))
+    // COUNT pushdown under NaN: a lower-only range counts NaN facts as
+    // matches (Spark's NaN-largest comparison semantics — NaN > lo is
+    // TRUE on the fallback scan, and the NaN bucket's min shadow sits
+    // above any finite bound, so the manifest agrees); an upper bound
+    // exiles the NaN bucket from the provably-inner set, and the edge
+    // scan's exact predicate rejects the NaN rows — indexed == plain
+    // == 60-row model either way
+    for (r <- Seq(MRange(lo = Some(9.5)),
+        MRange(lo = Some(9.5), hi = Some(1e9)),
+        MRange(hi = Some(20.0), hiStrict = true))) {
+      assert(ts.countMatch(Seq("d:v" -> r)) ===
+        plain.countMatch(Seq("d:v" -> r)), s"NaN count $r")
+    }
+    assert(ts.countMatch(Seq("d:v" -> MRange(lo = Some(9.5)))) === 52L)
+    assert(ts.countMatch(Seq("d:v" ->
+      MRange(lo = Some(9.5), hi = Some(1e9)))) === 50L)
   }
 
   test("valueIndex: appends fragment the layout and open drift buckets; " +
