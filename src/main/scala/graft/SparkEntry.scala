@@ -354,6 +354,28 @@ object SparkEntry {
     } else graft.ValueIndex.register(s, table, pristine)
   }
 
+  /** The q173-FAMILY store: the documents 1/3 slice ingested as a
+    * TableSource store with its n_chars ValueIndex staged pristine per
+    * (tag, sf) — q173/q175/q176/q181/q182/q183 all probe this ONE
+    * index, so its shape (slice, attrs, bucket count) lives here and
+    * nowhere else. Returns the index-attached store; callers name
+    * attrs via the same `q173vidx_<tag>` prefix. */
+  private def q173IndexedStore(s: SparkSession, dir: String): TripleStore = {
+    val t = s"q173vidx_${dirTag(dir)}"
+    val docs = Tpch.raw(s, dir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_chars"))
+    val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+      Nil, None)
+    def store = new TripleStore(s,
+      graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+      preResolved = true,
+      source = Some(graft.model.UnionTripleSource(
+        Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+    vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
+    store.withValueIndex(t)
+  }
+
   /** Register an UNBUCKETED parquet location as an external table —
     * the sidecar (stats / centroids) analogue of Layout.registerBucketed
     * for the pristine-reuse helpers below. */
@@ -2331,18 +2353,7 @@ object SparkEntry {
     // 1/3 corpus slice, q170's trim.
     "q173_range_match" -> ((s, dir) => {
       val t = s"q173vidx_${dirTag(dir)}"
-      val docs = Tpch.raw(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("n_chars"))
-      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
-        Nil, None)
-      def store = new TripleStore(s,
-        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
-        preResolved = true,
-        source = Some(graft.model.UnionTripleSource(
-          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
-      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
-      store.withValueIndex(t)
+      q173IndexedStore(s, dir)
         .pullMany(
           Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
           Seq(PAttr(s"$t:doc_id"), PWild))
@@ -2358,18 +2369,7 @@ object SparkEntry {
     // clause joins the doc_id binding). Shares q173's pristine index.
     "q175_datalog_range" -> ((s, dir) => {
       val t = s"q173vidx_${dirTag(dir)}"
-      val docs = Tpch.raw(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("n_chars"))
-      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
-        Nil, None)
-      def store = new TripleStore(s,
-        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
-        preResolved = true,
-        source = Some(graft.model.UnionTripleSource(
-          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
-      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
-      store.withValueIndex(t).datalog(
+      q173IndexedStore(s, dir).datalog(
           find = Seq("?doc_id"),
           where = Seq(
             ("?d", s"$t:n_chars", MRange(lo = Some(450L), loStrict = true)),
@@ -2388,18 +2388,7 @@ object SparkEntry {
     // (deterministic) VALUE list is the compared output.
     "q176_range_topk" -> ((s, dir) => {
       val t = s"q173vidx_${dirTag(dir)}"
-      val docs = Tpch.raw(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("n_chars"))
-      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
-        Nil, None)
-      def store = new TripleStore(s,
-        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
-        preResolved = true,
-        source = Some(graft.model.UnionTripleSource(
-          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
-      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
-      store.withValueIndex(t)
+      q173IndexedStore(s, dir)
         .pullMany(
           Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
           Seq(PAttr(s"$t:n_chars"), PWild),
@@ -2420,18 +2409,7 @@ object SparkEntry {
     "q181_range_count" -> ((s, dir) => {
       import s.implicits._
       val t = s"q173vidx_${dirTag(dir)}"
-      val docs = Tpch.raw(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("n_chars"))
-      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
-        Nil, None)
-      def store = new TripleStore(s,
-        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
-        preResolved = true,
-        source = Some(graft.model.UnionTripleSource(
-          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
-      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
-      val n = store.withValueIndex(t).countMatch(Seq(s"$t:n_chars" ->
+      val n = q173IndexedStore(s, dir).countMatch(Seq(s"$t:n_chars" ->
         MRange(lo = Some(450L), hi = Some(900L), loStrict = true)))
       Seq(n).toDF("n")
     }),
@@ -2445,18 +2423,7 @@ object SparkEntry {
     // built. Shares q173's pristine index.
     "q182_datalog_count" -> ((s, dir) => {
       val t = s"q173vidx_${dirTag(dir)}"
-      val docs = Tpch.raw(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("n_chars"))
-      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
-        Nil, None)
-      def store = new TripleStore(s,
-        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
-        preResolved = true,
-        source = Some(graft.model.UnionTripleSource(
-          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
-      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
-      store.withValueIndex(t).datalog(
+      q173IndexedStore(s, dir).datalog(
         find = Seq.empty,
         where = Seq(("?d", s"$t:n_chars",
           MRange(lo = Some(450L), hi = Some(900L), loStrict = true))),
@@ -2474,18 +2441,7 @@ object SparkEntry {
     "q183_range_sum" -> ((s, dir) => {
       import s.implicits._
       val t = s"q173vidx_${dirTag(dir)}"
-      val docs = Tpch.raw(s, dir, "documents")
-        .where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("n_chars"))
-      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
-        Nil, None)
-      def store = new TripleStore(s,
-        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
-        preResolved = true,
-        source = Some(graft.model.UnionTripleSource(
-          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
-      vidxFromPristine(s, "q173vidx", dir, t, Seq(s"$t:n_chars"), 8)(store)
-      val tot = store.withValueIndex(t).sumMatch(s"$t:n_chars",
+      val tot = q173IndexedStore(s, dir).sumMatch(s"$t:n_chars",
         Seq(s"$t:n_chars" ->
           MRange(lo = Some(450L), hi = Some(900L), loStrict = true)))
       Seq(tot).toDF("s")

@@ -1264,7 +1264,12 @@ class TripleStore(
     // buckets. Semantics are identical by construction: the general
     // path would count the DISTINCT ?d projection of the solved clause
     // (set semantics), which is exactly the matched-entity count; any
-    // decline inside countMatch is the exact scan count.
+    // decline inside countMatch is the exact scan count. NOTE this one
+    // shape is served EAGERLY — the manifest collect (or the fallback
+    // count) runs at call time and the result is a local one-row frame,
+    // where every other datalog shape returns a lazy plan; callers
+    // building plans without executing them should treat this shape as
+    // already-executed.
     (find, where, aggregates) match {
       case (Seq(), Seq((s, a, r: MRange)), Seq(agg))
           if rules.isEmpty && notWhere.isEmpty && orWhere.isEmpty &&

@@ -90,11 +90,12 @@ object ValueIndex {
   private[graft] val Fmt = 6
                       // v6: manifest rows carry suml — the per-bucket
                       // SUM of native LONG values (null for non-long
-                      // attrs), the materialized aggregate the sum
-                      // pushdown reads for buckets provably inside a
-                      // range; exact and order-independent (long
-                      // addition is associative, overflow wraps mod
-                      // 2^64 exactly like Spark's scan sum)
+                      // attrs, and for buckets whose decimal-computed
+                      // total falls outside the long range), the
+                      // materialized aggregate the sum pushdown reads
+                      // for buckets provably inside a range; exact and
+                      // order-independent, with every overflow path
+                      // declining to the exact fallback
                       // (v5: data rows carry vts — NTZ timestamp attrs
                       // served through the decimal-exact field-micros
                       // shadow — and registration stamps the location
@@ -494,10 +495,18 @@ object ValueIndex {
       nBuckets: Int = 64): (String, String) = {
     val oldPath = dataPathOf(spark, table)
     val man = spark.read.parquet(oldPath + "_manifest")
+    // compact consumes DATA rows only and regenerates the manifest, so
+    // any format with current-shape data rows is compactable — which
+    // makes compact the cheap O(index) MIGRATION for a persisted v5
+    // layout (v6 changed only the manifest: suml). Probes on a v5
+    // index fail loud until this runs; truly-old layouts (different
+    // data rows) still require a rebuild from the store.
     require(man.columns.contains("fmt") &&
-        man.where(col("fmt") =!= Fmt).isEmpty,
-      s"valueIndex $table predates format v$Fmt — rebuild it with " +
-        s"ValueIndex.build (pre-v$Fmt layouts cannot be compacted in place)")
+        man.where(!col("fmt").isin(DataCompatFmts.toSeq: _*)).isEmpty,
+      s"valueIndex $table predates format v${DataCompatFmts.min} — " +
+        "rebuild it with ValueIndex.build (its data rows lack the " +
+        "current shadow keying; only manifest-level format drift is " +
+        "compactable in place)")
     // RECONCILE UPSERTS: append never reads the existing corpus, so a
     // batch that re-asserted a card-one attr for an already-indexed
     // entity left the stale row beside the new one (probes between that
@@ -553,10 +562,17 @@ object ValueIndex {
         count(lit(1)).as("cnt"), max(col("txId")).as("maxtx"),
         // per-bucket materialized SUM of native long values (null for
         // non-long attrs) — what the sum pushdown reads for buckets
-        // provably inside a range
-        sum(col("vlong")).as("suml"))
+        // provably inside a range. Summed in DECIMAL(38,0) so the
+        // build can never overflow (ANSI mode would THROW on a LONG
+        // sum); a bucket total outside the long range stores NULL and
+        // the pushdown declines to the exact fallback, which owns the
+        // engine-native overflow semantics
+        sum(col("vlong").cast("decimal(38,0)")).as("_sumd"))
       .select(col("minv"), col("maxv"), col("cnt"), col("maxtx"),
-        lit(Fmt).as("fmt"), col("suml"), col("a"), col("bkt"))
+        lit(Fmt).as("fmt"),
+        when(col("_sumd").between(lit(Long.MinValue), lit(Long.MaxValue)),
+          col("_sumd").cast("long")).as("suml"),
+        col("a"), col("bkt"))
 
   /** The largest txId any indexed fact carries — read from the MANIFEST
     * (every build/append/compact batch stamps its max onto the rows it
@@ -636,7 +652,11 @@ object ValueIndex {
         count(when(col("fmt") === Fmt, lit(1))).as("nman"),
         sum(when(col("fmt") =!= Fmt, lit(1L)).otherwise(lit(0L)))
           .as("stale"),
-        sum(when(col("fmt") === Fmt, col("suml"))).as("suml"))
+        // decimal so a multi-row (appended) bucket's total can never
+        // overflow the aggregation itself; out-of-long-range totals
+        // become None below and the sum pushdown declines
+        sum(when(col("fmt") === Fmt, col("suml"))
+          .cast("decimal(38,0)")).as("suml"))
       .collect()
     require(agg.forall(_.getLong(5) == 0L),
       s"valueIndex $table holds pre-v$Fmt rows for $attr — rebuild " +
@@ -644,8 +664,19 @@ object ValueIndex {
         "shadow keying; older rows cannot be probed)")
     agg.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
       r.getLong(3), r.getLong(4),
-      if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      if (r.isNullAt(6)) None else toLongOpt(r.getDecimal(6))))
   }
+
+  /** Formats whose DATA rows are identical to the current layout's
+    * (v6 changed only the manifest), so [[compact]] can consume them
+    * and emit a current-format tree — the in-place migration path. */
+  private val DataCompatFmts = Set(5, Fmt)
+
+  private val LongMinBD = new java.math.BigDecimal(Long.MinValue)
+  private val LongMaxBD = new java.math.BigDecimal(Long.MaxValue)
+  private def toLongOpt(bd: java.math.BigDecimal): Option[Long] =
+    if (bd.compareTo(LongMinBD) >= 0 && bd.compareTo(LongMaxBD) <= 0)
+      Some(bd.longValueExact()) else None
 
   /** [[bucketStats]] results cached per (data path, attr), VALIDATED by
     * the manifest directory's file listing: every mutation that can
@@ -1119,14 +1150,27 @@ object ValueIndex {
     * conditions are [[rangeEids]]'s (family mismatch, un-indexed,
     * un-reconciled appends); the caller owns the exact fallback count,
     * so the count is index-independent. */
+  /** The (provably-inner, straddling-edge) split of the range's kept
+    * buckets — THE correctness core shared by both aggregate pushdowns
+    * so count and sum can never diverge: a bucket is inner only when
+    * its shadow span lies STRICTLY inside the shadowed bounds, the test
+    * that survives shadow plateaus (where s(v) = s(bound) pairs with
+    * native v on either side of the bound) and subsumes both native
+    * strictnesses. Conservative by construction: an equal-shadow edge
+    * is scanned exactly, never counted blind. */
+  private def splitInnerEdge(keep: Array[BucketStat], sLo: Option[Double],
+      sHi: Option[Double]): (Array[BucketStat], Array[BucketStat]) = {
+    def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+    keep.partition(b =>
+      sLo.forall(lo => cmp(b._2, lo) > 0) &&
+        sHi.forall(hi => cmp(b._3, hi) < 0))
+  }
+
   private[graft] def countRange(spark: SparkSession, table: String,
       attr: String, nativeCol: String, vtype: String,
       r: graft.query.MRange): Option[Long] =
     rangeProbe(spark, table, attr, vtype, r).map { case (g, keep, sLo, sHi) =>
-      def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
-      val (inner, edge) = keep.partition(b =>
-        sLo.forall(lo => cmp(b._2, lo) > 0) &&
-          sHi.forall(hi => cmp(b._3, hi) < 0))
+      val (inner, edge) = splitInnerEdge(keep, sLo, sHi)
       val edgeCount =
         if (edge.isEmpty) 0L
         else g.dat().where(col("a") === attr &&
@@ -1135,36 +1179,39 @@ object ValueIndex {
     }
 
   /** EXACT sum of a LONG attr's values inside the range — the SUM twin
-    * of [[countRange]], reading the v$Fmt manifest's materialized
-    * per-bucket sums for provably-inner buckets (same strict-shadow
-    * inner test) and scanning only the straddling edges. "Total chars
-    * above the threshold" — the token-budget estimate behind a curation
-    * gate — costs O(edge buckets) however much matches. Long-only by
-    * design: long addition is associative (overflow wraps mod 2^64
-    * exactly like Spark's own scan sum, so pushed == scanned always),
-    * where a double sum's value depends on association order. Decline
-    * conditions are [[rangeEids]]'s plus a non-long attr; the caller
-    * owns the exact fallback. */
+    * of [[countRange]], reading the manifest's materialized per-bucket
+    * sums for provably-inner buckets ([[splitInnerEdge]]) and scanning
+    * only the straddling edges. "Total chars above the threshold" — the
+    * token-budget estimate behind a curation gate — costs O(edge
+    * buckets) however much matches. Long-only by design: long addition
+    * is associative and exactness is checkable, where a double sum's
+    * value depends on association order. OVERFLOW-SAFE end to end: the
+    * manifest's per-bucket sums are decimal-computed and NULLed when
+    * outside the long range, the edge scan aggregates in DECIMAL(38,0),
+    * and the driver-side total uses addExact — any sum not
+    * representable in Long DECLINES to the exact fallback, which owns
+    * the engine-native overflow semantics (ANSI mode throws; legacy
+    * wraps). The pushdown never returns a silently-wrapped value.
+    * Decline conditions are [[rangeEids]]'s plus a non-long attr. */
   private[graft] def sumRange(spark: SparkSession, table: String,
       attr: String, vtype: String, r: graft.query.MRange): Option[Long] = {
     if (vtype != Triples.VLong) return None
     rangeProbe(spark, table, attr, vtype, r).flatMap {
       case (g, keep, sLo, sHi) =>
-        def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
-        val (inner, edge) = keep.partition(b =>
-          sLo.forall(lo => cmp(b._2, lo) > 0) &&
-            sHi.forall(hi => cmp(b._3, hi) < 0))
-        if (inner.exists(_._6.isEmpty)) None // no materialized sum
+        val (inner, edge) = splitInnerEdge(keep, sLo, sHi)
+        if (inner.exists(_._6.isEmpty)) None // no representable sum
         else {
-          val edgeSum =
-            if (edge.isEmpty) 0L
+          val edgeSumOpt: Option[Long] =
+            if (edge.isEmpty) Some(0L)
             else {
               val row = g.dat().where(col("a") === attr &&
                   rangePred(edge, "vlong", r, sLo, sHi))
-                .agg(sum(col("vlong"))).collect()(0)
-              if (row.isNullAt(0)) 0L else row.getLong(0)
+                .agg(sum(col("vlong").cast("decimal(38,0)"))).collect()(0)
+              if (row.isNullAt(0)) Some(0L) else toLongOpt(row.getDecimal(0))
             }
-          Some(inner.flatMap(_._6).sum + edgeSum)
+          try edgeSumOpt.map(es =>
+            inner.foldLeft(es)((acc, b) => Math.addExact(acc, b._6.get)))
+          catch { case _: ArithmeticException => None }
         }
     }
   }

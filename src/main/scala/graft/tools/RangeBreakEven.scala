@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *   runMain graft.tools.RangeBreakEven [n1,n2,...]
   *
   * Defaults to 200k / 1M / 4M / 16M facts. Prints one line per size:
-  * `[rbe] n=<facts> probe=<s> scan=<s>`. Results land in README's
-  * break-even note; an idle box is assumed (same caveat as Bench). */
+  * `[rbe] n=<facts> probe=<s> scan=<s> conj_*=<s> count_*=<s>
+  * sum_*=<s>` — membership, index-driven conjunction, and the
+  * count/sum aggregate pushdowns, each against its exact-scan
+  * fallback. Results land in README's break-even note; an idle box is
+  * assumed (same caveat as Bench). */
 object RangeBreakEven {
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption
@@ -80,8 +83,23 @@ object RangeBreakEven {
         time(probing.matchEntities(conj).count())))
       val conjScan = med((1 to 3).map(_ =>
         time(plain.matchEntities(conj).count())))
+      // aggregate pushdowns (count/sum over the same ~2% range): inner
+      // buckets answer from the manifest, only edges scan — and unlike
+      // the membership rows the OUTPUT is one number, so the pruned
+      // cost is the WHOLE cost at any scale, not Ω(matches)
+      probing.countMatch(pat); plain.countMatch(pat)
+      val cntPush = med((1 to 3).map(_ => time(probing.countMatch(pat))))
+      val cntScan = med((1 to 3).map(_ => time(plain.countMatch(pat))))
+      probing.sumMatch(s"$tag:n_chars", pat)
+      plain.sumMatch(s"$tag:n_chars", pat)
+      val sumPush = med((1 to 3).map(_ =>
+        time(probing.sumMatch(s"$tag:n_chars", pat))))
+      val sumScan = med((1 to 3).map(_ =>
+        time(plain.sumMatch(s"$tag:n_chars", pat))))
       println(f"[rbe] n=$n%d probe=$probe%.3f scan=$scan%.3f " +
-        f"conj_driven=$conjDriven%.3f conj_scan=$conjScan%.3f")
+        f"conj_driven=$conjDriven%.3f conj_scan=$conjScan%.3f " +
+        f"count_push=$cntPush%.3f count_scan=$cntScan%.3f " +
+        f"sum_push=$sumPush%.3f sum_scan=$sumScan%.3f")
     }
     spark.stop()
   }

@@ -1340,6 +1340,74 @@ class TripleStoreSpec extends AnyFunSuite {
       "n:tag" -> (MEq("t"): MVal))) === (390L to 399L).sum)
   }
 
+  test("sumRange: unrepresentable totals DECLINE — the pushdown never " +
+      "returns a silently wrapped sum; the fallback owns the " +
+      "engine-native overflow semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxo").toString
+    val big = Seq(("a1", 6000000000000000000L),
+      ("a2", 6100000000000000000L), ("a3", 6200000000000000000L),
+      ("a4", 100L))
+    val plain = numStore(big)
+    val ts = plain.buildValueIndex("vidx_ovf", s"$dir/v", Seq("n:v"),
+      nBuckets = 4)
+    val rAll = MRange(lo = Some(0L))
+    // the total exceeds Long range (either a bucket's decimal sum was
+    // NULLed as unrepresentable, or the driver-side addExact refuses):
+    // the probe DECLINES rather than wrap
+    assert(ValueIndex.sumRange(spark, "vidx_ovf", "n:v", Triples.VLong,
+      rAll).isEmpty)
+    // counting the same window is unaffected
+    assert(ValueIndex.countRange(spark, "vidx_ovf", "n:v", "vlong",
+      Triples.VLong, rAll) === Some(4L))
+    // indexed == plain on the overflowing question, whatever the
+    // session's overflow semantics: ANSI throws on both, legacy wraps
+    // identically on both (the fallback IS the same plan)
+    if (spark.conf.get("spark.sql.ansi.enabled").toBoolean) {
+      intercept[Exception] { ts.sumMatch("n:v", Seq("n:v" -> rAll)) }
+      intercept[Exception] { plain.sumMatch("n:v", Seq("n:v" -> rAll)) }
+    } else {
+      assert(ts.sumMatch("n:v", Seq("n:v" -> rAll)) ===
+        plain.sumMatch("n:v", Seq("n:v" -> rAll)))
+    }
+    // a window summing only the small value stays manifest-served
+    assert(ts.sumMatch("n:v", Seq("n:v" -> MRange(hi = Some(1000L))))
+      === 100L)
+  }
+
+  test("valueIndex: a v5 manifest (no suml) fails probes loud, and " +
+      "COMPACT migrates it in place — v5 data rows are format-compatible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxm").toString
+    val rows = (0 until 120).map(i => (f"e$i%03d", i.toLong))
+    val plain = numStore(rows)
+    plain.buildValueIndex("vidx_mig", s"$dir/v", Seq("n:v"), nBuckets = 6)
+    // forge the v5 shape: same data tree, manifest without suml and
+    // stamped fmt=5 (what a pre-upgrade index on disk looks like)
+    val manPath = s"$dir/v_manifest"
+    val legacy = spark.read.parquet(manPath).drop("suml")
+      .withColumn("fmt", lit(5))
+    val rowsL = legacy.collect().toSeq
+    val schemaL = legacy.schema
+    def purge(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(purge)
+      f.delete(): Unit
+    }
+    purge(new java.io.File(manPath))
+    spark.createDataFrame(java.util.Arrays.asList(rowsL: _*), schemaL)
+      .write.parquet(manPath)
+    val e = intercept[IllegalArgumentException] {
+      ValueIndex.countRange(spark, "vidx_mig", "n:v", "vlong",
+        Triples.VLong, MRange(lo = Some(10L)))
+    }
+    assert(e.getMessage.contains("rebuild"))
+    // compact consumes only DATA rows (identical v5 ↔ v6) and
+    // regenerates the manifest — the cheap O(index) migration
+    ValueIndex.compact(spark, "vidx_mig", s"$dir/v2", nBuckets = 6)
+    assert(ValueIndex.countRange(spark, "vidx_mig", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some(10L))) === Some(110L))
+    assert(plain.withValueIndex("vidx_mig").sumMatch("n:v",
+      Seq("n:v" -> MRange(lo = Some(10L)))) === (10L to 119L).sum)
+  }
+
   test("valueIndex: double attrs with NaN facts — probe == fallback " +
       "under Spark's NaN-largest order (desc ranks NaN first)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidxn").toString
