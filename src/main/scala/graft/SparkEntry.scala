@@ -2447,6 +2447,22 @@ object SparkEntry {
       Seq(tot).toDF("s")
     }),
 
+    // EXACT nearest-rank PERCENTILE from the zone map
+    // (percentileValue → ValueIndex.percentileValue): the "p90
+    // document length" curation statistic. Pristine buckets partition
+    // the shadow space in order, so the manifest's cumulative counts
+    // locate the one bucket holding rank ⌈0.9·N⌉ and ONLY that bucket
+    // scans — at 100 TB the p99 costs one bucket, not a corpus sort.
+    // Shares q173's pristine index; oracle pins the same nearest-rank
+    // definition via row_number.
+    "q184_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val t = s"q173vidx_${dirTag(dir)}"
+      val p = q173IndexedStore(s, dir)
+        .percentileValue(s"$t:n_chars", 0.9).get.asInstanceOf[Long]
+      Seq(p).toDF("p")
+    }),
+
     // POINT lookup (MEq/MIn) through the zone map (ValueIndex.inEids):
     // "documents in German or Chinese" — the equality curation filter —
     // is a degenerate range, pruned to the buckets whose [min, max]
@@ -5640,6 +5656,13 @@ object SparkEntry {
     "q183_range_sum" ->
       """SELECT CAST(sum(n_chars) AS BIGINT) AS s FROM documents
         |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
+    "q184_percentile" ->
+      """WITH s AS (SELECT n_chars FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT n_chars,
+        |             row_number() OVER (ORDER BY n_chars) AS rn FROM s)
+        |SELECT n_chars AS p FROM r
+        |WHERE rn = (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM s)"""
         .stripMargin,
     "q177_cli_ts_range" ->
       """SELECT event_id, ts FROM events

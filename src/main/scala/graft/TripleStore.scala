@@ -478,6 +478,38 @@ class TripleStore(
     }
   }
 
+  /** EXACT nearest-rank percentile of `attr` over its fact universe —
+    * the k-th smallest native value, k = ⌈q·N⌉ (q = 0.5 the median,
+    * 0.99 the p99). On an indexed store the zone-map manifest's
+    * cumulative counts locate the one bucket holding rank k and ONLY
+    * that bucket scans ([[ValueIndex.percentileValue]]) — the "p99
+    * document length" curation statistic at O(bucket) cost. The exact
+    * fallback (un-indexed, un-reconciled appends) is one count + a
+    * value-grouped cumulative pick: a window over the attr's DISTINCT
+    * values, never a global row sort. None on an attr with no facts.
+    * Value ties make the rank-k VALUE deterministic either way. */
+  def percentileValue(attr: String, q: Double): Option[Any] = {
+    require(q > 0.0 && q <= 1.0, s"percentile q must be in (0, 1], got $q")
+    val vc = valueCol(attr)
+    valueIndex.flatMap(t =>
+        ValueIndex.percentileValue(spark, t, attr, vc, q))
+      .orElse {
+        val n = scanFor(Seq(attr)).where(col(vc).isNotNull).count()
+        if (n == 0L) None
+        else {
+          val k = math.ceil(q * n).toLong.max(1L).min(n)
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col(vc).asc)
+          scanFor(Seq(attr)).where(col(vc).isNotNull)
+            .groupBy(col(vc)).agg(count(lit(1)).as("_c"))
+            .withColumn("_cum", sum(col("_c")).over(w))
+            .where(col("_cum") >= k)
+            .orderBy(col(vc).asc).limit(1)
+            .select(col(vc)).collect().headOption.map(_.get(0))
+        }
+      }
+  }
+
   private def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
     case MAny => Some($"a" === a)
     case MEq(v) =>

@@ -1178,6 +1178,50 @@ object ValueIndex {
       inner.map(_._4).sum + edgeCount
     }
 
+  /** EXACT nearest-rank PERCENTILE of `attr` (rank k = ⌈q·N⌉, the
+    * k-th smallest native value) by scanning ONE bucket: pristine
+    * buckets partition the shadow space into ordered half-open
+    * intervals (bucketOf assigns every shadow to exactly one bucket,
+    * equal natives share a shadow so no tie straddles a boundary, and
+    * strict cross-bucket shadow order implies strict native order by
+    * monotonicity), so the manifest's cumulative fact counts locate
+    * the bucket holding rank k without touching data; only THAT bucket
+    * is scanned — "p99 document length" over 100 TB reads one bucket.
+    * Within the bucket the rank is picked by a value-grouped cumulative
+    * count (a window over the bucket's DISTINCT values, never a global
+    * sort). Decline conditions are the membership probes' (un-indexed,
+    * un-reconciled appends — a stale upsert twin shifts every rank);
+    * the caller owns the exact fallback. */
+  private[graft] def percentileValue(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, q: Double): Option[Any] = {
+    require(q > 0.0 && q <= 1.0, s"percentile q must be in (0, 1], got $q")
+    pristineStats(spark, table, attr).flatMap { case (g, buckets) =>
+      val total = buckets.map(_._4).sum
+      if (total == 0L) return None
+      val k = math.ceil(q * total).toLong.max(1L).min(total)
+      def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+      val walk = buckets.sortWith((x, y) => cmp(x._2, y._2) < 0)
+      var acc = 0L
+      for (b <- walk) {
+        if (acc + b._4 >= k) {
+          val within = k - acc // rank inside this one bucket
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col(nativeCol).asc)
+          val row = g.dat()
+            .where(col("a") === attr && col("bkt") === b._1)
+            .groupBy(col(nativeCol)).agg(count(lit(1)).as("_c"))
+            .withColumn("_cum", sum(col("_c")).over(w))
+            .where(col("_cum") >= within)
+            .orderBy(col(nativeCol).asc).limit(1)
+            .select(col(nativeCol)).collect()
+          return row.headOption.map(_.get(0))
+        }
+        acc += b._4
+      }
+      None // unreachable: k ≤ total
+    }
+  }
+
   /** EXACT sum of a LONG attr's values inside the range — the SUM twin
     * of [[countRange]], reading the manifest's materialized per-bucket
     * sums for provably-inner buckets ([[splitInnerEdge]]) and scanning

@@ -20,6 +20,8 @@ import scala.jdk.CollectionConverters._
   *                        [--table vidx] -o out
   *   graft.tools.Cli sum -i in.json ... -e ENTITY_PATTERN --cols ATTR
   *                        [--table vidx] -o out
+  *   graft.tools.Cli percentile -i in.json ... --cols ATTR
+  *                        [--qs 0.5,0.9,0.99] [--table vidx] -o out
   *
   * `count` emits the number of entities matching `-e` as one
   * {"count": N} row — the curation "how many pass this gate" question
@@ -30,6 +32,10 @@ import scala.jdk.CollectionConverters._
   * `sum` is its LONG-attr sibling ({"sum": N}, TripleStore.sumMatch):
   * `--cols` names the summed attr, and a single-range pattern on that
   * attr reads the manifest's materialized per-bucket sums.
+  * `percentile` emits exact nearest-rank percentiles of `--cols` at
+  * each `--qs` (one {q, value} row per q); on an indexed store each
+  * rank is manifest-located and ONE bucket scans
+  * (TripleStore.percentileValue).
   *
   * `join` ingests the inputs (optionally mapping each line through an
   * external command, cli.py:20-23) and dumps the store as EAV JSON lines;
@@ -150,7 +156,8 @@ object Cli {
       funnelSteps: Seq[String] = Nil,
       windowSeconds: Long = 86400L)
 
-  private val TripleSubs = Seq("join", "pull", "datalog", "count", "sum")
+  private val TripleSubs =
+    Seq("join", "pull", "datalog", "count", "sum", "percentile")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
@@ -920,6 +927,20 @@ object Cli {
         import spark.implicits._
         writeOut(Seq(st.sumMatch(attr, coerceRangeBounds(st, pat)))
           .toDF("sum"), a.output)
+      case "percentile" =>
+        // exact nearest-rank percentiles of --cols ATTR at each --qs
+        // (one {q, value} row per q); with --table naming a registered
+        // ValueIndex, each rank is located by the manifest's cumulative
+        // counts and ONE bucket scans (TripleStore.percentileValue)
+        val attr = a.cols match {
+          case Seq(one) => one
+          case _ => sys.error("percentile needs --cols ATTR (exactly one)")
+        }
+        val st = a.table.map(ts.withValueIndex).getOrElse(ts)
+        import spark.implicits._
+        writeOut(a.qs.map(q => (q,
+            st.percentileValue(attr, q).map(String.valueOf).orNull))
+          .toDF("q", "value"), a.output)
     }
   }
 

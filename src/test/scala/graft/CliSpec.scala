@@ -876,6 +876,17 @@ class CliSpec extends AnyFunSuite {
       Cli.run(spark, Array("sum", "-i", in, "-I", "d:id", "-s", sch,
         "-e", """{"d:n": {"$gt": 20}}""", "-o", dir + "/s3"))
     }
+    // percentile sibling: exact nearest-rank values per --qs (values
+    // 1..30 → p50 = 15th smallest = 15, p90 = 27th = 27), indexed or not
+    for ((out, extra) <- Seq(
+        (dir + "/p1", Array.empty[String]),
+        (dir + "/p2", Array("--table", "clicnt_vidx")))) {
+      Cli.run(spark, Array("percentile", "-i", in, "-I", "d:id",
+        "-s", sch, "--cols", "d:n", "--qs", "0.5,0.9", "-o", out) ++ extra)
+      val pv = spark.read.json(out).select($"q", $"value")
+        .as[(Double, String)].collect().toMap
+      assert(pv(0.5) === "15" && pv(0.9) === "27", out)
+    }
   }
 
   test("CLI pull-expr / pattern / schema JSON parsers") {

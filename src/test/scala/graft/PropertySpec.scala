@@ -1140,6 +1140,16 @@ class PropertySpec extends AnyFunSuite {
             s"trial $trial case $c conj $r ∧ $pts")
         }
       }
+      // EXACT percentile through the manifest rank-walk: random q
+      // against the sorted-model nearest-rank pick (duplicates galore)
+      for (_ <- 1 to 3) {
+        val q = 0.05 + rnd.nextDouble() * 0.95
+        val sortedVals = rows.map(_._2).sorted
+        val want = sortedVals(math.ceil(q * sortedVals.size).toInt
+          .max(1) - 1)
+        assert(ts.percentileValue("p:n", q) === Some(want),
+          s"trial $trial percentile q=$q")
+      }
       // LIFECYCLE: an append (fresh entities + genuine UPSERTS of
       // existing ones) declines every membership/aggregate probe while
       // un-reconciled; compact applies latest-txId-wins and the

@@ -1340,6 +1340,60 @@ class TripleStoreSpec extends AnyFunSuite {
       "n:tag" -> (MEq("t"): MVal))) === (390L to 399L).sum)
   }
 
+  test("percentileValue: rank-k values come from ONE manifest-located " +
+      "bucket — indexed == fallback == driver model across q grid, " +
+      "ties, plateau strings; appends decline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxp").toString
+    // duplicate-heavy values so rank picks inside tie runs
+    val rows = (0 until 300).map(i => (f"e$i%03d", (i % 97).toLong))
+    val plain = numStore(rows)
+    val ts = plain.buildValueIndex("vidx_pct", s"$dir/v", Seq("n:v"),
+      nBuckets = 8)
+    val sorted = rows.map(_._2).sorted
+    def model(q: Double): Long =
+      sorted(math.ceil(q * sorted.size).toInt.max(1) - 1)
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)) {
+      assert(ts.percentileValue("n:v", q) === Some(model(q)),
+        s"indexed q=$q")
+      assert(plain.percentileValue("n:v", q) === Some(model(q)),
+        s"fallback q=$q")
+    }
+    intercept[IllegalArgumentException] { ts.percentileValue("n:v", 0.0) }
+    intercept[IllegalArgumentException] { ts.percentileValue("n:v", 1.1) }
+    // attr with no facts: None both ways
+    assert(plain.percentileValue("n:absent", 0.5).isEmpty)
+    // plateau STRINGS (shared 6+-byte prefix → one shadow, one bucket):
+    // the in-bucket distinct-value cumulative still ranks exactly
+    val srows = (0 until 90).map(i => (f"p$i%02d", f"prefix_$i%03d"))
+    val striples = srows.toDF("e", "vstr")
+      .withColumn("a", lit("n:s"))
+      .withColumn("vtype", lit(Triples.VStr))
+      .withColumn("vlong", lit(null).cast("long"))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val sPlain = new TripleStore(spark, striples, Map("n:s" ->
+      graft.model.AttrSchema("n:s", cardOne = true, isRef = false,
+        Triples.VStr)))
+    val sTs = sPlain.buildValueIndex("vidx_pcts", s"$dir/s", Seq("n:s"),
+      nBuckets = 6)
+    val sSorted = srows.map(_._2).sorted
+    for (q <- Seq(0.1, 0.5, 0.95)) {
+      val want = sSorted(math.ceil(q * sSorted.size).toInt - 1)
+      assert(sTs.percentileValue("n:s", q) === Some(want), s"string q=$q")
+    }
+    // un-reconciled append: the probe declines (a stale twin shifts
+    // every rank); the fallback still answers the STORE's truth
+    ValueIndex.append(numStore(Seq(("x001", 7L)), tx = 1L), "vidx_pct")
+    assert(ValueIndex.percentileValue(spark, "vidx_pct", "n:v", "vlong",
+      0.5).isEmpty)
+    assert(ts.percentileValue("n:v", 0.5) === Some(model(0.5)))
+  }
+
   test("sumRange: unrepresentable totals DECLINE — the pushdown never " +
       "returns a silently wrapped sum; the fallback owns the " +
       "engine-native overflow semantics") {
