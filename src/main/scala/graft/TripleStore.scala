@@ -478,37 +478,45 @@ class TripleStore(
     }
   }
 
-  /** EXACT nearest-rank percentile of `attr` over its fact universe —
-    * the k-th smallest native value, k = ⌈q·N⌉ (q = 0.5 the median,
-    * 0.99 the p99). On an indexed store the zone-map manifest's
-    * cumulative counts locate the one bucket holding rank k and ONLY
-    * that bucket scans ([[ValueIndex.percentileValue]]) — the "p99
-    * document length" curation statistic at O(bucket) cost. The exact
-    * fallback (un-indexed, un-reconciled appends) is one count + a
-    * value-grouped cumulative pick: a window over the attr's DISTINCT
-    * values, never a global row sort. None on an attr with no facts.
-    * Value ties make the rank-k VALUE deterministic either way. */
-  def percentileValue(attr: String, q: Double): Option[Any] = {
-    require(q > 0.0 && q <= 1.0, s"percentile q must be in (0, 1], got $q")
+  /** EXACT nearest-rank percentiles of `attr` over its fact universe —
+    * per q: the k-th smallest native value, k = ⌈q·N⌉ (q = 0.5 the
+    * median, 0.99 the p99). On an indexed store the zone-map manifest's
+    * cumulative counts locate each rank's bucket and ONLY those buckets
+    * scan ([[ValueIndex.percentileValues]]) — the "p99 document length"
+    * curation statistic at O(bucket) cost. The exact fallback
+    * (un-indexed, un-reconciled appends) is one count + ONE
+    * range-partitioned contiguous-rank pass serving every q
+    * ([[ValueIndex.rankPick]] — never a no-partition window, the
+    * single-reducer shape this codebase bans). None on an attr with no
+    * (declared-type) facts. Value ties make each rank's VALUE
+    * deterministic either way. NOTE the rank definition is ⌈q·N⌉
+    * nearest-rank; [[graft.ops.Skew.exactQuantiles]] (the tabular
+    * `stats`/`quantiles` surface) uses SQL-oracle Type-1
+    * ⌊(N−1)·q⌋+1 — the two can differ by one position on small N. */
+  def percentileValues(attr: String, qs: Seq[Double])
+      : Map[Double, Option[Any]] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"percentile qs must be in (0, 1], got $qs")
     val vc = valueCol(attr)
     valueIndex.flatMap(t =>
-        ValueIndex.percentileValue(spark, t, attr, vc, q))
-      .orElse {
-        val n = scanFor(Seq(attr)).where(col(vc).isNotNull).count()
-        if (n == 0L) None
+        ValueIndex.percentileValues(spark, t, attr, vc, qs))
+      .map(m => m.map { case (q, v) => q -> (Some(v): Option[Any]) })
+      .getOrElse {
+        val facts = scanFor(Seq(attr)).where(col(vc).isNotNull)
+        val n = facts.count()
+        if (n == 0L) qs.map(_ -> (None: Option[Any])).toMap
         else {
-          val k = math.ceil(q * n).toLong.max(1L).min(n)
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(col(vc).asc)
-          scanFor(Seq(attr)).where(col(vc).isNotNull)
-            .groupBy(col(vc)).agg(count(lit(1)).as("_c"))
-            .withColumn("_cum", sum(col("_c")).over(w))
-            .where(col("_cum") >= k)
-            .orderBy(col(vc).asc).limit(1)
-            .select(col(vc)).collect().headOption.map(_.get(0))
+          val ks = qs.distinct.map(q =>
+            q -> math.ceil(q * n).toLong.max(1L).min(n))
+          val picked = ValueIndex.rankPick(facts, vc, ks.map(_._2))
+          ks.map { case (q, k) => q -> picked.get(k) }.toMap
         }
       }
   }
+
+  /** Single-q [[percentileValues]]. */
+  def percentileValue(attr: String, q: Double): Option[Any] =
+    percentileValues(attr, Seq(q))(q)
 
   private def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
     case MAny => Some($"a" === a)

@@ -244,7 +244,18 @@ object ValueIndex {
           s"double, string, or timestamp value type (got " +
           s"card-${if (s.cardOne) "one" else "many"} ${s.vtype})")
     }
+    // index ONLY facts carrying a native value of the attr's DECLARED
+    // type: a mixed-type stray (vtype drift within an attr — legal in
+    // the EAV model) would otherwise take its shadow from the wrong
+    // value column and be COUNTED by the manifest while every native
+    // predicate rejects it — poisoning the aggregate pushdowns, which
+    // read manifest counts/sums as native-predicate-equivalent, and
+    // shifting percentile ranks
+    val typedFacts = attrs.map(a => col("a") === a &&
+        col(Triples.valueColFor(store.schemaOf(a).vtype)).isNotNull)
+      .reduce(_ || _)
     val base = store.scanFor(attrs)
+      .where(typedFacts)
       .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vstr"),
         col("vts"), shadowOf.as("vnum"), col("txId"))
       .where(col("vnum").isNotNull)
@@ -293,7 +304,12 @@ object ValueIndex {
       // and values below every cut belong in bucket 0
       .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq.drop(1)).toMap
     require(cuts.nonEmpty, s"valueIndex $table has an empty manifest")
+    // same declared-type fact filter as build (see build's comment)
+    val typedFacts = cuts.keys.toSeq.map(a => col("a") === a &&
+        col(Triples.valueColFor(batch.schemaOf(a).vtype)).isNotNull)
+      .reduce(_ || _)
     val base = batch.scanFor(cuts.keys.toSeq)
+      .where(typedFacts)
       .select(col("a"), col("e"), col("vlong"), col("vdbl"), col("vstr"),
         col("vts"), shadowOf.as("vnum"), col("txId"))
       .where(col("vnum").isNotNull)
@@ -1178,49 +1194,72 @@ object ValueIndex {
       inner.map(_._4).sum + edgeCount
     }
 
-  /** EXACT nearest-rank PERCENTILE of `attr` (rank k = ⌈q·N⌉, the
-    * k-th smallest native value) by scanning ONE bucket: pristine
-    * buckets partition the shadow space into ordered half-open
-    * intervals (bucketOf assigns every shadow to exactly one bucket,
-    * equal natives share a shadow so no tie straddles a boundary, and
-    * strict cross-bucket shadow order implies strict native order by
-    * monotonicity), so the manifest's cumulative fact counts locate
-    * the bucket holding rank k without touching data; only THAT bucket
-    * is scanned — "p99 document length" over 100 TB reads one bucket.
-    * Within the bucket the rank is picked by a value-grouped cumulative
-    * count (a window over the bucket's DISTINCT values, never a global
-    * sort). Decline conditions are the membership probes' (un-indexed,
-    * un-reconciled appends — a stale upsert twin shifts every rank);
-    * the caller owns the exact fallback. */
-  private[graft] def percentileValue(spark: SparkSession, table: String,
-      attr: String, nativeCol: String, q: Double): Option[Any] = {
-    require(q > 0.0 && q <= 1.0, s"percentile q must be in (0, 1], got $q")
+  /** The k-th smallest (1-indexed) values of `valueCol` for every k in
+    * `ks`, via [[graft.ops.Layout.contiguousIdsBy]]'s range-partitioned
+    * two-pass rank — NEVER a no-partition window (the single-reducer
+    * shape this codebase bans; equal values may order arbitrarily, but
+    * the VALUE at any rank is tie-independent). One job serves every
+    * requested rank. */
+  private[graft] def rankPick(df: DataFrame, valueCol: String,
+      ks: Seq[Long]): Map[Long, Any] = {
+    if (ks.isEmpty) return Map.empty
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranked = graft.ops.Layout.contiguousIdsBy(
+      df.select(col(valueCol)), Seq(valueCol))
+    val want = ks.distinct.map(k => (k, k - 1)).toDF("_k", "_rk")
+    ranked.join(broadcast(want), col("row_id") === col("_rk"))
+      .select(col("_k"), col(valueCol)).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+  }
+
+  /** EXACT nearest-rank PERCENTILES of `attr` (per q: rank k = ⌈q·N⌉,
+    * the k-th smallest native value), each rank served by scanning ONE
+    * bucket: pristine buckets partition the shadow space into ordered
+    * half-open intervals (bucketOf assigns every shadow to exactly one
+    * bucket, equal natives share a shadow so no tie straddles a
+    * boundary, and strict cross-bucket shadow order implies strict
+    * native order by monotonicity), so the manifest's cumulative fact
+    * counts locate each rank's bucket without touching data; only
+    * those buckets scan, ONE ranked pass per distinct bucket serving
+    * all its ranks ([[rankPick]]) — "p50/p99 document length" over
+    * 100 TB reads at most two buckets. Decline conditions are the
+    * membership probes' (un-indexed, un-reconciled appends — a stale
+    * upsert twin shifts every rank); the caller owns the exact
+    * fallback. None when the attr has no facts. */
+  private[graft] def percentileValues(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, qs: Seq[Double])
+      : Option[Map[Double, Any]] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"percentile qs must be in (0, 1], got $qs")
     pristineStats(spark, table, attr).flatMap { case (g, buckets) =>
       val total = buckets.map(_._4).sum
       if (total == 0L) return None
-      val k = math.ceil(q * total).toLong.max(1L).min(total)
       def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
       val walk = buckets.sortWith((x, y) => cmp(x._2, y._2) < 0)
-      var acc = 0L
-      for (b <- walk) {
-        if (acc + b._4 >= k) {
-          val within = k - acc // rank inside this one bucket
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(col(nativeCol).asc)
-          val row = g.dat()
-            .where(col("a") === attr && col("bkt") === b._1)
-            .groupBy(col(nativeCol)).agg(count(lit(1)).as("_c"))
-            .withColumn("_cum", sum(col("_c")).over(w))
-            .where(col("_cum") >= within)
-            .orderBy(col(nativeCol).asc).limit(1)
-            .select(col(nativeCol)).collect()
-          return row.headOption.map(_.get(0))
-        }
-        acc += b._4
+      val cumBefore = walk.scanLeft(0L)(_ + _._4)
+      def locate(k: Long): (Int, Long) = {
+        val i = walk.indices.find(i => cumBefore(i) + walk(i)._4 >= k).get
+        (walk(i)._1, k - cumBefore(i)) // (bucket id, rank within it)
       }
-      None // unreachable: k ≤ total
+      val ranks = qs.distinct.map(q =>
+        q -> locate(math.ceil(q * total).toLong.max(1L).min(total)))
+      val byBucket = ranks.groupBy(_._2._1)
+      val picked: Map[(Int, Long), Any] = byBucket.flatMap {
+        case (bkt, rs) =>
+          val withins = rs.map(_._2._2)
+          rankPick(g.dat().where(col("a") === attr && col("bkt") === bkt),
+              nativeCol, withins)
+            .map { case (w, v) => (bkt, w) -> v }
+      }
+      Some(ranks.map { case (q, loc) => q -> picked(loc) }.toMap)
     }
   }
+
+  /** Single-q [[percentileValues]]. */
+  private[graft] def percentileValue(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, q: Double): Option[Any] =
+    percentileValues(spark, table, attr, nativeCol, Seq(q)).map(_(q))
 
   /** EXACT sum of a LONG attr's values inside the range — the SUM twin
     * of [[countRange]], reading the manifest's materialized per-bucket

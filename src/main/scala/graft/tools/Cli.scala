@@ -33,9 +33,12 @@ import scala.jdk.CollectionConverters._
   * `--cols` names the summed attr, and a single-range pattern on that
   * attr reads the manifest's materialized per-bucket sums.
   * `percentile` emits exact nearest-rank percentiles of `--cols` at
-  * each `--qs` (one {q, value} row per q); on an indexed store each
-  * rank is manifest-located and ONE bucket scans
-  * (TripleStore.percentileValue).
+  * each `--qs` (one {q, value} row per q, ALL qs served by one pass);
+  * on an indexed store each rank is manifest-located and only its
+  * bucket scans (TripleStore.percentileValues). NOTE the rank is
+  * ⌈q·N⌉ nearest-rank over the EAV fact universe; the tabular
+  * `quantiles`/`stats` verbs use the SQL-oracle Type-1 ⌊(N−1)·q⌋+1
+  * definition — on small N the two can differ by one position.
   *
   * `join` ingests the inputs (optionally mapping each line through an
   * external command, cli.py:20-23) and dumps the store as EAV JSON lines;
@@ -938,8 +941,9 @@ object Cli {
         }
         val st = a.table.map(ts.withValueIndex).getOrElse(ts)
         import spark.implicits._
-        writeOut(a.qs.map(q => (q,
-            st.percentileValue(attr, q).map(String.valueOf).orNull))
+        val pv = st.percentileValues(attr, a.qs)
+        writeOut(a.qs.map(q =>
+            (q, pv(q).map(String.valueOf).orNull))
           .toDF("q", "value"), a.output)
     }
   }

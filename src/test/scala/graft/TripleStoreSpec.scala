@@ -1386,12 +1386,59 @@ class TripleStoreSpec extends AnyFunSuite {
       val want = sSorted(math.ceil(q * sSorted.size).toInt - 1)
       assert(sTs.percentileValue("n:s", q) === Some(want), s"string q=$q")
     }
+    // multi-q: every rank served in one call (distinct buckets batch
+    // their ranks into one pick each) — equals the per-q answers
+    val multi = ts.percentileValues("n:v", Seq(0.1, 0.5, 0.9, 0.9))
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(multi(q) === Some(model(q)), s"multi q=$q")
+    assert(plain.percentileValues("n:v", Seq(0.25, 0.75)) ===
+      Map(0.25 -> Some(model(0.25)), 0.75 -> Some(model(0.75))))
     // un-reconciled append: the probe declines (a stale twin shifts
     // every rank); the fallback still answers the STORE's truth
     ValueIndex.append(numStore(Seq(("x001", 7L)), tx = 1L), "vidx_pct")
     assert(ValueIndex.percentileValue(spark, "vidx_pct", "n:v", "vlong",
       0.5).isEmpty)
     assert(ts.percentileValue("n:v", 0.5) === Some(model(0.5)))
+  }
+
+  test("valueIndex: MIXED-TYPE strays are not indexed — only facts of " +
+      "the attr's declared type feed the manifest, so aggregate " +
+      "pushdowns equal the native-predicate fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vidxt").toString
+    // n:v declared LONG; one stray fact carries a STRING value (vtype
+    // drift is legal in the EAV model) — its string-prefix shadow
+    // would land it in a far bucket and poison counts/sums/ranks
+    val longs = (0 until 200).map(i => (f"e$i%03d", i.toLong))
+    val triples = longs.toDF("e", "vlong")
+      .withColumn("vstr", lit(null).cast("string"))
+      .unionByName(Seq(("stray", "oops")).toDF("e", "vstr")
+        .withColumn("vlong", lit(null).cast("long")))
+      .withColumn("a", lit("n:v"))
+      .withColumn("vtype", when(col("vlong").isNotNull,
+        Triples.VLong).otherwise(Triples.VStr))
+      .withColumn("vdbl", lit(null).cast("double"))
+      .withColumn("vbool", lit(null).cast("boolean"))
+      .withColumn("vts", lit(null).cast("timestamp_ntz"))
+      .withColumn("vref", lit(null).cast("string"))
+      .withColumn("vbin", lit(null).cast("binary"))
+      .withColumn("txId", lit(0L))
+      .select(Triples.columns.map(col): _*)
+    val plain = new TripleStore(spark, triples, Map("n:v" ->
+      graft.model.AttrSchema("n:v", cardOne = true, isRef = false,
+        Triples.VLong)))
+    val ts = plain.buildValueIndex("vidx_typ", s"$dir/v", Seq("n:v"),
+      nBuckets = 6)
+    // the stray is NOT in the index: totals, counts, sums and ranks
+    // all equal the declared-type model and the un-indexed fallback
+    val rAll = MRange(lo = Some(-5L))
+    assert(ValueIndex.countRange(spark, "vidx_typ", "n:v", "vlong",
+      Triples.VLong, rAll) === Some(200L))
+    assert(ts.countMatch(Seq("n:v" -> rAll)) ===
+      plain.countMatch(Seq("n:v" -> rAll)))
+    assert(ValueIndex.sumRange(spark, "vidx_typ", "n:v",
+      Triples.VLong, rAll) === Some((0L until 200L).sum))
+    assert(ts.percentileValue("n:v", 0.5) === Some(99L))
+    assert(plain.percentileValue("n:v", 0.5) === Some(99L))
   }
 
   test("sumRange: unrepresentable totals DECLINE — the pushdown never " +
