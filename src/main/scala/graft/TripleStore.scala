@@ -518,6 +518,123 @@ class TripleStore(
   def percentileValue(attr: String, q: Double): Option[Any] =
     percentileValues(attr, Seq(q))(q)
 
+  /** PATTERN-CONDITIONAL [[percentileValues]] — exact nearest-rank
+    * percentiles of `attr` over the entities matching `pattern` ("p90
+    * length of the docs between the curation gates"). For the
+    * single-range-on-`attr` shape on an indexed store the zone map
+    * serves it ([[ValueIndex.percentileRange]]): provably-inner buckets
+    * contribute manifest counts with zero rows read, straddling edges
+    * contribute exact counts from one pruned scan, and each rank scans
+    * only its one bucket — O(edge buckets + one bucket per rank)
+    * however many facts match. Every other shape (and any index
+    * decline) is the exact fallback: the attr's fact slice semi-joined
+    * to the match, one count + one range-partitioned [[ValueIndex
+    * .rankPick]] pass serving all qs — never a no-partition window.
+    * q → None when no matching entity carries the attr. Card-many
+    * attrs rank every fact of a matched entity (the pushdown never
+    * fires there — the index is card-one-only). */
+  def percentileValues(attr: String, qs: Seq[Double],
+      pattern: Seq[(String, MVal)]): Map[Double, Option[Any]] = {
+    require(pattern.nonEmpty, "empty match pattern")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"percentile qs must be in (0, 1], got $qs")
+    val vc = valueCol(attr)
+    val pushed: Option[Map[Double, Any]] = pattern match {
+      case Seq((a, r: MRange)) if a == attr =>
+        valueIndex.flatMap(t => ValueIndex.percentileRange(spark, t, a,
+          vc, schemaOf(a).vtype, qs, r))
+      case _ => None
+    }
+    pushed.map(m => qs.map(q => q -> m.get(q)).toMap).getOrElse {
+      val facts = scanFor(Seq(attr)).where(col(vc).isNotNull)
+        .join(matchEntities(pattern), Seq("e"), "left_semi")
+      val n = facts.count()
+      if (n == 0L) qs.map(_ -> (None: Option[Any])).toMap
+      else {
+        val ks = qs.distinct.map(q =>
+          q -> math.ceil(q * n).toLong.max(1L).min(n))
+        val picked = ValueIndex.rankPick(facts, vc, ks.map(_._2))
+        val m = ks.map { case (q, k) => q -> picked(k) }.toMap
+        qs.map(q => q -> (Some(m(q)): Option[Any])).toMap
+      }
+    }
+  }
+
+  /** MIN of `attr`'s values over the entities matching `pattern` —
+    * None when no matching entity carries the attr. The
+    * single-range-on-`attr` shape on an indexed store is served by the
+    * zone map ([[ValueIndex.extremumRange]]): strict cross-bucket
+    * shadow order localizes the extremum, so the probe scans the
+    * extremal edge bucket(s) plus at most one provably-inner bucket —
+    * O(1 buckets) however many facts match. The manifest's own
+    * min/max can NOT answer alone: they are shadow doubles, and past
+    * the shadow's precision two natives share one shadow. Any decline
+    * falls back to the exact scan (fact slice semi-joined to the
+    * match). */
+  def minMatch(attr: String, pattern: Seq[(String, MVal)]): Option[Any] =
+    extremumMatch(attr, pattern, isMax = false)
+
+  /** MAX twin of [[minMatch]] — same pushdown, opposite walk end. */
+  def maxMatch(attr: String, pattern: Seq[(String, MVal)]): Option[Any] =
+    extremumMatch(attr, pattern, isMax = true)
+
+  private def extremumMatch(attr: String, pattern: Seq[(String, MVal)],
+      isMax: Boolean): Option[Any] = {
+    require(pattern.nonEmpty, "empty match pattern")
+    val vc = valueCol(attr)
+    val pushed: Option[Option[Any]] = pattern match {
+      case Seq((a, r: MRange)) if a == attr =>
+        valueIndex.flatMap(t => ValueIndex.extremumRange(spark, t, a,
+          vc, schemaOf(a).vtype, r, isMax))
+      case _ => None
+    }
+    pushed.getOrElse {
+      val c = col(vc)
+      val row = scanFor(Seq(attr)).where(c.isNotNull)
+        .join(matchEntities(pattern), Seq("e"), "left_semi")
+        .agg(if (isMax) max(c) else min(c)).collect()(0)
+      if (row.isNullAt(0)) None else Some(row.get(0))
+    }
+  }
+
+  /** AVERAGE of a LONG attr's values over the entities matching
+    * `pattern` — [[sumMatch]]/[[countMatch]] composed, so the
+    * single-range-on-`attr` shape reads O(edge buckets) off the zone
+    * map. None on an empty match (SQL's AVG-of-nothing). The division
+    * is ONE double op over an exactly-computed integer sum and count —
+    * bit-identical to any engine computing CAST(sum AS DOUBLE)/count,
+    * which is the oracle-pinnable formulation (a float running mean
+    * would be association-order-dependent). Long-only like sumMatch;
+    * the exact fallback aggregates the sum in DECIMAL(38,0) (sums
+    * beyond long range still average correctly — decimal→double is the
+    * same round-to-nearest the pushdown's long→double performs). */
+  def avgMatch(attr: String, pattern: Seq[(String, MVal)]): Option[Double] = {
+    require(pattern.nonEmpty, "empty match pattern")
+    require(schemaOf(attr).vtype == Triples.VLong,
+      s"avgMatch averages LONG attrs only (got ${schemaOf(attr).vtype} " +
+        s"for $attr) — see sumMatch's rationale")
+    val pushed: Option[Option[Double]] = pattern match {
+      case Seq((a, r: MRange)) if a == attr =>
+        valueIndex.flatMap { t =>
+          for {
+            s <- ValueIndex.sumRange(spark, t, a, schemaOf(a).vtype, r)
+            c <- ValueIndex.countRange(spark, t, a, valueCol(a),
+              schemaOf(a).vtype, r)
+          } yield if (c == 0L) None else Some(s.toDouble / c)
+        }
+      case _ => None
+    }
+    pushed.getOrElse {
+      val row = scanFor(Seq(attr)).where($"vlong".isNotNull)
+        .join(matchEntities(pattern), Seq("e"), "left_semi")
+        .agg(sum($"vlong".cast("decimal(38,0)")).as("s"),
+          count($"vlong").as("c")).collect()(0)
+      val c = row.getLong(1)
+      if (c == 0L) None
+      else Some(row.getDecimal(0).doubleValue() / c)
+    }
+  }
+
   private def scalarCond(a: String, mv: MVal): Option[Column] = mv match {
     case MAny => Some($"a" === a)
     case MEq(v) =>
@@ -552,9 +669,24 @@ class TripleStore(
         .map { case (df, est, tot) => (i, df, est, tot) }
     }
     if (probes.isEmpty) return None
-    val (bi, eids, est, tot) = probes.minBy(_._3)
-    if (est * 4L > tot) return None // not selective enough to drive
-    val rest = pattern.zipWithIndex.collect { case (c, i) if i != bi => c }
+    // MULTI-PROBE: every conjunct whose probe is selective (kept
+    // buckets ≤ 1/4 of its attr's facts) drives — their exact eid sets
+    // INTERSECT by semi-join (each side a pruned bucket scan; AQE
+    // broadcasts the smaller), and only the residual conjuncts scan.
+    // Two indexed ranges on a 100 TB store thus read two pruned bucket
+    // sets instead of probe + full residual slice; the smallest probe
+    // leads the chain so every later semi-join is bounded by it.
+    val drivers = probes.filter(p => p._3 * 4L <= p._4).sortBy(_._3)
+    if (drivers.isEmpty) return None // nothing selective enough to drive
+    val eids = drivers.map(_._2).reduce((l, r) =>
+      l.join(r, Seq("e"), "left_semi"))
+    val driven = drivers.map(_._1).toSet
+    val rest = pattern.zipWithIndex.collect {
+      case (c, i) if !driven(i) => c }
+    // every conjunct probed: the intersection IS the match (each
+    // probe's eids are exact and one-row-per-entity — pristine
+    // card-one buckets — so the semi-join chain stays distinct)
+    if (rest.isEmpty) return Some(eids)
     val cs = rest.map { case (a, mv) => scalarCond(a, mv) }
     Some {
       if (cs.forall(_.isDefined)) {
@@ -802,17 +934,25 @@ class TripleStore(
         case (Triples.TypeAttr, MIn(vs)) => vs.contains(ts.spec.table)
         // a range over the TYPE NAME is decided here, driver-side, on
         // the table's own name (the guard above pinned the bounds to
-        // strings, where lexical compare IS Spark's string-comparison
-        // semantics) — without this case the conjunct would fall to the
+        // strings) — without this case the conjunct would fall to the
         // default valueExpr-defined branch (true for every table) and
         // then be constant-folded out of the emitted filters, silently
-        // returning every row of a single-TableSource store
+        // returning every row of a single-TableSource store. Compare
+        // through UTF8String, NOT Scala's String </> : Spark orders
+        // strings by UTF-8 bytes while String.compareTo orders UTF-16
+        // code units, and the two disagree on supplementary-plane
+        // characters (U+FFFF sorts above U+10000 in UTF-16 but below
+        // it in UTF-8) — the fused path must include/exclude exactly
+        // the tables the un-fused fallback would
         case (Triples.TypeAttr, r: MRange) =>
+          import org.apache.spark.unsafe.types.UTF8String
+          def cmp(a: String, b: String): Int =
+            UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
           val tn = ts.spec.table
-          r.lo.forall(lo => if (r.loStrict) tn > lo.toString
-                            else tn >= lo.toString) &&
-            r.hi.forall(hi => if (r.hiStrict) tn < hi.toString
-                              else tn <= hi.toString)
+          r.lo.forall(lo => if (r.loStrict) cmp(tn, lo.toString) > 0
+                            else cmp(tn, lo.toString) >= 0) &&
+            r.hi.forall(hi => if (r.hiStrict) cmp(tn, hi.toString) < 0
+                              else cmp(tn, hi.toString) <= 0)
         case _ => ts.spec.valueExpr(a).isDefined
       }
       val candidates = srcs.filter(ts =>
@@ -1317,6 +1457,33 @@ class TripleStore(
             isVar(s) && s != a && !isVar(a) &&
             sortBy.isEmpty && take.isEmpty =>
         return Seq(countMatch(Seq(a -> (r: MVal)))).toDF(agg.as)
+      // the SUM twin: {"find": [], "agg": [["sum","?v","s"]], "where":
+      // [[?d, attr, range], [?d, attr, ?v]], "with": [?d]} — the
+      // token-budget question through the query language — IS
+      // [[sumMatch]]'s shape when the attr is card-one LONG: the
+      // binding clause re-reads the SAME attr the range clause gated,
+      // so each matched entity contributes exactly its (in-range)
+      // value, and `:with ?d` pins bag semantics (without it equal
+      // values of two docs would collapse — which is why the shape
+      // REQUIRES it; a with-less program keeps the general set-
+      // semantics path). The manifest's materialized per-bucket sums
+      // then serve inner buckets with zero data rows read. Preserves
+      // the general path's empty semantics exactly: SUM over an empty
+      // solution set is SQL NULL, so the (manifest-served) count is
+      // probed first and 0 matches renders a null row, never
+      // sumMatch's monoid 0.
+      case (Seq(), Seq((s1, a1, r: MRange), (s2, a2, v: String)), Seq(agg))
+          if rules.isEmpty && notWhere.isEmpty && orWhere.isEmpty &&
+            s1 == s2 && a1 == a2 && isVar(s1) && !isVar(a1) &&
+            isVar(v) && v != s1 && withVars == Seq(s1) &&
+            agg.fn == "sum" && agg.v == v &&
+            schemaOf(a1).vtype == Triples.VLong && schemaOf(a1).cardOne &&
+            sortBy.isEmpty && take.isEmpty =>
+        return {
+          if (countMatch(Seq(a1 -> (r: MVal))) == 0L)
+            Seq(Option.empty[Long]).toDF(agg.as)
+          else Seq(sumMatch(a1, Seq(a1 -> (r: MVal)))).toDF(agg.as)
+        }
       case _ => ()
     }
     val preds = rules.map(_.head._2).distinct

@@ -511,18 +511,22 @@ object ValueIndex {
       nBuckets: Int = 64): (String, String) = {
     val oldPath = dataPathOf(spark, table)
     val man = spark.read.parquet(oldPath + "_manifest")
-    // compact consumes DATA rows only and regenerates the manifest, so
-    // any format with current-shape data rows is compactable — which
-    // makes compact the cheap O(index) MIGRATION for a persisted v5
-    // layout (v6 changed only the manifest: suml). Probes on a v5
-    // index fail loud until this runs; truly-old layouts (different
-    // data rows) still require a rebuild from the store.
+    // compact is v$Fmt-ONLY: it consumes data rows that build/append
+    // wrote under the current format, whose invariant (declared-type
+    // fact filter — rows whose declared value column is null were
+    // dropped at index time) the aggregate pushdowns rely on when they
+    // treat manifest counts as native-predicate-equivalent. A foreign
+    // format's rows (e.g. the old v5 layout) may predate that filter,
+    // and compact has no store handle to re-apply it — migrating them
+    // would launder a type-drifted stray into a tree whose counts the
+    // pushdowns trust. So any non-current row forces a rebuild from
+    // the store, which re-runs the filter by construction.
     require(man.columns.contains("fmt") &&
         man.where(!col("fmt").isin(DataCompatFmts.toSeq: _*)).isEmpty,
-      s"valueIndex $table predates format v${DataCompatFmts.min} — " +
-        "rebuild it with ValueIndex.build (its data rows lack the " +
-        "current shadow keying; only manifest-level format drift is " +
-        "compactable in place)")
+      s"valueIndex $table holds non-v$Fmt rows — rebuild it with " +
+        "ValueIndex.build (compact migrates no foreign formats: only " +
+        "a rebuild from the store re-applies the declared-type fact " +
+        "filter the aggregate pushdowns rely on)")
     // RECONCILE UPSERTS: append never reads the existing corpus, so a
     // batch that re-asserted a card-one attr for an already-indexed
     // entity left the stale row beside the new one (probes between that
@@ -557,6 +561,12 @@ object ValueIndex {
         catch { case r: Throwable => e.addSuppressed(r) }
         throw e
       }
+      // the swap supersedes the old generation: its statsCache entries
+      // (keyed by the OLD path) can never be read again — probes
+      // resolve the new location — so drop them now rather than leak
+      // one Array[BucketStat] per attr per compaction for the JVM's
+      // lifetime in a long-running service
+      statsCache.keySet.filter(_._1 == oldPath).foreach(statsCache.remove)
       (oldPath, oldPath + "_manifest")
     } finally base.unpersist()
   }
@@ -683,10 +693,14 @@ object ValueIndex {
       if (r.isNullAt(6)) None else toLongOpt(r.getDecimal(6))))
   }
 
-  /** Formats whose DATA rows are identical to the current layout's
-    * (v6 changed only the manifest), so [[compact]] can consume them
-    * and emit a current-format tree — the in-place migration path. */
-  private val DataCompatFmts = Set(5, Fmt)
+  /** Formats [[compact]] may consume. Current-format ONLY: v5 data
+    * rows are byte-compatible with v6's, but v5 builds predate the
+    * declared-type fact filter, so migrating them in place could carry
+    * a type-drifted stray (shadow coalesced from the wrong value
+    * column) into a tree whose manifest counts the v6 aggregate
+    * pushdowns treat as native-predicate-equivalent. Foreign formats
+    * rebuild from the store instead, which re-applies the filter. */
+  private val DataCompatFmts = Set(Fmt)
 
   private val LongMinBD = new java.math.BigDecimal(Long.MinValue)
   private val LongMaxBD = new java.math.BigDecimal(Long.MaxValue)
@@ -710,6 +724,11 @@ object ValueIndex {
     * files). Bounded: one entry per (index table generation, attr). */
   private val statsCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (String, Array[BucketStat])]
+
+  /** Test hook: the generations currently held by [[statsCache]] —
+    * pins compact's eviction of superseded paths. */
+  private[graft] def statsCacheKeys: Set[(String, String)] =
+    statsCache.keySet.toSet
 
   /** name:length:mtime fingerprint of the manifest directory listing —
     * the cache-validation token. Missing dir fingerprints to "" (the
@@ -1296,6 +1315,113 @@ object ValueIndex {
             inner.foldLeft(es)((acc, b) => Math.addExact(acc, b._6.get)))
           catch { case _: ArithmeticException => None }
         }
+    }
+  }
+
+  /** EXACT MIN (or MAX, `isMax`) of `attr`'s native values inside the
+    * range, read by scanning O(1) buckets: strict cross-bucket shadow
+    * order implies strict cross-bucket NATIVE order (monotonicity — see
+    * [[percentileValues]]'s walk argument), so the extremum lives in
+    * the extremal kept buckets. The scan covers the edge buckets on the
+    * extremal side plus the FIRST provably-inner bucket in walk order
+    * (guaranteed non-empty of matches by the pristine manifest count,
+    * so the aggregate can never come back null when any inner bucket
+    * exists); when no bucket is inner, every kept bucket — at most the
+    * two straddling edges — scans under the exact predicate. The
+    * manifest's minv/maxv alone can NOT answer: they are SHADOW values
+    * (doubles), and past the shadow's precision (2^53 longs, string
+    * prefixes) two natives share one shadow — the native extremum
+    * requires touching the one bucket that holds it. Outer None =
+    * decline ([[rangeProbe]]'s conditions); inner None = zero matching
+    * facts (the pushdown is decisive about emptiness: kept-bucket
+    * scans under the exact predicate found nothing, or no bucket
+    * intersects the range at all). */
+  private[graft] def extremumRange(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String,
+      r: graft.query.MRange, isMax: Boolean): Option[Option[Any]] =
+    rangeProbe(spark, table, attr, vtype, r).map { case (g, keep, sLo, sHi) =>
+      if (keep.isEmpty) None
+      else {
+        def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+        val (inner, _) = splitInnerEdge(keep, sLo, sHi)
+        val innerSet = inner.map(_._1).toSet
+        val walk =
+          if (isMax) keep.sortWith((x, y) => cmp(x._3, y._3) > 0)
+          else keep.sortWith((x, y) => cmp(x._2, y._2) < 0)
+        val firstInner = walk.indexWhere(b => innerSet(b._1))
+        val cand = if (firstInner >= 0) walk.take(firstInner + 1) else walk
+        val row = g.dat().where(col("a") === attr &&
+            rangePred(cand, nativeCol, r, sLo, sHi))
+          .agg(if (isMax) max(col(nativeCol)) else min(col(nativeCol)))
+          .collect()(0)
+        if (row.isNullAt(0)) None else Some(row.get(0))
+      }
+    }
+
+  /** EXACT nearest-rank PERCENTILES of `attr` RESTRICTED to the range —
+    * the pattern-conditional twin of [[percentileValues]] ("p90 length
+    * of the docs between the gates"), composing [[countRange]]'s
+    * inner/edge split with the rank walk: provably-inner buckets
+    * contribute their manifest counts with zero rows read, the
+    * straddling edges contribute EXACT counts from one pruned pre-scan,
+    * and each rank then scans only the single bucket the cumulative
+    * walk locates (edge buckets ranked under the exact predicate —
+    * their in-range rows are an order-preserving subset). Cost:
+    * O(edge buckets + one bucket per distinct rank), independent of how
+    * many facts match. Outer None = decline ([[rangeProbe]]'s
+    * conditions); Some(empty) = the pushdown decisively found ZERO
+    * matching facts (the caller renders every q as None). */
+  private[graft] def percentileRange(spark: SparkSession, table: String,
+      attr: String, nativeCol: String, vtype: String, qs: Seq[Double],
+      r: graft.query.MRange): Option[Map[Double, Any]] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"percentile qs must be in (0, 1], got $qs")
+    rangeProbe(spark, table, attr, vtype, r).map { case (g, keep, sLo, sHi) =>
+      if (keep.isEmpty) Map.empty[Double, Any]
+      else {
+        def cmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+        val (inner, edge) = splitInnerEdge(keep, sLo, sHi)
+        val innerSet = inner.map(_._1).toSet
+        val edgeCounts: Map[Int, Long] =
+          if (edge.isEmpty) Map.empty
+          else g.dat().where(col("a") === attr &&
+              rangePred(edge, nativeCol, r, sLo, sHi))
+            .groupBy(col("bkt")).count().collect()
+            .map(x => x.getInt(0) -> x.getLong(1)).toMap
+        // (bucket id, in-range count, provably-inner?) ascending by
+        // shadow — strict cross-bucket shadow order makes this the
+        // global native order
+        val walk = keep.sortWith((x, y) => cmp(x._2, y._2) < 0).map(b =>
+          (b._1,
+            if (innerSet(b._1)) b._4 else edgeCounts.getOrElse(b._1, 0L),
+            innerSet(b._1)))
+        val total = walk.map(_._2).sum
+        if (total == 0L) Map.empty[Double, Any]
+        else {
+          val cumBefore = walk.scanLeft(0L)(_ + _._2)
+          def locate(k: Long): (Int, Long, Boolean) = {
+            val i = walk.indices
+              .find(i => cumBefore(i) + walk(i)._2 >= k).get
+            (walk(i)._1, k - cumBefore(i), walk(i)._3)
+          }
+          val ranks = qs.distinct.map(q =>
+            q -> locate(math.ceil(q * total).toLong.max(1L).min(total)))
+          val statOf = keep.map(b => b._1 -> b).toMap
+          val picked: Map[(Int, Long), Any] = ranks.groupBy(_._2._1)
+            .flatMap { case (bkt, rs) =>
+              val base = g.dat()
+                .where(col("a") === attr && col("bkt") === bkt)
+              val rows =
+                if (rs.head._2._3) base // inner: every row matches
+                else base.where(
+                  rangePred(Array(statOf(bkt)), nativeCol, r, sLo, sHi))
+              rankPick(rows, nativeCol, rs.map(_._2._2))
+                .map { case (w, v) => (bkt, w) -> v }
+            }
+          ranks.map { case (q, loc) => q -> picked((loc._1, loc._2)) }
+            .toMap
+        }
+      }
     }
   }
 }

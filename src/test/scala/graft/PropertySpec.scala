@@ -1104,6 +1104,42 @@ class PropertySpec extends AnyFunSuite {
             s"trial $trial case $c count $r")
           assert(ts.sumMatch("p:n", Seq("p:n" -> r)) === want.sum,
             s"trial $trial case $c sum $r")
+          // MIN/MAX/AVG pushdowns over the same window: extremal-
+          // bucket scans + sum/count composition == the model, and
+          // INDEX == EXACT FALLBACK (the un-indexed store runs the
+          // scan path on identical facts)
+          def asL(o: Option[Any]) = o.map(_.asInstanceOf[Long])
+          assert(asL(ts.minMatch("p:n", Seq("p:n" -> r)))
+            === want.headOption, s"trial $trial case $c min $r")
+          assert(asL(ts.maxMatch("p:n", Seq("p:n" -> r)))
+            === want.lastOption, s"trial $trial case $c max $r")
+          assert(ts.minMatch("p:n", Seq("p:n" -> r))
+            === store.minMatch("p:n", Seq("p:n" -> r)),
+            s"trial $trial case $c min index==fallback $r")
+          assert(ts.maxMatch("p:n", Seq("p:n" -> r))
+            === store.maxMatch("p:n", Seq("p:n" -> r)),
+            s"trial $trial case $c max index==fallback $r")
+          val wantAvg =
+            if (want.isEmpty) None
+            else Some(want.sum.toDouble / want.size)
+          assert(ts.avgMatch("p:n", Seq("p:n" -> r)) === wantAvg,
+            s"trial $trial case $c avg $r")
+          assert(ts.avgMatch("p:n", Seq("p:n" -> r))
+            === store.avgMatch("p:n", Seq("p:n" -> r)),
+            s"trial $trial case $c avg index==fallback $r")
+          // PATTERN-CONDITIONAL percentile: nearest-rank inside the
+          // window — the pushdown's inner-count + edge-scan walk ==
+          // the sorted model == the un-indexed fallback
+          val qc = 0.05 + rnd.nextDouble() * 0.95
+          val wantP =
+            if (want.isEmpty) None
+            else Some(want(math.ceil(qc * want.size).toInt.max(1) - 1))
+          assert(asL(ts.percentileValues("p:n", Seq(qc),
+            Seq("p:n" -> r))(qc)) === wantP,
+            s"trial $trial case $c cond-percentile q=$qc $r")
+          assert(ts.percentileValues("p:n", Seq(qc), Seq("p:n" -> r))
+            === store.percentileValues("p:n", Seq(qc), Seq("p:n" -> r)),
+            s"trial $trial case $c cond-percentile index==fallback $r")
           // the fused range+top-k probe on the same window: k of the
           // in-range values in either direction == the model's take(k)
           // (ties pick interchangeable eids; VALUES are deterministic).
@@ -1167,6 +1203,10 @@ class PropertySpec extends AnyFunSuite {
         "vlong", graft.model.Triples.VLong, rAll).isEmpty)
       assert(ValueIndex.sumRange(spark, s"vidx_rngp_$trial", "p:n",
         graft.model.Triples.VLong, rAll).isEmpty)
+      assert(ValueIndex.extremumRange(spark, s"vidx_rngp_$trial", "p:n",
+        "vlong", graft.model.Triples.VLong, rAll, isMax = true).isEmpty)
+      assert(ValueIndex.percentileRange(spark, s"vidx_rngp_$trial", "p:n",
+        "vlong", graft.model.Triples.VLong, Seq(0.5), rAll).isEmpty)
       ValueIndex.compact(spark, s"vidx_rngp_$trial", s"$dir/t${trial}c",
         nBuckets = 4 + rnd.nextInt(8))
       val latest = (rows.toMap ++ upserts.toMap ++ fresh.toMap).toSeq

@@ -1475,8 +1475,9 @@ class TripleStoreSpec extends AnyFunSuite {
       === 100L)
   }
 
-  test("valueIndex: a v5 manifest (no suml) fails probes loud, and " +
-      "COMPACT migrates it in place — v5 data rows are format-compatible") {
+  test("valueIndex: a v5 manifest (no suml) fails probes loud, COMPACT " +
+      "refuses to migrate it (typed-fact filter not re-appliable), and " +
+      "a REBUILD from the store recovers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vidxm").toString
     val rows = (0 until 120).map(i => (f"e$i%03d", i.toLong))
     val plain = numStore(rows)
@@ -1500,9 +1501,16 @@ class TripleStoreSpec extends AnyFunSuite {
         Triples.VLong, MRange(lo = Some(10L)))
     }
     assert(e.getMessage.contains("rebuild"))
-    // compact consumes only DATA rows (identical v5 ↔ v6) and
-    // regenerates the manifest — the cheap O(index) migration
-    ValueIndex.compact(spark, "vidx_mig", s"$dir/v2", nBuckets = 6)
+    // compact refuses foreign formats: v5 builds predate the
+    // declared-type fact filter, so an in-place migration could carry
+    // a type-drifted stray into manifest counts the v6 aggregate
+    // pushdowns trust — only a rebuild from the store (which re-runs
+    // the filter) migrates
+    val c = intercept[IllegalArgumentException] {
+      ValueIndex.compact(spark, "vidx_mig", s"$dir/v2", nBuckets = 6)
+    }
+    assert(c.getMessage.contains("rebuild"))
+    plain.buildValueIndex("vidx_mig", s"$dir/v3", Seq("n:v"), nBuckets = 6)
     assert(ValueIndex.countRange(spark, "vidx_mig", "n:v", "vlong",
       Triples.VLong, MRange(lo = Some(10L))) === Some(110L))
     assert(plain.withValueIndex("vidx_mig").sumMatch("n:v",
@@ -1596,6 +1604,11 @@ class TripleStoreSpec extends AnyFunSuite {
     // swap catalog, old paths return
     val (oldData, oldMan) = ValueIndex.compact(spark, "vidx_t5",
       s"$dir/v5c", nBuckets = 8)
+    // the swap supersedes the old generation: its cached bucket stats
+    // are unreachable (probes resolve the new location) and must be
+    // evicted, not leaked one Array per attr per compaction
+    assert(!ValueIndex.statsCacheKeys.exists(_._1 == oldData),
+      "compact must evict the superseded generation's statsCache keys")
     assert(manifestRows() <= 8, "compaction must collapse the manifest")
     assert(maxBkt() <= 7, "compaction must restore the bucket-id range")
     // the store matching the index now includes the upsert (snapshot
@@ -1781,6 +1794,25 @@ class TripleStoreSpec extends AnyFunSuite {
     val err = intercept[Exception] { count(MRange(lo = Some(450L))) }
     assert(err.getMessage.contains("CAST_INVALID_INPUT"),
       s"expected the ANSI cast error, got: ${err.getMessage}")
+    // supplementary-plane ordering: Spark compares strings by UTF-8
+    // BYTES, Scala String </> by UTF-16 code units — they disagree on
+    // U+FFFF vs U+10000 (UTF-16: 0xFFFF > 0xD800-surrogate; UTF-8:
+    // EF BF BF < F0 90 80 80). A table named "t\u{10000}" must be
+    // EXCLUDED by hi = "t￿" (UTF-8 order, what the un-fused
+    // fallback computes), even though UTF-16 order would include it.
+    val supp = "t" + new String(Character.toChars(0x10000))
+    val sp2 = graft.sources.RowIngest.specFor(df, supp, Seq("doc_id"),
+      Nil, None)
+    val ts2 = new TripleStore(spark,
+      graft.sources.RowIngest.tableToTriples(df, sp2), sp2.attrSchemas,
+      preResolved = true,
+      source = Some(graft.model.UnionTripleSource(
+        Seq(graft.sources.RowIngest.TableSource(df, sp2)))))
+    def count2(r: MRange): Long = ts2.pullMany(
+      Seq(Triples.TypeAttr -> r), Seq(PAttr(s"$supp:doc_id"))).count()
+    assert(count2(MRange(hi = Some("t￿"))) === 0L,
+      "fused path must use UTF-8 byte order, not UTF-16 code units")
+    assert(count2(MRange(lo = Some("t￿"), loStrict = true)) === 100L)
   }
 
   test("pullMany: single-clause range match + sort + limit fuses to one " +
