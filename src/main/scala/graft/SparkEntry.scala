@@ -2463,6 +2463,109 @@ object SparkEntry {
       Seq(p).toDF("p")
     }),
 
+    // MIN/MAX pushdown (minMatch/maxMatch → ValueIndex.extremumRange):
+    // the native extrema of the curation window. The manifest's own
+    // min/max are SHADOW doubles — exactness requires touching the one
+    // bucket holding the extremum — so the probe scans the extremal
+    // edge bucket(s) plus at most the first provably-inner bucket:
+    // O(1) buckets however many facts match. Shares q173's pristine
+    // index; the two-sided window exercises both walk directions.
+    "q185_range_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val t = s"q173vidx_${dirTag(dir)}"
+      val st = q173IndexedStore(s, dir)
+      val pat = Seq(s"$t:n_chars" ->
+        MRange(lo = Some(450L), hi = Some(900L), loStrict = true))
+      val mn = st.minMatch(s"$t:n_chars", pat).get.asInstanceOf[Long]
+      val mx = st.maxMatch(s"$t:n_chars", pat).get.asInstanceOf[Long]
+      Seq((mn, mx)).toDF("mn", "mx")
+    }),
+
+    // AVG pushdown (avgMatch = sumRange/countRange composed): the mean
+    // chars of the windowed docs read off the manifest at O(edge
+    // buckets). The division is ONE double op over exactly-computed
+    // integer sum and count — bit-identical to the oracle's
+    // CAST(sum AS DOUBLE)/count, which is why the result is hashable
+    // cross-engine (a float running mean would not be). Shares q173's
+    // pristine index.
+    "q186_range_avg" -> ((s, dir) => {
+      import s.implicits._
+      val t = s"q173vidx_${dirTag(dir)}"
+      val a = q173IndexedStore(s, dir).avgMatch(s"$t:n_chars",
+        Seq(s"$t:n_chars" ->
+          MRange(lo = Some(450L), hi = Some(900L), loStrict = true))).get
+      Seq(a).toDF("a")
+    }),
+
+    // PATTERN-CONDITIONAL percentile (percentileValues(attr, qs,
+    // pattern) → ValueIndex.percentileRange): p50/p90/p99 length OF THE
+    // WINDOWED DOCS in one pass — countRange's inner/edge split locates
+    // each rank (inner buckets contribute manifest counts with zero
+    // rows read; edges contribute exact counts from one pruned
+    // pre-scan) and only the located buckets rank. The unconditional
+    // q184 ranks the whole fact universe; this is the conditional twin
+    // a curation gate actually asks for. Shares q173's pristine index.
+    "q187_cond_percentile" -> ((s, dir) => {
+      import s.implicits._
+      val t = s"q173vidx_${dirTag(dir)}"
+      val ps = q173IndexedStore(s, dir).percentileValues(s"$t:n_chars",
+        Seq(0.5, 0.9, 0.99),
+        Seq(s"$t:n_chars" ->
+          MRange(lo = Some(450L), hi = Some(900L), loStrict = true)))
+      def at(q: Double) = ps(q).get.asInstanceOf[Long]
+      Seq((at(0.5), at(0.9), at(0.99))).toDF("p50", "p90", "p99")
+    }),
+
+    // the SUM pushdown recognized at the DATALOG layer: {"find": [],
+    // "agg": [["sum","?v","s"]], "where": [[?d n_chars range],
+    // [?d n_chars ?v]], "with": [?d]} — the binding clause re-reads the
+    // attr the range gated and :with pins bag semantics, so the program
+    // IS sumMatch's shape and the manifest's materialized per-bucket
+    // sums serve it before any clause frame is built (the datalog twin
+    // of q183, as q182 is of q181). Shares q173's pristine index.
+    "q188_datalog_sum" -> ((s, dir) => {
+      val t = s"q173vidx_${dirTag(dir)}"
+      q173IndexedStore(s, dir).datalog(
+        find = Seq.empty,
+        where = Seq(
+          ("?d", s"$t:n_chars",
+            MRange(lo = Some(450L), hi = Some(900L), loStrict = true)),
+          ("?d", s"$t:n_chars", "?v")),
+        aggregates = Seq(graft.query.DatalogAgg("sum", "?v", "s")),
+        withVars = Seq("?d"))
+    }),
+
+    // TWO-PROBE index-driven conjunction: BOTH conjuncts are selective
+    // indexed ranges (n_chars and doc_id — manifest-measured at ≤ 1/4
+    // of their attrs' facts each), so the driven match INTERSECTS the
+    // two pruned bucket probes by semi-join instead of probing one and
+    // scanning the other attr's full slice (matchEntities'
+    // indexDrivenMatch multi-probe path). At 100 TB the match cost is
+    // two pruned bucket sets, independent of either attr's corpus
+    // share. Own pristine index over BOTH attrs; PWild blocks
+    // base-table fusion so the driven path owns the plan.
+    "q189_conj_two_probes" -> ((s, dir) => {
+      val t = s"q189vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val sp = graft.sources.RowIngest.specFor(docs, t, Seq("doc_id"),
+        Nil, None)
+      def store = new TripleStore(s,
+        graft.sources.RowIngest.tableToTriples(docs, sp), sp.attrSchemas,
+        preResolved = true,
+        source = Some(graft.model.UnionTripleSource(
+          Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      vidxFromPristine(s, "q189vidx", dir, t,
+        Seq(s"$t:n_chars", s"$t:doc_id"), 8)(store)
+      store.withValueIndex(t)
+        .pullMany(
+          Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true),
+            s"$t:doc_id" -> MRange(hi = Some(90L))),
+          Seq(PAttr(s"$t:doc_id"), PAttr(s"$t:n_chars"), PWild))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // POINT lookup (MEq/MIn) through the zone map (ValueIndex.inEids):
     // "documents in German or Chinese" — the equality curation filter —
     // is a degenerate range, pruned to the buckets whose [min, max]
@@ -2555,6 +2658,68 @@ object SparkEntry {
       val q = startStream()
       try q.processAllAvailable() finally q.stop()
       graft.ValueIndex.compact(s, t, compacted, nBuckets = 8)
+      batchStore(docs).withValueIndex(t)
+        .pullMany(
+          Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
+          Seq(PAttr(s"$t:doc_id"), PWild))
+        .select(col("doc_id"),
+          col("attrs").getField(s"$t:n_chars").getItem(0)
+            .cast("long").as("n_chars"))
+    }),
+
+    // AUTO-COMPACT VALVE in the maintenance loop: q180's ingest with
+    // compaction as POLICY instead of caller discipline — each
+    // microbatch appends, then ValueIndex.compactIfFragmented reads
+    // the manifest's frag (rows per bucket; O(manifest), no data
+    // scanned) and compacts into a batch-unique path only past the
+    // threshold. Each full-spread append pushes frag ≈ 2.0, so the
+    // valve FIRES mid-run on both microbatches; the final range probe
+    // is therefore pristine-served with no terminal compact call —
+    // the steady-state a long-running 100 TB ingest loop runs at,
+    // where reconciliation happens exactly when the measured probe
+    // tax says it pays. Fresh world per rep (build + 2 microbatches +
+    // 2 valve-triggered compactions is the measured work).
+    "q190_stream_autocompact" -> ((s, dir) => withShuffle(s, 8) {
+      import java.nio.file.Paths
+      val in = scratch("q190in", dir)
+      val ckpt = scratch("q190ckpt", dir)
+      val work = scratch("q190idx", dir)
+      val t = s"q190vidx_${dirTag(dir)}"
+      val docs = Tpch.raw(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val b1 = stagedInput(s, "q190b1", dir)(
+        docs.where(col("doc_id") % 3 === 1))
+      val b2 = stagedInput(s, "q190b2", dir)(
+        docs.where(col("doc_id") % 3 === 2))
+      def batchStore(df: org.apache.spark.sql.DataFrame): TripleStore = {
+        val sp = graft.sources.RowIngest.specFor(df, t, Seq("doc_id"),
+          Nil, None)
+        new TripleStore(s, graft.sources.RowIngest.tableToTriples(df, sp),
+          sp.attrSchemas, preResolved = true,
+          source = Some(graft.model.UnionTripleSource(
+            Seq(graft.sources.RowIngest.TableSource(df, sp)))))
+      }
+      for (d <- Seq(in, ckpt, work, work + "_manifest"))
+        deleteRec(Paths.get(d))
+      graft.ValueIndex.build(
+        batchStore(docs.where(col("doc_id") % 3 === 0)), t, work,
+        Seq(s"$t:n_chars"), 8)
+      def startStream() =
+        s.readStream.schema("doc_id BIGINT, n_chars BIGINT").parquet(in)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (!b.isEmpty) {
+              graft.ValueIndex.append(batchStore(b), t)
+              graft.ValueIndex.compactIfFragmented(s, t,
+                s"$work-g$id", maxFrag = 1.5, nBuckets = 8): Unit
+            }
+          }.start()
+      for (batch <- Seq(b1, b2)) {
+        copyRec(Paths.get(batch), Paths.get(in))
+        val q = startStream()
+        try q.processAllAvailable() finally q.stop()
+      }
       batchStore(docs).withValueIndex(t)
         .pullMany(
           Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
@@ -5664,6 +5829,45 @@ object SparkEntry {
         |SELECT n_chars AS p FROM r
         |WHERE rn = (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM s)"""
         .stripMargin,
+    "q185_range_minmax" ->
+      """SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
+    // the pinned formulation: exact integer sum cast to double, ONE
+    // double division — identical IEEE ops in both engines (DuckDB
+    // sums BIGINT in HUGEINT, we sum in DECIMAL(38,0)/long: both cast
+    // round-to-nearest)
+    "q186_range_avg" ->
+      """SELECT CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS a
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
+    // nearest-rank ⌈q·N⌉ over the WINDOWED set, three qs in one pass
+    "q187_cond_percentile" ->
+      """WITH s AS (SELECT n_chars FROM documents
+        |           WHERE doc_id % 3 = 0
+        |             AND n_chars > 450 AND n_chars <= 900),
+        |r AS (SELECT n_chars,
+        |             row_number() OVER (ORDER BY n_chars) AS rn FROM s),
+        |n AS (SELECT count(*) AS c FROM s)
+        |SELECT
+        |  (SELECT n_chars FROM r, n
+        |   WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)) AS p50,
+        |  (SELECT n_chars FROM r, n
+        |   WHERE rn = CAST(ceil(0.9 * c) AS BIGINT)) AS p90,
+        |  (SELECT n_chars FROM r, n
+        |   WHERE rn = CAST(ceil(0.99 * c) AS BIGINT)) AS p99"""
+        .stripMargin,
+    "q188_datalog_sum" ->
+      """SELECT CAST(sum(n_chars) AS BIGINT) AS s FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND n_chars <= 900"""
+        .stripMargin,
+    "q189_conj_two_probes" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 3 = 0 AND n_chars > 450 AND doc_id <= 90"""
+        .stripMargin,
+    "q190_stream_autocompact" ->
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
     "q177_cli_ts_range" ->
       """SELECT event_id, ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10'

@@ -826,6 +826,32 @@ object ValueIndex {
         col("min_shadow"), col("max_shadow"), col("max_tx"))
   }
 
+  /** AUTO-COMPACT VALVE — makes compaction cadence POLICY instead of
+    * caller discipline: reads [[stats]]' `frag` (manifest rows per
+    * bucket; 1.0 is the tight post-build state, each append adds one
+    * row per touched bucket) and runs [[compact]] into `newPath` only
+    * when any attr's frag exceeds `maxFrag`. A streaming maintenance
+    * loop calls this once per microbatch with a batch-unique
+    * `newPath`; the check is O(manifest) — no data scanned — so the
+    * steady-state cost of the valve is one small aggregate, and the
+    * aggregate/membership probes (which decline on any un-reconciled
+    * append) regain pristine service exactly when the measured probe
+    * tax (~40-65% at frag ≈ 5, see ScaleBench's eav_vidx rows) says
+    * reconciliation pays for itself. Returns the superseded (data,
+    * manifest) paths when a compaction ran — the caller's vacuum
+    * hook — or None when the index was tight (newPath untouched, so
+    * callers may derive it from a monotone batch id without burning
+    * names). */
+  def compactIfFragmented(spark: SparkSession, table: String,
+      newPath: String, maxFrag: Double = 2.0, nBuckets: Int = 64)
+      : Option[(String, String)] = {
+    require(maxFrag >= 1.0, s"maxFrag must be >= 1.0, got $maxFrag")
+    val row = stats(spark, table).agg(max(col("frag"))).head()
+    val frag = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+    if (frag > maxFrag) Some(compact(spark, table, newPath, nBuckets))
+    else None
+  }
+
   /** The top-`k` eids by `attr` through the index (descending when
     * `desc`, else ascending), restricted to `ents` when given — or None
     * when the index can't answer (attr not indexed, or `ents` so

@@ -21,7 +21,10 @@ import scala.jdk.CollectionConverters._
   *   graft.tools.Cli sum -i in.json ... -e ENTITY_PATTERN --cols ATTR
   *                        [--table vidx] -o out
   *   graft.tools.Cli percentile -i in.json ... --cols ATTR
-  *                        [--qs 0.5,0.9,0.99] [--table vidx] -o out
+  *                        [--qs 0.5,0.9,0.99] [-e ENTITY_PATTERN]
+  *                        [--table vidx] -o out
+  *   graft.tools.Cli {min|max|avg} -i in.json ... -e ENTITY_PATTERN
+  *                        --cols ATTR [--table vidx] -o out
   *
   * `count` emits the number of entities matching `-e` as one
   * {"count": N} row — the curation "how many pass this gate" question
@@ -160,7 +163,8 @@ object Cli {
       windowSeconds: Long = 86400L)
 
   private val TripleSubs =
-    Seq("join", "pull", "datalog", "count", "sum", "percentile")
+    Seq("join", "pull", "datalog", "count", "sum", "percentile",
+      "min", "max", "avg")
   private val PipelineSubs =
     Seq("dedup", "sample", "chunk", "pack", "scrub", "split", "stats",
       "indexbuild", "indexappend", "indexdedup", "indexingest",
@@ -934,17 +938,61 @@ object Cli {
         // exact nearest-rank percentiles of --cols ATTR at each --qs
         // (one {q, value} row per q); with --table naming a registered
         // ValueIndex, each rank is located by the manifest's cumulative
-        // counts and ONE bucket scans (TripleStore.percentileValue)
+        // counts and ONE bucket scans (TripleStore.percentileValues).
+        // An optional -e pattern CONDITIONS the ranks on the matched
+        // entities ("p90 length of the docs between the gates") — the
+        // single-range-on-ATTR shape is still manifest-located
+        // (inner-bucket counts + exact edge counts), every other
+        // pattern is the exact semi-joined fallback.
         val attr = a.cols match {
           case Seq(one) => one
           case _ => sys.error("percentile needs --cols ATTR (exactly one)")
         }
         val st = a.table.map(ts.withValueIndex).getOrElse(ts)
         import spark.implicits._
-        val pv = st.percentileValues(attr, a.qs)
+        val pv = a.entityPattern.map(parsePattern) match {
+          case Some(pat) =>
+            st.percentileValues(attr, a.qs, coerceRangeBounds(st, pat))
+          case None => st.percentileValues(attr, a.qs)
+        }
         writeOut(a.qs.map(q =>
             (q, pv(q).map(String.valueOf).orNull))
           .toDF("q", "value"), a.output)
+      case v @ ("min" | "max") =>
+        // extremum of --cols ATTR over the matched entities; with
+        // --table naming a registered ValueIndex, a single-range
+        // pattern on ATTR scans only the extremal bucket(s)
+        // (TripleStore.minMatch/maxMatch — the manifest's min/max are
+        // shadow doubles, so the native extremum touches one bucket).
+        // Values render as strings (the attr may be any scalar type);
+        // an empty match renders null.
+        val attr = a.cols match {
+          case Seq(one) => one
+          case _ => sys.error(s"$v needs --cols ATTR (exactly one)")
+        }
+        val pat = a.entityPattern.map(parsePattern).getOrElse(
+          sys.error(s"$v needs -e entity-pattern"))
+        val st = a.table.map(ts.withValueIndex).getOrElse(ts)
+        import spark.implicits._
+        val res =
+          if (v == "min") st.minMatch(attr, coerceRangeBounds(st, pat))
+          else st.maxMatch(attr, coerceRangeBounds(st, pat))
+        writeOut(Seq(res.map(String.valueOf).orNull).toDF(v), a.output)
+      case "avg" =>
+        // LONG-attr average over the matched entities — sum/count
+        // composed, so a single-range pattern on the averaged attr
+        // reads O(edge buckets) off the zone map
+        // (TripleStore.avgMatch); an empty match renders null
+        val attr = a.cols match {
+          case Seq(one) => one
+          case _ => sys.error("avg needs --cols ATTR (exactly one)")
+        }
+        val pat = a.entityPattern.map(parsePattern).getOrElse(
+          sys.error("avg needs -e entity-pattern"))
+        val st = a.table.map(ts.withValueIndex).getOrElse(ts)
+        import spark.implicits._
+        writeOut(Seq(st.avgMatch(attr, coerceRangeBounds(st, pat)))
+          .toDF("avg"), a.output)
     }
   }
 

@@ -887,6 +887,38 @@ class CliSpec extends AnyFunSuite {
         .as[(Double, String)].collect().toMap
       assert(pv(0.5) === "15" && pv(0.9) === "27", out)
     }
+    // CONDITIONAL percentile: -e restricts the ranks to the matched
+    // window (values 21..30 → p50 = 5th smallest = 25), indexed or not
+    for ((out, extra) <- Seq(
+        (dir + "/p3", Array.empty[String]),
+        (dir + "/p4", Array("--table", "clicnt_vidx")))) {
+      Cli.run(spark, Array("percentile", "-i", in, "-I", "d:id",
+        "-s", sch, "--cols", "d:n", "--qs", "0.5",
+        "-e", """{"d:n": {"$gt": 20}}""", "-o", out) ++ extra)
+      val pv = spark.read.json(out).select($"q", $"value")
+        .as[(Double, String)].collect().toMap
+      assert(pv(0.5) === "25", out)
+    }
+    // min/max/avg verbs over the same window (values 21..30), served
+    // by the zone map with --table and by the exact scan without
+    for (extra <- Seq(Array.empty[String],
+        Array("--table", "clicnt_vidx"))) {
+      Cli.run(spark, Array("min", "-i", in, "-I", "d:id", "-s", sch,
+        "-e", """{"d:n": {"$gt": 20}}""", "--cols", "d:n",
+        "-o", dir + "/mn") ++ extra)
+      assert(spark.read.json(dir + "/mn").select($"min")
+        .as[String].collect().head === "21")
+      Cli.run(spark, Array("max", "-i", in, "-I", "d:id", "-s", sch,
+        "-e", """{"d:n": {"$gt": 20}}""", "--cols", "d:n",
+        "-o", dir + "/mx") ++ extra)
+      assert(spark.read.json(dir + "/mx").select($"max")
+        .as[String].collect().head === "30")
+      Cli.run(spark, Array("avg", "-i", in, "-I", "d:id", "-s", sch,
+        "-e", """{"d:n": {"$gt": 20}}""", "--cols", "d:n",
+        "-o", dir + "/av") ++ extra)
+      assert(spark.read.json(dir + "/av").select($"avg")
+        .as[Double].collect().head === 25.5)
+    }
   }
 
   test("CLI pull-expr / pattern / schema JSON parsers") {

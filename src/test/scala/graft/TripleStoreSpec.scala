@@ -1311,6 +1311,20 @@ class TripleStoreSpec extends AnyFunSuite {
     // exactly what the general global aggregate emits
     assert(dlCount(ts, Seq(("?d", "n:v",
       MRange(lo = Some(5000L))))) === 0L)
+    // the SUM twin: [?d attr range] + [?d attr ?v] + :with ?d IS
+    // sumMatch's shape — indexed and plain agree with the model
+    // (sum 101..250 = 26325); an EMPTY window renders SQL NULL (one
+    // null row), exactly the general global aggregate's answer, never
+    // sumMatch's monoid 0
+    def dlSum(st: TripleStore, r: MRange) =
+      st.datalog(Seq.empty,
+        Seq(("?d", "n:v", r), ("?d", "n:v", "?v")),
+        aggregates = Seq(graft.query.DatalogAgg("sum", "?v", "s")),
+        withVars = Seq("?d"))
+    assert(dlSum(ts, dlr).as[Long].collect().head === 26325L)
+    assert(dlSum(plain, dlr).as[Long].collect().head === 26325L)
+    assert(dlSum(ts, MRange(lo = Some(5000L)))
+      .select($"s").collect().head.isNullAt(0))
     // an APPEND (un-reconciled upsert twins possible) declines the
     // pushdown; countMatch stays exact through the fallback scan
     ValueIndex.append(numStore(Seq(("x001", 7L)), tx = 1L), "vidx_cnt")
@@ -1630,6 +1644,34 @@ class TripleStoreSpec extends AnyFunSuite {
     graft.ops.Layout.vacuum(spark, oldData)
     graft.ops.Layout.vacuum(spark, oldMan)
     assert(topVals(tsUp) === topVals(unionUp))
+  }
+
+  test("valueIndex: compactIfFragmented is a no-op on a tight index " +
+      "and compacts past the threshold — aggregate probes regain " +
+      "pristine service") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_valve").toString
+    val rows = (0 until 160).map(i => (f"e$i%03d", i.toLong))
+    numStore(rows).buildValueIndex("vidx_valve", s"$dir/v", Seq("n:v"),
+      nBuckets = 4)
+    // tight post-build state (frag = 1.0): the valve declines and the
+    // candidate path stays unburned (callers derive it from a monotone
+    // batch id)
+    assert(ValueIndex.compactIfFragmented(spark, "vidx_valve",
+      s"$dir/g0", maxFrag = 1.5, nBuckets = 4).isEmpty)
+    assert(!new java.io.File(s"$dir/g0").exists)
+    // a full-spread append doubles the manifest rows (frag → 2.0);
+    // while un-reconciled, the aggregate probe declines by contract
+    ValueIndex.append(numStore(
+      (0 until 160).map(i => (f"x$i%03d", i.toLong)), tx = 1L),
+      "vidx_valve")
+    assert(ValueIndex.countRange(spark, "vidx_valve", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some(100L))).isEmpty)
+    // past the threshold the valve compacts; the probe serves again
+    // and matches the model over BOTH batches
+    assert(ValueIndex.compactIfFragmented(spark, "vidx_valve",
+      s"$dir/g1", maxFrag = 1.5, nBuckets = 4).isDefined)
+    assert(ValueIndex.countRange(spark, "vidx_valve", "n:v", "vlong",
+      Triples.VLong, MRange(lo = Some(100L))) === Some(120L))
   }
 
   test("persisted store: top-k pull pushes the k eids as an IN into the " +
