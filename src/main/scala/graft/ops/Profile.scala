@@ -159,7 +159,13 @@ object Profile {
           .as(s"_h_$tag"))
     val o = keyed(old, "o")
     val c = keyed(cur, "c")
-    o.join(c, o("_id_o") === c("_id_c"), "full_outer")
+    // SHUFFLE_HASH, not the default sort-merge: both join inputs are
+    // projected to fixed-width (id, 32-char md5) rows BEFORE the join,
+    // so the per-partition hash build is small and spill-safe at any
+    // corpus size, and skipping the two O(n log n) sorts is what keeps
+    // the diff's growth ~linear (the measured 10× exponent sat at the
+    // sort's super-linear margin under sort-merge)
+    o.join(c.hint("SHUFFLE_HASH"), o("_id_o") === c("_id_c"), "full_outer")
       .select(coalesce(col("_id_c"), col("_id_o")).as(idCol),
         when(col("_id_o").isNull, "added")
           .when(col("_id_c").isNull, "removed")
