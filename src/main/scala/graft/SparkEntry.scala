@@ -2556,8 +2556,13 @@ object SparkEntry {
         preResolved = true,
         source = Some(graft.model.UnionTripleSource(
           Seq(graft.sources.RowIngest.TableSource(docs, sp)))))
+      // 16 buckets (not the family's 8): the ≤1/4 driving gate reads
+      // kept-bucket FACT counts, and with 8 buckets each conjunct's
+      // kept set (~2 buckets ≈ 1/4 of facts) sits exactly on the
+      // gate's knife edge — 16 halves the bucket granularity so both
+      // probes' kept sets land comfortably under it at every sf
       vidxFromPristine(s, "q189vidx", dir, t,
-        Seq(s"$t:n_chars", s"$t:doc_id"), 8)(store)
+        Seq(s"$t:n_chars", s"$t:doc_id"), 16)(store)
       store.withValueIndex(t)
         .pullMany(
           Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true),
