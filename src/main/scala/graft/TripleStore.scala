@@ -784,25 +784,54 @@ class TripleStore(
     * production deployments should size it >= their top-k limits. */
   private def pullImpl(entities: DataFrame, specs: Seq[PullSpec],
       entitiesDistinct: Boolean, entLiterals: Option[Seq[String]]): DataFrame = {
-    val ents =
+    // an entity frame that is ALREADY a materialized-RDD leaf (a
+    // checkpoint this method created one recursion step up) must not be
+    // re-checkpointed — the blocks exist, a second pin is a pure-waste
+    // job + double storage
+    def isRddLeaf(df: DataFrame): Boolean = df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val ents0 =
       if (entitiesDistinct) entities.select($"e")
       else entities.select($"e").distinct()
+    // Q7e '...' — resolve each recursive spec's ACTUAL depth over this
+    // entity set, then unroll to plain PNest levels (see PRec scaladoc).
+    if (specs.exists(_.isInstanceOf[PRec])) {
+      // materialize the roots ONCE: the depth probe (eager BFS) and the
+      // unrolled pull both consume them — without the pin the probe
+      // re-evaluates the caller's whole match subtree per level
+      val entsCk =
+        if (entitiesDistinct && isRddLeaf(entities)) ents0
+        else ents0.localCheckpoint(eager = true)
+      val expanded = specs.map {
+        case p: PRec => expandRec(specs, p, recDepth(entsCk, p))
+        case s => s
+      }
+      return pullImpl(entsCk, expanded, entitiesDistinct = true, entLiterals)
+    }
+    val flat = specs.collect { case p: PAttr => p }
+    val others = specs.filterNot(_.isInstanceOf[PAttr])
+    // MATERIALIZE the matched-eid set when the pull FANS OUT (wildcard /
+    // reverse / nested branches): every branch semi-joins the same set,
+    // and inlining the match subtree into each branch replicates its
+    // whole plan — a depth-d nested pull re-derives the match O(b^d)
+    // times (q18's unrolled recursion reached 1578 scans / 762 exchanges
+    // at depth 2, ~2 s of pure driver planning + re-executed subtrees).
+    // One localCheckpoint pins the narrow e-only frame as executor
+    // blocks: the match computes once and every branch's plan gets a
+    // leaf. Laziness exception #2 (beside the top-k prune, see
+    // [[pullMany]]): a multi-branch pull runs its match eagerly at
+    // construction; flat-only pulls — the fused/aggregate fast paths —
+    // stay fully lazy.
+    val ents =
+      if (others.nonEmpty && entLiterals.isEmpty &&
+          !(entitiesDistinct && isRddLeaf(entities)))
+        ents0.localCheckpoint(eager = true)
+      else ents0
     // e IN (ids) where literals are known, else the left-semi join
     def restrict(df: DataFrame): DataFrame = entLiterals match {
       case Some(ids) if ids.nonEmpty => df.where($"e".isInCollection(ids))
       case _ => df.join(ents, Seq("e"), "left_semi")
     }
-    // Q7e '...' — resolve each recursive spec's ACTUAL depth over this
-    // entity set, then unroll to plain PNest levels (see PRec scaladoc).
-    if (specs.exists(_.isInstanceOf[PRec])) {
-      val expanded = specs.map {
-        case p: PRec => expandRec(specs, p, recDepth(ents, p))
-        case s => s
-      }
-      return pullImpl(ents, expanded, entitiesDistinct = true, entLiterals)
-    }
-    val flat = specs.collect { case p: PAttr => p }
-    val others = specs.filterNot(_.isInstanceOf[PAttr])
 
     val flatDf: Option[DataFrame] = if (flat.isEmpty) None else Some {
       val relevant = restrict(scanFor(flat.map(_.attr)))
@@ -1689,6 +1718,10 @@ class TripleStore(
       else es0.select($"e".as("_src"), $"vref".as("_dst"))
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // `visited` is a LAZY union of per-level CHECKPOINTED leaves: each
+      // level's anti-join unions ≤ maxDepth materialized blocks — no
+      // recompute, and no third per-level job re-checkpointing the
+      // running union (2 tiny jobs per level, down from 3)
       var visited = roots.select($"e", $"e".as("root")).localCheckpoint(eager = true)
       var frontier = visited
       var d = 0
@@ -1698,7 +1731,7 @@ class TripleStore(
           .join(visited, Seq("e", "root"), "left_anti")
           .localCheckpoint(eager = true)
         if (next.isEmpty) return d
-        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        visited = visited.unionByName(next)
         frontier = next
         d += 1
       }
@@ -1881,15 +1914,22 @@ class TripleStore(
         es0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else es0
     try {
-    var visited = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
+    // `levels` holds one CHECKPOINTED frame per depth: the anti-join and
+    // the returned closure union those materialized leaves lazily — no
+    // recompute, and no third per-level job re-checkpointing the running
+    // union (2 tiny jobs per level, down from 3; at reachableBatched's
+    // ~1000-batch scale that is a scheduling-dead-time lever, not a nicety)
+    val root0 = roots.select($"e", $"e".as("root"), lit(0).as("depth"))
       .localCheckpoint(eager = true)
-    var frontier = visited
+    var levels = List(root0)
+    var visitedKeys = root0.select($"e", $"root")
+    var frontier = root0
     var i = 0
     var done = false
     while (i < maxIters && !done) {
       val next = frontier.join(es, frontier("e") === es("_src"))
         .select($"_dst".as("e"), $"root", ($"depth" + 1).as("depth"))
-        .join(visited.select($"e", $"root"), Seq("e", "root"), "left_anti")
+        .join(visitedKeys, Seq("e", "root"), "left_anti")
         .groupBy($"e", $"root").agg(min($"depth").as("depth"))
         .localCheckpoint(eager = true)
       val frontierSize = maxFrontier match {
@@ -1904,11 +1944,15 @@ class TripleStore(
         case None => if (next.isEmpty) 0L else 1L
       }
       if (frontierSize == 0L) done = true
-      else { visited = visited.unionByName(next).localCheckpoint(eager = true); frontier = next }
+      else {
+        levels ::= next
+        visitedKeys = visitedKeys.unionByName(next.select($"e", $"root"))
+        frontier = next
+      }
       i += 1
     }
-    visited
-    // visited is checkpoint-backed, so dropping the edge cache cannot
+    levels.reduce(_ unionByName _)
+    // every level is checkpoint-backed, so dropping the edge cache cannot
     // invalidate the returned result
     } finally { if (ownCache) es.unpersist(blocking = false) }
   }
