@@ -292,16 +292,27 @@ object Similarity {
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(nCells).select(col("_cv")).collect()
       .map(_.getSeq[Double](0))
-    for (_ <- 0 until iters) {
-      val upd = train
-        .select(cellOf(col("_cv"), centroids).as("_cell"),
-          posexplode(col("_cv")).as(Seq("_p", "_x")))
-        .groupBy(col("_cell"), col("_p")).agg(avg(col("_x")).as("_m"))
+    val dim = centroids.headOption.map(_.size).getOrElse(0)
+    for (_ <- 0 until iters if dim > 0) {
+      // ONE map-side-combinable aggregation per round: `dim` separate
+      // sum(element_at(...)) columns instead of posexplode + two-level
+      // aggregation — the explode shipped train×dim skinny rows through
+      // the shuffle and paid a second exchange to re-nest the mean
+      // vector; this ships nCells·dim partial sums per map task (guide
+      // §2.3 "aggregate before you shuffle") in one exchange. The mean
+      // is the same sum/count division, done driver-side on the
+      // collected (tiny: nCells rows) aggregate.
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("_cv"), i + 1)).as(s"_s$i"))
+      val upd = train.where(col("_cv").isNotNull)
+        .select(cellOf(col("_cv"), centroids).as("_cell"), col("_cv"))
         .groupBy(col("_cell"))
-        .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
-        .select(col("_cell"), col("_pm")("_m").as("_c"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
         .collect()
-      val m = upd.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val m = upd.map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
+      }.toMap
       // a cell that lost every member keeps its previous centroid
       centroids = centroids.indices.map(i => m.getOrElse(i, centroids(i))).toArray
     }
