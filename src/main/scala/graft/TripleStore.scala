@@ -1616,7 +1616,15 @@ class TripleStore(
         deltaSizes = delta.map { case (p, df) => p -> df.count() }
         total = predsS.map { p =>
           p -> (if (deltaSizes(p) == 0) total(p)
-                else total(p).unionByName(delta(p)).localCheckpoint(eager = true))
+                else {
+                  // the running total unions the (already-checkpointed)
+                  // per-round deltas LAZILY — no third driver action per
+                  // round; re-pin every 8 rounds so a deep recursion's
+                  // union fan-in (and the rule joins' plan width) stays
+                  // bounded
+                  val u = total(p).unionByName(delta(p))
+                  if (i % 8 == 0) u.localCheckpoint(eager = true) else u
+                })
         }.toMap
         onIteration(iterNo, deltaSizes)
         iterNo += 1

@@ -95,8 +95,10 @@ object RefGraph {
         .localCheckpoint(eager = true)
       n = next.count()
       if (n > 0) {
+        // lazy union of the per-level CHECKPOINTED deltas: the anti-join
+        // unions ≤ maxIters materialized leaves — no recompute and no
+        // third per-level job re-checkpointing the running known set
         known = known.unionByName(next.select($"e", lit(d).as("dist")))
-          .localCheckpoint(eager = true)
         frontier = next.select($"e")
       }
     }
