@@ -4040,11 +4040,7 @@ object SparkEntry {
       val pathOf = ts.resolved.where(col("a") === "tripl.file:path")
         .select(col("e"), col("vstr")).localCheckpoint(true)
       val roots = pathOf.where(col("vstr").startsWith("agg/")).select(col("e"))
-      // the lineage graph is a strict DAG by construction (agg → doc →
-      // raw, depth ≤ 2), reachableCte's home turf: ONE UnionLoop
-      // execution instead of the BFS loop's per-level driver actions
-      // (property-tested reachableCte == reachable; same oracle)
-      ts.reachableCte(roots, Some(Seq("tripl.file:sources")))
+      ts.reachable(roots, Some(Seq("tripl.file:sources")))
         .where(col("depth") > 0)
         .join(pathOf.toDF("e", "file"), Seq("e"))
         .join(pathOf.toDF("root", "agg_file"), Seq("root"))
