@@ -784,12 +784,18 @@ class TripleStore(
     * production deployments should size it >= their top-k limits. */
   private def pullImpl(entities: DataFrame, specs: Seq[PullSpec],
       entitiesDistinct: Boolean, entLiterals: Option[Seq[String]]): DataFrame = {
-    // an entity frame that is ALREADY a materialized-RDD leaf (a
-    // checkpoint this method created one recursion step up) must not be
-    // re-checkpointed — the blocks exist, a second pin is a pure-waste
-    // job + double storage
-    def isRddLeaf(df: DataFrame): Boolean = df.queryExecution.logical
-      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    // an entity frame whose every leaf is already literal or
+    // materialized — a LocalRelation (explicit eid list) or a
+    // LogicalRDD (a checkpoint this method created one recursion step
+    // up) — must not be checkpointed: inlining such leaves into the
+    // branches is free, and a pin would be a pure-waste job + storage
+    def materializedOnly(df: DataFrame): Boolean =
+      df.queryExecution.logical.collectLeaves().forall {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+        case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+        case _ => false
+      }
     val ents0 =
       if (entitiesDistinct) entities.select($"e")
       else entities.select($"e").distinct()
@@ -800,7 +806,7 @@ class TripleStore(
       // unrolled pull both consume them — without the pin the probe
       // re-evaluates the caller's whole match subtree per level
       val entsCk =
-        if (entitiesDistinct && isRddLeaf(entities)) ents0
+        if (materializedOnly(entities)) ents0
         else ents0.localCheckpoint(eager = true)
       val expanded = specs.map {
         case p: PRec => expandRec(specs, p, recDepth(entsCk, p))
@@ -824,7 +830,7 @@ class TripleStore(
     // stay fully lazy.
     val ents =
       if (others.nonEmpty && entLiterals.isEmpty &&
-          !(entitiesDistinct && isRddLeaf(entities)))
+          !materializedOnly(entities))
         ents0.localCheckpoint(eager = true)
       else ents0
     // e IN (ids) where literals are known, else the left-semi join
