@@ -113,6 +113,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_stats":$stats,"reps":$reps,"failed":$fs,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(outFile), line + "\n")
+    // Compact summary as the LAST stdout line: at 189 queries the full
+    // line above is ~25 KB, so a consumer that keeps only a bounded
+    // tail of stdout can never parse it — the summary carries the
+    // totals in well under 2000 chars (the per-query map stays in the
+    // full line above and in the out-file, which is unchanged).
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"reps":$reps,"failed":$fs,"sf":"$sfDir","detail":"$outFile"}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -784,18 +784,29 @@ class TripleStore(
     * production deployments should size it >= their top-k limits. */
   private def pullImpl(entities: DataFrame, specs: Seq[PullSpec],
       entitiesDistinct: Boolean, entLiterals: Option[Seq[String]]): DataFrame = {
-    // an entity frame whose every leaf is already literal or
-    // materialized — a LocalRelation (explicit eid list) or a
-    // LogicalRDD (a checkpoint this method created one recursion step
-    // up) — must not be checkpointed: inlining such leaves into the
-    // branches is free, and a pin would be a pure-waste job + storage
-    def materializedOnly(df: DataFrame): Boolean =
-      df.queryExecution.logical.collectLeaves().forall {
+    // an entity frame that IS a materialized leaf — a LocalRelation
+    // (explicit eid list) or a LogicalRDD (a checkpoint this method
+    // created one recursion step up), possibly under a bare projection
+    // — must not be checkpointed: inlining a leaf into the branches is
+    // free, and a pin would be a pure-waste job + storage. The check is
+    // deliberately NOT "all leaves materialized": a distinct/union/
+    // filter ABOVE materialized leaves (a pull over reachable()'s
+    // returned union, say) re-inlines that operator — an exchange of
+    // the whole frame — into every fan-out branch, the exact
+    // replication the pin exists to avoid, so those still pin.
+    def materializedOnly(df: DataFrame): Boolean = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        case pr: Project => strip(pr.child)
+        case al: SubqueryAlias => strip(al.child)
+        case other => other
+      }
+      strip(df.queryExecution.analyzed) match {
         case _: org.apache.spark.sql.execution.LogicalRDD => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
-        case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+        case _: LocalRelation | _: OneRowRelation => true
         case _ => false
       }
+    }
     val ents0 =
       if (entitiesDistinct) entities.select($"e")
       else entities.select($"e").distinct()
@@ -884,8 +895,21 @@ class TripleStore(
         val edge =
           if (p.reverse) edge0.select($"vref".as("e"), $"e".as("_child"))
           else edge0.select($"e", $"vref".as("_child"))
-        val scoped = restrict(edge)
-        val childDf = pull(scoped.select($"_child".as("e")), p.sub)
+        // pin the matched edge set and the child entity set ONCE: the
+        // edges are consumed twice (child derivation + the re-nesting
+        // join) and the child pull semi-joins its entity set into every
+        // child branch PLUS the final left join — without the pins the
+        // edge-scan union re-inlines into each of those plans (the
+        // residual per-branch scans of the r18 fan-out fix; both frames
+        // are narrow and bounded by the matched fan-out, i.e. by the
+        // output size). The child call goes straight to pullImpl with
+        // entitiesDistinct = true so the leaf is used as-is — no
+        // re-distinct, and the bare-leaf rule skips a second pin.
+        val scoped = restrict(edge).localCheckpoint(eager = true)
+        val childEnts = scoped.select($"_child".as("e")).distinct()
+          .localCheckpoint(eager = true)
+        val childDf = pullImpl(childEnts, p.sub,
+          entitiesDistinct = true, entLiterals = None)
         val childCols = childDf.columns.filter(_ != "e")
         scoped.join(childDf.withColumnRenamed("e", "_child"), Seq("_child"))
           .groupBy($"e")
@@ -1594,6 +1618,11 @@ class TripleStore(
           .reduce(_ unionByName _).distinct().localCheckpoint(eager = true)
       }.toMap
       var delta: Map[String, DataFrame] = total
+      // unions-since-last-pin PER PREDICATE: keying the re-pin to the
+      // global round counter lets a predicate whose delta is empty on
+      // every multiple-of-8 round grow its lazy union unboundedly on
+      // deep recursions — count each predicate's own accumulated unions
+      var sincePin: Map[String, Int] = predsS.map(_ -> 0).toMap
       var deltaSizes: Map[String, Long] =
         delta.map { case (p, df) => p -> df.count() }
       onIteration(iterNo, deltaSizes)
@@ -1625,11 +1654,17 @@ class TripleStore(
                 else {
                   // the running total unions the (already-checkpointed)
                   // per-round deltas LAZILY — no third driver action per
-                  // round; re-pin every 8 rounds so a deep recursion's
-                  // union fan-in (and the rule joins' plan width) stays
-                  // bounded
+                  // round; re-pin after every 8 unions OF THIS PREDICATE
+                  // so a deep recursion's union fan-in (and the rule
+                  // joins' plan width) stays bounded
                   val u = total(p).unionByName(delta(p))
-                  if (i % 8 == 0) u.localCheckpoint(eager = true) else u
+                  if (sincePin(p) + 1 >= 8) {
+                    sincePin = sincePin.updated(p, 0)
+                    u.localCheckpoint(eager = true)
+                  } else {
+                    sincePin = sincePin.updated(p, sincePin(p) + 1)
+                    u
+                  }
                 })
         }.toMap
         onIteration(iterNo, deltaSizes)
@@ -1739,6 +1774,7 @@ class TripleStore(
       var visited = roots.select($"e", $"e".as("root")).localCheckpoint(eager = true)
       var frontier = visited
       var d = 0
+      var sincePin = 0
       while (d < p.maxDepth) {
         val next = frontier.join(es, frontier("e") === es("_src"))
           .select($"_dst".as("e"), $"root").distinct()
@@ -1746,6 +1782,13 @@ class TripleStore(
           .localCheckpoint(eager = true)
         if (next.isEmpty) return d
         visited = visited.unionByName(next)
+        // re-pin the running union every 8 levels (the datalog loop's
+        // cadence): the anti-join otherwise plans against a union of d
+        // leaves at depth d — O(d²) plan nodes over a deep traversal
+        sincePin += 1
+        if (sincePin >= 8) {
+          visited = visited.localCheckpoint(eager = true); sincePin = 0
+        }
         frontier = next
         d += 1
       }
@@ -1855,6 +1898,20 @@ class TripleStore(
     try {
       val n = r.count()
       val nBatches = math.max(1L, (n + rootBatchSize - 1) / rootBatchSize).toInt
+      // FRONTIER-ADAPTIVE collapse: concurrency already multiplies peak
+      // frontier state by the number of in-flight batches — k concurrent
+      // batches of B roots hold the same O(k·B·|V|) state as ONE batch
+      // of k·B roots. So when every batch would be in flight at once
+      // (nBatches <= batchParallelism), merging them into a single BFS
+      // keeps the documented peak-state bound EXACTLY (maxFrontier
+      // scales by the merged batch count for the same reason) and cuts
+      // the per-level driver actions by nBatches — at bench scale those
+      // small blocking jobs are the cost; at cluster scale one fixpoint
+      // has fewer straggler tails than nBatches interleaved ones.
+      // Root-batch membership cannot change any root's closure, so the
+      // result is the batched union exactly.
+      if (nBatches <= batchParallelism)
+        return bfsFrom(r, es, maxIters, maxFrontier.map(_ * nBatches))
       def runBatch(b: Int): DataFrame =
         bfsFrom(r.where(pmod(xxhash64($"e"), lit(nBatches)) === b),
           es, maxIters, maxFrontier)
@@ -1939,6 +1996,7 @@ class TripleStore(
     var visitedKeys = root0.select($"e", $"root")
     var frontier = root0
     var i = 0
+    var sincePin = 0
     var done = false
     while (i < maxIters && !done) {
       val next = frontier.join(es, frontier("e") === es("_src"))
@@ -1961,6 +2019,16 @@ class TripleStore(
       else {
         levels ::= next
         visitedKeys = visitedKeys.unionByName(next.select($"e", $"root"))
+        // re-pin the running visited union every 8 levels (the datalog
+        // loop's cadence): the anti-join otherwise plans against a
+        // union of d leaves at depth d — O(d²) plan nodes over a deep
+        // traversal. The returned closure still unions the per-level
+        // leaves directly (consumed once; fan-in is linear).
+        sincePin += 1
+        if (sincePin >= 8) {
+          visitedKeys = visitedKeys.localCheckpoint(eager = true)
+          sincePin = 0
+        }
         frontier = next
       }
       i += 1

@@ -86,6 +86,7 @@ object RefGraph {
       .select($"e", lit(0L).as("dist")).localCheckpoint(eager = true)
     var frontier = known.select($"e")
     var d = 0L
+    var sincePin = 0
     var n = frontier.count()
     while (n > 0 && d < maxIters) {
       d += 1
@@ -97,8 +98,15 @@ object RefGraph {
       if (n > 0) {
         // lazy union of the per-level CHECKPOINTED deltas: the anti-join
         // unions ≤ maxIters materialized leaves — no recompute and no
-        // third per-level job re-checkpointing the running known set
+        // third per-level job re-checkpointing the running known set.
+        // Re-pin every 8 levels (the datalog loop's cadence) so a deep
+        // graph's anti-join plan fan-in stays bounded instead of
+        // growing O(d²) plan nodes over the traversal.
         known = known.unionByName(next.select($"e", lit(d).as("dist")))
+        sincePin += 1
+        if (sincePin >= 8) {
+          known = known.localCheckpoint(eager = true); sincePin = 0
+        }
         frontier = next.select($"e")
       }
     }

@@ -295,23 +295,36 @@ object Similarity {
     val dim = centroids.headOption.map(_.size).getOrElse(0)
     for (_ <- 0 until iters if dim > 0) {
       // ONE map-side-combinable aggregation per round: `dim` separate
-      // sum(element_at(...)) columns instead of posexplode + two-level
-      // aggregation — the explode shipped train×dim skinny rows through
-      // the shuffle and paid a second exchange to re-nest the mean
-      // vector; this ships nCells·dim partial sums per map task (guide
-      // §2.3 "aggregate before you shuffle") in one exchange. The mean
-      // is the same sum/count division, done driver-side on the
-      // collected (tiny: nCells rows) aggregate.
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("_cv"), i + 1)).as(s"_s$i"))
+      // sum/count(try_element_at(...)) column pairs instead of
+      // posexplode + two-level aggregation — the explode shipped
+      // train×dim skinny rows through the shuffle and paid a second
+      // exchange to re-nest the mean vector; this ships nCells·dim
+      // partials per map task (guide §2.3 "aggregate before you
+      // shuffle") in one exchange. try_element_at (NOT element_at):
+      // ANSI mode is on in Spark 4, so a ragged corpus — any training
+      // vector shorter than the first-sampled centroid — would throw
+      // INVALID_ARRAY_INDEX; the null it yields instead drops that
+      // vector from exactly the dims it lacks, and the PER-DIM count
+      // reproduces the posexplode formulation's per-(cell, dim) mean.
+      // The mean is the same sum/count division, done driver-side on
+      // the collected (tiny: nCells rows) aggregate.
+      val aggs = (0 until dim).flatMap(i => Seq(
+        sum(try_element_at(col("_cv"), lit(i + 1))).as(s"_s$i"),
+        count(try_element_at(col("_cv"), lit(i + 1))).as(s"_c$i")))
       val upd = train.where(col("_cv").isNotNull)
         .select(cellOf(col("_cv"), centroids).as("_cell"), col("_cv"))
         .groupBy(col("_cell"))
-        .agg(count(lit(1)).as("_n"), sums: _*)
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
+      val prev = centroids
       val m = upd.map { r =>
-        val n = r.getLong(1).toDouble
-        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 2) / n)
+        val cell = r.getInt(0)
+        cell -> (0 until dim).map { i =>
+          val n = r.getLong(2 + 2 * i)
+          // a dim no member reaches keeps the previous centroid's value
+          // (the old per-(cell, dim) mean simply had no row for it)
+          if (n == 0L) prev(cell)(i) else r.getDouble(1 + 2 * i) / n
+        }
       }.toMap
       // a cell that lost every member keeps its previous centroid
       centroids = centroids.indices.map(i => m.getOrElse(i, centroids(i))).toArray

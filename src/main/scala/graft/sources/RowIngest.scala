@@ -121,8 +121,13 @@ object RowIngest {
       else Nil)
     val all = scalarStructs ++ refStructs ++ metaStructs
     if (all.isEmpty)
+      // empty as a LocalRelation, NOT an empty RDD: the optimizer can
+      // prove a LocalRelation(Nil) empty, so PropagateEmptyRelation
+      // folds the union branch (and any join against it) out of every
+      // multi-table store's pruned scan — an empty-RDD leaf survives
+      // as a full Exchange+Sort+Join subtree per non-asserting table
       df.sparkSession.createDataFrame(
-        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         Triples.schema)
     else
       df.select(e.as("e") +: passthrough.map(col) :+
