@@ -3624,7 +3624,7 @@ object SparkEntry {
     // pair no longer remembers it, so it RE-EMITS (the documented
     // divergence); without eviction the no-op re-assert would emit
     // nothing and the row counts halve.
-    "q162_stream_upsert_ttl" -> ((s, dir) => withShuffle(s, 8) {
+    "q162_stream_upsert_ttl" -> ((s, dir) => withShuffle(s, 4) {
       import s.implicits._
       import java.nio.file.Paths
       val in = scratch("q162in", dir)
@@ -3676,7 +3676,7 @@ object SparkEntry {
       // the re-assert at T0+2h re-emitting. The TTL timeout is
       // EVENT-time, so a staged world restored later is unaffected.
       val staged = stagedStreamState(s, "q162s1", dir,
-        "ttlv1 wm=10m ttl=300 " + s"b1=${treeFingerprint(batches(0))}",
+        "ttlv1 wm=10m ttl=300 sp=4 " + s"b1=${treeFingerprint(batches(0))}",
         capture = Seq((in, "in"), (ckpt, "ckpt"), (outp, "out"))) {
         for (d <- Seq(in, outp, ckpt)) deleteRec(Paths.get(d))
         java.nio.file.Files.createDirectories(Paths.get(in))

@@ -976,6 +976,49 @@ class TripleStoreSpec extends AnyFunSuite {
       maxFrontier = Some(11L)).count() === 16)
   }
 
+  test("deep traversals cross the every-8-level visited re-pin unchanged " +
+      "(18-hop chain: BFS, shortest paths, datalog closure)") {
+    // 19-node chain a0→…→a18: depth 18 crosses the 8-level re-pin of the
+    // running visited/known/total unions TWICE in every fixpoint loop —
+    // results must be exactly the un-pinned answer (the pin only
+    // truncates plan lineage), and the plan the anti-join sees stays
+    // bounded instead of accumulating one union leaf per level
+    val n = 19
+    def refStore(edges: Seq[(String, String)]): TripleStore = {
+      val triples = edges.map { case (x, y) => (x, "r:next", y) }
+        .toDF("e", "a", "vref")
+        .withColumn("vtype", lit(Triples.VRef))
+        .withColumn("vstr", lit(null).cast("string"))
+        .withColumn("vlong", lit(null).cast("long"))
+        .withColumn("vdbl", lit(null).cast("double"))
+        .withColumn("vbool", lit(null).cast("boolean"))
+        .withColumn("vts", lit(null).cast("timestamp_ntz"))
+        .withColumn("vbin", lit(null).cast("binary"))
+        .withColumn("txId", lit(0L))
+        .select(Triples.columns.map(col): _*)
+      new TripleStore(spark, triples, Map(
+        "r:next" -> AttrSchema("r:next", cardOne = false, isRef = true,
+          Triples.VRef)))
+    }
+    val ts = refStore((0 until n - 1).map(i => (s"a$i", s"a${i + 1}")))
+    // per-root BFS from the head: one row per depth 0..18
+    val got = ts.reachable(Seq("a0").toDF("e"))
+      .as[(String, String, Int)].collect().toSet
+    assert(got === (0 until n).map(i => (s"a$i", "a0", i)).toSet)
+    // global-visited shortest paths: same depths under the known-set pin
+    val sp = graft.graph.RefGraph.shortestPaths(ts, Seq("a0").toDF("e"))
+      .as[(String, Long)].collect().toSet
+    assert(sp === (0 until n).map(i => (s"a$i", i.toLong)).toSet)
+    // semi-naive closure: 18 rounds crosses the per-predicate re-pin;
+    // chain TC = one pair per (i, j>i)
+    val tc = ts.datalogRules(Seq("?x", "?y"), Seq(("?x", "reach", "?y")),
+      Seq(
+        DatalogRule(("?x", "reach", "?y"), Seq(("?x", "r:next", "?y"))),
+        DatalogRule(("?x", "reach", "?z"),
+          Seq(("?x", "r:next", "?y"), ("?y", "reach", "?z")))))
+    assert(tc.count() === (n - 1).toLong * n / 2)
+  }
+
   test("store merge is set union over globally-unique eids (W5)") {
     val a = tinyStore(Seq(("e1", "k:x", "v", 0L)))
     val b = tinyStore(Seq(("e1", "k:x", "v", 0L), ("e2", "k:x", "w", 0L)))
