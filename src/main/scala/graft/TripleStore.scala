@@ -1389,7 +1389,12 @@ class TripleStore(
     val (fromSql, bind) =
       if (edbClauses.isEmpty) (s"${tag}_rec r", idbBind.toMap)
       else {
+        // lazy-checkpoint the recursive term's EDB join (same idiom as
+        // reachableCte's edge view): the UnionLoop re-executes this
+        // subtree once per level, so an un-pinned view re-derives the
+        // clause scans + joins at every depth
         val edbDf = joinClauses(edbClauses.map(clauseDf(_, Map.empty)))
+          .localCheckpoint(eager = false)
         edbDf.createOrReplaceTempView(s"${tag}_edb")
         val edbVars = edbDf.columns.toSet
         val conds = idbBind.collect {
@@ -1845,7 +1850,14 @@ class TripleStore(
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     roots.select($"e").distinct()
       .createOrReplaceTempView(s"${tag}_roots")
+    // checkpoint the edge projection (lazily — computed at the query's
+    // first materialization, same idiom as shortestPaths/pageRank): the
+    // UnionLoop re-executes the recursive term's subtree once per
+    // level, so an un-pinned view re-derives the triple-flatten + attr
+    // filter (or a caller's fabricated-edge shuffle) at every depth —
+    // the exact per-level re-evaluation bfsFrom's persist removes
     edgesFor(attrs).select($"e".as("_src"), $"vref".as("_dst"))
+      .localCheckpoint(eager = false)
       .createOrReplaceTempView(s"${tag}_edges")
     spark.sql(
       s"""WITH RECURSIVE ${tag}_r(root, e, depth) AS (
